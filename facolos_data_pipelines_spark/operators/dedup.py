@@ -1,0 +1,339 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — all expressed with built-in higher-order functions
+(transform/aggregate/zip_with + xxhash64), zero Python UDFs, so every
+stage stays inside whole-stage codegen and scales by partitioning:
+
+- exact dedup: one shuffle on the content hash;
+- MinHash LSH: narrow signature computation, then one shuffle per
+  band-bucket group-by — the standard way to near-dedup 100 TB of text
+  without an O(n^2) comparison;
+- SimHash: narrow 64-bit fingerprint, dedup on fingerprint buckets;
+- verification (true Jaccard / cosine) runs only on LSH candidates.
+
+These have no counterpart in the reference repo (its dedup is PK-based,
+covered by operators.merge); they are the north-star extension surface
+(BASELINE.json, SURVEY §7.3 step 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact content value (hash-groupBy).
+
+    Grouping key is xxhash64(text) + length — collision-safe enough at
+    trillions of docs while shuffling 12 bytes instead of full text;
+    the min-id winner rule is deterministic.
+    """
+    w = Window.partitionBy(F.xxhash64(F.col(text_col)), F.length(text_col)).orderBy(
+        F.col(id_col).asc()
+    )
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def normalized_words(text_col: str | Column) -> Column:
+    """Lowercase, strip punctuation, split on whitespace, drop empties."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    cleaned = F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}\s]", " ")
+    return F.filter(F.split(cleaned, r"\s+"), lambda x: x != "")
+
+
+def word_shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>.
+
+    Built from ``transform`` over index positions — no explode, no UDF;
+    documents shorter than n words contribute their full word join as a
+    single shingle so they still participate.
+    """
+    words = normalized_words(text_col)
+    k = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: for seed i, min over shingles of
+    xxhash64(shingle, i). Returns array<long> of length num_hashes.
+    Narrow, codegen'd; 32 perms ≈ Jaccard ±0.18 stderr, enough for
+    banding."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Explode each doc into (band_id, band_hash) bucket keys.
+
+    bands=8 over 32 hashes -> rows-per-band r=4: collision prob
+    1-(1-j^4)^8, ~0.5 crossover at Jaccard ≈ 0.6. Output columns:
+    id_col, band_id, band_hash. One narrow pass + explode; the
+    downstream group-by shuffles only (id, band) pairs.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature(word_shingles(text_col, shingle_n), num_hashes)
+    banded = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string")),
+                    ",",
+                )
+            ).alias("band_hash"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(banded).alias("b")).select(
+        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    )
+
+
+def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
+
+    Self-join within buckets only — the whole point of LSH: comparisons
+    are bucket-local. Hot buckets (boilerplate text) are the skew risk;
+    AQE skew-join splitting handles moderate skew, and callers can cap
+    bucket size upstream for pathological corpora.
+    """
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def verified_near_dup_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify LSH candidates with exact n-gram Jaccard
+    (array_intersect/array_union over distinct shingles). Returns
+    (id_a, id_b, jaccard) for pairs >= threshold."""
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("_shingles")
+    )
+    joined = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_shingles", "sh_b"), "id_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end MinHash near-dedup: LSH buckets -> candidate pairs ->
+    Jaccard verify -> drop the higher id of each verified pair.
+
+    Single-link transitivity is approximated by one sweep (b survives
+    only if not matched to any smaller id) — the standard scalable
+    choice vs full connected components; iterate the sweep for chains.
+    """
+    buckets = minhash_lsh_buckets(df, text_col, id_col, num_hashes, bands, shingle_n)
+    pairs = lsh_candidate_pairs(buckets, id_col)
+    dups = verified_near_dup_pairs(df, pairs, text_col, id_col, shingle_n, threshold)
+    losers = dups.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text_col: str | Column, bits: int = 64) -> Column:
+    """64-bit SimHash fingerprint, pure SQL expressions.
+
+    Each word votes +1/-1 per bit position of its xxhash64; the
+    fingerprint takes the sign of each bit's vote sum. Implemented as a
+    fold (``aggregate``) over the word array accumulating a 64-slot
+    vote vector — narrow per-row work, no explode/shuffle.
+    """
+    words = normalized_words(text_col)
+    zero = F.array_repeat(F.lit(0), bits)
+    votes = F.aggregate(
+        words,
+        zero,
+        lambda acc, w: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                # bit_get accepts a Column position (shiftright does not)
+                lambda j: F.bit_get(F.xxhash64(w), j).cast("int") * 2 - 1,
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # Pack sign bits into a long by folding acc*2 + bit (high bit may
+    # wrap — fine for a fingerprint; ANSI is off so overflow wraps).
+    return F.aggregate(
+        votes,
+        F.lit(0).cast("long"),
+        lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count (Spark >= 3.3)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dedup with banded blocking.
+
+    Pigeonhole: two 64-bit fingerprints within hamming distance k share
+    at least one of k+1 16-bit blocks exactly — block on each quarter,
+    compare within blocks only, drop the higher id of close pairs.
+    """
+    fp = df.select(F.col(id_col), simhash(text_col).alias("_fp"))
+    blocks = fp.select(
+        id_col,
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright(F.col("_fp"), q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("blk"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "_fp", F.col("b.q").alias("q"), F.col("b.blk").alias("blk"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(hamming_distance(F.col("a._fp"), F.col("b._fp")) <= max_hamming)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .dropDuplicates()
+    )
+    return df.join(dups, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine of two array<float|double> columns via zip_with/aggregate —
+    JVM-side, no UDF."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 0,
+) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold.
+
+    num_planes=0 compares all pairs (exact; fine to ~10^4 vectors per
+    partition-group). For scale, num_planes>0 blocks by a random-
+    hyperplane LSH signature first (see similarity.hyperplane_signature)
+    so comparisons are bucket-local.
+    """
+    from .similarity import hyperplane_signature
+
+    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if num_planes > 0:
+        dim = None  # derived lazily inside hyperplane_signature
+        sig = hyperplane_signature(F.col(vec_col), num_planes=num_planes, dim=dim)
+        keyed = df.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
+        a = keyed.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("_sig").alias("sa")
+        )
+        b = keyed.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("_sig").alias("sb")
+        )
+        pairs = a.join(b, (F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b")))
+    else:
+        pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 0,
+) -> DataFrame:
+    """Drop the higher id of every near-duplicate embedding pair."""
+    dups = (
+        embedding_near_dup_pairs(df, vec_col, id_col, threshold, num_planes)
+        .select(F.col("id_b").alias(id_col))
+        .dropDuplicates()
+    )
+    return df.join(dups, id_col, "left_anti")

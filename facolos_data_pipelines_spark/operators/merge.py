@@ -1,0 +1,112 @@
+"""Keyed upsert (MERGE) and key-based dedup — SURVEY.md §2 S11/A8.
+
+The reference upserts row-by-row with T-SQL MERGE on the PK
+(run_historical_backfill.py:86-183): matched rows get all non-PK
+columns updated + etl_updated_at refreshed; unmatched rows insert.
+Spark-first restatement: last-writer-wins dedup over the union, ranked
+by a deterministic recency tiebreaker — one shuffle on the PK, skew
+handled by AQE, no per-row driver round-trips. At 100 TB the PK shuffle
+is the unavoidable cost of an upsert; everything else stays map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str = "etl_updated_at",
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Keep the most recent row per key (window-rank dedup).
+
+    Deterministic even with equal timestamps: ties break on
+    ``tiebreakers`` (default: etl_batch_id then all columns' natural
+    order is NOT used — caller supplies stable columns). This is the
+    engine's MERGE primitive and also the streaming late-data dedup.
+    """
+    order_exprs = [F.col(order_col).desc_nulls_last()]
+    for t in tiebreakers or ["etl_batch_id"]:
+        if t in df.columns:
+            order_exprs.append(F.col(t).desc_nulls_last())
+    w = Window.partitionBy(*keys).orderBy(*order_exprs)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_upsert(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    order_col: str = "etl_updated_at",
+) -> DataFrame:
+    """MERGE semantics: incoming wins on key match, else insert.
+
+    Equivalent to the reference's per-row ``MERGE ... WHEN MATCHED THEN
+    UPDATE ... WHEN NOT MATCHED THEN INSERT``
+    (run_historical_backfill.py:152-183). Implemented as
+    union + last-writer-wins; ``_merge_rank`` guarantees incoming beats
+    existing even when order_col values tie (the reference
+    unconditionally overwrites matched rows with incoming values).
+    """
+    cols = existing.columns
+    tagged = incoming.select(*cols).withColumn("_merge_rank", F.lit(1)).unionByName(
+        existing.select(*cols).withColumn("_merge_rank", F.lit(0))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_merge_rank").desc(), F.col(order_col).desc_nulls_last()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_merge_rank")
+    )
+
+
+def _null_safe_key_cond(left, right, keys: list[str]):
+    """NULL-safe key equality (<=>) — composite staging PKs can carry
+    NULL components (e.g. item_sku_id on itemless orders); a plain
+    equi-join would never match them and duplicates would slip through
+    the anti-join. SQL Server PKs reject NULLs outright; null-safe
+    match is the faithful dedup semantics for our files."""
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(right[k])
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def merge_stats(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
+    """Insert-vs-update tally (A8) — the reference counts MERGE
+    ``OUTPUT $action`` rows (run_historical_backfill.py:125-135).
+    Spark: semi/anti join counts, one pass each, broadcast when small.
+    """
+    inc_keys = incoming.select(*keys).dropDuplicates(keys)
+    old_keys = existing.select(*keys).dropDuplicates(keys)
+    cond = _null_safe_key_cond(inc_keys, old_keys, keys)
+    updated = inc_keys.join(old_keys, cond, "left_semi")
+    inserted = inc_keys.join(old_keys, cond, "left_anti")
+    return updated.agg(F.count("*").alias("updated")).crossJoin(
+        inserted.agg(F.count("*").alias("inserted"))
+    )
+
+
+def append_dedup(
+    existing: DataFrame, incoming: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Incremental append with PK-duplicate rejection.
+
+    The reference 'relies on database constraints to reject duplicates'
+    on re-ingest (tiktok_shop_staging_loader.py:144-149); the honest
+    Spark realization is a left-anti join against existing keys before
+    the append (SURVEY §2.5). NULL-safe equality so NULL key components
+    dedup too. Returns only the genuinely-new rows.
+    """
+    old_keys = existing.select(*keys).dropDuplicates(keys)
+    return incoming.join(old_keys, _null_safe_key_cond(incoming, old_keys, keys), "left_anti")

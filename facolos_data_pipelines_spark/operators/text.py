@@ -1,0 +1,139 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (stopword-hit heuristic), quality scoring (length /
+punctuation / stopword ratios), token counting (whitespace + BPE-ish
+regex), and document fingerprinting (normalized-content hash + rolling
+k-gram winnow). All built-in expressions — regexp/split/higher-order
+functions — so the hot path stays in whole-stage codegen and scales as
+a narrow map over however many partitions the corpus has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_words
+
+# Tiny high-frequency stopword lists per language — enough signal for a
+# coarse n-gram/stopword language-ID heuristic (not a trained model).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "was", "on", "with", "as", "this"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von", "auf", "im"],
+    "fr": ["le", "la", "les", "et", "est", "une", "un", "des", "du", "que", "pas", "pour", "dans", "sur"],
+    "es": ["el", "la", "los", "las", "y", "es", "una", "un", "de", "que", "no", "por", "para", "con"],
+    "vi": ["và", "là", "của", "có", "không", "được", "cho", "trong", "một", "người", "này", "các", "với"],
+}
+
+
+def token_count_whitespace(text_col: str | Column) -> Column:
+    """Whitespace token count (empty tokens from leading/trailing/run
+    whitespace excluded)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.filter(F.split(c, r"\s+"), lambda x: x != ""))
+
+
+def token_count_bpe_like(text_col: str | Column) -> Column:
+    """BPE-ish subword proxy: count of letter-runs, digit-runs, and
+    individual punctuation marks — the tokenization granularity most
+    BPE vocabularies approximate. regexp_count keeps it one JVM pass."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(c, F.lit(r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]")).cast("int")
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: chars, words, tokens, avg word length,
+    punctuation ratio, uppercase ratio, distinct-word ratio."""
+    c = F.col(text_col)
+    words = normalized_words(c)
+    n_chars = F.length(c)
+    n_words = F.size(words)
+    return df.select(
+        "*",
+        n_chars.alias("stat_chars"),
+        n_words.alias("stat_words"),
+        token_count_bpe_like(c).alias("stat_tokens"),
+        (
+            F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+            / F.greatest(n_words, F.lit(1))
+        ).alias("stat_avg_word_len"),
+        (
+            F.regexp_count(c, F.lit(r"[^\p{L}\p{N}\s]")) / F.greatest(n_chars, F.lit(1))
+        ).alias("stat_punct_ratio"),
+        (F.regexp_count(c, F.lit(r"[A-Z]")) / F.greatest(n_chars, F.lit(1))).alias(
+            "stat_upper_ratio"
+        ),
+        (F.size(F.array_distinct(words)) / F.greatest(n_words, F.lit(1))).alias(
+            "stat_distinct_word_ratio"
+        ),
+    )
+
+
+def stopword_ratio(text_col: str | Column, lang: str = "en") -> Column:
+    """Fraction of words that are high-frequency stopwords of ``lang``."""
+    words = normalized_words(text_col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return hits / F.greatest(F.size(words), F.lit(1))
+
+
+def detect_language(df: DataFrame, text_col: str = "text", langs: list[str] | None = None) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword-hit ratio;
+    'und' (undetermined) when no language scores above zero."""
+    candidates = langs or list(STOPWORDS)
+    scores = F.array(
+        *[
+            F.struct(
+                stopword_ratio(F.col(text_col), lg).alias("score"), F.lit(lg).alias("lang")
+            )
+            for lg in candidates
+        ]
+    )
+    best = F.array_max(scores)
+    return df.select(
+        "*",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("detected_lang"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", lang: str = "en") -> DataFrame:
+    """Composite document-quality score in [0,1] from cheap heuristics:
+    reasonable length, moderate punctuation, stopword presence, lexical
+    diversity — the usual pre-training corpus filters (C4-style), each
+    as a clamped sub-score averaged JVM-side."""
+    c = F.col(text_col)
+    words = normalized_words(c)
+    n_words = F.size(words)
+    len_score = F.least(n_words / F.lit(50.0), F.lit(1.0))  # ramps to 1 at 50 words
+    punct = F.regexp_count(c, F.lit(r"[^\p{L}\p{N}\s]")) / F.greatest(F.length(c), F.lit(1))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct * 4)  # penalize >25% punct
+    sw_score = F.least(stopword_ratio(c, lang) * 4, F.lit(1.0))  # healthy prose ~25%+
+    diversity = F.size(F.array_distinct(words)) / F.greatest(n_words, F.lit(1))
+    return df.select(
+        "*",
+        ((len_score + punct_score + sw_score + diversity) / 4).alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints:
+
+    - ``fp_content``: xxhash64 of the normalized text (lowercased,
+      punctuation stripped, whitespace collapsed) — exact-dup key that
+      survives formatting noise;
+    - ``fp_rolling_min``: min over rolling 5-word-gram hashes — a
+      1-perm MinHash usable as a cheap near-dup blocking key.
+    """
+    words = normalized_words(F.col(text_col))
+    normalized = F.array_join(words, " ")
+    k = F.lit(5)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+        lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, 5), " ")),
+    )
+    return df.select(
+        "*",
+        F.xxhash64(normalized).alias("fp_content"),
+        F.array_min(grams).alias("fp_rolling_min"),
+    )

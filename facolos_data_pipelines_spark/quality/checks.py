@@ -1,0 +1,157 @@
+"""Statistics & data-quality queries — SURVEY.md §2.4 A1–A9 and the §5
+runtime gates, returned as small metric DataFrames.
+
+This is the reference's entire query surface (global aggregates per
+staging table + threshold gates), expressed as single-pass Spark aggs.
+Every one is a full-scan-free candidate at 100 TB when the table is
+date-partitioned: freshness/recency checks prune to recent partitions,
+and counts can run on partition metadata where exactness isn't needed
+(approx variants provided).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_stats(
+    df: DataFrame,
+    key_col: str | None = None,
+    ts_col: str | None = None,
+    batch_col: str = "etl_batch_id",
+) -> DataFrame:
+    """A1–A4 in one pass: row count, distinct keys, min/max timestamps,
+    distinct batches (tiktok_shop_staging_loader.py:160-196,
+    misa_crm_loader.py:285-310). One aggregation job, map-side partial.
+    """
+    aggs = [F.count("*").alias("total_rows")]
+    if key_col and key_col in df.columns:
+        aggs.append(F.countDistinct(key_col).alias("unique_keys"))
+        aggs.append(F.approx_count_distinct(key_col).alias("approx_unique_keys"))
+    if ts_col and ts_col in df.columns:
+        aggs.append(F.min(ts_col).alias("earliest"))
+        aggs.append(F.max(ts_col).alias("latest"))
+    if batch_col in df.columns:
+        aggs.append(F.countDistinct(batch_col).alias("total_batches"))
+    return df.agg(*aggs)
+
+
+def rows_last_hours(df: DataFrame, ts_col: str, hours: int = 24) -> DataFrame:
+    """A5 — time-windowed conditional count
+    (misa_crm_loader.py:357-362)."""
+    cond = F.col(ts_col) >= F.current_timestamp() - F.expr(f"INTERVAL {hours} HOURS")
+    return df.agg(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("recent_rows"))
+
+
+def multi_table_summary(tables: dict[str, DataFrame]) -> DataFrame:
+    """A6 — per-table counts + quality score fold
+    (production_etl_orchestrator.py:289-320): stacked counts frame with
+    tables_with_data and quality_score derivable by one more agg."""
+    spark = next(iter(tables.values())).sparkSession
+    counts = None
+    for name, df in tables.items():
+        row = df.agg(F.count("*").alias("records")).select(
+            F.lit(name).alias("table_name"), F.col("records")
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    assert counts is not None, "no tables supplied"
+    return counts
+
+
+def quality_gate(summary: DataFrame, min_tables_with_data: int = 5) -> DataFrame:
+    """The ≥5-of-6-tables-non-empty pass bar
+    (dags/incremental_etl_dag.py:237, orchestrator :308) + quality_score
+    = tables_with_data/total*100."""
+    return summary.agg(
+        F.count("*").alias("total_tables"),
+        F.sum(F.when(F.col("records") > 0, 1).otherwise(0)).cast("long").alias("tables_with_data"),
+        F.sum("records").alias("total_records"),
+    ).select(
+        "*",
+        (F.col("tables_with_data") / F.col("total_tables") * 100).alias("quality_score"),
+        (F.col("tables_with_data") >= min_tables_with_data).alias("passed"),
+    )
+
+
+def flatten_invariants(
+    raw_orders: DataFrame,
+    flattened: DataFrame,
+    order_key: str = "order_id",
+    item_key: str = "item_id",
+    items_col: str = "sale_order_product_mappings",
+    raw_order_key: str = "id",
+) -> DataFrame:
+    """A9 — the key correctness property of the signature flatten
+    (misa_crm_transformer.py:388-447):
+
+    * unique orders after flatten == raw order count
+    * rows with non-null item == Σ len(order.items)
+    plus with/without-items tallies. Returns a one-row frame with
+    booleans so pipelines can assert on it cheaply.
+    """
+    raw_stats = raw_orders.agg(
+        F.countDistinct(raw_order_key).alias("raw_orders"),
+        F.sum(F.size(F.coalesce(F.col(items_col), F.array()))).cast("long").alias("raw_items"),
+        F.sum(
+            F.when(F.size(F.coalesce(F.col(items_col), F.array())) > 1, 1).otherwise(0)
+        ).cast("long").alias("raw_multi_item_orders"),
+        F.sum(
+            F.when(F.size(F.coalesce(F.col(items_col), F.array())) == 0, 1).otherwise(0)
+        ).cast("long").alias("raw_empty_orders"),
+    )
+    flat_stats = flattened.agg(
+        F.countDistinct(order_key).alias("flat_orders"),
+        F.sum(F.when(F.col(item_key).isNotNull(), 1).otherwise(0)).cast("long").alias("flat_items"),
+    )
+    return raw_stats.crossJoin(flat_stats).select(
+        "*",
+        (F.col("flat_orders") == F.col("raw_orders")).alias("orders_preserved"),
+        (F.col("flat_items") == F.col("raw_items")).alias("items_preserved"),
+    )
+
+
+def validate_pre_load(
+    df: DataFrame,
+    required_columns: list[str],
+    pk_col: str = "order_id",
+    quantity_col: str | None = None,
+) -> DataFrame:
+    """Pre-load validation (tiktok_shop_staging_loader.py:205-250):
+    required columns present (hard fail — raises), null-PK count (hard
+    fail when >0 in the caller), negative-quantity count (warn)."""
+    missing = [c for c in required_columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"missing required columns: {missing}")
+    aggs = [
+        F.count("*").alias("total_rows"),
+        F.sum(F.when(F.col(pk_col).isNull(), 1).otherwise(0)).cast("long").alias("null_pk_rows"),
+    ]
+    if quantity_col and quantity_col in df.columns:
+        aggs.append(
+            F.sum(F.when(F.col(quantity_col) < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("negative_quantity_rows")
+        )
+    return df.agg(*aggs)
+
+
+def validate_post_load(
+    loaded: DataFrame,
+    expected_min_rows: int,
+    ts_col: str = "etl_created_at",
+    freshness_hours: int = 1,
+) -> DataFrame:
+    """Post-load validation (misa_crm_loader.py:263-323): count ≥
+    expected and MAX(etl_created_at) within the freshness bar."""
+    return loaded.agg(
+        F.count("*").alias("actual_rows"),
+        F.max(ts_col).alias("latest_load"),
+    ).select(
+        "*",
+        (F.col("actual_rows") >= expected_min_rows).alias("count_ok"),
+        (
+            F.col("latest_load")
+            >= F.current_timestamp() - F.expr(f"INTERVAL {freshness_hours} HOURS")
+        ).alias("fresh"),
+    )

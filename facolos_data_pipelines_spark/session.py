@@ -1,0 +1,108 @@
+"""SparkSession construction tuned for this engine.
+
+Local testing runs on ``local[N]`` (single JVM); the same config block is
+what we would ship to a 1000-executor cluster — AQE on, shuffle
+partitions sized to the cluster, Arrow enabled for the few Pandas-UDF
+operators, session timezone pinned to UTC so timestamp semantics are
+identical everywhere (the reference mixed utcnow()/now(); we standardize
+on UTC — see SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Synthetic-table columns physically stored as TIMESTAMP(NANOS) parquet —
+# they read back as long under nanosAsLong and need ns->timestamp repair.
+KNOWN_TIMESTAMP_COLUMNS: dict[str, dict[str, str]] = {
+    "events": {"ts": "timestamp"},
+}
+
+
+def build_spark(
+    app_name: str = "facolos_data_pipelines_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults.
+
+    Defaults are correct for local[N]; on a real cluster pass
+    ``master=None`` with spark-submit supplying master/memory and a
+    larger ``shuffle_partitions`` (rule of thumb: 2-3x total cores,
+    AQE coalesces the excess at runtime).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # AQE: runtime coalescing, skew-join splitting, join re-selection.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # UTC everywhere — required for oracle comparison and for parity
+        # with the reference DDL's GETUTCDATE() defaults.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for the pandas-UDF operators (similarity / multimodal).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # pandas 'errors=coerce' cast parity needs ANSI off (cast
+        # failure -> NULL, not error). Spark 4 defaults ANSI on.
+        .config("spark.sql.ansi.enabled", "false")
+        # The synthetic events table stores ts as INT64 TIMESTAMP(NANOS),
+        # which Spark refuses by default; read as long and convert in
+        # load_tables (integer ns->us division, no precision loss).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Read the synthetic star-schema parquet tables and register temp views.
+
+    Returns a dict name -> DataFrame. Scans stay lazy; Catalyst pushes
+    filters/projections into the parquet reader.
+    """
+    all_names = [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for name in names or all_names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Columns stored as TIMESTAMP(NANOS) arrive as long (see
+        # nanosAsLong conf); restore timestamp with integer division so
+        # no precision is lost.
+        for col, want in KNOWN_TIMESTAMP_COLUMNS.get(name, {}).items():
+            if col in df.columns and dict(df.dtypes)[col] == "bigint":
+                df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

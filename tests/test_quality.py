@@ -1,0 +1,98 @@
+"""Tests for the stats/quality layer (A1-A9, §5 gates)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from facolos_data_pipelines_spark.operators.incremental import (
+    lookback_filter,
+    negative_count,
+    not_null_filter,
+    status_filter,
+    time_range_filter,
+)
+from facolos_data_pipelines_spark.quality import (
+    multi_table_summary,
+    quality_gate,
+    table_stats,
+    validate_post_load,
+    validate_pre_load,
+)
+
+
+def test_table_stats(spark):
+    df = spark.createDataFrame(
+        [
+            ("o1", dt.datetime(2024, 1, 1), "b1"),
+            ("o1", dt.datetime(2024, 1, 2), "b1"),
+            ("o2", dt.datetime(2024, 1, 3), "b2"),
+        ],
+        "order_id string, etl_created_at timestamp, etl_batch_id string",
+    )
+    row = table_stats(df, key_col="order_id", ts_col="etl_created_at").first()
+    assert row["total_rows"] == 3
+    assert row["unique_keys"] == 2
+    assert row["total_batches"] == 2
+    assert row["earliest"] == dt.datetime(2024, 1, 1)
+    assert row["latest"] == dt.datetime(2024, 1, 3)
+
+
+def test_multi_table_summary_and_gate(spark):
+    tables = {
+        f"t{i}": spark.range(n).toDF("x")
+        for i, n in enumerate([10, 5, 3, 2, 1, 0])
+    }
+    summary = multi_table_summary(tables)
+    assert summary.count() == 6
+    gate = quality_gate(summary, min_tables_with_data=5).first()
+    assert gate["tables_with_data"] == 5
+    assert gate["total_records"] == 21
+    assert gate["passed"]
+    assert abs(gate["quality_score"] - 83.333) < 0.01
+
+
+def test_validate_pre_load(spark):
+    df = spark.createDataFrame(
+        [("o1", 1, "b"), (None, -2, "b")],
+        "order_id string, item_quantity int, etl_batch_id string",
+    )
+    row = validate_pre_load(
+        df, ["order_id", "etl_batch_id"], pk_col="order_id", quantity_col="item_quantity"
+    ).first()
+    assert row["null_pk_rows"] == 1 and row["negative_quantity_rows"] == 1
+    try:
+        validate_pre_load(df, ["missing_col"])
+        raise AssertionError("should have raised")
+    except ValueError:
+        pass
+
+
+def test_validate_post_load(spark):
+    df = spark.createDataFrame(
+        [(1, dt.datetime.utcnow())], "pk long, etl_created_at timestamp"
+    )
+    row = validate_post_load(df, expected_min_rows=1).first()
+    assert row["count_ok"] and row["fresh"]
+
+
+def test_lookback_filter_keeps_nulls(spark):
+    df = spark.createDataFrame(
+        [("2024-06-01T12:00:00Z",), (None,), ("garbage",), ("2020-01-01T00:00:00Z",)],
+        "modified_date string",
+    )
+    out = lookback_filter(df, "modified_date", dt.datetime(2024, 6, 1)).collect()
+    vals = {r["modified_date"] for r in out}
+    # recent kept, NULL kept, unparseable kept (inclusive-on-error), stale dropped
+    assert vals == {"2024-06-01T12:00:00Z", None, "garbage"}
+
+
+def test_simple_filters(spark):
+    df = spark.createDataFrame(
+        [(1, "A", 5.0), (2, "B", -1.0), (3, None, 2.0)],
+        "create_time long, order_status string, value double",
+    )
+    assert time_range_filter(df, "create_time", 1, 2).count() == 2
+    assert status_filter(df, "order_status", "A").count() == 1
+    assert status_filter(df, "order_status", None).count() == 3
+    assert not_null_filter(df, "order_status").count() == 2
+    assert negative_count(df, "value").first()["negative_rows"] == 1
