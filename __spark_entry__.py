@@ -1,38 +1,775 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship daily-sales-summary query (SURVEY §2
+A10) at sf0.001. ``queries()`` exposes one callable per implemented
+operator family from SURVEY.md §2 (plus the LLM-pipeline extensions);
+``oracle_sql()`` gives the DuckDB twin for every SQL-expressible one.
+
+Column-name/type parity rules applied throughout:
+- every computed column is aliased identically on both sides;
+- counts are cast to BIGINT on both sides (DuckDB SUM(int) is HUGEINT);
+- derived floating-point aggregates are ROUND()ed on both sides so
+  summation-order ulp drift cannot flip the value hash;
+- session timezone is UTC and ANSI is off (session.build_spark).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# Fixed reference instants for deterministic incremental-window queries
+# (events ts spans 2024-01-01 .. 2024-01-30).
+EVENTS_CUTOFF = "2024-01-20 00:00:00"
+EVENTS_RETENTION_CUTOFF = "2024-01-10 00:00:00"
+SHIP_START, SHIP_END = "1996-01-01", "1996-12-31"
+
+# Deterministic query vector for similarity search: basis-ish vector so
+# both engines compute identical literals (dim=64 per TESTDATA).
+QUERY_VEC = [1.0 if i % 8 == 0 else (0.5 if i % 3 == 0 else 0.0) for i in range(64)]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from facolos_data_pipelines_spark.session import load_tables
+
+    return load_tables(spark, sf_dir, [name])[name]
+
+
+# ---------------------------------------------------------------------------
+# Flagship — A10 daily sales summary (orders ⋈ lineitem, group by day)
+# ---------------------------------------------------------------------------
+
+def q_daily_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — the designed data-mart aggregate
+    (reference sql/staging/create_future_platforms_schemas.sql:179-201):
+    per sale date: distinct orders, revenue, quantity, avg order value.
+    Plan: shuffle-join on orderkey (AQE may broadcast orders at small
+    SF), then one hash-agg keyed by date — partial agg map-side.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.to_date("o_orderdate").alias("sale_date"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("total_orders"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("total_quantity"),
+            F.round(F.sum(rev) / F.countDistinct("o_orderkey"), 2).alias("avg_order_value"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_daily_sales_summary(spark, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# A1–A4 stats / A5 conditional / A6 summary+gate / A9 invariants
+# ---------------------------------------------------------------------------
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1–A3 one-pass stats over orders (engine quality.table_stats)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").cast("long").alias("total_rows"),
+        F.countDistinct("o_custkey").cast("long").alias("unique_keys"),
+        F.min("o_orderdate").alias("earliest"),
+        F.max("o_orderdate").alias("latest"),
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — per-event-type totals + windowed conditional count."""
+    events = _t(spark, sf_dir, "events")
+    recent = F.col("ts") >= F.lit(EVENTS_CUTOFF).cast("timestamp")
+    return events.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.sum(F.when(recent, 1).otherwise(0)).cast("long").alias("recent_events"),
+    )
+
+
+def q_multi_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — stacked per-table counts (engine quality.multi_table_summary)."""
+    from facolos_data_pipelines_spark.quality.checks import multi_table_summary
+    from facolos_data_pipelines_spark.session import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    out = multi_table_summary(tables)
+    return out.select("table_name", F.col("records").cast("long").alias("records"))
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 fold — tables_with_data / quality_score / ≥5-tables pass bar."""
+    from facolos_data_pipelines_spark.quality.checks import multi_table_summary, quality_gate
+    from facolos_data_pipelines_spark.session import load_tables
+
+    gate = quality_gate(multi_table_summary(load_tables(spark, sf_dir)), 5)
+    return gate.select(
+        F.col("total_tables").cast("long").alias("total_tables"),
+        F.col("tables_with_data").cast("long").alias("tables_with_data"),
+        F.col("total_records").cast("long").alias("total_records"),
+        F.round("quality_score", 2).alias("quality_score"),
+        "passed",
+    )
+
+
+def q_flatten_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — flatten preserves order count and item count
+    (misa_crm_transformer.py:388-447) proved over orders/lineitem."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    flat = orders.join(
+        lineitem, F.col("o_orderkey") == F.col("l_orderkey"), "left"
+    )
+    raw = orders.agg(
+        F.count("*").cast("long").alias("raw_orders"),
+    ).crossJoin(lineitem.agg(F.count("*").cast("long").alias("raw_items")))
+    fl = flat.agg(
+        F.countDistinct("o_orderkey").cast("long").alias("flat_orders"),
+        F.sum(F.when(F.col("l_orderkey").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("flat_items"),
+    )
+    return raw.crossJoin(fl).select(
+        "*",
+        (F.col("flat_orders") == F.col("raw_orders")).alias("orders_preserved"),
+        (F.col("flat_items") == F.col("raw_items")).alias("items_preserved"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1/T2 — the signature flatten, rebuilt on the synthetic tables
+# ---------------------------------------------------------------------------
+
+def q_flatten_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — nest lineitems under their order (collect_list of struct)
+    then ``explode_outer`` back out: proves explode_outer ≡ LEFT JOIN,
+    including the keep-parent-on-empty rule for item-less orders
+    (tiktok_shop_transformer.py:49-53)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    nested = orders.join(
+        lineitem.groupBy("l_orderkey").agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber"), F.col("l_quantity"), F.col("l_extendedprice")
+                )
+            ).alias("items")
+        ),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left",
+    )
+    exploded = nested.select(
+        "o_orderkey", "o_orderstatus", F.explode_outer("items").alias("item")
+    )
+    return exploded.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("item.l_linenumber").alias("linenumber"),
+        F.col("item.l_quantity").alias("quantity"),
+        F.col("item.l_extendedprice").alias("extendedprice"),
+    )
+
+
+def q_derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9/T10 — per-order derived flatten metadata + arithmetic column:
+    items-per-order, has_multiple_items, order charge."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("total_items_in_order"),
+        (F.count("*") > 1).alias("has_multiple_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))),
+            2,
+        ).alias("total_charge"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T4/T5/T11 + scalar functions — cast & string parity
+# ---------------------------------------------------------------------------
+
+def q_safe_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — non-ANSI cast parity: unparseable string -> NULL (pandas
+    errors='coerce'); numeric JSON-extracted field parses."""
+    from facolos_data_pipelines_spark.operators.conform import safe_cast
+
+    events = _t(spark, sf_dir, "events")
+    df = events.select(
+        "event_id",
+        F.col("event_type").alias("bad_int_src"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+    )
+    out = safe_cast(df, {"bad_int_src": "int", "k_str": "int"})
+    return out.select(
+        "event_id",
+        F.col("bad_int_src").alias("bad_int"),
+        F.col("k_str").alias("k_int"),
+    )
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11/§2.9 — substring truncation, concat, epoch conversion."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 3).alias("prio3"),
+        F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")).alias("status_prio"),
+        F.unix_timestamp("o_orderdate").cast("long").alias("order_epoch_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1–F6 filters / S12 retention
+# ---------------------------------------------------------------------------
+
+def q_lookback_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — modified-since lookback with keep-nulls arm
+    (misa_crm_extractor.py:266-284)."""
+    from facolos_data_pipelines_spark.operators.incremental import lookback_filter
+
+    events = _t(spark, sf_dir, "events")
+    return lookback_filter(events, "ts", EVENTS_CUTOFF).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def q_time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — source time-range predicate; pushed to the parquet scan."""
+    from facolos_data_pipelines_spark.operators.incremental import time_range_filter
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return time_range_filter(
+        lineitem,
+        "l_shipdate",
+        F.lit(SHIP_START).cast("timestamp"),
+        F.lit(SHIP_END).cast("timestamp"),
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+
+
+def q_status_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — status narrowing (order_status param)."""
+    from facolos_data_pipelines_spark.operators.incremental import status_filter
+
+    orders = _t(spark, sf_dir, "orders")
+    return status_filter(orders, "o_orderstatus", "F").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 — retention keep-filter at a fixed cutoff."""
+    events = _t(spark, sf_dir, "events")
+    return events.filter(
+        F.col("ts") >= F.lit(EVENTS_RETENTION_CUTOFF).cast("timestamp")
+    ).select("event_id", "ts", "user_id")
+
+
+def q_negative_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — negative-value sanity tally."""
+    from facolos_data_pipelines_spark.operators.incremental import negative_count
+
+    return negative_count(_t(spark, sf_dir, "events"), "value")
+
+
+# ---------------------------------------------------------------------------
+# S11/A8 merge-dedup family + §2.5 joins
+# ---------------------------------------------------------------------------
+
+def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 — last-writer-wins per key (window-rank MERGE primitive):
+    latest event per user, ties broken by event_id."""
+    from facolos_data_pipelines_spark.operators.merge import latest_by_key
+
+    events = _t(spark, sf_dir, "events")
+    return latest_by_key(events, ["user_id"], order_col="ts", tiebreakers=["event_id"]).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+
+
+def q_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — insert-vs-update tally via semi/anti joins: incoming = recent
+    events' users, existing = older events' users."""
+    from facolos_data_pipelines_spark.operators.merge import merge_stats
+
+    events = _t(spark, sf_dir, "events")
+    cutoff = F.lit(EVENTS_CUTOFF).cast("timestamp")
+    incoming = events.filter(F.col("ts") >= cutoff)
+    existing = events.filter(F.col("ts") < cutoff)
+    out = merge_stats(existing, incoming, ["user_id"])
+    return out.select(
+        F.col("updated").cast("long").alias("updated"),
+        F.col("inserted").cast("long").alias("inserted"),
+    )
+
+
+def q_anti_join_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 left-anti incremental dedup (engine merge.append_dedup):
+    events from users never seen before the cutoff — the PK-rejection
+    append applied to a time-split of the events table."""
+    from facolos_data_pipelines_spark.operators.merge import append_dedup
+
+    events = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-05 00:00:00").cast("timestamp")
+    incoming = events.filter(F.col("ts") >= cutoff)
+    existing = events.filter(F.col("ts") < cutoff)
+    return append_dedup(existing, incoming, ["user_id", "event_type"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def q_dim_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 broadcast dim-fact enrichment: customer -> nation -> region
+    rollup. Dims are broadcast (no shuffle of the fact side)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").cast("long").alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limits / windows / set ops
+# ---------------------------------------------------------------------------
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k = orderBy().limit() -> TakeOrderedAndProject (k-heap per
+    partition, no global sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window row_number: top-3 orders per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def q_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 set ops — cross-page/batch accumulation ≡ unionByName."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 streaming-equivalent (batch twin of the tumbling-window agg)
+# ---------------------------------------------------------------------------
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts per event type — the batch twin of
+    the Structured Streaming query in streaming/pipeline.py."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §7.3 step 8 — LLM-pipeline extensions (dedup / similarity / text)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup — min-id winner per distinct text."""
+    from facolos_data_pipelines_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis — whitespace token count per document."""
+    from facolos_data_pipelines_spark.operators.text import token_count_whitespace
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count_whitespace("text").cast("long").alias("n_tokens")
+    )
+
+
+def q_doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis — corpus length stats per declared language."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against a fixed query vector — exact
+    ANN baseline, JVM-side dot products."""
+    from facolos_data_pipelines_spark.operators.similarity import topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = topk_bruteforce(emb, QUERY_VEC, k=10)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_similarity_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine >= threshold filter (near-dup-to-query set, order-free)."""
+    from facolos_data_pipelines_spark.operators.similarity import cosine_to_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id", cosine_to_query(F.col("embedding"), QUERY_VEC).alias("c")
+    )
+    return scored.filter(F.col("c") >= 0.2).select(
+        "vec_id", F.round("c", 4).alias("cosine")
+    )
+
+
+# --- rows-only (no tractable ANSI-SQL oracle): NQ checks -------------------
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[NQ] MinHash+LSH near-dedup survivor set."""
+    from facolos_data_pipelines_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs).select("doc_id")
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[NQ] SimHash near-dedup survivor set."""
+    from facolos_data_pipelines_spark.operators.dedup import simhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup(docs).select("doc_id")
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[NQ] stopword-heuristic language ID vs the declared lang label."""
+    from facolos_data_pipelines_spark.operators.text import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    out = detect_language(docs)
+    return out.groupBy("lang", "detected_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[NQ] composite document quality score distribution."""
+    from facolos_data_pipelines_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_score(docs)
+    return out.select("doc_id", F.round("quality_score", 4).alias("quality_score"))
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[NQ] k-NN join: 5 query vectors x top-3 corpus neighbors."""
+    from facolos_data_pipelines_spark.operators.similarity import knn_join_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = knn_join_bruteforce(queries, emb, k=3)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "daily_sales_summary": q_daily_sales_summary,
+        "table_stats": q_table_stats,
+        "conditional_agg": q_conditional_agg,
+        "multi_table_summary": q_multi_table_summary,
+        "quality_gate": q_quality_gate,
+        "flatten_invariants": q_flatten_invariants,
+        "flatten_explode": q_flatten_explode,
+        "derived_columns": q_derived_columns,
+        "safe_cast": q_safe_cast,
+        "string_funcs": q_string_funcs,
+        "lookback_filter": q_lookback_filter,
+        "time_range_filter": q_time_range_filter,
+        "status_filter": q_status_filter,
+        "retention_filter": q_retention_filter,
+        "negative_count": q_negative_count,
+        "latest_by_key": q_latest_by_key,
+        "merge_stats": q_merge_stats,
+        "anti_join_new_keys": q_anti_join_new_keys,
+        "dim_enrichment_join": q_dim_enrichment_join,
+        "topk_orders": q_topk_orders,
+        "window_rank": q_window_rank,
+        "union_sources": q_union_sources,
+        "tumbling_window": q_tumbling_window,
+        "exact_dedup": q_exact_dedup,
+        "token_counts": q_token_counts,
+        "doc_length_stats": q_doc_length_stats,
+        "similarity_topk": q_similarity_topk,
+        "similarity_threshold": q_similarity_threshold,
+        # rows-only (no ANSI-SQL oracle):
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "language_id": q_language_id,
+        "quality_scores": q_quality_scores,
+        "knn_join": q_knn_join,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _vec_sql() -> str:
+    return "[" + ", ".join(f"{x!r}" for x in QUERY_VEC) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    vec = _vec_sql()
+    cos = (
+        "list_sum(list_transform(range(1,65), i -> embedding[i]::DOUBLE * q[i])) / "
+        "(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) * "
+        "sqrt(list_sum(list_transform(q, x -> x * x))))"
+    )
+    return {
+        "daily_sales_summary": f"""
+            SELECT CAST(o_orderdate AS DATE) AS sale_date,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS total_orders,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+                   ROUND(SUM(l_quantity), 2) AS total_quantity,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)) / COUNT(DISTINCT o_orderkey), 2)
+                       AS avg_order_value
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
+        "table_stats": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS unique_keys,
+                   MIN(o_orderdate) AS earliest,
+                   MAX(o_orderdate) AS latest
+            FROM orders
+        """,
+        "conditional_agg": f"""
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 2) AS total_value,
+                   CAST(SUM(CASE WHEN ts >= TIMESTAMP '{EVENTS_CUTOFF}' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS recent_events
+            FROM events GROUP BY event_type
+        """,
+        "multi_table_summary": """
+            SELECT 'region' AS table_name, CAST(COUNT(*) AS BIGINT) AS records FROM region
+            UNION ALL SELECT 'nation', CAST(COUNT(*) AS BIGINT) FROM nation
+            UNION ALL SELECT 'customer', CAST(COUNT(*) AS BIGINT) FROM customer
+            UNION ALL SELECT 'supplier', CAST(COUNT(*) AS BIGINT) FROM supplier
+            UNION ALL SELECT 'part', CAST(COUNT(*) AS BIGINT) FROM part
+            UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM orders
+            UNION ALL SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem
+            UNION ALL SELECT 'events', CAST(COUNT(*) AS BIGINT) FROM events
+            UNION ALL SELECT 'documents', CAST(COUNT(*) AS BIGINT) FROM documents
+            UNION ALL SELECT 'embeddings', CAST(COUNT(*) AS BIGINT) FROM embeddings
+        """,
+        "quality_gate": """
+            WITH counts AS (
+                SELECT COUNT(*) AS records FROM region
+                UNION ALL SELECT COUNT(*) FROM nation
+                UNION ALL SELECT COUNT(*) FROM customer
+                UNION ALL SELECT COUNT(*) FROM supplier
+                UNION ALL SELECT COUNT(*) FROM part
+                UNION ALL SELECT COUNT(*) FROM orders
+                UNION ALL SELECT COUNT(*) FROM lineitem
+                UNION ALL SELECT COUNT(*) FROM events
+                UNION ALL SELECT COUNT(*) FROM documents
+                UNION ALL SELECT COUNT(*) FROM embeddings
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS total_tables,
+                   CAST(SUM(CASE WHEN records > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tables_with_data,
+                   CAST(SUM(records) AS BIGINT) AS total_records,
+                   ROUND(SUM(CASE WHEN records > 0 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2)
+                       AS quality_score,
+                   SUM(CASE WHEN records > 0 THEN 1 ELSE 0 END) >= 5 AS passed
+            FROM counts
+        """,
+        "flatten_invariants": """
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS raw_orders,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS raw_items,
+                   (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+                      FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey) AS flat_orders,
+                   (SELECT CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                      FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey) AS flat_items,
+                   (SELECT COUNT(DISTINCT o_orderkey)
+                      FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey)
+                     = (SELECT COUNT(*) FROM orders) AS orders_preserved,
+                   (SELECT SUM(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                      FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey)
+                     = (SELECT COUNT(*) FROM lineitem) AS items_preserved
+        """,
+        "flatten_explode": """
+            SELECT o_orderkey, o_orderstatus,
+                   l_linenumber AS linenumber,
+                   l_quantity AS quantity,
+                   l_extendedprice AS extendedprice
+            FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        """,
+        "derived_columns": """
+            SELECT l_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS total_items_in_order,
+                   COUNT(*) > 1 AS has_multiple_items,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS total_charge
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "safe_cast": """
+            SELECT event_id,
+                   TRY_CAST(event_type AS INTEGER) AS bad_int,
+                   TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+            FROM events
+        """,
+        "string_funcs": """
+            SELECT o_orderkey,
+                   substr(o_orderpriority, 1, 3) AS prio3,
+                   o_orderstatus || '-' || o_orderpriority AS status_prio,
+                   CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch_s
+            FROM orders
+        """,
+        "lookback_filter": f"""
+            SELECT event_id, ts, user_id, event_type, value
+            FROM events
+            WHERE ts IS NULL OR ts >= TIMESTAMP '{EVENTS_CUTOFF}'
+        """,
+        "time_range_filter": f"""
+            SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+            FROM lineitem
+            WHERE l_shipdate BETWEEN TIMESTAMP '{SHIP_START} 00:00:00'
+                                 AND TIMESTAMP '{SHIP_END} 00:00:00'
+        """,
+        "status_filter": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "retention_filter": f"""
+            SELECT event_id, ts, user_id FROM events
+            WHERE ts >= TIMESTAMP '{EVENTS_RETENTION_CUTOFF}'
+        """,
+        "negative_count": """
+            SELECT CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_rows
+            FROM events
+        """,
+        "latest_by_key": """
+            SELECT user_id, event_id, ts, event_type
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "merge_stats": f"""
+            WITH incoming AS (SELECT DISTINCT user_id FROM events
+                              WHERE ts >= TIMESTAMP '{EVENTS_CUTOFF}'),
+                 existing AS (SELECT DISTINCT user_id FROM events
+                              WHERE ts < TIMESTAMP '{EVENTS_CUTOFF}')
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM incoming
+                     WHERE user_id IN (SELECT user_id FROM existing)) AS updated,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM incoming
+                     WHERE user_id NOT IN (SELECT user_id FROM existing)) AS inserted
+        """,
+        "anti_join_new_keys": """
+            SELECT event_id, user_id, event_type
+            FROM events e
+            WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+              AND NOT EXISTS (SELECT 1 FROM events o
+                              WHERE o.ts < TIMESTAMP '2024-01-05 00:00:00'
+                                AND o.user_id = e.user_id
+                                AND o.event_type = e.event_type)
+        """,
+        "dim_enrichment_join": """
+            SELECT r_name AS region_name,
+                   CAST(COUNT(*) AS BIGINT) AS customers,
+                   ROUND(SUM(c_acctbal), 2) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "window_rank": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+            FROM orders
+            QUALIFY rn <= 3
+        """,
+        "union_sources": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "tumbling_window": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "exact_dedup": """
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) = 1
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "doc_length_stats": """
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND(AVG(n_chars), 2) AS avg_chars,
+                   CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "similarity_topk": f"""
+            WITH qv AS (SELECT {vec} AS q)
+            SELECT vec_id, ROUND({cos}, 4) AS cosine
+            FROM embeddings, qv
+            ORDER BY {cos} DESC, vec_id ASC LIMIT 10
+        """,
+        "similarity_threshold": f"""
+            WITH qv AS (SELECT {vec} AS q)
+            SELECT vec_id, ROUND({cos}, 4) AS cosine
+            FROM embeddings, qv
+            WHERE {cos} >= 0.2
+        """,
+    }

@@ -45,10 +45,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 def normalized_words(text_col: str | Column) -> Column:
-    """Lowercase, strip punctuation, split on whitespace, drop empties."""
+    """Lowercase, strip punctuation, split to words, drop empties.
+
+    Single regexp split on non-alphanumeric runs (one JVM pass); the
+    interpreted filter only touches the at-most-two empty edge tokens.
+    """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    cleaned = F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}\s]", " ")
-    return F.filter(F.split(cleaned, r"\s+"), lambda x: x != "")
+    return F.filter(F.split(F.lower(c), r"[^\p{L}\p{N}]+"), lambda x: x != "")
 
 
 def word_shingles(text_col: str | Column, n: int = 3) -> Column:
@@ -64,19 +67,54 @@ def word_shingles(text_col: str | Column, n: int = 3) -> Column:
         F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),
     )
-    return F.array_distinct(grams)
+    # Empty documents would otherwise emit a single "" shingle and all
+    # collide with each other; exact dedup owns identical-content cases.
+    return F.filter(F.array_distinct(grams), lambda x: x != "")
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: for seed i, min over shingles of
     xxhash64(shingle, i). Returns array<long> of length num_hashes.
-    Narrow, codegen'd; 32 perms ≈ Jaccard ±0.18 stderr, enough for
-    banding."""
+
+    NOTE: as a single column expression this inlines the shingle
+    computation ``num_hashes`` times (Catalyst's CollapseProject undoes
+    withColumn staging) — use :func:`minhash_signatures` for the
+    DataFrame path, which computes each shingle hash exactly once.
+    """
     return F.array(
         *[
             F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
             for i in range(num_hashes)
         ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) via explode + min-aggregate.
+
+    Each shingle is hashed ``num_hashes`` times exactly once (the
+    column-expression variant re-derives the shingle array per hash —
+    a 100-1000x plan blowup). One shuffle on id with map-side partial
+    mins; empty documents (no shingles) drop out, which is correct —
+    they have no content to near-match and are handled by exact dedup.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_sh")
+    )
+    hashed = sh.select(
+        id_col, *[F.xxhash64("_sh", F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        id_col, F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -96,20 +134,23 @@ def minhash_lsh_buckets(
     downstream group-by shuffles only (id, band) pairs.
     """
     rows = num_hashes // bands
-    sig = minhash_signature(word_shingles(text_col, shingle_n), num_hashes)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     banded = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
             b.alias("band_id"),
             F.xxhash64(
                 F.array_join(
-                    F.transform(F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string")),
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
                     ",",
                 )
             ).alias("band_hash"),
         ),
     )
-    return df.select(F.col(id_col), F.explode(banded).alias("b")).select(
+    return sigs.select(F.col(id_col), F.explode(banded).alias("b")).select(
         id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
     )
 
@@ -219,6 +260,39 @@ def simhash(text_col: str | Column, bits: int = 64) -> Column:
     )
 
 
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, _fp: long) SimHash via explode + per-bit majority aggregate.
+
+    The column-expression :func:`simhash` runs interpreted (higher-order
+    functions skip codegen) and costs ~bits x words element-ops per row;
+    this variant hashes each word once and reduces with ``bits`` plain
+    SUM aggregates — all whole-stage-codegen, one shuffle on id.
+    Bit j of the fingerprint is set iff the majority of word-hashes have
+    bit j set. Empty documents drop out (no words -> no fingerprint),
+    correct for near-dup: nothing to match on.
+    """
+    w = df.select(F.col(id_col), F.explode(normalized_words(text_col)).alias("_w"))
+    h = w.select(id_col, F.xxhash64("_w").alias("_h"))
+    aggs = [
+        F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))).alias(f"_b{j}")
+        for j in range(bits)
+    ]
+    votes = h.groupBy(id_col).agg(F.count("*").alias("_n"), *aggs)
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        term = F.when(
+            F.col(f"_b{j}") * 2 > F.col("_n"),
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long"))
+        fp = fp.bitwiseOR(term)
+    return votes.select(F.col(id_col), fp.alias("_fp"))
+
+
 def hamming_distance(a: Column, b: Column) -> Column:
     """Popcount of XOR via bit_count (Spark >= 3.3)."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -236,7 +310,7 @@ def simhash_dedup(
     at least one of k+1 16-bit blocks exactly — block on each quarter,
     compare within blocks only, drop the higher id of close pairs.
     """
-    fp = df.select(F.col(id_col), simhash(text_col).alias("_fp"))
+    fp = simhash_fingerprints(df, text_col, id_col)
     blocks = fp.select(
         id_col,
         "_fp",
