@@ -1,0 +1,15 @@
+from .pipeline import (
+    dedup_stream,
+    merge_upsert_sink,
+    read_parquet_stream,
+    run_available_now,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "dedup_stream",
+    "merge_upsert_sink",
+    "read_parquet_stream",
+    "run_available_now",
+    "windowed_event_counts",
+]

@@ -1,0 +1,135 @@
+"""Structured Streaming surface — SURVEY.md §2.7.
+
+The reference's "streaming" is an Airflow DAG firing every 10-15 min
+with a lookback window and PK-based duplicate rejection
+(config/production.py:16, dags/incremental_etl_dag.py:31-44,
+misa_crm_extractor.py:244-285). Structured Streaming formalizes each
+piece:
+
+| reference mechanism            | here                                   |
+|--------------------------------|----------------------------------------|
+| 10-min scheduled cycle         | trigger(processingTime=...) /          |
+|                                | trigger(availableNow=True) per run     |
+| lookback re-read + PK reject   | withWatermark + dropDuplicates(pk)     |
+| MERGE upsert on arrival        | foreachBatch merge_upsert sink         |
+| per-cycle record counts        | StreamingQuery.lastProgress /          |
+|                                | QueryListener                          |
+
+Scale notes: the file source lists+reads only new files per trigger
+(incremental by construction); watermark state is bounded by the
+lookback horizon; the windowed aggregation state is per (window, key)
+and expires with the watermark — this is the 100 TB-safe shape of the
+reference's re-read-and-dedup loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_parquet_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a landing directory (the streaming twin of
+    the reference's per-cycle extract; new files = new pages/batches).
+
+    ``max_files_per_trigger`` is the work-limit knob — the reference's
+    MISA_MAX_PAGES_PER_CYCLE=2 (config/production.py:26)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    lookback: str = "24 hours",
+) -> DataFrame:
+    """Watermarked key-dedup: the streaming twin of the reference's
+    lookback-window re-read + rely-on-PK-rejection pattern
+    (tiktok_shop_staging_loader.py:144-149, extractor lookback F1).
+
+    State is bounded: keys older than the watermark are evicted, exactly
+    matching the reference's 'duplicates only arrive within the
+    lookback window' assumption."""
+    return stream.withWatermark(ts_col, lookback).dropDuplicates(keys)
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "24 hours",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts with late-data watermark — the streaming
+    twin of __spark_entry__.q_tumbling_window (same output schema) and
+    the formalization of the reference's per-cycle count metrics
+    (production_monitor.py:43-82)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), key_col, "n_events", "total_value")
+    )
+
+
+def run_available_now(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    output_mode: str = "append",
+):
+    """Drain everything currently available, then stop — one reference
+    'cycle' (the catchup=False, max_active_runs=1 DAG run). Returns the
+    finished StreamingQuery (inspect .lastProgress for cycle metrics)."""
+    q = (
+        stream.writeStream.outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_path)
+        .format("parquet")
+        .option("path", sink_path)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def merge_upsert_sink(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    keys: list[str],
+    order_col: str = "etl_updated_at",
+):
+    """foreachBatch MERGE sink — per micro-batch, upsert into the
+    staging table (S11 semantics inside the streaming loop). Each batch
+    is also internally deduped last-writer-wins so replayed batches are
+    idempotent (exactly-once effect on keys)."""
+    from ..operators.merge import latest_by_key
+    from ..sources.io import upsert_parquet
+
+    def do_merge(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            deduped = latest_by_key(batch_df, keys, order_col=order_col)
+            upsert_parquet(batch_df.sparkSession, deduped, sink_path, keys, order_col)
+
+    q = (
+        stream.writeStream.outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(do_merge)
+        .start()
+    )
+    q.awaitTermination()
+    return q

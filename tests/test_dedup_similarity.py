@@ -1,0 +1,157 @@
+"""LLM-pipeline extension operators: dedup families, similarity search,
+text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from facolos_data_pipelines_spark.operators import dedup, multimodal, similarity, text
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup
+    (3, "the quick brown fox jumps over the lazy dog near the creek bank"),  # near dup
+    (4, "completely different content about spark dataframes and shuffle joins"),
+    (5, "spark dataframes need partitioning strategies for shuffle joins at scale"),
+    (6, ""),  # empty
+    (7, "   "),  # whitespace only
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = dedup.exact_dedup(docs)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 2 not in ids  # dup loses, min id wins
+    assert {3, 4, 5}.issubset(ids)
+
+
+def test_minhash_dedup_drops_near_dups_keeps_distinct(docs):
+    out = dedup.minhash_dedup(docs, threshold=0.5)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 2 not in ids  # exact dup caught
+    assert 3 not in ids  # near dup (1 word of 13 differs) caught
+    assert 4 in ids and 5 in ids  # same topic, different text — kept
+    assert 6 in ids and 7 in ids  # empty docs untouched
+
+
+def test_minhash_signatures_shape(docs):
+    sigs = dedup.minhash_signatures(docs, num_hashes=16)
+    rows = sigs.collect()
+    assert all(len(r["sig"]) == 16 for r in rows)
+    by_id = {r["doc_id"]: r["sig"] for r in rows}
+    assert by_id[1] == by_id[2]  # identical text -> identical signature
+    assert 6 not in by_id and 7 not in by_id  # empty docs have no signature
+
+
+def test_simhash_dedup(docs):
+    out = dedup.simhash_dedup(docs, max_hamming=3)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 2 not in ids  # identical fingerprints, hamming 0
+    assert 4 in ids  # distinct content survives
+    assert 6 in ids and 7 in ids
+
+
+def test_verified_pairs_report_true_jaccard(spark, docs):
+    buckets = dedup.minhash_lsh_buckets(docs)
+    pairs = dedup.lsh_candidate_pairs(buckets)
+    verified = dedup.verified_near_dup_pairs(docs, pairs, threshold=0.4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert got[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in got and 0.4 <= got[(1, 3)] < 1.0
+
+
+def test_embedding_dedup_and_topk(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = {r["vec_id"] for r in dedup.embedding_dedup(emb, threshold=0.99).collect()}
+    assert kept == {1, 3, 4}
+
+    top = similarity.topk_bruteforce(emb, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    assert top[0]["cosine"] == pytest.approx(1.0)
+
+    # pandas variant agrees with the JVM-side expression variant
+    top_pd = similarity.topk_bruteforce_pandas(emb, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top_pd] == [1, 2]
+    assert top_pd[0]["cosine"] == pytest.approx(top[0]["cosine"])
+
+
+def test_knn_join(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.knn_join_bruteforce(emb.filter("vec_id < 2"), emb, k=1)
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    assert got == {(0, 0), (1, 1)}  # each query's nearest neighbor is itself
+
+
+def test_text_stats_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! This is a test."), (2, ""), (3, "  ")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.text_stats(df).collect()}
+    assert out[1]["stat_words"] == 6
+    assert out[2]["stat_words"] == 0 and out[3]["stat_words"] == 0
+    toks = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        text.token_count_whitespace("text").alias("ws"),
+        text.token_count_bpe_like("text").alias("bpe"),
+    ).collect()}
+    assert toks[1]["ws"] == 6
+    assert toks[1]["bpe"] == 9  # 6 words + 3 punctuation marks (, ! .)
+    assert toks[2]["ws"] == 0 and toks[3]["ws"] == 0
+
+
+def test_detect_language_und_on_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog was in the house"), (2, ""), (3, "zzz qqq xxx")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["detected_lang"] for r in text.detect_language(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "und" and out[3] == "und"
+
+
+def test_fingerprint_stable_under_formatting(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World! Test one two three four five"),
+         (2, "hello world test one two three four five"),
+         (3, "something else entirely different here now ok then")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.fingerprint(df).collect()}
+    assert out[1]["fp_content"] == out[2]["fp_content"]  # case/punct-insensitive
+    assert out[1]["fp_content"] != out[3]["fp_content"]
+    assert out[1]["fp_rolling_min"] == out[2]["fp_rolling_min"]
+
+
+def test_multimodal_image_features(spark):
+    rows = [(1, b"\x89PNGfake1", "png", 8, 8, 9), (2, b"\x89PNGfake2", "png", 8, 8, 9)]
+    df = spark.createDataFrame(rows, multimodal.IMAGE_SCHEMA)
+    out = multimodal.extract_image_features(df).collect()
+    assert len(out) == 2
+    for r in out:
+        assert len(r["features"]) == multimodal.FEATURE_DIM
+        assert abs(sum(r["features"]) - 1.0) < 1e-5  # normalized histogram
+        assert 0 <= r["mean_pixel"] <= 255
+    # deterministic stub: same payload -> same features
+    again = multimodal.extract_image_features(df).collect()
+    assert [r["features"] for r in again] == [r["features"] for r in out]
+
+
+def test_video_frame_sampling_is_pure_spark(spark):
+    rows = [(1, None, "h264", 30.0, 91, 1000), (2, None, "h264", 24.0, 1, 10)]
+    df = spark.createDataFrame(rows, multimodal.VIDEO_SCHEMA)
+    out = multimodal.sample_video_frames(df, every_n=30).collect()
+    frames = sorted(r["frame_index"] for r in out if r["media_id"] == 1)
+    assert frames == [0, 30, 60, 90]
+    assert [r["frame_index"] for r in out if r["media_id"] == 2] == [0]

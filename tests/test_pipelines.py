@@ -1,0 +1,94 @@
+"""Pipeline runner (SURVEY §3.1-3.3): incremental cycle, replay
+idempotence, quality gate, batch_runs control log, upsert mode."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from facolos_data_pipelines_spark.catalog.schemas import RAW_TIKTOK_ORDER_SCHEMA
+from facolos_data_pipelines_spark.operators.conform import flatten_tiktok_orders
+from facolos_data_pipelines_spark.pipelines import EndpointSpec, run_incremental_cycle
+
+RAW_ORDERS = [
+    {
+        "order_id": "O1",
+        "order_status": "COMPLETED",
+        "create_time": 1700000000,
+        "line_items": [
+            {"product_id": "p1", "product_name": "widget", "sku_id": "s1", "quantity": "1"},
+            {"product_id": "p2", "product_name": "gadget", "sku_id": "s2", "quantity": "2"},
+        ],
+    },
+    {"order_id": "O2", "order_status": "UNPAID", "create_time": 1700000100, "line_items": []},
+]
+
+
+def _spec(spark, name="tiktok_orders", mode="append"):
+    return EndpointSpec(
+        name=name,
+        extract=lambda s: s.createDataFrame(RAW_ORDERS, RAW_TIKTOK_ORDER_SCHEMA),
+        transform=lambda raw, batch_id: flatten_tiktok_orders(raw, batch_id),
+        primary_keys=["order_id", "item_id", "item_sku_id"],
+        load_mode=mode,
+    )
+
+
+def test_incremental_cycle_lands_and_gates(spark, tmp_path):
+    root = str(tmp_path / "staging")
+    control = str(tmp_path / "control")
+    report = run_incremental_cycle(
+        spark, [_spec(spark)], root, control_root=control, min_tables_with_data=1
+    )
+    assert report["status"] == "success"
+    assert report["endpoints"]["tiktok_orders"]["records"] == 3  # 2 items + 1 empty
+    assert report["quality"]["passed"]
+
+    landed = spark.read.parquet(f"{root}/tiktok_orders")
+    assert landed.count() == 3
+
+    runs = spark.read.parquet(f"{control}/batch_runs")
+    row = runs.collect()[0]
+    assert row["source_name"] == "tiktok_orders" and row["status"] == "success"
+    assert row["records_loaded"] == 3
+
+
+def test_cycle_replay_is_idempotent_per_batch_keys(spark, tmp_path):
+    """Replaying identical source data with the same keys appends 0
+    (PK rejection) — keys here exclude etl_batch_id to simulate
+    redelivery of the same business rows."""
+    root = str(tmp_path / "staging")
+    spec = _spec(spark)
+    r1 = run_incremental_cycle(spark, [spec], root, min_tables_with_data=1)
+    r2 = run_incremental_cycle(spark, [spec], root, min_tables_with_data=1)
+    assert r1["endpoints"]["tiktok_orders"]["records"] == 3
+    assert r2["endpoints"]["tiktok_orders"]["records"] == 0
+    assert spark.read.parquet(f"{root}/tiktok_orders").count() == 3
+
+
+def test_cycle_upsert_mode_updates_not_duplicates(spark, tmp_path):
+    root = str(tmp_path / "staging")
+    spec = _spec(spark, mode="upsert")
+    run_incremental_cycle(spark, [spec], root, min_tables_with_data=1)
+    run_incremental_cycle(spark, [spec], root, min_tables_with_data=1)
+    landed = spark.read.parquet(f"{root}/tiktok_orders")
+    assert landed.count() == 3  # second run updated, did not duplicate
+
+
+def test_cycle_continues_past_failing_endpoint(spark, tmp_path):
+    root = str(tmp_path / "staging")
+
+    def boom(s):
+        raise RuntimeError("api down")
+
+    bad = EndpointSpec(
+        name="bad",
+        extract=boom,
+        transform=lambda df, b: df,
+        primary_keys=["x"],
+    )
+    report = run_incremental_cycle(
+        spark, [bad, _spec(spark)], root, min_tables_with_data=1
+    )
+    assert report["status"] == "partial"
+    assert report["endpoints"]["bad"]["status"] == "failed"
+    assert report["endpoints"]["tiktok_orders"]["status"] == "success"
+    assert report["quality"]["passed"]

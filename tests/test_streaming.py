@@ -1,0 +1,144 @@
+"""Structured Streaming surface (SURVEY §2.7): availableNow drain,
+watermark dedup, tumbling windows, foreachBatch merge sink."""
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from facolos_data_pipelines_spark.streaming import (
+    dedup_stream,
+    merge_upsert_sink,
+    read_parquet_stream,
+    run_available_now,
+    windowed_event_counts,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def tmp_root(tmp_path):
+    yield str(tmp_path)
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _rows(n0, day, n, event_type="click", dup_of=None):
+    import datetime as dt
+
+    out = []
+    for i in range(n):
+        eid = dup_of if dup_of is not None else n0 + i
+        out.append(
+            (eid, dt.datetime(2024, 1, day, i % 24, 0, 0), 1 + i % 3, event_type, 1.0 + i)
+        )
+    return out
+
+
+def test_available_now_drains_and_appends(spark, tmp_root):
+    src = f"{tmp_root}/src"
+    sink = f"{tmp_root}/sink"
+    ckpt = f"{tmp_root}/ckpt"
+    _write_batch(spark, src, _rows(0, 1, 5))
+    stream = read_parquet_stream(spark, src, EVENT_SCHEMA)
+    run_available_now(stream, sink, ckpt)
+    assert spark.read.parquet(sink).count() == 5
+    # New files land; a second cycle picks up ONLY the new ones.
+    _write_batch(spark, src, _rows(100, 2, 3))
+    run_available_now(read_parquet_stream(spark, src, EVENT_SCHEMA), sink, ckpt)
+    assert spark.read.parquet(sink).count() == 8
+
+
+def test_dedup_stream_drops_replayed_keys(spark, tmp_root):
+    src = f"{tmp_root}/src"
+    sink = f"{tmp_root}/sink"
+    ckpt = f"{tmp_root}/ckpt"
+    _write_batch(spark, src, _rows(0, 1, 4))
+    _write_batch(spark, src, _rows(0, 1, 4))  # exact replay (lookback re-read)
+    stream = dedup_stream(
+        read_parquet_stream(spark, src, EVENT_SCHEMA), ["event_id"], "ts"
+    )
+    run_available_now(stream, sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.count() == 4
+    assert out.select("event_id").distinct().count() == 4
+
+
+def test_windowed_counts_match_batch_twin(spark, tmp_root):
+    """Streaming tumbling-window agg equals its batch twin. Complete-mode
+    memory sink: append-mode file sinks only flush windows the watermark
+    has closed, which an availableNow drain of a single batch never does
+    — that behavior is exercised implicitly; here we check the math."""
+    src = f"{tmp_root}/src"
+    _write_batch(spark, src, _rows(0, 1, 10) + _rows(50, 1, 6, event_type="view"))
+    stream = windowed_event_counts(read_parquet_stream(spark, src, EVENT_SCHEMA))
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table(name).collect()
+    }
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_merge_upsert_sink_idempotent(spark, tmp_root):
+    src = f"{tmp_root}/src"
+    sink = f"{tmp_root}/table"
+    ckpt = f"{tmp_root}/ckpt"
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("etl_updated_at", T.TimestampType()),
+        ]
+    )
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1)), (2, "b", dt.datetime(2024, 1, 1))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    merge_upsert_sink(stream, sink, ckpt, ["id"])
+    assert spark.read.parquet(sink).count() == 2
+    # updated value for id=2 + new id=3 arrive
+    spark.createDataFrame(
+        [(2, "b2", dt.datetime(2024, 1, 2)), (3, "c", dt.datetime(2024, 1, 2))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    merge_upsert_sink(
+        spark.readStream.schema(schema).parquet(src), sink, ckpt, ["id"]
+    )
+    out = {r["id"]: r["val"] for r in spark.read.parquet(sink).collect()}
+    assert out == {1: "a", 2: "b2", 3: "c"}
