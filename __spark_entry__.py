@@ -409,6 +409,92 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQL surface / richer aggregates
+# ---------------------------------------------------------------------------
+
+PRICING_SUMMARY_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 2) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end parity: the engine runs the *identical* ANSI text
+    the oracle runs (ad-hoc spark.sql over registered staging views) —
+    TPC-H-Q1-shaped pricing summary."""
+    from facolos_data_pipelines_spark.session import load_tables
+
+    load_tables(spark, sf_dir, ["lineitem"])
+    return spark.sql(PRICING_SUMMARY_SQL)
+
+
+def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface (A6's stacked-counts generalization):
+    ROLLUP over (order year, status) with subtotal and grand-total rows."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup(F.year("o_orderdate").alias("order_year"), F.col("o_orderstatus"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 date scalar functions: extraction + date arithmetic."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_2002"),
+    )
+
+
+def q_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + HAVING-style post-aggregation filter."""
+    events = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 10, "small")
+        .when(F.col("value") < 100, "medium")
+        .otherwise("large")
+    )
+    return (
+        events.groupBy(bucket.alias("value_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+        )
+        .filter(F.col("n_events") > 10)
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[NQ] A2 at-scale variant: HLL approx_count_distinct next to the
+    exact count (sketch differs between engines — rows-only check)."""
+    events = _t(spark, sf_dir, "events")
+    return events.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id").cast("long").alias("approx_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §7.3 step 8 — LLM-pipeline extensions (dedup / similarity / text)
 # ---------------------------------------------------------------------------
 
@@ -537,6 +623,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "union_sources": q_union_sources,
         "tumbling_window": q_tumbling_window,
+        "pricing_summary": q_pricing_summary,
+        "rollup_sales": q_rollup_sales,
+        "date_parts": q_date_parts,
+        "value_buckets": q_value_buckets,
+        "approx_distinct": q_approx_distinct,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
         "doc_length_stats": q_doc_length_stats,
@@ -740,6 +831,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "pricing_summary": PRICING_SUMMARY_SQL,
+        "rollup_sales": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                   o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+        """,
+        "date_parts": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                   CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+                   CAST(month(o_orderdate) AS BIGINT) AS order_month,
+                   CAST(day(o_orderdate) AS BIGINT) AS order_day,
+                   CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS BIGINT)
+                       AS days_to_2002
+            FROM orders
+        """,
+        "value_buckets": """
+            SELECT CASE WHEN value < 10 THEN 'small'
+                        WHEN value < 100 THEN 'medium'
+                        ELSE 'large' END AS value_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(AVG(value), 2) AS avg_value
+            FROM events
+            GROUP BY 1
+            HAVING COUNT(*) > 10
         """,
         "exact_dedup": """
             SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
