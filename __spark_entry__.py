@@ -484,6 +484,16 @@ def q_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 — struct -> JSON string serialization (the reference's
+    json.dumps-on-landing for nested attributes)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.to_json(F.struct(F.col("user_id"), F.col("event_type"))).alias("payload_json"),
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[NQ] A2 at-scale variant: HLL approx_count_distinct next to the
     exact count (sketch differs between engines — rows-only check)."""
@@ -627,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_sales": q_rollup_sales,
         "date_parts": q_date_parts,
         "value_buckets": q_value_buckets,
+        "json_construct": q_json_construct,
         "approx_distinct": q_approx_distinct,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
@@ -833,6 +844,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "pricing_summary": PRICING_SUMMARY_SQL,
+        "json_construct": """
+            SELECT event_id,
+                   CAST(to_json(struct_pack(user_id := user_id, event_type := event_type))
+                        AS VARCHAR) AS payload_json
+            FROM events
+        """,
         "rollup_sales": """
             SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
                    o_orderstatus,

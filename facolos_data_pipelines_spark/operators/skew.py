@@ -1,0 +1,95 @@
+"""Skew mitigation — salting for hot keys, bucketed layouts for
+co-located joins.
+
+AQE's skew-join splitting (on by default, session.py) handles moderate
+skew at runtime; these helpers are for the pathological cases a
+training-data pipeline actually hits — one boilerplate document hash
+with 10^8 duplicates, one null-ish join key holding half the fact table
+— where pre-salting beats runtime splitting because it also fixes the
+*aggregation* stage, not just the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_groupby_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation with an explicit salt on the group key.
+
+    ``aggs`` maps output alias -> (source column, agg fn). Phase 1
+    aggregates on (keys..., salt) — hot keys spread over
+    ``salt_buckets`` reducers; phase 2 re-aggregates on keys alone.
+    Only decomposable aggregates are supported: sum, count, min, max
+    (count re-aggregates as sum). Map-side partial aggregation already
+    gives this effect for most workloads; explicit salting matters when
+    a single key's partials still overwhelm one reducer (e.g. count of
+    one duplicated document hash across 10^6 input partitions).
+    """
+    phase2 = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for _, fn in aggs.values():
+        if fn not in phase2:
+            raise ValueError(f"non-decomposable aggregate: {fn}")
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    p1 = salted.groupBy(*keys, "_salt").agg(
+        *[getattr(F, fn)(col).alias(alias) for alias, (col, fn) in aggs.items()]
+    )
+    return p1.groupBy(*keys).agg(
+        *[
+            getattr(F, phase2[fn])(alias).alias(alias)
+            for alias, (_, fn) in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew join by salting: the skewed side gets a random salt, the
+    small side is replicated ``salt_buckets`` times with every salt
+    value, and the join key becomes (on..., salt) — a hot key's rows
+    land on ``salt_buckets`` different reducers instead of one.
+
+    Use when the small side is too big to broadcast but the big side
+    has hot keys; replication multiplies the small side's shuffle
+    volume by ``salt_buckets``, so keep it modest.
+    """
+    left = skewed.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    right = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return left.join(right, [*on, "_salt"], how).drop("_salt")
+
+
+def cap_group_size(
+    df: DataFrame,
+    keys: list[str],
+    max_rows: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Bound the size of any group (e.g. an LSH bucket) to ``max_rows``.
+
+    The standard guard before a bucket-local self-join: a boilerplate
+    bucket with 10^6 members would otherwise produce 10^12 candidate
+    pairs. Keeps the first ``max_rows`` per key by ``order_col`` (or
+    arbitrary-but-deterministic order on the remaining columns).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).asc()] if order_col else [F.col(c).asc() for c in df.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_rows)
+        .drop("_rn")
+    )

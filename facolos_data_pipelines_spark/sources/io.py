@@ -133,6 +133,32 @@ def apply_retention(
     return total - n_kept
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed (and optionally sorted) managed-table write — the
+    co-located-join layout: two tables bucketed on the same key with the
+    same bucket count join WITHOUT a shuffle (both sides already hash-
+    partitioned on disk), and sorted buckets skip the sort phase of
+    sort-merge join. This is the Spark replacement for the reference's
+    secondary indexes on join/filter keys (SURVEY §4: physical-index
+    row) and the bucketing slot called out in SCALE.md for the
+    lineitem ⋈ orders flagship at 100 TB.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:  # external table (warehouse dir is a static conf)
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
