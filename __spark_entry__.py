@@ -598,6 +598,29 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("quality_score", 4).alias("quality_score"))
 
 
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[NQ] exact n-gram Jaccard near-dedup survivor set (the exact
+    twin of minhash_dedup, inverted-index candidate generation)."""
+    from facolos_data_pipelines_spark.operators.dedup import ngram_jaccard_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_dedup(docs, threshold=0.8).select("doc_id")
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[NQ] IVF-bucketed approximate top-k (coarse-quantization scale
+    path; codebook trained on a sample)."""
+    from facolos_data_pipelines_spark.operators.similarity import (
+        ivf_train_lite,
+        topk_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = ivf_train_lite(emb, k=8, sample_fraction=0.5)
+    out = topk_ivf(emb, QUERY_VEC, centroids, k=10, n_probe=3)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[NQ] k-NN join: 5 query vectors x top-3 corpus neighbors."""
     from facolos_data_pipelines_spark.operators.similarity import knn_join_bruteforce
@@ -647,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no ANSI-SQL oracle):
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+        "ivf_topk": q_ivf_topk,
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
         "knn_join": q_knn_join,

@@ -251,6 +251,67 @@ def minhash_dedup(
 
 
 # ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted-index blocked)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= threshold, no MinHash approximation.
+
+    Candidate generation by inverted index: docs sharing at least
+    ``ceil(threshold * |smaller set|)`` shingles must share >= 1, so a
+    join on exploded (shingle -> id) postings finds every qualifying
+    pair; shared-shingle counts come back from the same join (one
+    aggregation), and Jaccard is |A∩B| / (|A|+|B|-|A∩B|) without
+    re-touching the texts. Exact but heavier than LSH: posting-list
+    self-join cost is Σ_shingle freq² — use cap_group_size/LSH when a
+    corpus has viral boilerplate shingles.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "_sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "_sh")
+    shared = (
+        a.join(b, ["_sh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_shared"))
+    )
+    jac = F.col("_shared") / (F.col("sz_a") + F.col("sz_b") - F.col("_shared"))
+    return (
+        shared.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("sz_b")), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard near-dedup: drop the higher id of each pair >=
+    threshold. The exact twin of :func:`minhash_dedup` (which trades
+    exactness for bucket-local comparisons)."""
+    dups = (
+        ngram_jaccard_pairs(df, text_col, id_col, shingle_n, threshold)
+        .select(F.col("id_b").alias(id_col))
+        .dropDuplicates()
+    )
+    return df.join(dups, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

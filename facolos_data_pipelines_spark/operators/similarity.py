@@ -154,6 +154,91 @@ def topk_lsh(
     return topk_bruteforce(candidates, query, k, vec_col, id_col)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: add ``_cell`` = argmax-cosine centroid id.
+
+    Centroids come from any trained codebook (k-means on a sample; a
+    seeded random subset works as a fallback — see ``ivf_train_lite``).
+    Assignment is an Arrow-batched numpy matmul (k x dim per batch):
+    at wide dims BLAS beats per-element codegen by an order of
+    magnitude, and only one int column is added to the frame.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    fields = df.schema.fields
+    out_schema = T.StructType(list(fields) + [T.StructField("_cell", T.IntegerType())])
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            yield pdf.assign(_cell=np.argmax(mat @ Cn.T, axis=1).astype("int32"))
+
+    return df.mapInPandas(assign, out_schema)
+
+
+def ivf_train_lite(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float = 0.1,
+    iterations: int = 3,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Tiny driver-side k-means on a sample — a stand-in codebook
+    trainer (production would use MLlib KMeans on the full corpus).
+    Deterministic via seed."""
+    import numpy as np
+
+    sample = np.stack(
+        [r[0] for r in df.select(vec_col).sample(fraction=sample_fraction, seed=seed).collect()]
+    ).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    C = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iterations):
+        d = sample @ C.T
+        labels = np.argmax(d, axis=1)
+        for j in range(len(C)):
+            members = sample[labels == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in C]
+
+
+def topk_ivf(
+    df: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k: score only vectors in the ``n_probe`` cells nearest
+    the query. The standard ANN scale path: the `_cell` filter prunes
+    ~(1 - n_probe/k_cells) of the corpus before any scoring; on a
+    `_cell`-partitioned layout the filter becomes partition pruning and
+    the scan never touches the other cells' files.
+    """
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(i) for i in np.argsort(-(Cn @ q))[:n_probe]]
+    assigned = ivf_assign(df, centroids, vec_col)
+    candidates = assigned.filter(F.col("_cell").isin(probes)).drop("_cell")
+    return topk_bruteforce(candidates, query, k, vec_col, id_col)
+
+
 def knn_join_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,

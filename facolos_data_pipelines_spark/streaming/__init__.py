@@ -3,6 +3,7 @@ from .pipeline import (
     merge_upsert_sink,
     read_parquet_stream,
     run_available_now,
+    running_totals_stateful,
     windowed_event_counts,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "merge_upsert_sink",
     "read_parquet_stream",
     "run_available_now",
+    "running_totals_stateful",
     "windowed_event_counts",
 ]

@@ -105,6 +105,57 @@ def run_available_now(
     return q
 
 
+def running_totals_stateful(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-key event count and value sum maintained across micro-batches.
+
+    This is the formalization of the reference monitor's cross-cycle
+    counters (consecutive failures, rolling totals —
+    production_monitor.py:39-82): state the reference kept in a Python
+    object on the scheduler now lives in Spark's versioned state store,
+    checkpointed, partitioned by key, and recoverable. Arrow-batched:
+    one pandas frame per key-batch, state is a single (count, sum)
+    tuple per key.
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def merge_upsert_sink(
     stream: DataFrame,
     sink_path: str,

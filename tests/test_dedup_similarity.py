@@ -155,3 +155,51 @@ def test_video_frame_sampling_is_pure_spark(spark):
     frames = sorted(r["frame_index"] for r in out if r["media_id"] == 1)
     assert frames == [0, 30, 60, 90]
     assert [r["frame_index"] for r in out if r["media_id"] == 2] == [0]
+
+
+def test_ngram_jaccard_dedup_exact(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == pytest.approx(1.0)  # identical docs
+    assert (1, 3) in got and 0.4 <= got[(1, 3)] < 1.0  # near dup, exact value
+    kept = {r["doc_id"] for r in dedup.ngram_jaccard_dedup(docs, threshold=0.5).collect()}
+    assert 1 in kept and 2 not in kept and 3 not in kept
+    assert {4, 5, 6, 7}.issubset(kept)
+
+
+def test_ngram_jaccard_agrees_with_minhash_verify(spark, docs):
+    """Exact inverted-index Jaccard == exact array-intersection Jaccard."""
+    buckets = dedup.minhash_lsh_buckets(docs)
+    lsh_pairs = dedup.lsh_candidate_pairs(buckets)
+    via_arrays = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.verified_near_dup_pairs(docs, lsh_pairs, threshold=0.3).collect()
+    }
+    via_index = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    for pair, j in via_arrays.items():
+        assert via_index[pair] == pytest.approx(j)
+
+
+def test_ivf_topk_finds_exact_neighbors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)], ["vec_id", "embedding"]
+    )
+    centroids = similarity.ivf_train_lite(emb, k=4, sample_fraction=1.0)
+    assert len(centroids) == 4 and len(centroids[0]) == 16
+
+    q = [float(x) for x in vecs[17]]
+    exact = [r["vec_id"] for r in similarity.topk_bruteforce(emb, q, k=5).collect()]
+    approx = [r["vec_id"] for r in similarity.topk_ivf(emb, q, centroids, k=5, n_probe=2).collect()]
+    assert approx[0] == 17  # the vector itself lives in the probed cell
+    assert len(set(exact[:3]) & set(approx)) >= 2  # high recall on the head
+
+    assigned = similarity.ivf_assign(emb, centroids)
+    cells = assigned.select("_cell").distinct().count()
+    assert 2 <= cells <= 4  # corpus actually spread over cells

@@ -142,3 +142,37 @@ def test_merge_upsert_sink_idempotent(spark, tmp_root):
     )
     out = {r["id"]: r["val"] for r in spark.read.parquet(sink).collect()}
     assert out == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_stateful_running_totals_across_cycles(spark, tmp_root):
+    """applyInPandasWithState keeps per-key state across availableNow
+    cycles via the checkpointed state store."""
+    from facolos_data_pipelines_spark.streaming import running_totals_stateful
+
+    src = f"{tmp_root}/src"
+    ckpt = f"{tmp_root}/ckpt"
+    _write_batch(spark, src, _rows(0, 1, 6))  # users 1,2,3 get 2 events each
+
+    def run_cycle(out_dir):
+        stream = running_totals_stateful(
+            read_parquet_stream(spark, src, EVENT_SCHEMA)
+        )
+        q = (
+            stream.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["user_id"]: r["n_events"] for r in spark.read.parquet(out_dir).collect()}
+
+    first = run_cycle(f"{tmp_root}/out1")
+    assert first == {1: 2, 2: 2, 3: 2}
+    # second cycle adds 3 more events for users 1,2,3 -> totals accumulate
+    # in the checkpointed state store
+    _write_batch(spark, src, _rows(200, 2, 3))
+    second = run_cycle(f"{tmp_root}/out2")
+    assert second == {1: 3, 2: 3, 3: 3}
