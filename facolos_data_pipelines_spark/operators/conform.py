@@ -35,12 +35,23 @@ def safe_cast(df: DataFrame, columns: dict[str, str]) -> DataFrame:
     session.build_spark) so cast failures return NULL, never raise.
     Columns absent from the frame are skipped — the reference's
     ``if col in df.columns`` guard for dynamic API schemas.
+
+    String -> integer casts follow the REFERENCE contract, not Spark's:
+    ``_safe_int('3.5')`` is None (Python int() of a fractional string
+    raises), while Spark's non-ANSI cast truncates to 3 and DuckDB's
+    TRY_CAST rounds to 4 — so non-integral strings are nulled before
+    the cast (guarded by a property-based parity test).
     """
-    present = set(df.columns)
+    int_targets = {"int", "integer", "bigint", "long", "smallint", "short", "tinyint", "byte"}
+    string_cols = {f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)}
     exprs = []
     for c in df.columns:
-        if c in columns and c in present:
-            exprs.append(F.col(c).cast(columns[c]).alias(c))
+        if c in columns:
+            target = columns[c]
+            src = F.col(c)
+            if str(target).lower() in int_targets and c in string_cols:
+                src = F.when(src.rlike(r"^\s*[+-]?[0-9]+\s*$"), src)
+            exprs.append(src.cast(target).alias(c))
         else:
             exprs.append(F.col(c))
     return df.select(*exprs)

