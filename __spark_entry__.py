@@ -8,8 +8,9 @@ operator family from SURVEY.md §2 (plus the LLM-pipeline extensions);
 Column-name/type parity rules applied throughout:
 - every computed column is aliased identically on both sides;
 - counts are cast to BIGINT on both sides (DuckDB SUM(int) is HUGEINT);
-- derived floating-point aggregates are ROUND()ed on both sides so
-  summation-order ulp drift cannot flip the value hash;
+- derived floating-point aggregates are rounded on both sides with an
+  epsilon nudge (ROUND(x + 1e-6, 2)) so summation-order ulp drift at a
+  half-cent boundary cannot flip the value hash;
 - session timezone is UTC and ANSI is off (session.build_spark).
 """
 
@@ -58,9 +59,9 @@ def q_daily_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("o_orderdate").alias("sale_date"))
         .agg(
             F.countDistinct("o_orderkey").alias("total_orders"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
-            F.round(F.sum("l_quantity"), 2).alias("total_quantity"),
-            F.round(F.sum(rev) / F.countDistinct("o_orderkey"), 2).alias("avg_order_value"),
+            F.round((F.sum(rev)) + 1e-6, 2).alias("total_revenue"),
+            F.round((F.sum("l_quantity")) + 1e-6, 2).alias("total_quantity"),
+            F.round((F.sum(rev) / F.countDistinct("o_orderkey")) + 1e-6, 2).alias("avg_order_value"),
         )
     )
 
@@ -91,7 +92,7 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent = F.col("ts") >= F.lit(EVENTS_CUTOFF).cast("timestamp")
     return events.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round((F.sum("value")) + 1e-6, 2).alias("total_value"),
         F.sum(F.when(recent, 1).otherwise(0)).cast("long").alias("recent_events"),
     )
 
@@ -116,7 +117,7 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_tables").cast("long").alias("total_tables"),
         F.col("tables_with_data").cast("long").alias("tables_with_data"),
         F.col("total_records").cast("long").alias("total_records"),
-        F.round("quality_score", 2).alias("quality_score"),
+        F.round((F.col("quality_score")) + 1e-6, 2).alias("quality_score"),
         "passed",
     )
 
@@ -187,7 +188,8 @@ def q_derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("total_items_in_order"),
         (F.count("*") > 1).alias("has_multiple_items"),
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+            + 1e-6,
             2,
         ).alias("total_charge"),
     )
@@ -338,7 +340,7 @@ def q_dim_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
             F.count("*").cast("long").alias("customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round((F.sum("c_acctbal")) + 1e-6, 2).alias("total_acctbal"),
         )
     )
 
@@ -397,7 +399,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round((F.sum("value")) + 1e-6, 2).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -414,13 +416,13 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRICING_SUMMARY_SQL = """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 2) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 2) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           ROUND((SUM(l_quantity)) + 1e-6, 2) AS sum_qty,
+           ROUND((SUM(l_extendedprice)) + 1e-6, 2) AS sum_base_price,
+           ROUND((SUM(l_extendedprice * (1 - l_discount))) + 1e-6, 2) AS sum_disc_price,
+           ROUND((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) + 1e-6, 2) AS sum_charge,
+           ROUND((AVG(l_quantity)) + 1e-6, 2) AS avg_qty,
+           ROUND((AVG(l_extendedprice)) + 1e-6, 2) AS avg_price,
+           ROUND((AVG(l_discount)) + 1e-8, 4) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -446,7 +448,7 @@ def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.rollup(F.year("o_orderdate").alias("order_year"), F.col("o_orderstatus"))
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round((F.sum("o_totalprice")) + 1e-6, 2).alias("revenue"),
         )
     )
 
@@ -478,7 +480,7 @@ def q_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(bucket.alias("value_bucket"))
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.round((F.avg("value")) + 1e-6, 2).alias("avg_value"),
         )
         .filter(F.col("n_events") > 10)
     )
@@ -531,7 +533,7 @@ def q_doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round((F.avg("n_chars")) + 1e-6, 2).alias("avg_chars"),
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
@@ -544,7 +546,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     out = topk_bruteforce(emb, QUERY_VEC, k=10)
-    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    return out.select("vec_id", F.round((F.col("cosine")) + 1e-8, 4).alias("cosine"))
 
 
 def q_similarity_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,7 +558,7 @@ def q_similarity_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", cosine_to_query(F.col("embedding"), QUERY_VEC).alias("c")
     )
     return scored.filter(F.col("c") >= 0.2).select(
-        "vec_id", F.round("c", 4).alias("cosine")
+        "vec_id", F.round((F.col("c")) + 1e-8, 4).alias("cosine")
     )
 
 
@@ -595,7 +597,7 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     out = quality_score(docs)
-    return out.select("doc_id", F.round("quality_score", 4).alias("quality_score"))
+    return out.select("doc_id", F.round((F.col("quality_score")) + 1e-8, 4).alias("quality_score"))
 
 
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,7 +620,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     centroids = ivf_train_lite(emb, k=8, sample_fraction=0.5)
     out = topk_ivf(emb, QUERY_VEC, centroids, k=10, n_probe=3)
-    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    return out.select("vec_id", F.round((F.col("cosine")) + 1e-8, 4).alias("cosine"))
 
 
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,7 +630,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = knn_join_bruteforce(queries, emb, k=3)
-    return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+    return out.select("query_id", "neighbor_id", F.round((F.col("cosine")) + 1e-8, 4).alias("cosine"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -693,9 +695,9 @@ def oracle_sql() -> dict[str, str]:
         "daily_sales_summary": f"""
             SELECT CAST(o_orderdate AS DATE) AS sale_date,
                    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS total_orders,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
-                   ROUND(SUM(l_quantity), 2) AS total_quantity,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)) / COUNT(DISTINCT o_orderkey), 2)
+                   ROUND((SUM(l_extendedprice * (1 - l_discount))) + 1e-6, 2) AS total_revenue,
+                   ROUND((SUM(l_quantity)) + 1e-6, 2) AS total_quantity,
+                   ROUND((SUM(l_extendedprice * (1 - l_discount)) / COUNT(DISTINCT o_orderkey)) + 1e-6, 2)
                        AS avg_order_value
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1
@@ -710,7 +712,7 @@ def oracle_sql() -> dict[str, str]:
         "conditional_agg": f"""
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
-                   ROUND(SUM(value), 2) AS total_value,
+                   ROUND((SUM(value)) + 1e-6, 2) AS total_value,
                    CAST(SUM(CASE WHEN ts >= TIMESTAMP '{EVENTS_CUTOFF}' THEN 1 ELSE 0 END) AS BIGINT)
                        AS recent_events
             FROM events GROUP BY event_type
@@ -743,7 +745,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS total_tables,
                    CAST(SUM(CASE WHEN records > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tables_with_data,
                    CAST(SUM(records) AS BIGINT) AS total_records,
-                   ROUND(SUM(CASE WHEN records > 0 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2)
+                   ROUND((SUM(CASE WHEN records > 0 THEN 1 ELSE 0 END) * 100.0 / COUNT(*)) + 1e-6, 2)
                        AS quality_score,
                    SUM(CASE WHEN records > 0 THEN 1 ELSE 0 END) >= 5 AS passed
             FROM counts
@@ -773,7 +775,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey,
                    CAST(COUNT(*) AS BIGINT) AS total_items_in_order,
                    COUNT(*) > 1 AS has_multiple_items,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS total_charge
+                   ROUND((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) + 1e-6, 2) AS total_charge
             FROM lineitem GROUP BY l_orderkey
         """,
         "safe_cast": """
@@ -839,7 +841,7 @@ def oracle_sql() -> dict[str, str]:
         "dim_enrichment_join": """
             SELECT r_name AS region_name,
                    CAST(COUNT(*) AS BIGINT) AS customers,
-                   ROUND(SUM(c_acctbal), 2) AS total_acctbal
+                   ROUND((SUM(c_acctbal)) + 1e-6, 2) AS total_acctbal
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -865,7 +867,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start,
                    event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
-                   ROUND(SUM(value), 2) AS total_value
+                   ROUND((SUM(value)) + 1e-6, 2) AS total_value
             FROM events GROUP BY 1, 2
         """,
         "pricing_summary": PRICING_SUMMARY_SQL,
@@ -879,7 +881,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
                    o_orderstatus,
                    CAST(COUNT(*) AS BIGINT) AS n_orders,
-                   ROUND(SUM(o_totalprice), 2) AS revenue
+                   ROUND((SUM(o_totalprice)) + 1e-6, 2) AS revenue
             FROM orders
             GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
         """,
@@ -898,7 +900,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN value < 100 THEN 'medium'
                         ELSE 'large' END AS value_bucket,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
-                   ROUND(AVG(value), 2) AS avg_value
+                   ROUND((AVG(value)) + 1e-6, 2) AS avg_value
             FROM events
             GROUP BY 1
             HAVING COUNT(*) > 10
@@ -917,20 +919,20 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_stats": """
             SELECT lang,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   ROUND(AVG(n_chars), 2) AS avg_chars,
+                   ROUND((AVG(n_chars)) + 1e-6, 2) AS avg_chars,
                    CAST(MIN(n_chars) AS BIGINT) AS min_chars,
                    CAST(MAX(n_chars) AS BIGINT) AS max_chars
             FROM documents GROUP BY lang
         """,
         "similarity_topk": f"""
             WITH qv AS (SELECT {vec} AS q)
-            SELECT vec_id, ROUND({cos}, 4) AS cosine
+            SELECT vec_id, ROUND(({cos}) + 1e-8, 4) AS cosine
             FROM embeddings, qv
             ORDER BY {cos} DESC, vec_id ASC LIMIT 10
         """,
         "similarity_threshold": f"""
             WITH qv AS (SELECT {vec} AS q)
-            SELECT vec_id, ROUND({cos}, 4) AS cosine
+            SELECT vec_id, ROUND(({cos}) + 1e-8, 4) AS cosine
             FROM embeddings, qv
             WHERE {cos} >= 0.2
         """,
