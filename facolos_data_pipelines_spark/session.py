@@ -76,12 +76,33 @@ def build_spark(
     return spark
 
 
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Set the runtime-settable confs the engine's semantics depend on.
+
+    Called defensively by load_tables so queries behave identically on a
+    session the engine did NOT build (e.g. a test harness passing its
+    own SparkSession, where Spark 4 defaults ANSI **on** — which would
+    turn the coerce-to-NULL casts into exceptions — and the nanos
+    parquet conf is absent, making events.parquet unreadable)."""
+    for k, v in (
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # pragma: no cover — static-conf sessions
+            pass
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Read the synthetic star-schema parquet tables and register temp views.
 
     Returns a dict name -> DataFrame. Scans stay lazy; Catalyst pushes
     filters/projections into the parquet reader.
     """
+    ensure_engine_confs(spark)
     all_names = [
         "region",
         "nation",
