@@ -440,6 +440,56 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(PRICING_SUMMARY_SQL)
 
 
+SHIPPING_PRIORITY_SQL = """
+    SELECT o_orderkey,
+           ROUND((SUM(l_extendedprice * (1 - l_discount))) + 1e-6, 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 20
+"""
+
+REGION_VOLUME_SQL = """
+    SELECT n_name AS nation,
+           ROUND((SUM(l_extendedprice * (1 - l_discount))) + 1e-6, 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-way join + group + top-k, identical ANSI text
+    on engine and oracle (SQL front-end parity for the data-mart
+    surface)."""
+    from facolos_data_pipelines_spark.session import load_tables
+
+    load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(SHIPPING_PRIORITY_SQL)
+
+
+def q_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-way join: dims broadcast, facts shuffle once
+    on the join key; identical ANSI text on both engines."""
+    from facolos_data_pipelines_spark.session import load_tables
+
+    load_tables(
+        spark, sf_dir, ["customer", "orders", "lineitem", "supplier", "nation", "region"]
+    )
+    return spark.sql(REGION_VOLUME_SQL)
+
+
 def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets surface (A6's stacked-counts generalization):
     ROLLUP over (order year, status) with subtotal and grand-total rows."""
@@ -659,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_sources": q_union_sources,
         "tumbling_window": q_tumbling_window,
         "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "region_volume": q_region_volume,
         "rollup_sales": q_rollup_sales,
         "date_parts": q_date_parts,
         "value_buckets": q_value_buckets,
@@ -871,6 +923,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "pricing_summary": PRICING_SUMMARY_SQL,
+        "shipping_priority": SHIPPING_PRIORITY_SQL,
+        "region_volume": REGION_VOLUME_SQL,
         "json_construct": """
             SELECT event_id,
                    CAST(to_json(struct_pack(user_id := user_id, event_type := event_type))

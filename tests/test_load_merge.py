@@ -127,3 +127,17 @@ def test_retention(spark, tmp_path):
     df.write.parquet(p)
     assert sio.apply_retention(spark, p, "etl_created_at", 30, now=now) == 1
     assert spark.read.parquet(p).count() == 1
+
+
+def test_csv_export_roundtrip(spark, tmp_path):
+    """S14 — CSV export with header; readable back with same values."""
+    from facolos_data_pipelines_spark.sources.io import write_csv
+
+    df = spark.createDataFrame(
+        [(1, "a,b", 1.5), (2, None, -0.25)], ["id", "txt", "val"]
+    )
+    path = str(tmp_path / "export_csv")
+    write_csv(df, path)
+    back = spark.read.option("header", "true").csv(path)
+    rows = {r["id"]: (r["txt"], r["val"]) for r in back.collect()}
+    assert rows == {"1": ("a,b", "1.5"), "2": (None, "-0.25")}
