@@ -14,9 +14,9 @@ Layout:
     operators   — conform (flatten/cast), dedup, similarity, text,
                   multimodal, merge, incremental
     sources     — paginated-REST-shaped ingest, file IO wrappers
-    plans       — the query surface (stats, data-mart, analytics)
-    quality     — validation gates and data-quality checks
+    quality     — stats/validation gates and the cycle monitor
     streaming   — Structured Streaming micro-batch pipelines
+    pipelines   — batch cycle/backfill runner with control log
 """
 
 __version__ = "0.1.0"

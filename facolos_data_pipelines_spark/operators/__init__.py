@@ -1,3 +1,21 @@
-from . import conform, dedup, incremental, merge, multimodal, similarity, text
+from . import (
+    conform,
+    dedup,
+    incremental,
+    merge,
+    multimodal,
+    similarity,
+    skew,
+    text,
+)
 
-__all__ = ["conform", "dedup", "incremental", "merge", "multimodal", "similarity", "text"]
+__all__ = [
+    "conform",
+    "dedup",
+    "incremental",
+    "merge",
+    "multimodal",
+    "similarity",
+    "skew",
+    "text",
+]

@@ -69,15 +69,28 @@ def merge_upsert(
     )
 
 
+def _renamed_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Project keys under unambiguous ``__r_`` names. When both join
+    sides share lineage (e.g. two filters of the same table), plain
+    ``left[k] == right[k]`` can resolve both references to the SAME
+    column (Spark's 'trivially true equals predicate' trap) and turn
+    the anti-join into a no-op; distinct names make resolution
+    unambiguous by construction."""
+    out = df.select(*keys).dropDuplicates(keys)
+    for k in keys:
+        out = out.withColumnRenamed(k, f"__r_{k}")
+    return out
+
+
 def _null_safe_key_cond(left, right, keys: list[str]):
-    """NULL-safe key equality (<=>) — composite staging PKs can carry
-    NULL components (e.g. item_sku_id on itemless orders); a plain
-    equi-join would never match them and duplicates would slip through
-    the anti-join. SQL Server PKs reject NULLs outright; null-safe
-    match is the faithful dedup semantics for our files."""
+    """NULL-safe key equality (<=>) against ``__r_``-renamed right keys —
+    composite staging PKs can carry NULL components (e.g. item_sku_id on
+    itemless orders); a plain equi-join would never match them and
+    duplicates would slip through the anti-join. SQL Server PKs reject
+    NULLs outright; null-safe match is the faithful dedup semantics."""
     cond = None
     for k in keys:
-        c = left[k].eqNullSafe(right[k])
+        c = left[k].eqNullSafe(right[f"__r_{k}"])
         cond = c if cond is None else cond & c
     return cond
 
@@ -88,7 +101,7 @@ def merge_stats(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> Da
     Spark: semi/anti join counts, one pass each, broadcast when small.
     """
     inc_keys = incoming.select(*keys).dropDuplicates(keys)
-    old_keys = existing.select(*keys).dropDuplicates(keys)
+    old_keys = _renamed_keys(existing, keys)
     cond = _null_safe_key_cond(inc_keys, old_keys, keys)
     updated = inc_keys.join(old_keys, cond, "left_semi")
     inserted = inc_keys.join(old_keys, cond, "left_anti")
@@ -108,5 +121,5 @@ def append_dedup(
     the append (SURVEY §2.5). NULL-safe equality so NULL key components
     dedup too. Returns only the genuinely-new rows.
     """
-    old_keys = existing.select(*keys).dropDuplicates(keys)
+    old_keys = _renamed_keys(existing, keys)
     return incoming.join(old_keys, _null_safe_key_cond(incoming, old_keys, keys), "left_anti")

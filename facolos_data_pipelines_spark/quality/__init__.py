@@ -1,11 +1,12 @@
 from .checks import (
-    table_stats,
-    multi_table_summary,
     flatten_invariants,
-    validate_pre_load,
-    validate_post_load,
+    multi_table_summary,
     quality_gate,
+    table_stats,
+    validate_post_load,
+    validate_pre_load,
 )
+from .monitor import alert_conditions, cycle_summary, record_cycle
 
 __all__ = [
     "table_stats",
@@ -14,4 +15,7 @@ __all__ = [
     "validate_pre_load",
     "validate_post_load",
     "quality_gate",
+    "cycle_summary",
+    "alert_conditions",
+    "record_cycle",
 ]
