@@ -683,6 +683,107 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round((F.col("cosine")) + 1e-8, 4).alias("cosine"))
 
 
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5-portable twin of operators.text
+    .fingerprint): content hash of normalized text + rolling 5-gram
+    min-hash blocking key."""
+    from facolos_data_pipelines_spark.operators.text import fingerprint_md5
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint_md5(docs).select("doc_id", "fp_content", "fp_rolling_min")
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (operators.dedup
+    .embedding_near_dup_pairs, exact all-pairs mode): id pairs with
+    cosine >= 0.4. Both engines evaluate the dot product in array order
+    over float->double exact widenings, so inclusion at the threshold
+    is deterministic."""
+    from facolos_data_pipelines_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(emb, threshold=0.4)
+    return out.select(
+        "id_a", "id_b", F.round((F.col("cosine")) + 1e-8, 4).alias("cosine")
+    )
+
+
+def q_cycle_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — rolling last-10-cycle summary (quality.monitor.cycle_summary)
+    over a per-day metrics frame derived from events: duration = span of
+    the day's events in whole seconds, success = error rate < 20%. All
+    inputs are integers, so the averaged/percentage outputs are
+    bit-identical across engines."""
+    from facolos_data_pipelines_spark.quality.monitor import cycle_summary
+
+    events = _t(spark, sf_dir, "events")
+    metrics = events.groupBy(F.to_date("ts").alias("_d")).agg(
+        F.max("ts").alias("started_at"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("double")
+        .alias("duration_seconds"),
+        F.count("*").cast("long").alias("records_processed"),
+        (
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)) * 5
+            < F.count("*")
+        ).alias("success"),
+    ).select(
+        F.col("_d").cast("string").alias("cycle_id"),
+        "started_at",
+        "duration_seconds",
+        "records_processed",
+        "success",
+    )
+    return cycle_summary(metrics, last_n=10)
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (operators.multimodal
+    .sample_video_frames): every-30th-frame selection is pure Spark
+    (sequence + explode), so it is oracle-checkable; synthetic videos
+    derive n_frames from document metadata."""
+    from facolos_data_pipelines_spark.operators.multimodal import sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    videos = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.lit("h264").alias("codec"),
+        F.lit(24.0).alias("fps"),
+        ((F.col("n_chars") % 300) + 1).cast("int").alias("n_frames"),
+        F.col("n_chars").alias("n_bytes"),
+    )
+    out = sample_video_frames(videos, every_n=30)
+    return out.select(
+        "media_id", F.col("frame_index").cast("long").alias("frame_index"), "frame_ts_s"
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[NQ] Image feature extraction through the real mapInPandas/Arrow
+    plumbing (operators.multimodal.extract_image_features); decode is
+    the documented deterministic stub, payloads are synthesized from
+    document text. Rows-only check (no SQL twin for the Python stage)."""
+    from facolos_data_pipelines_spark.operators.multimodal import extract_image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    images = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("png").alias("format"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    )
+    out = extract_image_features(images)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.col("mean_pixel") + 1e-8, 4).alias("mean_pixel"),
+        F.size("features").alias("feature_dim"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_sales_summary": q_daily_sales_summary,
@@ -721,7 +822,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_stats": q_doc_length_stats,
         "similarity_topk": q_similarity_topk,
         "similarity_threshold": q_similarity_threshold,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_near_dups": q_embedding_near_dups,
+        "cycle_metrics": q_cycle_metrics,
+        "video_frame_sample": q_video_frame_sample,
         # rows-only (no ANSI-SQL oracle):
+        "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
@@ -989,5 +1095,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, ROUND(({cos}) + 1e-8, 4) AS cosine
             FROM embeddings, qv
             WHERE {cos} >= 0.2
+        """,
+        "doc_fingerprint": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            )
+            SELECT doc_id,
+                   md5(array_to_string(words, ' ')) AS fp_content,
+                   list_aggregate(
+                       [md5(array_to_string(list_slice(words, i, i + 4), ' '))
+                        for i in range(1, greatest(len(words) - 4, 1) + 1)],
+                       'min') AS fp_rolling_min
+            FROM w
+        """,
+        "embedding_near_dups": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings)
+            SELECT id_a, id_b, ROUND(c + 1e-8, 4) AS cosine FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_sum(list_transform(range(1, 65),
+                           i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                       (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+                        sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS c
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            ) WHERE c >= 0.4
+        """,
+        "cycle_metrics": """
+            WITH m AS (
+                SELECT CAST(ts AS DATE) AS d,
+                       MAX(ts) AS started_at,
+                       CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS DOUBLE)
+                           AS duration_seconds,
+                       CAST(COUNT(*) AS BIGINT) AS records_processed,
+                       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 5 < COUNT(*)
+                           AS success
+                FROM events GROUP BY 1
+            ), r AS (
+                SELECT *, ROW_NUMBER() OVER (ORDER BY started_at DESC) AS rn FROM m
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS cycles,
+                   ROUND(AVG(duration_seconds), 3) AS avg_duration_seconds,
+                   CAST(SUM(records_processed) AS BIGINT) AS total_records,
+                   ROUND(SUM(CASE WHEN success THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2)
+                       AS success_rate_pct
+            FROM r WHERE rn <= 10
+        """,
+        "video_frame_sample": """
+            SELECT doc_id AS media_id,
+                   CAST(f AS BIGINT) AS frame_index,
+                   f / 24.0 AS frame_ts_s
+            FROM documents, UNNEST(generate_series(0, (n_chars % 300 + 1) - 1, 30)) AS t(f)
         """,
     }

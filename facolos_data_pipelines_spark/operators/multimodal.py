@@ -17,6 +17,7 @@ similarity operators.
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -62,16 +63,33 @@ VIDEO_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
-def _decode_image_stub(payload: bytes) -> np.ndarray:
-    """STUB — deterministic fake decode (no Pillow in this container).
+def _make_image_decoder():
+    """Returns the (stub) image decoder as a standalone closure.
 
-    Produces a pseudo-pixel array seeded by the payload so tests are
-    reproducible. Replace with a real decoder in production.
+    UDFs must bind the decoder as a *local* so cloudpickle serializes it
+    by value — a module-level function would pickle by reference and
+    force every executor to have this package importable (breaks
+    clusters without --py-files).
     """
-    if payload is None:
-        raise NotImplementedError("real image decode requires Pillow/cv2 — stubbed")
-    rng = np.random.default_rng(abs(hash(bytes(payload))) % (2**32))
-    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+    def decode(payload: bytes) -> np.ndarray:
+        """STUB — deterministic fake decode (no Pillow in this container).
+
+        Produces a pseudo-pixel array seeded by the payload so tests are
+        reproducible. Replace with a real decoder in production.
+        """
+        if payload is None:
+            raise NotImplementedError("real image decode requires Pillow/cv2 — stubbed")
+        # crc32, NOT hash(): Python's hash of bytes is salted per process
+        # (PYTHONHASHSEED), which would make the fake decode differ
+        # across executors and runs.
+        rng = np.random.default_rng(zlib.crc32(bytes(payload)))
+        return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+    return decode
+
+
+_decode_image_stub = _make_image_decoder()
 
 
 def extract_image_features(df: DataFrame) -> DataFrame:
@@ -89,13 +107,18 @@ def extract_image_features(df: DataFrame) -> DataFrame:
         ]
     )
 
+    decode = _make_image_decoder()  # local bind -> pickled by value
+    dim = FEATURE_DIM
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             means, feats = [], []
             for payload in pdf["payload"]:
-                px = _decode_image_stub(payload)
+                px = decode(payload)
                 means.append(float(px.mean()))
-                hist = np.histogram(px, bins=FEATURE_DIM, range=(0, 256))[0]
+                hist = np.histogram(px, bins=dim, range=(0, 256))[0]
                 total = max(int(hist.sum()), 1)
                 feats.append((hist / total).astype(np.float32).tolist())
             yield pdf.drop(columns=["payload"]).assign(mean_pixel=means, features=feats)

@@ -137,3 +137,24 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.xxhash64(normalized).alias("fp_content"),
         F.array_min(grams).alias("fp_rolling_min"),
     )
+
+
+def fingerprint_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cross-engine-portable twin of :func:`fingerprint` using md5 hex
+    strings instead of xxhash64 (md5 is bit-identical in any engine, so
+    the output is oracle-checkable; xxhash64 is Spark-only). Same
+    normalization and 5-word-gram rolling-min structure; the min is the
+    lexicographic min of the hex digests. Production pipelines should
+    prefer :func:`fingerprint` — 64-bit keys shuffle 4x less than hex."""
+    words = normalized_words(F.col(text_col))
+    normalized = F.array_join(words, " ")
+    k = F.lit(5)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+        lambda i: F.md5(F.array_join(F.slice(words, i + 1, 5), " ")),
+    )
+    return df.select(
+        "*",
+        F.md5(normalized).alias("fp_content"),
+        F.array_min(grams).alias("fp_rolling_min"),
+    )

@@ -133,6 +133,16 @@ def test_fingerprint_stable_under_formatting(spark):
     assert out[1]["fp_content"] != out[3]["fp_content"]
     assert out[1]["fp_rolling_min"] == out[2]["fp_rolling_min"]
 
+    # md5-portable twin: same invariances, known digest of the
+    # normalized content ("hello world test one two three four five")
+    import hashlib
+
+    m = {r["doc_id"]: r for r in text.fingerprint_md5(df).collect()}
+    assert m[1]["fp_content"] == m[2]["fp_content"] != m[3]["fp_content"]
+    assert m[1]["fp_rolling_min"] == m[2]["fp_rolling_min"]
+    expect = hashlib.md5(b"hello world test one two three four five").hexdigest()
+    assert m[1]["fp_content"] == expect
+
 
 def test_multimodal_image_features(spark):
     rows = [(1, b"\x89PNGfake1", "png", 8, 8, 9), (2, b"\x89PNGfake2", "png", 8, 8, 9)]
@@ -143,9 +153,18 @@ def test_multimodal_image_features(spark):
         assert len(r["features"]) == multimodal.FEATURE_DIM
         assert abs(sum(r["features"]) - 1.0) < 1e-5  # normalized histogram
         assert 0 <= r["mean_pixel"] <= 255
-    # deterministic stub: same payload -> same features
+    # deterministic stub: same payload -> same features, and the seed is
+    # process-independent (crc32, not salted hash()) so features match a
+    # locally recomputed decode
     again = multimodal.extract_image_features(df).collect()
     assert [r["features"] for r in again] == [r["features"] for r in out]
+    import numpy as np
+
+    px = multimodal._decode_image_stub(b"\x89PNGfake1")
+    hist = np.histogram(px, bins=multimodal.FEATURE_DIM, range=(0, 256))[0]
+    expect = (hist / max(int(hist.sum()), 1)).astype(np.float32).tolist()
+    got = next(r["features"] for r in out if r["media_id"] == 1)
+    assert got == pytest.approx(expect)
 
 
 def test_video_frame_sampling_is_pure_spark(spark):
