@@ -55,6 +55,39 @@ def test_simhash_dedup(docs):
     assert 6 in ids and 7 in ids
 
 
+def test_simhash_lane_packing_matches_per_bit_majority(spark):
+    """The 16-bit-lane packed vote counters must reproduce the naive
+    per-bit majority fingerprint exactly."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three"),
+        (3, "repeated repeated repeated distinct"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # ground truth: per-word xxhash64 from Spark, majority vote in Python
+    wh = (
+        df.select(F.col("doc_id"), F.explode(dedup.normalized_words("text")).alias("w"))
+        .select("doc_id", F.xxhash64("w").alias("h"))
+        .collect()
+    )
+    by_doc: dict[int, list[int]] = {}
+    for r in wh:
+        by_doc.setdefault(r["doc_id"], []).append(r["h"] & ((1 << 64) - 1))
+    expected = {}
+    for doc, hs in by_doc.items():
+        fp = 0
+        for j in range(64):
+            if sum((h >> j) & 1 for h in hs) * 2 > len(hs):
+                fp |= 1 << j
+        expected[doc] = fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    got = {r["doc_id"]: r["_fp"] for r in dedup.simhash_fingerprints(df).collect()}
+    assert got == expected
+
+
 def test_verified_pairs_report_true_jaccard(spark, docs):
     buckets = dedup.minhash_lsh_buckets(docs)
     pairs = dedup.lsh_candidate_pairs(buckets)
