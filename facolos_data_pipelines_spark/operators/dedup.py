@@ -271,6 +271,60 @@ def verified_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Single-link components over an edge list (id_a, id_b) → rows
+    (node, component) where component = min id reachable from node.
+
+    Iterative min-label propagation: each round joins every node's
+    current label across its edges and keeps the minimum — the
+    standard scalable formulation (converges in O(graph diameter)
+    rounds; near-dup clusters are shallow, so typically 2–4). Each
+    round is one join + one group-by on ids only (never text), and the
+    label frame is checkpointed per round to truncate lineage.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("_nbr", "component")).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -279,13 +333,18 @@ def minhash_dedup(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    transitive: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash near-dedup: LSH buckets -> candidate pairs ->
-    Jaccard verify -> drop the higher id of each verified pair.
+    Jaccard verify -> drop duplicates, keeping the lowest id.
 
-    Single-link transitivity is approximated by one sweep (b survives
-    only if not matched to any smaller id) — the standard scalable
-    choice vs full connected components; iterate the sweep for chains.
+    ``transitive=False`` (default) does one sweep — b survives only if
+    not matched to any smaller id — which under-drops on chains
+    (a~b, b~c, a!~c keeps c). ``transitive=True`` resolves full
+    single-link components over the verified pairs
+    (:func:`connected_components`) and keeps exactly one doc (the min
+    id) per component — the correct semantics for boilerplate chains,
+    at the cost of O(diameter) extra id-only joins.
 
     The bucket frame is persisted across its self-join (both sides and
     the downstream verify would otherwise recompute the signature DAG —
@@ -298,11 +357,19 @@ def minhash_dedup(
     try:
         pairs = lsh_candidate_pairs(buckets, id_col)
         dups = verified_near_dup_pairs(df, pairs, text_col, id_col, shingle_n, threshold)
-        losers = (
-            dups.select(F.col("id_b").alias(id_col))
-            .dropDuplicates()
-            .localCheckpoint(eager=True)
-        )
+        if transitive:
+            comps = connected_components(dups)
+            losers = (
+                comps.filter(F.col("node") != F.col("component"))
+                .select(F.col("node").alias(id_col))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            losers = (
+                dups.select(F.col("id_b").alias(id_col))
+                .dropDuplicates()
+                .localCheckpoint(eager=True)
+            )
     finally:
         buckets.unpersist()
     return df.join(losers, id_col, "left_anti")

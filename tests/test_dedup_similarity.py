@@ -88,6 +88,45 @@ def test_simhash_lane_packing_matches_per_bit_majority(spark):
     assert got == expected
 
 
+def test_connected_components_min_label(spark):
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    comps = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_minhash_transitive_drops_chained_near_dups(spark):
+    """doc3 bridges doc1 and doc2 (both pairs above threshold, 1-2
+    below): the single sweep keeps doc2 (never the higher id of a
+    verified pair with doc1), transitive components keep only doc1."""
+    a = " ".join(f"w{i}" for i in range(12))
+    b = [f"b{i}" for i in range(12)]
+    c = [f"c{i}" for i in range(12)]
+    rows = [
+        (1, a + " " + " ".join(b)),
+        (2, a + " " + " ".join(c)),
+        (3, a + " " + " ".join(b[:6] + c[:6])),
+    ]
+
+    # self-validating: true 3-gram jaccards must straddle the threshold
+    def grams(t):
+        ws = t.split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    g = {i: grams(t) for i, t in rows}
+    j = lambda x, y: len(g[x] & g[y]) / len(g[x] | g[y])
+    thr = 0.4
+    assert j(1, 3) >= thr and j(2, 3) >= thr and j(1, 2) < thr
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(num_hashes=32, bands=16, threshold=thr)
+    sweep = {r["doc_id"] for r in dedup.minhash_dedup(df, **kw).collect()}
+    trans = {r["doc_id"] for r in dedup.minhash_dedup(df, transitive=True, **kw).collect()}
+    assert sweep == {1, 2}
+    assert trans == {1}
+
+
 def test_verified_pairs_report_true_jaccard(spark, docs):
     buckets = dedup.minhash_lsh_buckets(docs)
     pairs = dedup.lsh_candidate_pairs(buckets)
