@@ -39,12 +39,29 @@ def _to_i64(x: int) -> int:
 
 
 # Fixed 2-universal multiply-add family: h_i(x) = a_i * x + b_i over
-# Z/2^64 (Java long wrap; ANSI off). One xxhash64 of the shingle string
-# feeds all num_hashes MinHash lanes — 64-bit arithmetic instead of
-# re-hashing the string per lane (measured ~3x faster end-to-end and a
-# far smaller codegen unit).
-_MINHASH_A = [_to_i64(_splitmix64(2 * i) | 1) for i in range(64)]
-_MINHASH_B = [_to_i64(_splitmix64(2 * i + 1)) for i in range(64)]
+# Z/2^64 (Java long wrap; requires ANSI off — callers on an ANSI
+# session fall back to per-lane seeded xxhash64, see _lane_hash). One
+# xxhash64 of the shingle string feeds all num_hashes MinHash lanes —
+# 64-bit arithmetic instead of re-hashing the string per lane (measured
+# ~3x faster end-to-end and a far smaller codegen unit).
+_MAX_LANES = 256
+_MINHASH_A = [_to_i64(_splitmix64(2 * i) | 1) for i in range(_MAX_LANES)]
+_MINHASH_B = [_to_i64(_splitmix64(2 * i + 1)) for i in range(_MAX_LANES)]
+
+
+def _ansi_enabled(df: DataFrame) -> bool:
+    try:
+        return df.sparkSession.conf.get("spark.sql.ansi.enabled", "false") == "true"
+    except Exception:  # pragma: no cover — static-conf sessions
+        return True  # assume the strict mode if unknowable
+
+
+def _check_lanes(num_hashes: int) -> None:
+    if num_hashes > _MAX_LANES:
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the fixed multiply-add "
+            f"hash family size ({_MAX_LANES} lanes)"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -97,14 +114,18 @@ def word_shingles(text_col: str | Column, n: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: for seed i, min over shingles of
-    xxhash64(shingle, i). Returns array<long> of length num_hashes.
+    """MinHash signature: lane i = min over shingles of
+    ``a_i * xxhash64(shingle) + b_i`` (fixed multiply-add family over
+    Z/2^64, wrap-on-overflow — requires a non-ANSI session). Returns
+    array<long> of length num_hashes.
 
     NOTE: as a single column expression this inlines the shingle
     computation ``num_hashes`` times (Catalyst's CollapseProject undoes
     withColumn staging) — use :func:`minhash_signatures` for the
     DataFrame path, which computes each shingle hash exactly once.
     """
+    _check_lanes(num_hashes)
+
     def _mix(i: int):
         a, b = F.lit(_MINHASH_A[i]), F.lit(_MINHASH_B[i])
         return lambda h: h * a + b
@@ -138,6 +159,10 @@ def minhash_signatures(
 
     Short documents (< shingle_n words) contribute their full word join
     as a single shingle (same rule as :func:`word_shingles`).
+
+    The ANSI fallback's signatures come from a different hash family
+    than the fast path's — never mix signature frames computed on
+    sessions with different ANSI settings.
     """
     w = df.select(
         F.col(id_col), F.posexplode(normalized_words(text_col)).alias("_pos", "_w")
@@ -162,14 +187,23 @@ def minhash_signatures(
     # Hash the shingle string ONCE, then derive every MinHash lane with
     # a 2-universal multiply-add over the 64-bit hash — 1 string hash +
     # num_hashes long mul/adds per shingle instead of num_hashes string
-    # hashes (smaller codegen unit, ~3x faster at 32 lanes).
-    hashed = sh.select(id_col, F.xxhash64("_sh").alias("_h")).select(
-        id_col,
-        *[
-            (F.col("_h") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i])).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ],
-    )
+    # hashes (smaller codegen unit, ~3x faster at 32 lanes). The wrap
+    # arithmetic throws under ANSI, so ANSI sessions fall back to the
+    # (slower, equally correct) per-lane seeded string hash.
+    _check_lanes(num_hashes)
+    if _ansi_enabled(df):
+        hashed = sh.select(
+            id_col,
+            *[F.xxhash64("_sh", F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)],
+        )
+    else:
+        hashed = sh.select(id_col, F.xxhash64("_sh").alias("_h")).select(
+            id_col,
+            *[
+                (F.col("_h") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i])).alias(f"_h{i}")
+                for i in range(num_hashes)
+            ],
+        )
     agg = hashed.groupBy(id_col).agg(
         *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
     )
@@ -319,10 +353,15 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # superseded checkpoints are released by Spark's ContextCleaner
+        # once the old `labels` reference drops here
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within max_iter={max_iter} "
+        "rounds (component diameter exceeds the bound); raise max_iter"
+    )
 
 
 def minhash_dedup(
@@ -357,22 +396,9 @@ def minhash_dedup(
     try:
         pairs = lsh_candidate_pairs(buckets, id_col)
         dups = verified_near_dup_pairs(df, pairs, text_col, id_col, shingle_n, threshold)
-        if transitive:
-            comps = connected_components(dups)
-            losers = (
-                comps.filter(F.col("node") != F.col("component"))
-                .select(F.col("node").alias(id_col))
-                .localCheckpoint(eager=True)
-            )
-        else:
-            losers = (
-                dups.select(F.col("id_b").alias(id_col))
-                .dropDuplicates()
-                .localCheckpoint(eager=True)
-            )
+        return _drop_pair_losers(df, dups, id_col, transitive, eager=True)
     finally:
         buckets.unpersist()
-    return df.join(losers, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -418,22 +444,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def _drop_pair_losers(
+    df: DataFrame, pairs: DataFrame, id_col: str, transitive: bool, eager: bool = False
+) -> DataFrame:
+    """Shared pair-resolution: one-sweep (drop every id_b) or exact
+    single-link components keeping the min id per component.
+
+    ``eager`` checkpoints the (tiny) loser-id set immediately — required
+    when ``pairs`` hangs off a persisted frame the caller will unpersist
+    before the returned plan executes (minhash_dedup's bucket cache)."""
+    if transitive:
+        comps = connected_components(pairs)
+        losers = (
+            comps.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(id_col))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+        if eager:
+            losers = losers.localCheckpoint(eager=True)
+    return df.join(losers, id_col, "left_anti")
+
+
 def ngram_jaccard_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    transitive: bool = False,
 ) -> DataFrame:
     """Exact Jaccard near-dedup: drop the higher id of each pair >=
-    threshold. The exact twin of :func:`minhash_dedup` (which trades
-    exactness for bucket-local comparisons)."""
-    dups = (
-        ngram_jaccard_pairs(df, text_col, id_col, shingle_n, threshold)
-        .select(F.col("id_b").alias(id_col))
-        .dropDuplicates()
-    )
-    return df.join(dups, id_col, "left_anti")
+    threshold (or, with ``transitive=True``, keep one doc per
+    single-link component). The exact twin of :func:`minhash_dedup`
+    (which trades exactness for bucket-local comparisons)."""
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, shingle_n, threshold)
+    return _drop_pair_losers(df, pairs, id_col, transitive)
 
 
 # ---------------------------------------------------------------------------
@@ -488,8 +535,9 @@ def simhash_fingerprints(
     (``sum((h >> l) & 0x0001000100010001)`` counts bits l, l+16, l+32,
     l+48 at once), so 64 bit positions need 16 aggregates instead of 64;
     exact up to 32,767 words per document — the 16-bit lanes hold 65,535
-    but the packed long's top lane must stay clear of the sign bit (cap
-    longer docs upstream).
+    but the packed long's top lane must stay clear of the sign bit.
+    Longer documents are truncated to their first 32,767 words at the
+    explode (structural guard — no silent counter overflow).
     Bit j of the fingerprint is set iff the majority of word-hashes have
     bit j set. Empty documents drop out (no words -> no fingerprint),
     correct for near-dup: nothing to match on.
@@ -497,7 +545,14 @@ def simhash_fingerprints(
     if bits != 64:
         raise ValueError("simhash_fingerprints packs 16-bit lanes over a 64-bit hash; bits must be 64")
     lane_mask = F.lit(0x0001000100010001)
-    w = df.select(F.col(id_col), F.explode(normalized_words(text_col)).alias("_w"))
+    # Enforce the counter-exactness bound structurally: fingerprint the
+    # first 32,767 words of each document. A silent lane overflow would
+    # corrupt neighbouring bit counts; truncation is deterministic and
+    # near-dup semantics on >32k-word documents are dominated by their
+    # prefix anyway.
+    w = df.select(
+        F.col(id_col), F.posexplode(normalized_words(text_col)).alias("_pos", "_w")
+    ).filter(F.col("_pos") < 32767)
     h = w.select(id_col, F.xxhash64("_w").alias("_h"))
     aggs = [
         F.sum(F.shiftright(F.col("_h"), l).bitwiseAND(lane_mask)).alias(f"_l{l}")
@@ -645,11 +700,10 @@ def embedding_dedup(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     num_planes: int = 0,
+    transitive: bool = False,
 ) -> DataFrame:
-    """Drop the higher id of every near-duplicate embedding pair."""
-    dups = (
-        embedding_near_dup_pairs(df, vec_col, id_col, threshold, num_planes)
-        .select(F.col("id_b").alias(id_col))
-        .dropDuplicates()
-    )
-    return df.join(dups, id_col, "left_anti")
+    """Drop the higher id of every near-duplicate embedding pair (or,
+    with ``transitive=True``, keep one vector per single-link
+    component)."""
+    pairs = embedding_near_dup_pairs(df, vec_col, id_col, threshold, num_planes)
+    return _drop_pair_losers(df, pairs, id_col, transitive)

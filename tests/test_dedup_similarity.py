@@ -88,6 +88,24 @@ def test_simhash_lane_packing_matches_per_bit_majority(spark):
     assert got == expected
 
 
+def test_minhash_ansi_fallback_and_lane_limit(spark, docs):
+    """On an ANSI session the multiply-add family would overflow-throw;
+    the DataFrame path must fall back to seeded string hashes and still
+    produce working signatures. num_hashes beyond the family size must
+    raise a clear error, not IndexError."""
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        sigs = dedup.minhash_signatures(docs, num_hashes=8)
+        rows = {r["doc_id"]: r["sig"] for r in sigs.collect()}
+        assert all(len(s) == 8 for s in rows.values())
+        assert rows[1] == rows[2]  # identical text -> identical signature
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+
+    with pytest.raises(ValueError, match="hash family"):
+        dedup.minhash_signatures(docs, num_hashes=512)
+
+
 def test_connected_components_min_label(spark):
     pairs = spark.createDataFrame(
         [(1, 3), (2, 3), (5, 6)], ["id_a", "id_b"]
