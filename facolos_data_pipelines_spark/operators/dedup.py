@@ -249,14 +249,29 @@ def minhash_lsh_buckets(
     )
 
 
-def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    buckets: DataFrame, id_col: str = "doc_id", max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
 
     Self-join within buckets only — the whole point of LSH: comparisons
-    are bucket-local. Hot buckets (boilerplate text) are the skew risk;
-    AQE skew-join splitting handles moderate skew, and callers can cap
-    bucket size upstream for pathological corpora.
+    are bucket-local. Hot buckets (boilerplate text) are the skew risk:
+    AQE skew-join splitting handles moderate skew;
+    ``max_bucket_size`` drops buckets larger than the cap entirely
+    (standard practice — a bucket shared by thousands of documents is
+    template/boilerplate collision, and its members still pair up in
+    their other, more selective bands). The cap turns the worst-case
+    Σ size² self-join into Σ min(size, cap)².
     """
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band_id", "band_hash").agg(
+            F.count("*").alias("_bsz")
+        )
+        buckets = (
+            buckets.join(sizes, ["band_id", "band_hash"])
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -373,9 +388,12 @@ def minhash_dedup(
     shingle_n: int = 3,
     threshold: float = 0.8,
     transitive: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash near-dedup: LSH buckets -> candidate pairs ->
     Jaccard verify -> drop duplicates, keeping the lowest id.
+    ``max_bucket_size`` caps pathological LSH buckets (see
+    :func:`lsh_candidate_pairs`).
 
     ``transitive=False`` (default) does one sweep — b survives only if
     not matched to any smaller id — which under-drops on chains
@@ -394,7 +412,7 @@ def minhash_dedup(
     buckets = minhash_lsh_buckets(df, text_col, id_col, num_hashes, bands, shingle_n)
     buckets.persist()
     try:
-        pairs = lsh_candidate_pairs(buckets, id_col)
+        pairs = lsh_candidate_pairs(buckets, id_col, max_bucket_size)
         dups = verified_near_dup_pairs(df, pairs, text_col, id_col, shingle_n, threshold)
         return _drop_pair_losers(df, dups, id_col, transitive, eager=True)
     finally:

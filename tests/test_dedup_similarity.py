@@ -106,6 +106,19 @@ def test_minhash_ansi_fallback_and_lane_limit(spark, docs):
         dedup.minhash_signatures(docs, num_hashes=512)
 
 
+def test_lsh_bucket_cap_drops_hot_buckets(spark):
+    """With every doc identical, all 8 band buckets have size 5; a cap
+    of 4 removes them all (no candidate pairs), while uncapped LSH
+    pairs everything."""
+    df = spark.createDataFrame(
+        [(i, "same exact words in every single document here") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    buckets = dedup.minhash_lsh_buckets(df)
+    assert dedup.lsh_candidate_pairs(buckets).count() == 10
+    assert dedup.lsh_candidate_pairs(buckets, max_bucket_size=4).count() == 0
+
+
 def test_connected_components_min_label(spark):
     pairs = spark.createDataFrame(
         [(1, 3), (2, 3), (5, 6)], ["id_a", "id_b"]
