@@ -272,57 +272,113 @@ TIKTOK_ORDER_DETAIL_SCHEMA = T.StructType(
     )
 )
 
-# staging misa_sale_orders_flattened — PK (order_id, item_id);
-# reference sql/staging/create_misa_crm_tables.sql:173-300. Core typed
-# column set per the transformer coercion lists
-# (misa_crm_transformer.py:183-231); dynamic extra API columns pass
-# through conform's align step (dropped vs this contract).
+# staging.misa_sale_orders_flattened — 95 columns, full reference DDL contract
+# (create_misa_crm_tables.sql:173-300; order_*/item_* prefixes per misa_crm_transformer.py:142-148); includes the DDL's inline etl_* columns.
 MISA_SALE_ORDERS_FLATTENED_SCHEMA = T.StructType(
     _fields(
         [
             ("order_id", L),
             ("order_sale_order_no", S),
             ("order_account_name", S),
+            ("order_sale_order_name", S),
             ("order_sale_order_amount", D),
-            ("order_total_summary", D),
-            ("order_tax_summary", D),
-            ("order_discount_summary", D),
-            ("order_exchange_rate", D),
             ("order_sale_order_date", TS),
             ("order_due_date", TS),
-            ("order_book_date", TS),
-            ("order_delivery_date", TS),
-            ("order_paid_date", TS),
             ("order_status", S),
             ("order_delivery_status", S),
             ("order_pay_status", S),
+            ("order_revenue_status", S),
+            ("order_total_summary", D),
+            ("order_tax_summary", D),
+            ("order_discount_summary", D),
+            ("order_to_currency_summary", D),
+            ("order_total_receipted_amount", D),
+            ("order_balance_receipt_amount", D),
+            ("order_invoiced_amount", D),
+            ("order_un_invoiced_amount", D),
+            ("order_currency_type", S),
+            ("order_exchange_rate", D),
             ("order_is_use_currency", B),
-            ("order_modified_date", TS),
+            ("order_billing_address", S),
+            ("order_billing_country", S),
+            ("order_billing_province", S),
+            ("order_billing_district", S),
+            ("order_billing_ward", S),
+            ("order_billing_street", S),
+            ("order_billing_code", S),
+            ("order_shipping_address", S),
+            ("order_shipping_country", S),
+            ("order_shipping_province", S),
+            ("order_shipping_district", S),
+            ("order_shipping_ward", S),
+            ("order_shipping_street", S),
+            ("order_shipping_code", S),
+            ("order_phone", S),
+            ("order_billing_contact", S),
+            ("order_shipping_contact_name", S),
+            ("order_organization_unit_name", S),
+            ("order_owner_name", S),
+            ("order_employee_code", S),
+            ("order_account_code", S),
+            ("order_contact_code", S),
+            ("order_book_date", TS),
+            ("order_deadline_date", TS),
+            ("order_delivery_date", TS),
+            ("order_paid_date", TS),
+            ("order_invoice_date", TS),
+            ("order_production_date", TS),
             ("item_id", L),
             ("item_product_code", S),
             ("item_unit", S),
-            ("item_stock_name", S),
-            ("item_description", S),
+            ("item_usage_unit", S),
             ("item_price", D),
             ("item_amount", D),
+            ("item_usage_unit_amount", D),
+            ("item_usage_unit_price", D),
             ("item_total", D),
+            ("item_to_currency", D),
             ("item_discount", D),
             ("item_tax", D),
-            ("item_tax_percent", D),
+            ("item_tax_percent", S),
             ("item_discount_percent", D),
+            ("item_price_after_tax", D),
+            ("item_price_after_discount", D),
+            ("item_to_currency_after_discount", D),
+            ("item_description", S),
+            ("item_description_product", S),
+            ("item_stock_name", S),
+            ("item_batch_number", S),
+            ("item_serial_number", S),
             ("item_expire_date", TS),
+            ("item_height", D),
+            ("item_width", D),
+            ("item_length", D),
+            ("item_radius", D),
+            ("item_mass", D),
+            ("item_exist_amount", D),
+            ("item_shipping_amount", D),
+            ("item_sort_order", I),
+            ("item_ratio", D),
+            ("item_operator", S),
+            ("item_promotion", S),
             ("item_is_promotion", B),
+            ("item_custom_field1", D),
+            ("item_produced_quantity", D),
+            ("item_quantity_ordered", D),
+            ("item_sale_order_product", S),
             ("has_multiple_items", B),
             ("total_items_in_order", I),
+            ("etl_created_at", TS),
+            ("etl_updated_at", TS),
+            ("etl_batch_id", S),
+            ("etl_source", S),
         ]
-        + _ETL_META
-        + [("etl_source", S)]
     )
 )
 
-# staging misa_customers — PK id; typed columns are exactly the
-# transformer's coercion lists (misa_crm_transformer.py:74-104) plus
-# identity/string columns from the DDL (create_misa_crm_tables.sql:36-155).
+
+# staging.misa_customers — 86 columns, full reference DDL contract
+# (create_misa_crm_tables.sql:36-155); includes the DDL's inline etl_* columns.
 MISA_CUSTOMERS_SCHEMA = T.StructType(
     _fields(
         [
@@ -335,17 +391,27 @@ MISA_CUSTOMERS_SCHEMA = T.StructType(
             ("office_tel", S),
             ("office_email", S),
             ("website", S),
+            ("fax", S),
             ("billing_address", S),
             ("billing_country", S),
             ("billing_province", S),
             ("billing_district", S),
             ("billing_ward", S),
             ("billing_street", S),
+            ("billing_code", S),
             ("shipping_address", S),
+            ("shipping_country", S),
+            ("shipping_province", S),
+            ("shipping_district", S),
+            ("shipping_ward", S),
+            ("shipping_street", S),
+            ("shipping_code", S),
             ("business_type", S),
             ("industry", S),
-            ("tax_code", S),
             ("annual_revenue", D),
+            ("tax_code", S),
+            ("bank_account", S),
+            ("bank_name", S),
             ("debt", D),
             ("debt_limit", D),
             ("number_of_days_owed", D),
@@ -354,99 +420,161 @@ MISA_CUSTOMERS_SCHEMA = T.StructType(
             ("average_order_value", D),
             ("average_number_of_days_between_purchases", D),
             ("number_days_without_purchase", D),
-            ("billing_long", D),
-            ("billing_lat", D),
-            ("shipping_long", D),
-            ("shipping_lat", D),
-            ("total_score", D),
+            ("list_product_category", S),
+            ("list_product", S),
             ("purchase_date_recent", TS),
             ("purchase_date_first", TS),
             ("customer_since_date", TS),
             ("last_interaction_date", TS),
             ("last_visit_date", TS),
             ("last_call_date", TS),
-            ("issued_on", TS),
-            ("celebrate_date", TS),
-            ("created_date", TS),
-            ("modified_date", TS),
-            ("last_modified_date", TS),
             ("is_personal", B),
+            ("gender", S),
+            ("identification", S),
+            ("issued_on", TS),
+            ("place_of_issue", S),
+            ("celebrate_date", TS),
+            ("organization_unit_name", S),
+            ("form_layout", S),
+            ("rating", S),
+            ("lead_source", S),
+            ("sector_name", S),
+            ("no_of_employee_name", S),
+            ("parent_account_name", S),
+            ("account_type", S),
             ("inactive", B),
             ("is_public", B),
             ("is_distributor", B),
             ("is_portal_access", B),
-            ("list_product_category", S),  # array serialized to JSON string
-            ("list_product", S),
-            ("tag", S),
-            ("related_users", S),
+            ("portal_username", S),
+            ("billing_long", D),
+            ("billing_lat", D),
+            ("shipping_long", D),
+            ("shipping_lat", D),
+            ("custom_field13", S),
+            ("custom_field14", S),
             ("description", S),
-            ("rating", S),
-            ("lead_source", S),
+            ("tag", S),
+            ("budget_code", S),
+            ("total_score", D),
+            ("number_days_not_interacted", S),
+            ("related_users", S),
+            ("created_date", TS),
+            ("created_by", S),
+            ("modified_date", TS),
+            ("modified_by", S),
+            ("last_modified_date", TS),
+            ("etl_created_at", TS),
+            ("etl_updated_at", TS),
+            ("etl_batch_id", S),
+            ("etl_source", S),
         ]
-        + _ETL_META
-        + [("etl_source", S)]
     )
 )
 
-# staging misa_contacts — PK id (create_misa_crm_tables.sql:320-417,
-# coercion lists misa_crm_transformer.py:249-273).
+
+# staging.misa_contacts — 66 columns, full reference DDL contract
+# (create_misa_crm_tables.sql:320-417); includes the DDL's inline etl_* columns.
 MISA_CONTACTS_SCHEMA = T.StructType(
     _fields(
         [
             ("id", L),
             ("contact_code", S),
+            ("account_code", S),
+            ("contact_name", S),
             ("first_name", S),
             ("last_name", S),
-            ("full_name", S),
             ("salutation", S),
-            ("title", S),
-            ("department", S),
-            ("account_name", S),
             ("mobile", S),
             ("office_tel", S),
+            ("other_phone", S),
+            ("office_email", S),
             ("email", S),
+            ("facebook", S),
+            ("zalo", S),
+            ("account_name", S),
+            ("title", S),
+            ("department", S),
+            ("account_type", S),
             ("mailing_address", S),
+            ("mailing_country", S),
+            ("mailing_province", S),
+            ("mailing_district", S),
+            ("mailing_ward", S),
+            ("mailing_street", S),
+            ("mailing_zip", S),
+            ("shipping_address", S),
+            ("shipping_country", S),
+            ("shipping_province", S),
+            ("shipping_district", S),
+            ("shipping_ward", S),
+            ("shipping_street", S),
+            ("shipping_zip", S),
             ("mailing_long", D),
             ("mailing_lat", D),
             ("shipping_long", D),
             ("shipping_lat", D),
-            ("total_score", D),
-            ("number_days_not_interacted", D),
             ("date_of_birth", TS),
+            ("gender", S),
+            ("married_status", S),
+            ("bank_account", S),
+            ("bank_name", S),
+            ("email_opt_out", B),
+            ("phone_opt_out", B),
+            ("lead_source", S),
             ("customer_since_date", TS),
+            ("organization_unit_name", S),
+            ("owner_name", S),
+            ("form_layout", S),
+            ("inactive", B),
+            ("total_score", D),
             ("last_interaction_date", TS),
             ("last_visit_date", TS),
             ("last_call_date", TS),
-            ("created_date", TS),
-            ("modified_date", TS),
-            ("email_opt_out", B),
-            ("phone_opt_out", B),
-            ("inactive", B),
+            ("number_days_not_interacted", D),
             ("is_public", B),
+            ("tag", S),
+            ("related_users", S),
+            ("description", S),
+            ("created_date", TS),
+            ("created_by", S),
+            ("modified_date", TS),
+            ("modified_by", S),
+            ("etl_created_at", TS),
+            ("etl_updated_at", TS),
+            ("etl_batch_id", S),
+            ("etl_source", S),
         ]
-        + _ETL_META
-        + [("etl_source", S)]
     )
 )
 
-# staging misa_stocks — PK stock_code (create_misa_crm_tables.sql:435-459).
+
+# staging.misa_stocks — 14 columns, full reference DDL contract
+# (create_misa_crm_tables.sql:435-459); includes the DDL's inline etl_* columns.
 MISA_STOCKS_SCHEMA = T.StructType(
     _fields(
         [
-            ("id", L),
             ("stock_code", S),
+            ("act_database_id", S),
+            ("async_id", S),
             ("stock_name", S),
+            ("description", S),
             ("inactive", B),
             ("created_date", TS),
+            ("created_by", S),
             ("modified_date", TS),
+            ("modified_by", S),
+            ("etl_created_at", TS),
+            ("etl_updated_at", TS),
+            ("etl_batch_id", S),
+            ("etl_source", S),
         ]
-        + _ETL_META
-        + [("etl_source", S)]
     )
 )
 
-# staging misa_products — PK id, unique product_code
-# (create_misa_crm_tables.sql:476-539, coercion misa_crm_transformer.py:317-342).
+
+# staging.misa_products — 39 columns, full reference DDL contract
+# (create_misa_crm_tables.sql:476-539); includes the DDL's inline etl_* columns.
 MISA_PRODUCTS_SCHEMA = T.StructType(
     _fields(
         [
@@ -454,7 +582,9 @@ MISA_PRODUCTS_SCHEMA = T.StructType(
             ("product_code", S),
             ("product_name", S),
             ("product_category", S),
-            ("unit", S),
+            ("usage_unit", S),
+            ("description", S),
+            ("sale_description", S),
             ("unit_price", D),
             ("purchased_price", D),
             ("unit_cost", D),
@@ -462,18 +592,35 @@ MISA_PRODUCTS_SCHEMA = T.StructType(
             ("unit_price2", D),
             ("unit_price_fixed", D),
             ("price_after_tax", B),
+            ("tax", S),
             ("is_use_tax", B),
+            ("product_properties", S),
             ("is_follow_serial_number", B),
             ("is_set_product", B),
+            ("quantity_formula", S),
+            ("default_stock", S),
+            ("warranty_period", S),
+            ("warranty_description", S),
+            ("organization_unit_name", S),
+            ("owner_name", S),
+            ("form_layout", S),
+            ("source", S),
             ("inactive", B),
             ("is_public", B),
+            ("avatar", S),
+            ("tag", S),
             ("created_date", TS),
+            ("created_by", S),
             ("modified_date", TS),
+            ("modified_by", S),
+            ("etl_created_at", TS),
+            ("etl_updated_at", TS),
+            ("etl_batch_id", S),
+            ("etl_source", S),
         ]
-        + _ETL_META
-        + [("etl_source", S)]
     )
 )
+
 
 # ---------------------------------------------------------------------------
 # ETL control tables — reference create_facolos_enterprise_schemas.sql:79-107.
