@@ -792,6 +792,29 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline: quality filter (>= 10 words) ->
+    exact near-dup removal on the normalized-content fingerprint (keep
+    lowest doc_id) -> fingerprinted survivor corpus. Integer/string
+    semantics only, so fully oracle-checkable."""
+    from facolos_data_pipelines_spark.operators.dedup import normalized_words
+
+    docs = _t(spark, sf_dir, "documents")
+    words = normalized_words("text")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(words, " ")).alias("fp_content"),
+    ).filter(F.col("n_tokens") >= 10)
+    w = Window.partitionBy("fp_content").orderBy(F.col("doc_id").asc())
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_sales_summary": q_daily_sales_summary,
@@ -834,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "cycle_metrics": q_cycle_metrics,
         "video_frame_sample": q_video_frame_sample,
+        "corpus_clean": q_corpus_clean,
         # rows-only (no ANSI-SQL oracle):
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
@@ -1161,5 +1185,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(f AS BIGINT) AS frame_index,
                    f / 24.0 AS frame_ts_s
             FROM documents, UNNEST(generate_series(0, (n_chars % 300 + 1) - 1, 30)) AS t(f)
+        """,
+        "corpus_clean": r"""
+            WITH w AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), f AS (
+                SELECT doc_id, lang,
+                       CAST(len(words) AS BIGINT) AS n_tokens,
+                       md5(array_to_string(words, ' ')) AS fp_content
+                FROM w WHERE len(words) >= 10
+            )
+            SELECT doc_id, lang, n_tokens, fp_content FROM f
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY fp_content ORDER BY doc_id ASC) = 1
         """,
     }
