@@ -102,3 +102,27 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE b_facts")
         spark.sql("DROP TABLE b_dims")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Date-partitioned staging layout: a date filter must become a
+    PartitionFilter (pruned listing), not a row-level scan filter —
+    this is the scale story for retention deletes and incremental
+    reads (SCALE.md §2)."""
+    from facolos_data_pipelines_spark.sources.io import write_replace
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 10).cast("int")).alias("d"),
+    )
+    path = str(tmp_path / "part_tbl")
+    write_replace(df, path, partition_by=["d"])
+
+    got = spark.read.parquet(path).filter(F.col("d") == "2024-01-03")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the date predicate must appear as a PartitionFilter on the scan
+    # (pruned directory listing), not as a row-level data filter
+    scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "= 2024-01-03)" in scan_line.split("PartitionFilters: [")[1]
+    assert "DataFilters: []" in scan_line
+    assert got.count() == 10
