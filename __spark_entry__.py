@@ -639,7 +639,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[NQ] stopword-heuristic language ID vs the declared lang label."""
+    """Stopword-heuristic language ID vs the declared lang label."""
     from facolos_data_pipelines_spark.operators.text import detect_language
 
     docs = _t(spark, sf_dir, "documents")
@@ -858,13 +858,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cycle_metrics": q_cycle_metrics,
         "video_frame_sample": q_video_frame_sample,
         "corpus_clean": q_corpus_clean,
+        "language_id": q_language_id,
         # rows-only (no ANSI-SQL oracle):
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "ivf_topk": q_ivf_topk,
-        "language_id": q_language_id,
         "quality_scores": q_quality_scores,
         "knn_join": q_knn_join,
     }
@@ -872,6 +872,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _vec_sql() -> str:
     return "[" + ", ".join(f"{x!r}" for x in QUERY_VEC) + "]"
+
+
+def _stopwords_values_sql() -> str:
+    """VALUES rows ('lang', [stopwords...]) mirroring text.STOPWORDS."""
+    from facolos_data_pipelines_spark.operators.text import STOPWORDS
+
+    rows = []
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        rows.append(f"('{lang}', [{lst}])")
+    return ", ".join(rows)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1185,6 +1196,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(f AS BIGINT) AS frame_index,
                    f / 24.0 AS frame_ts_s
             FROM documents, UNNEST(generate_series(0, (n_chars % 300 + 1) - 1, 30)) AS t(f)
+        """,
+        "language_id": rf"""
+            -- mirrors text.detect_language: argmax of stopword-hit
+            -- ratio (same denominator per doc, so ordering is exact);
+            -- array_max struct tie-break = max lang string, hence
+            -- ORDER BY score DESC, cand DESC
+            WITH w AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(lower(text), '[^\p{{L}}\p{{N}}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), s AS (
+                SELECT w.doc_id, w.lang, l.cand,
+                       len(list_filter(w.words, x -> list_contains(l.sw, x)))
+                           / greatest(len(w.words), 1) AS score
+                FROM w, (VALUES {_stopwords_values_sql()}) AS l(cand, sw)
+            ), r AS (
+                SELECT *,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, cand DESC) AS rn,
+                       MAX(score) OVER (PARTITION BY doc_id) AS mx
+                FROM s
+            )
+            SELECT lang,
+                   CASE WHEN mx > 0 THEN cand ELSE 'und' END AS detected_lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM r WHERE rn = 1
+            GROUP BY 1, 2
         """,
         "corpus_clean": r"""
             WITH w AS (
