@@ -650,7 +650,7 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[NQ] composite document quality score distribution."""
+    """Composite document quality score per doc (C4-style heuristics)."""
     from facolos_data_pipelines_spark.operators.text import quality_score
 
     docs = _t(spark, sf_dir, "documents")
@@ -859,19 +859,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": q_video_frame_sample,
         "corpus_clean": q_corpus_clean,
         "language_id": q_language_id,
+        "quality_scores": q_quality_scores,
         # rows-only (no ANSI-SQL oracle):
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "ivf_topk": q_ivf_topk,
-        "quality_scores": q_quality_scores,
         "knn_join": q_knn_join,
     }
 
 
 def _vec_sql() -> str:
     return "[" + ", ".join(f"{x!r}" for x in QUERY_VEC) + "]"
+
+
+def _stopwords_en_sql() -> str:
+    from facolos_data_pipelines_spark.operators.text import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
 
 def _stopwords_values_sql() -> str:
@@ -1224,6 +1230,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM r WHERE rn = 1
             GROUP BY 1, 2
+        """,
+        "quality_scores": rf"""
+            -- mirrors text.quality_score term by term (all inputs are
+            -- per-doc integers, ops in identical order -> exact doubles)
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '[^\p{{L}}\p{{N}}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), t AS (
+                SELECT doc_id,
+                       least(len(words) / 50.0, 1.0) AS len_score,
+                       greatest(0.0, 1.0 -
+                           (len(regexp_extract_all(text, '[^\p{{L}}\p{{N}}\s]'))
+                            / greatest(length(text), 1)) * 4) AS punct_score,
+                       least((len(list_filter(words,
+                                  x -> list_contains([{_stopwords_en_sql()}], x)))
+                              / greatest(len(words), 1)) * 4, 1.0) AS sw_score,
+                       len(list_distinct(words)) / greatest(len(words), 1) AS diversity
+                FROM w
+            )
+            SELECT doc_id,
+                   ROUND((((len_score + punct_score) + sw_score) + diversity) / 4 + 1e-8, 4)
+                       AS quality_score
+            FROM t
         """,
         "corpus_clean": r"""
             WITH w AS (
