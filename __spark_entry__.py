@@ -659,8 +659,9 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[NQ] exact n-gram Jaccard near-dedup survivor set (the exact
-    twin of minhash_dedup, inverted-index candidate generation)."""
+    """Exact n-gram Jaccard near-dedup survivor set (the exact twin of
+    minhash_dedup, inverted-index candidate generation). Integer-exact
+    (shared/size counts, one division), so oracle-checkable."""
     from facolos_data_pipelines_spark.operators.dedup import ngram_jaccard_dedup
 
     docs = _t(spark, sf_dir, "documents")
@@ -860,11 +861,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         # rows-only (no ANSI-SQL oracle):
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
-        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "ivf_topk": q_ivf_topk,
         "knn_join": q_knn_join,
     }
@@ -1255,6 +1256,35 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((((len_score + punct_score) + sw_score) + diversity) / 4 + 1e-8, 4)
                        AS quality_score
             FROM t
+        """,
+        "ngram_jaccard_dedup": r"""
+            -- mirrors dedup.ngram_jaccard_dedup: distinct 3-gram
+            -- shingles, posting-list self-join, jaccard from counts
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    list_filter([array_to_string(list_slice(words, i, i + 2), ' ')
+                                 for i in range(1, greatest(len(words) - 2, 1) + 1)],
+                                x -> x <> ''))) AS sh
+                FROM w
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+            ), shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), losers AS (
+                SELECT DISTINCT id_b FROM shared
+                JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b
+                WHERE c / (sa.n + sb.n - c) >= 0.8
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id_b FROM losers)
         """,
         "corpus_clean": r"""
             WITH w AS (
