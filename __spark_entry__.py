@@ -683,7 +683,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[NQ] k-NN join: 5 query vectors x top-3 corpus neighbors."""
+    """k-NN join: 5 query vectors x top-3 corpus neighbors (JVM\n    sequential-fold cosine, so oracle-checkable)."""
     from facolos_data_pipelines_spark.operators.similarity import knn_join_bruteforce
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -862,12 +862,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+        "knn_join": q_knn_join,
         # rows-only (no ANSI-SQL oracle):
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "ivf_topk": q_ivf_topk,
-        "knn_join": q_knn_join,
     }
 
 
@@ -1285,6 +1285,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """,
+        "knn_join": """
+            -- mirrors similarity.knn_join_bruteforce: per-pair cosine in
+            -- the same op order, rank per query with neighbor_id tiebreak
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 5
+            ), c AS (
+                SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+            ), s AS (
+                SELECT query_id, neighbor_id,
+                       list_sum(list_transform(range(1, 65),
+                           i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+                       (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))) *
+                        sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+                FROM q, c
+            )
+            SELECT query_id, neighbor_id, ROUND(cos + 1e-8, 4) AS cosine FROM s
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) <= 3
         """,
         "corpus_clean": r"""
             WITH w AS (
