@@ -42,6 +42,8 @@ HEADLINE = [
     "video_frame_sample",
     "cycle_metrics",
     "multimodal_features",
+    "corpus_clean",
+    "language_id",
 ]
 
 
