@@ -51,15 +51,25 @@ def dedup_stream(
     keys: list[str],
     ts_col: str,
     lookback: str = "24 hours",
+    within_watermark: bool = True,
 ) -> DataFrame:
     """Watermarked key-dedup: the streaming twin of the reference's
     lookback-window re-read + rely-on-PK-rejection pattern
     (tiktok_shop_staging_loader.py:144-149, extractor lookback F1).
 
-    State is bounded: keys older than the watermark are evicted, exactly
-    matching the reference's 'duplicates only arrive within the
-    lookback window' assumption."""
-    return stream.withWatermark(ts_col, lookback).dropDuplicates(keys)
+    Default uses ``dropDuplicatesWithinWatermark`` (Spark >= 3.5): a
+    key's dedup state is evicted once the watermark passes it, exactly
+    the reference's 'duplicates only arrive within the lookback window'
+    assumption — AND re-ingests that restamp event times still collapse.
+    This matters at scale: plain ``dropDuplicates(keys)`` only cleans
+    state when the event-time column is itself among the keys, so with
+    PK-only keys its state grows without bound. Set
+    ``within_watermark=False`` only for exact event-time dedup where
+    ``keys`` includes the timestamp column."""
+    wm = stream.withWatermark(ts_col, lookback)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    return wm.dropDuplicates(keys)
 
 
 def windowed_event_counts(

@@ -78,6 +78,29 @@ def test_dedup_stream_drops_replayed_keys(spark, tmp_root):
     assert out.select("event_id").distinct().count() == 4
 
 
+def test_dedup_stream_collapses_restamped_dups(spark, tmp_root):
+    """The same event_id replayed with a LATER timestamp (a re-extract
+    stamping fresh times) still collapses under the within-watermark
+    default, and its dedup state is watermark-evicted (bounded)."""
+    import datetime as dt
+
+    src = f"{tmp_root}/src"
+    sink = f"{tmp_root}/sink"
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1, "click", 1.0),
+        (1, dt.datetime(2024, 1, 1, 0, 30), 1, "click", 1.0),  # restamped dup
+        (2, dt.datetime(2024, 1, 1, 1, 0), 1, "click", 2.0),
+    ]
+    _write_batch(spark, src, rows)
+    stream = dedup_stream(
+        read_parquet_stream(spark, src, EVENT_SCHEMA), ["event_id"], "ts"
+    )
+    run_available_now(stream, sink, f"{tmp_root}/ckpt")
+    out = spark.read.parquet(sink)
+    assert out.count() == 2
+    assert {r["event_id"] for r in out.collect()} == {1, 2}
+
+
 def test_windowed_counts_match_batch_twin(spark, tmp_root):
     """Streaming tumbling-window agg equals its batch twin. Complete-mode
     memory sink: append-mode file sinks only flush windows the watermark
