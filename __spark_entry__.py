@@ -875,10 +875,15 @@ def _vec_sql() -> str:
     return "[" + ", ".join(f"{x!r}" for x in QUERY_VEC) + "]"
 
 
+def _sq(w: str) -> str:
+    """SQL single-quoted string literal (apostrophes doubled)."""
+    return "'" + w.replace("'", "''") + "'"
+
+
 def _stopwords_en_sql() -> str:
     from facolos_data_pipelines_spark.operators.text import STOPWORDS
 
-    return ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return ", ".join(_sq(w) for w in STOPWORDS["en"])
 
 
 def _stopwords_values_sql() -> str:
@@ -887,8 +892,8 @@ def _stopwords_values_sql() -> str:
 
     rows = []
     for lang, words in STOPWORDS.items():
-        lst = ", ".join(f"'{w}'" for w in words)
-        rows.append(f"('{lang}', [{lst}])")
+        lst = ", ".join(_sq(w) for w in words)
+        rows.append(f"({_sq(lang)}, [{lst}])")
     return ", ".join(rows)
 
 

@@ -81,7 +81,8 @@ def test_dedup_stream_drops_replayed_keys(spark, tmp_root):
 def test_dedup_stream_collapses_restamped_dups(spark, tmp_root):
     """The same event_id replayed with a LATER timestamp (a re-extract
     stamping fresh times) still collapses under the within-watermark
-    default, and its dedup state is watermark-evicted (bounded)."""
+    default. (State eviction is proven separately by
+    test_dedup_stream_state_evicted_after_watermark.)"""
     import datetime as dt
 
     src = f"{tmp_root}/src"
@@ -99,6 +100,36 @@ def test_dedup_stream_collapses_restamped_dups(spark, tmp_root):
     out = spark.read.parquet(sink)
     assert out.count() == 2
     assert {r["event_id"] for r in out.collect()} == {1, 2}
+
+
+def test_dedup_stream_state_evicted_after_watermark(spark, tmp_root):
+    """Bounded state, the property that motivated
+    dropDuplicatesWithinWatermark: once the watermark passes a key, its
+    dedup state is evicted and a later replay of the same key passes
+    through as new. Three micro-batch runs share one checkpoint so the
+    watermark actually advances between them."""
+    import datetime as dt
+
+    src = f"{tmp_root}/src"
+    sink = f"{tmp_root}/sink"
+    ckpt = f"{tmp_root}/ckpt"
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def run(rows):
+        _write_batch(spark, src, rows)
+        stream = dedup_stream(
+            read_parquet_stream(spark, src, EVENT_SCHEMA),
+            ["event_id"], "ts", lookback="24 hours",
+        )
+        run_available_now(stream, sink, ckpt)
+
+    run([(1, t0, 1, "click", 1.0)])                                   # key 1 seen
+    run([(2, t0 + dt.timedelta(hours=48), 1, "click", 2.0)])          # wm -> t0+24h, evicts key 1
+    run([(1, t0 + dt.timedelta(hours=49), 1, "click", 3.0)])          # replay AFTER eviction
+    out = spark.read.parquet(sink)
+    # key 1 appears twice: its first state was evicted at the watermark
+    assert out.filter("event_id = 1").count() == 2
+    assert out.count() == 3
 
 
 def test_windowed_counts_match_batch_twin(spark, tmp_root):
