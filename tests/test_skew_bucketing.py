@@ -126,3 +126,29 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "= 2024-01-03)" in scan_line.split("PartitionFilters: [")[1]
     assert "DataFilters: []" in scan_line
     assert got.count() == 10
+
+
+def test_ivf_cell_layout_prunes_partitions(spark, tmp_path):
+    """SCALE.md's IVF claim made concrete: land vectors partitioned by
+    their IVF cell, and the probe-time cell filter becomes partition
+    pruning on the scan (only the probed cells' directories are read)."""
+    from facolos_data_pipelines_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train_lite,
+    )
+    from facolos_data_pipelines_spark.session import load_tables
+    from facolos_data_pipelines_spark.sources.io import write_replace
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])["embeddings"]
+    centroids = ivf_train_lite(emb, k=4)
+    assigned = ivf_assign(emb, centroids)
+    path = str(tmp_path / "ivf_tbl")
+    write_replace(assigned, path, partition_by=["_cell"])
+
+    probed = spark.read.parquet(path).filter(F.col("_cell").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "_cell" in scan_line.split("PartitionFilters: [")[1]
+    assert "DataFilters: []" in scan_line
+    # probed subset is exactly the rows assigned to those cells
+    assert probed.count() == assigned.filter(F.col("_cell").isin([0, 1])).count()
