@@ -623,11 +623,21 @@ def q_similarity_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rows-only (no tractable ANSI-SQL oracle): NQ checks -------------------
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[NQ] MinHash+LSH near-dedup survivor set."""
+    """[NQ] MinHash+LSH near-dedup survivor set.
+
+    The hash family is chosen HERE, explicitly, from the session's ANSI
+    setting (the library no longer auto-switches): multiply_add is the
+    fast path but throws on ANSI sessions; xxhash works anywhere. The
+    survivor SET is family-independent up to LSH banding noise because
+    signatures are computed and consumed within this one job.
+    """
     from facolos_data_pipelines_spark.operators.dedup import minhash_dedup
 
+    ansi = spark.conf.get("spark.sql.ansi.enabled", "false") == "true"
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup(docs).select("doc_id")
+    return minhash_dedup(
+        docs, family="xxhash" if ansi else "multiply_add"
+    ).select("doc_id")
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,6 +56,36 @@ def _ansi_enabled(df: DataFrame) -> bool:
         return True  # assume the strict mode if unknowable
 
 
+#: Supported MinHash hash families. The family is part of the signature
+#: CONTRACT: signatures/LSH buckets computed under one family never match
+#: frames computed under the other, so persisted signature stores must pin
+#: one family and always pass it explicitly.
+#:
+#: - ``multiply_add``: lane i = a_i * xxhash64(shingle) + b_i over Z/2^64
+#:   (Java long wrap). Fastest (one string hash per shingle), but the wrap
+#:   arithmetic throws ArithmeticException under ANSI mode
+#:   (``spark.sql.ansi.enabled=true``, the Spark 4.x default) — requires a
+#:   non-ANSI session and is rejected at plan-build time otherwise.
+#: - ``xxhash``: lane i = xxhash64(shingle, seed=i). ~3x slower at 32
+#:   lanes (re-hashes the string per lane) but valid on any session.
+MINHASH_FAMILIES = ("multiply_add", "xxhash")
+
+
+def _resolve_family(family: str, ansi: bool) -> str:
+    if family not in MINHASH_FAMILIES:
+        raise ValueError(
+            f"unknown MinHash family {family!r}; expected one of {MINHASH_FAMILIES}"
+        )
+    if family == "multiply_add" and ansi:
+        raise ValueError(
+            "MinHash family 'multiply_add' relies on integer wrap-around and "
+            "throws under ANSI mode (spark.sql.ansi.enabled=true). Either "
+            "disable ANSI on this session or pass family='xxhash' — and note "
+            "the two families produce incompatible signatures/LSH buckets."
+        )
+    return family
+
+
 def _check_lanes(num_hashes: int) -> None:
     if num_hashes > _MAX_LANES:
         raise ValueError(
@@ -113,18 +143,42 @@ def word_shingles(text_col: str | Column, n: int = 3) -> Column:
     return F.filter(F.array_distinct(grams), lambda x: x != "")
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: lane i = min over shingles of
-    ``a_i * xxhash64(shingle) + b_i`` (fixed multiply-add family over
-    Z/2^64, wrap-on-overflow — requires a non-ANSI session). Returns
+def minhash_signature(
+    shingles: Column, num_hashes: int = 32, family: str = "multiply_add"
+) -> Column:
+    """MinHash signature as a single column expression. Returns
     array<long> of length num_hashes.
+
+    ``family`` selects the hash family (see :data:`MINHASH_FAMILIES`);
+    the default ``multiply_add`` (lane i = min of
+    ``a_i * xxhash64(shingle) + b_i`` over Z/2^64) REQUIRES a non-ANSI
+    session — if the active session is known and has ANSI enabled this
+    raises at expression-build time rather than ArithmeticException at
+    run time; pass ``family='xxhash'`` on ANSI sessions. Never mix
+    signatures computed under different families.
 
     NOTE: as a single column expression this inlines the shingle
     computation ``num_hashes`` times (Catalyst's CollapseProject undoes
     withColumn staging) — use :func:`minhash_signatures` for the
     DataFrame path, which computes each shingle hash exactly once.
     """
+    from pyspark.sql import SparkSession
+
     _check_lanes(num_hashes)
+    active = SparkSession.getActiveSession()
+    ansi = (
+        active is not None
+        and active.conf.get("spark.sql.ansi.enabled", "false") == "true"
+    )
+    family = _resolve_family(family, ansi)
+
+    if family == "xxhash":
+        return F.array(
+            *[
+                F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+                for i in range(num_hashes)
+            ]
+        )
 
     def _mix(i: int):
         a, b = F.lit(_MINHASH_A[i]), F.lit(_MINHASH_B[i])
@@ -142,6 +196,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    family: str = "multiply_add",
 ) -> DataFrame:
     """(id, sig: array<long>) via posexplode + lead-window + min-aggregate.
 
@@ -160,9 +215,10 @@ def minhash_signatures(
     Short documents (< shingle_n words) contribute their full word join
     as a single shingle (same rule as :func:`word_shingles`).
 
-    The ANSI fallback's signatures come from a different hash family
-    than the fast path's — never mix signature frames computed on
-    sessions with different ANSI settings.
+    ``family`` pins the hash family explicitly (see
+    :data:`MINHASH_FAMILIES`); the default ``multiply_add`` raises a
+    clear ValueError on ANSI sessions instead of silently switching —
+    signatures from different families never match each other.
     """
     w = df.select(
         F.col(id_col), F.posexplode(normalized_words(text_col)).alias("_pos", "_w")
@@ -188,10 +244,12 @@ def minhash_signatures(
     # a 2-universal multiply-add over the 64-bit hash — 1 string hash +
     # num_hashes long mul/adds per shingle instead of num_hashes string
     # hashes (smaller codegen unit, ~3x faster at 32 lanes). The wrap
-    # arithmetic throws under ANSI, so ANSI sessions fall back to the
-    # (slower, equally correct) per-lane seeded string hash.
+    # arithmetic throws under ANSI, so the multiply_add family is
+    # rejected up front there; 'xxhash' is the (slower, equally
+    # correct) per-lane seeded string hash valid on any session.
     _check_lanes(num_hashes)
-    if _ansi_enabled(df):
+    family = _resolve_family(family, _ansi_enabled(df))
+    if family == "xxhash":
         hashed = sh.select(
             id_col,
             *[F.xxhash64("_sh", F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)],
@@ -219,16 +277,19 @@ def minhash_lsh_buckets(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    family: str = "multiply_add",
 ) -> DataFrame:
     """Explode each doc into (band_id, band_hash) bucket keys.
 
     bands=8 over 32 hashes -> rows-per-band r=4: collision prob
     1-(1-j^4)^8, ~0.5 crossover at Jaccard ≈ 0.6. Output columns:
     id_col, band_id, band_hash. One narrow pass + explode; the
-    downstream group-by shuffles only (id, band) pairs.
+    downstream group-by shuffles only (id, band) pairs. ``family``
+    pins the MinHash hash family (see :data:`MINHASH_FAMILIES`) —
+    buckets from different families never match.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, family)
     banded = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -326,12 +387,25 @@ def connected_components(
     """Single-link components over an edge list (id_a, id_b) → rows
     (node, component) where component = min id reachable from node.
 
-    Iterative min-label propagation: each round joins every node's
-    current label across its edges and keeps the minimum — the
-    standard scalable formulation (converges in O(graph diameter)
-    rounds; near-dup clusters are shallow, so typically 2–4). Each
-    round is one join + one group-by on ids only (never text), and the
-    label frame is checkpointed per round to truncate lineage.
+    Each round does (1) min-label propagation — every node takes the
+    minimum label across its edges — then (2) a pointer-doubling
+    shortcut: node's label := its label's label. Doubling halves the
+    remaining pointer-chain depth every round, so convergence is
+    O(log diameter) rounds, not O(diameter): max_iter=20 covers
+    diameters beyond 2^20 — pathological boilerplate chains included
+    (plain propagation needed a round per hop and aborted at 20). Every
+    round is id-only joins/group-bys (never text), and the label frame
+    is checkpointed per round to truncate lineage.
+
+    Invariant used by the shortcut step: labels start as node ids and
+    only ever decrease to the min over a (growing) reachable set, so a
+    node's current label is always itself a node in the same component
+    and the self-join finds its row.
+
+    If the bound is still somehow exceeded, the partially-converged
+    labels are returned with a RuntimeWarning (labels are valid
+    upper-approximations: every labeled group is a subset of a true
+    component) instead of failing the whole dedup job.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -351,13 +425,23 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("_nbr"))
         )
+        hopped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("component"), F.coalesce("_nbr", "component")).alias(
+                "component"
+            ),
+        )
+        # Pointer doubling: follow component -> component's component.
+        parent = hopped.select(
+            F.col("node").alias("_c"), F.col("component").alias("_cc")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            hopped.join(parent, hopped["component"] == parent["_c"], "left")
             .select(
                 "node",
-                F.least(F.col("component"), F.coalesce("_nbr", "component")).alias(
-                    "component"
-                ),
+                F.least(
+                    F.col("component"), F.coalesce("_cc", "component")
+                ).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
@@ -373,10 +457,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             return labels
-    raise RuntimeError(
-        f"connected_components did not converge within max_iter={max_iter} "
-        "rounds (component diameter exceeds the bound); raise max_iter"
+    import warnings
+
+    warnings.warn(
+        f"connected_components did not fully converge within max_iter={max_iter} "
+        "rounds; returning partially-converged labels (each labeled group is a "
+        "subset of a true component — dedup keeps extra docs, never drops a "
+        "non-duplicate). Raise max_iter to finish the merge.",
+        RuntimeWarning,
+        stacklevel=2,
     )
+    return labels
 
 
 def minhash_dedup(
@@ -389,11 +480,16 @@ def minhash_dedup(
     threshold: float = 0.8,
     transitive: bool = False,
     max_bucket_size: int | None = None,
+    family: str = "multiply_add",
 ) -> DataFrame:
     """End-to-end MinHash near-dedup: LSH buckets -> candidate pairs ->
     Jaccard verify -> drop duplicates, keeping the lowest id.
     ``max_bucket_size`` caps pathological LSH buckets (see
-    :func:`lsh_candidate_pairs`).
+    :func:`lsh_candidate_pairs`). ``family`` pins the MinHash hash
+    family (:data:`MINHASH_FAMILIES`); since this operator both
+    computes and consumes the signatures within one job, either family
+    gives the same dedup semantics — ``multiply_add`` is faster but
+    needs a non-ANSI session, ``xxhash`` runs anywhere.
 
     ``transitive=False`` (default) does one sweep — b survives only if
     not matched to any smaller id — which under-drops on chains
@@ -409,7 +505,9 @@ def minhash_dedup(
     checkpointed so the cache can be released before returning the
     still-lazy survivor plan.
     """
-    buckets = minhash_lsh_buckets(df, text_col, id_col, num_hashes, bands, shingle_n)
+    buckets = minhash_lsh_buckets(
+        df, text_col, id_col, num_hashes, bands, shingle_n, family
+    )
     buckets.persist()
     try:
         pairs = lsh_candidate_pairs(buckets, id_col, max_bucket_size)
@@ -528,12 +626,15 @@ def simhash(text_col: str | Column, bits: int = 64) -> Column:
             lambda a, v: a + v,
         ),
     )
-    # Pack sign bits into a long by folding acc*2 + bit (high bit may
-    # wrap — fine for a fingerprint; ANSI is off so overflow wraps).
+    # Pack sign bits into a long with shift/or — bitwise ops never
+    # overflow-check, so this is safe under ANSI mode too (the old
+    # acc*2+bit fold threw ArithmeticException there on the sign bit).
     return F.aggregate(
         votes,
         F.lit(0).cast("long"),
-        lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
+        lambda acc, v: F.shiftleft(acc, 1).bitwiseOR(
+            F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        ),
     )
 
 
@@ -646,7 +747,13 @@ def simhash_dedup(
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine of two array<float|double> columns via zip_with/aggregate —
-    JVM-side, no UDF."""
+    JVM-side, no UDF.
+
+    Zero-norm (all-zero) vectors have no defined cosine; this returns
+    NULL for them rather than NaN (0/0) — NaN compares GREATER than
+    every double in Spark's ordering and would float to the top of any
+    similarity ranking, while NULL drops out of ``>= threshold``
+    filters and sorts last under the default desc ordering."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -654,7 +761,8 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     )
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom > 0, dot / denom)
 
 
 def embedding_near_dup_pairs(
@@ -671,6 +779,11 @@ def embedding_near_dup_pairs(
     hyperplane LSH signature first (see similarity.hyperplane_signature)
     so comparisons are bucket-local.
 
+    Zero-norm (all-zero) vectors have no defined cosine and are
+    filtered out up front — they never appear in any pair (previously
+    they produced Infinity-scaled components and NaN cosines that the
+    threshold filter dropped silently; now the exclusion is explicit).
+
     Vectors are L2-normalized ONCE per row below the join, so the
     O(n^2) per-pair work is a single dot product — computing full
     cosine (dot + both norms) per pair was measured 3x slower, and the
@@ -678,15 +791,18 @@ def embedding_near_dup_pairs(
     """
     from .similarity import hyperplane_signature
 
-    inv_norm = 1.0 / F.sqrt(
-        F.aggregate(
-            F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-        )
+    norm_sq = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
     )
-    scaled = df.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") * inv_norm).alias("_sv"),
-        F.col(vec_col),
+    inv_norm = 1.0 / F.sqrt(F.col("_nsq"))
+    scaled = (
+        df.select(F.col(id_col), F.col(vec_col), norm_sq.alias("_nsq"))
+        .filter(F.col("_nsq") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * inv_norm).alias("_sv"),
+            F.col(vec_col),
+        )
     )
     if num_planes > 0:
         sig = hyperplane_signature(F.col(vec_col), num_planes=num_planes, dim=None)

@@ -61,14 +61,21 @@ def hyperplane_signature(
 
 
 def cosine_to_query(vec_col: Column, query: list[float]) -> Column:
-    """Cosine(vec, constant query) — JVM-side."""
+    """Cosine(vec, constant query) — JVM-side.
+
+    Zero-norm row vectors yield NULL (cosine undefined), never NaN —
+    NaN compares greater than every double in Spark and would top any
+    desc similarity ranking; NULLs sort last instead. A zero query
+    vector is rejected outright."""
     q = [float(x) for x in query]
     qnorm = sum(x * x for x in q) ** 0.5
+    if qnorm == 0.0:
+        raise ValueError("query vector has zero norm; cosine is undefined")
     dot = dot_literal(vec_col, q)
     vnorm = F.sqrt(
         F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
     )
-    return dot / (vnorm * F.lit(qnorm))
+    return F.when(vnorm > 0, dot / (vnorm * F.lit(qnorm)))
 
 
 def topk_bruteforce(
@@ -105,6 +112,8 @@ def topk_bruteforce_pandas(
 
     q = np.asarray(query, dtype=np.float64)
     qn = np.linalg.norm(q)
+    if qn == 0.0:
+        raise ValueError("query vector has zero norm; cosine is undefined")
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -116,9 +125,15 @@ def topk_bruteforce_pandas(
         for pdf in batches:
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(mat, axis=1)
-            cos = (mat @ q) / (norms * qn)
+            # zero-norm rows have no defined cosine — exclude them (the
+            # SQL twin cosine_to_query returns NULL for the same rows)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(norms > 0, (mat @ q) / (norms * qn), -np.inf)
             top = np.argsort(-cos)[:k]
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[top], "cosine": cos[top]})
+            keep = top[np.isfinite(cos[top])]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[keep], "cosine": cos[keep]}
+            )
 
     survivors = df.select(id_col, vec_col).mapInPandas(score, schema)
     return survivors.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

@@ -116,6 +116,26 @@ def quality_score(df: DataFrame, text_col: str = "text", lang: str = "en") -> Da
     )
 
 
+def _require_unique_ids(df: DataFrame, id_col: str, op: str) -> None:
+    """Assert id_col is unique and non-null (one narrow agg over ids).
+
+    countDistinct ignores NULLs, so any NULL or duplicate id makes
+    n_rows != n_distinct; the null count is computed alongside only to
+    make the error actionable."""
+    row = df.select(
+        F.count("*").alias("n"),
+        F.countDistinct(F.col(id_col)).alias("d"),
+        F.sum(F.col(id_col).isNull().cast("int")).alias("nulls"),
+    ).first()
+    if row["n"] != row["d"]:
+        raise ValueError(
+            f"{op} requires a unique, non-null id column: {id_col!r} has "
+            f"{row['n']} rows but {row['d']} distinct non-null values "
+            f"({row['nulls'] or 0} nulls). Duplicate ids are grouped "
+            "together (mis-keyed fingerprints); null ids never join back."
+        )
+
+
 def _rolling_min_gram(
     df: DataFrame, text_col: str, id_col: str, hash_fn, n: int = 5
 ) -> DataFrame:
@@ -147,7 +167,8 @@ def _rolling_min_gram(
 
 
 def fingerprint(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    validate_ids: bool = False,
 ) -> DataFrame:
     """Content fingerprints:
 
@@ -161,7 +182,16 @@ def fingerprint(
     codegen explode path (one shuffle on ``id_col``) and joins back.
     Empty documents get ``hash('')`` for both — identical to hashing
     their (empty) word join.
+
+    PRECONDITION: ``id_col`` must be unique and non-null — the rolling
+    min is aggregated per id and joined back on it, so duplicate ids
+    get a fingerprint over the union of their texts and null ids fall
+    back to the empty-document hash. Pass ``validate_ids=True`` to
+    assert the precondition (one extra narrow aggregation job) instead
+    of trusting the caller.
     """
+    if validate_ids:
+        _require_unique_ids(df, id_col, "fingerprint")
     normalized = F.array_join(normalized_words(F.col(text_col)), " ")
     rolling = _rolling_min_gram(df, text_col, id_col, F.xxhash64)
     out = df.select("*", F.xxhash64(normalized).alias("fp_content")).join(
@@ -173,14 +203,20 @@ def fingerprint(
 
 
 def fingerprint_md5(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    validate_ids: bool = False,
 ) -> DataFrame:
     """Cross-engine-portable twin of :func:`fingerprint` using md5 hex
     strings instead of xxhash64 (md5 is bit-identical in any engine, so
     the output is oracle-checkable). Same normalization and 5-word-gram
     rolling-min structure; the min is the lexicographic min of the hex
     digests. Production pipelines should prefer :func:`fingerprint` —
-    64-bit keys shuffle 4x less than hex."""
+    64-bit keys shuffle 4x less than hex.
+
+    Same unique-non-null ``id_col`` precondition as :func:`fingerprint`
+    (``validate_ids=True`` asserts it)."""
+    if validate_ids:
+        _require_unique_ids(df, id_col, "fingerprint_md5")
     normalized = F.array_join(normalized_words(F.col(text_col)), " ")
     rolling = _rolling_min_gram(df, text_col, id_col, F.md5)
     out = df.select("*", F.md5(normalized).alias("fp_content")).join(

@@ -88,22 +88,52 @@ def test_simhash_lane_packing_matches_per_bit_majority(spark):
     assert got == expected
 
 
-def test_minhash_ansi_fallback_and_lane_limit(spark, docs):
-    """On an ANSI session the multiply-add family would overflow-throw;
-    the DataFrame path must fall back to seeded string hashes and still
-    produce working signatures. num_hashes beyond the family size must
-    raise a clear error, not IndexError."""
+def test_minhash_family_explicit_no_silent_switch(spark, docs):
+    """The hash family is an explicit contract: on an ANSI session the
+    default multiply_add family must raise a clear ValueError at plan
+    build (NOT silently switch families, NOT ArithmeticException at
+    run time), and family='xxhash' must work there. num_hashes beyond
+    the family size must raise a clear error, not IndexError."""
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
-        sigs = dedup.minhash_signatures(docs, num_hashes=8)
+        with pytest.raises(ValueError, match="ANSI"):
+            dedup.minhash_signatures(docs, num_hashes=8)
+        sigs = dedup.minhash_signatures(docs, num_hashes=8, family="xxhash")
         rows = {r["doc_id"]: r["sig"] for r in sigs.collect()}
         assert all(len(s) == 8 for s in rows.values())
         assert rows[1] == rows[2]  # identical text -> identical signature
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
 
+    # the two families intentionally produce different signatures
+    ma = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(docs, num_hashes=8).collect()}
+    xx = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(docs, num_hashes=8, family="xxhash").collect()}
+    assert ma[1] != xx[1]
+
     with pytest.raises(ValueError, match="hash family"):
         dedup.minhash_signatures(docs, num_hashes=512)
+    with pytest.raises(ValueError, match="unknown MinHash family"):
+        dedup.minhash_signatures(docs, family="md5")
+
+
+def test_minhash_signature_column_api_ansi_rejects(spark, docs):
+    """The column API checks the active session's ANSI flag at
+    expression-build time and rejects multiply_add with a clear error;
+    xxhash builds and runs."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        with pytest.raises(ValueError, match="ANSI"):
+            dedup.minhash_signature(dedup.word_shingles("text"), num_hashes=4)
+        out = docs.select(
+            dedup.minhash_signature(
+                dedup.word_shingles("text"), num_hashes=4, family="xxhash"
+            ).alias("sig")
+        ).first()
+        assert len(out["sig"]) == 4
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
 
 
 def test_lsh_bucket_cap_drops_hot_buckets(spark):
@@ -125,6 +155,40 @@ def test_connected_components_min_label(spark):
     )
     comps = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
     assert comps == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 64-node path graph (diameter 63) must converge well inside
+    max_iter thanks to pointer doubling — plain one-hop propagation
+    needed a round per hop and aborted at 20."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    comps = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs, max_iter=10).collect()
+    }
+    assert comps == {i: 0 for i in range(n)}
+
+
+def test_connected_components_partial_labels_with_warning(spark):
+    """Exceeding max_iter returns partially-converged labels with a
+    RuntimeWarning instead of aborting the job; groups must still be
+    subsets of true components (never merge across components)."""
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)] + [(100, 101)], ["id_a", "id_b"]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels = dedup.connected_components(pairs, max_iter=1).collect()
+    assert any("did not fully converge" in str(w.message) for w in caught)
+    comps = {r["node"]: r["component"] for r in labels}
+    # labels only ever decrease within the true component
+    assert all(c <= n and (c >= 100) == (n >= 100) for n, c in comps.items())
+    assert comps[100] == 100 and comps[101] == 100  # small component done
 
 
 def test_minhash_transitive_drops_chained_near_dups(spark):
@@ -188,6 +252,47 @@ def test_embedding_dedup_and_topk(spark):
     assert top_pd[0]["cosine"] == pytest.approx(top[0]["cosine"])
 
 
+def test_zero_norm_vectors_never_pair_or_top_rank(spark):
+    """Zero vectors have no defined cosine: they must be explicitly
+    excluded from near-dup pairs (previously silently NaN-dropped),
+    must yield NULL from cosine primitives (NaN would sort ABOVE 1.0
+    in a desc ranking), and must never outrank real vectors in top-k."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9999, 0.0141]),  # near-dup of 1
+        (3, [0.0, 0.0]),        # zero vector
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    kept = {r["vec_id"] for r in dedup.embedding_dedup(emb, threshold=0.5).collect()}
+    assert kept == {1, 3}  # zero vector survives: it pairs with nothing
+
+    cos = emb.select(
+        similarity.cosine_to_query(F.col("embedding"), [1.0, 0.0]).alias("c")
+    ).collect()
+    vals = [r["c"] for r in cos]
+    assert vals[2] is None and all(v is not None for v in vals[:2])
+
+    null_pair = emb.filter("vec_id = 3").select(
+        dedup.cosine_similarity(F.col("embedding"), F.col("embedding")).alias("c")
+    ).first()
+    assert null_pair["c"] is None
+
+    top = similarity.topk_bruteforce(emb, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    top_pd = similarity.topk_bruteforce_pandas(emb, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top_pd] == [1, 2]  # zero row excluded
+
+    with pytest.raises(ValueError, match="zero norm"):
+        similarity.topk_bruteforce(emb, [0.0, 0.0], k=1)
+    with pytest.raises(ValueError, match="zero norm"):
+        similarity.topk_bruteforce_pandas(emb, [0.0, 0.0], k=1)
+
+
 def test_knn_join(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
@@ -245,6 +350,37 @@ def test_fingerprint_stable_under_formatting(spark):
     assert m[1]["fp_rolling_min"] == m[2]["fp_rolling_min"]
     expect = hashlib.md5(b"hello world test one two three four five").hexdigest()
     assert m[1]["fp_content"] == expect
+
+
+def test_fingerprint_validate_ids_rejects_dup_and_null(spark):
+    """fingerprint's rolling-min joins back on id_col: duplicate ids
+    mis-key and null ids fall back to the empty hash, so
+    validate_ids=True must reject both up front with an actionable
+    error; a clean frame passes."""
+    clean = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, "seven eight nine ten eleven twelve")],
+        ["doc_id", "text"],
+    )
+    assert text.fingerprint(clean, validate_ids=True).count() == 2
+
+    dup = spark.createDataFrame(
+        [(1, "one two three four five six"), (1, "other words here now then ok")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="unique, non-null id"):
+        text.fingerprint(dup, validate_ids=True)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    withnull = spark.createDataFrame(
+        [(None, "one two three four five six"), (2, "seven eight nine ten eleven twelve")],
+        schema,
+    )
+    with pytest.raises(ValueError, match="unique, non-null id"):
+        text.fingerprint_md5(withnull, validate_ids=True)
 
 
 def test_multimodal_image_features(spark):
