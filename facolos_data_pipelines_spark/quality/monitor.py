@@ -11,7 +11,7 @@ monitor state survives driver restarts and is itself queryable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -30,11 +30,12 @@ CYCLE_METRICS_SCHEMA = T.StructType(
 
 def cycle_summary(metrics: DataFrame, last_n: int = 10) -> DataFrame:
     """A7 — rolling stats over the last N cycles: avg duration, total
-    records, success rate (production_monitor.py:114-121, 201-230)."""
-    w = Window.orderBy(F.col("started_at").desc())
-    recent = metrics.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= last_n
-    )
+    records, success rate (production_monitor.py:114-121, 201-230).
+
+    "Last N" selection is ``orderBy().limit()`` — compiles to
+    TakeOrderedAndProject (per-partition N-heaps), not the global
+    row_number window that moved the whole table to one partition."""
+    recent = metrics.orderBy(F.col("started_at").desc()).limit(last_n)
     return recent.agg(
         F.count("*").cast("long").alias("cycles"),
         F.round(F.avg("duration_seconds"), 3).alias("avg_duration_seconds"),
@@ -55,24 +56,40 @@ def alert_conditions(
 ) -> DataFrame:
     """The reference's four alert rules as one single-row frame of
     booleans (production_monitor.py:84-125; thresholds from
-    config/production.py:37-39). Consecutive counters are computed with
-    a run-length trick (cycles since last success / last data), not
-    driver-side state."""
-    w_desc = Window.orderBy(F.col("started_at").desc())
-    tagged = metrics.withColumn("_rn", F.row_number().over(w_desc))
+    config/production.py:37-39). Consecutive counters are "cycles
+    strictly after the most recent success / with-data cycle" — one
+    aggregate pass computes the boundary timestamps and a second
+    conditional-sum pass counts past them; no global window, no
+    single-partition sort."""
+    bounds = metrics.agg(
+        F.max(F.when(F.col("success"), F.col("started_at"))).alias("_last_success"),
+        F.max(
+            F.when(F.col("records_processed") > 0, F.col("started_at"))
+        ).alias("_last_data"),
+    ).collect()[0]
 
-    # cycles since the most recent success / most recent with-data cycle
-    last_success_rn = tagged.filter(F.col("success")).agg(F.min("_rn")).collect()[0][0]
-    last_data_rn = (
-        tagged.filter(F.col("records_processed") > 0).agg(F.min("_rn")).collect()[0][0]
+    # no success / no data yet -> every cycle counts
+    cf_cond = (
+        F.col("started_at") > F.lit(bounds["_last_success"])
+        if bounds["_last_success"] is not None
+        else F.lit(True)
     )
-    total = metrics.count()
-    consecutive_failures = (last_success_rn - 1) if last_success_rn else total
-    no_data_cycles = (last_data_rn - 1) if last_data_rn else total
+    nd_cond = (
+        F.col("started_at") > F.lit(bounds["_last_data"])
+        if bounds["_last_data"] is not None
+        else F.lit(True)
+    )
+    after = metrics.agg(
+        F.sum(cf_cond.cast("int")).alias("_cf"),
+        F.sum(nd_cond.cast("int")).alias("_nd"),
+    ).collect()[0]
+    consecutive_failures = after["_cf"] or 0
+    no_data_cycles = after["_nd"] or 0
 
     summary = cycle_summary(metrics, last_n).collect()[0]
     latest = (
-        tagged.filter(F.col("_rn") == 1)
+        metrics.orderBy(F.col("started_at").desc())
+        .limit(1)
         .select("duration_seconds")
         .collect()
     )
