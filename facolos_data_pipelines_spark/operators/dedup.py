@@ -166,9 +166,14 @@ def minhash_signature(
 
     _check_lanes(num_hashes)
     active = SparkSession.getActiveSession()
+    # No active session -> the conf is unknowable; assume ANSI (strict),
+    # matching _ansi_enabled's fail-safe direction, so we never build a
+    # wrap-arithmetic expression that could throw at run time. Callers
+    # who know their session is non-ANSI can pass family explicitly
+    # after creating/activating the session.
     ansi = (
-        active is not None
-        and active.conf.get("spark.sql.ansi.enabled", "false") == "true"
+        active is None
+        or active.conf.get("spark.sql.ansi.enabled", "false") == "true"
     )
     family = _resolve_family(family, ansi)
 
@@ -382,7 +387,7 @@ def verified_near_dup_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 20, on_nonconverged: str = "warn"
 ) -> DataFrame:
     """Single-link components over an edge list (id_a, id_b) → rows
     (node, component) where component = min id reachable from node.
@@ -402,11 +407,19 @@ def connected_components(
     node's current label is always itself a node in the same component
     and the self-join finds its row.
 
-    If the bound is still somehow exceeded, the partially-converged
-    labels are returned with a RuntimeWarning (labels are valid
+    If the bound is still somehow exceeded, ``on_nonconverged``
+    decides: ``'warn'`` (default) returns the partially-converged
+    labels with a RuntimeWarning (safe direction — labels are valid
     upper-approximations: every labeled group is a subset of a true
-    component) instead of failing the whole dedup job.
+    component, so dedup keeps extra docs, never drops a non-dup);
+    ``'raise'`` fails loudly with RuntimeError — for production jobs
+    that need exact single-link semantics and would otherwise silently
+    ship a different survivor set because nobody reads warnings.
     """
+    if on_nonconverged not in ("warn", "raise"):
+        raise ValueError(
+            f"on_nonconverged={on_nonconverged!r}; expected 'warn' or 'raise'"
+        )
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -457,16 +470,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             return labels
+    msg = (
+        f"connected_components did not fully converge within max_iter={max_iter} "
+        "rounds; labels are partially converged (each labeled group is a "
+        "subset of a true component — dedup keeps extra docs, never drops a "
+        "non-duplicate). Raise max_iter to finish the merge."
+    )
+    if on_nonconverged == "raise":
+        raise RuntimeError(msg)
     import warnings
 
-    warnings.warn(
-        f"connected_components did not fully converge within max_iter={max_iter} "
-        "rounds; returning partially-converged labels (each labeled group is a "
-        "subset of a true component — dedup keeps extra docs, never drops a "
-        "non-duplicate). Raise max_iter to finish the merge.",
-        RuntimeWarning,
-        stacklevel=2,
-    )
+    warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

@@ -93,7 +93,7 @@ def topk_bruteforce(
     """
     scored = df.select(
         F.col(id_col), cosine_to_query(F.col(vec_col), query).alias("cosine")
-    )
+    ).filter(F.col("cosine").isNotNull())
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -206,14 +206,27 @@ def ivf_train_lite(
     sample_fraction: float = 0.1,
     iterations: int = 3,
     seed: int = 42,
+    max_rows: int = 100_000,
 ) -> list[list[float]]:
     """Tiny driver-side k-means on a sample — a stand-in codebook
     trainer (production would use MLlib KMeans on the full corpus).
-    Deterministic via seed."""
+    Deterministic via seed.
+
+    The driver collect is hard-bounded by ``max_rows`` (``limit`` after
+    the sample): a fraction-based sample alone grows linearly with the
+    corpus and would OOM the driver at 100 TB. 100k x 64 doubles is
+    ~50 MB — safe on any driver, and far more than k-means needs for a
+    coarse codebook."""
     import numpy as np
 
     sample = np.stack(
-        [r[0] for r in df.select(vec_col).sample(fraction=sample_fraction, seed=seed).collect()]
+        [
+            r[0]
+            for r in df.select(vec_col)
+            .sample(fraction=sample_fraction, seed=seed)
+            .limit(max_rows)
+            .collect()
+        ]
     ).astype(np.float64)
     rng = np.random.default_rng(seed)
     C = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]

@@ -97,9 +97,15 @@ def run_incremental_cycle(
         try:
             conformed = ep.transform(ep.extract(spark), batch_id)
             if ep.load_mode == "upsert":
-                upsert_parquet(spark, conformed, path, ep.primary_keys, ep.order_col)
+                # Materialize the extract→conform plan ONCE; the count
+                # and the upsert both read the checkpointed blocks
+                # (previously count() re-executed the whole plan after
+                # upsert_parquet had already consumed it).
+                conformed = conformed.localCheckpoint(eager=True)
                 n = conformed.count()
+                upsert_parquet(spark, conformed, path, ep.primary_keys, ep.order_col)
             else:
+                # append_with_pk_rejection checkpoints internally.
                 n = append_with_pk_rejection(spark, conformed, path, ep.primary_keys)
             report["endpoints"][ep.name] = {
                 "status": "success",

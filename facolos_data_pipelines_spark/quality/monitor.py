@@ -58,27 +58,33 @@ def alert_conditions(
     booleans (production_monitor.py:84-125; thresholds from
     config/production.py:37-39). Consecutive counters are "cycles
     strictly after the most recent success / with-data cycle" — one
-    aggregate pass computes the boundary timestamps and a second
-    conditional-sum pass counts past them; no global window, no
-    single-partition sort."""
+    aggregate pass computes the boundary cycle and a second
+    conditional-sum pass counts past it; no global window, no
+    single-partition sort.
+
+    Cycle ordering is the (started_at, cycle_id) tuple — cycle_id
+    breaks started_at ties deterministically, so concurrent cycles
+    sharing a timestamp never hide a trailing failure run.
+    CYCLE_METRICS_SCHEMA contract: started_at must be non-null (a null
+    started_at row has no position in the cycle order and is excluded
+    from the consecutive counters)."""
+    _key = F.struct(F.col("started_at"), F.col("cycle_id"))
     bounds = metrics.agg(
-        F.max(F.when(F.col("success"), F.col("started_at"))).alias("_last_success"),
-        F.max(
-            F.when(F.col("records_processed") > 0, F.col("started_at"))
-        ).alias("_last_data"),
+        F.max(F.when(F.col("success"), _key)).alias("_last_success"),
+        F.max(F.when(F.col("records_processed") > 0, _key)).alias("_last_data"),
     ).collect()[0]
 
-    # no success / no data yet -> every cycle counts
-    cf_cond = (
-        F.col("started_at") > F.lit(bounds["_last_success"])
-        if bounds["_last_success"] is not None
-        else F.lit(True)
-    )
-    nd_cond = (
-        F.col("started_at") > F.lit(bounds["_last_data"])
-        if bounds["_last_data"] is not None
-        else F.lit(True)
-    )
+    def _after(boundary) -> "F.Column":
+        # no success / no data yet -> every cycle counts
+        if boundary is None:
+            return F.lit(True)
+        return _key > F.struct(
+            F.lit(boundary["started_at"]).alias("started_at"),
+            F.lit(boundary["cycle_id"]).alias("cycle_id"),
+        )
+
+    cf_cond = _after(bounds["_last_success"])
+    nd_cond = _after(bounds["_last_data"])
     after = metrics.agg(
         F.sum(cf_cond.cast("int")).alias("_cf"),
         F.sum(nd_cond.cast("int")).alias("_nd"),

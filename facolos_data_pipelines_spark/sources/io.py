@@ -72,9 +72,15 @@ def append_with_pk_rejection(
 ) -> int:
     """Incremental append, PK duplicates rejected (left-anti against the
     landed table) — tiktok_shop_staging_loader.py:144-149 semantics.
-    Returns rows actually appended."""
+    Returns rows actually appended.
+
+    The anti-joined plan is eagerly materialized ONCE via
+    localCheckpoint before the count + write — previously count() and
+    write() each executed the full extract→conform→anti-join plan, a
+    2x cost per cycle at 100 TB."""
     existing = spark.read.parquet(path) if table_exists(spark, path) else None
     fresh = incoming if existing is None else append_dedup(existing, incoming, keys)
+    fresh = fresh.localCheckpoint(eager=True)
     n = fresh.count()
     if n:
         fresh.write.mode("append").parquet(path)

@@ -282,10 +282,14 @@ def test_zero_norm_vectors_never_pair_or_top_rank(spark):
     ).first()
     assert null_pair["c"] is None
 
-    top = similarity.topk_bruteforce(emb, [1.0, 0.0], k=2).collect()
-    assert [r["vec_id"] for r in top] == [1, 2]
+    # both variants must exclude undefined-cosine rows for the SAME k:
+    # k=3 exceeds the number of nonzero-norm rows, so both return 2 rows
+    top = similarity.topk_bruteforce(emb, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]  # zero row excluded
     top_pd = similarity.topk_bruteforce_pandas(emb, [1.0, 0.0], k=3).collect()
-    assert [r["vec_id"] for r in top_pd] == [1, 2]  # zero row excluded
+    assert [(r["vec_id"], pytest.approx(r["cosine"])) for r in top_pd] == [
+        (r["vec_id"], r["cosine"]) for r in top
+    ]
 
     with pytest.raises(ValueError, match="zero norm"):
         similarity.topk_bruteforce(emb, [0.0, 0.0], k=1)

@@ -105,6 +105,33 @@ def test_append_with_pk_rejection_file(spark, tmp_path):
     assert sorted(r["pk"] for r in spark.read.parquet(p).collect()) == [1, 2]
 
 
+def test_append_with_pk_rejection_executes_plan_once(spark, tmp_path):
+    """The incoming plan must run exactly once per load (the count and
+    the write read the localCheckpoint blocks) — previously count()
+    then write() each executed the full extract→conform→anti-join
+    plan, doubling the cycle cost at scale. A mapInPandas tap writes
+    one char per row it actually processes; double execution would
+    double the char count."""
+    marker = str(tmp_path / "exec_tap.txt")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", _ts("2024-01-01T00:00:00"), "b0") for i in range(10)],
+        ["pk", "val", "etl_updated_at", "batch"],
+    )
+
+    def tap(batches):
+        for pdf in batches:
+            if len(pdf):
+                with open(marker, "a") as f:
+                    f.write("x" * len(pdf))
+            yield pdf
+
+    tapped = df.mapInPandas(tap, df.schema)
+    n = sio.append_with_pk_rejection(spark, tapped, str(tmp_path / "t_once"), ["pk"])
+    assert n == 10
+    with open(marker) as f:
+        assert len(f.read()) == 10  # each row flowed through the plan exactly once
+
+
 def test_upsert_parquet_fallback(spark, tmp_path):
     p = str(tmp_path / "t3")
     df1 = _df(spark, [(1, "old", _ts("2024-01-01T00:00:00"), "b0")])

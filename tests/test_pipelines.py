@@ -73,6 +73,40 @@ def test_cycle_upsert_mode_updates_not_duplicates(spark, tmp_path):
     assert landed.count() == 3  # second run updated, did not duplicate
 
 
+def test_cycle_upsert_executes_transform_once(spark, tmp_path):
+    """The upsert branch must execute the extract→transform plan exactly
+    once per cycle (localCheckpoint before count + upsert) — the old
+    code ran upsert_parquet then conformed.count(), re-executing the
+    whole plan. A mapInPandas tap counts the rows that actually flow."""
+    root = str(tmp_path / "staging")
+    marker = str(tmp_path / "upsert_tap.txt")
+
+    def tapped_transform(raw, batch_id):
+        conformed = flatten_tiktok_orders(raw, batch_id)
+
+        def tap(batches):
+            for pdf in batches:
+                if len(pdf):
+                    with open(marker, "a") as f:
+                        f.write("x" * len(pdf))
+                yield pdf
+
+        return conformed.mapInPandas(tap, conformed.schema)
+
+    spec = EndpointSpec(
+        name="tiktok_orders",
+        extract=lambda s: s.createDataFrame(RAW_ORDERS, RAW_TIKTOK_ORDER_SCHEMA),
+        transform=tapped_transform,
+        primary_keys=["order_id", "item_id", "item_sku_id"],
+        load_mode="upsert",
+    )
+    report = run_incremental_cycle(spark, [spec], root, min_tables_with_data=1)
+    n = report["endpoints"]["tiktok_orders"]["records"]
+    assert n == 3
+    with open(marker) as f:
+        assert len(f.read()) == n  # one execution, not two
+
+
 def test_cycle_continues_past_failing_endpoint(spark, tmp_path):
     root = str(tmp_path / "staging")
 
