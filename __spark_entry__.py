@@ -713,15 +713,30 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (operators.dedup
-    .embedding_near_dup_pairs, exact all-pairs mode): id pairs with
-    cosine >= 0.4. Both engines evaluate the dot product in array order
-    over float->double exact widenings, so inclusion at the threshold
-    is deterministic."""
+    """Embedding-cosine near-dup pairs through the DEFAULT banded
+    hyperplane-LSH blocked plan (operators.dedup
+    .embedding_near_dup_pairs, 6 planes x 4 bands): id pairs sharing at
+    least one band signature with cosine >= 0.4. The hyperplanes are
+    deterministic literals (similarity._seeded_plane), so the DuckDB
+    oracle reproduces the exact same blocking — this certifies the
+    100 TB bucket-local path, not the O(n^2) opt-in."""
     from facolos_data_pipelines_spark.operators.dedup import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_near_dup_pairs(emb, threshold=0.4)
+    out = embedding_near_dup_pairs(emb, threshold=0.4, num_planes=6, num_bands=4, dim=64)
+    return out.select(
+        "id_a", "id_b", F.round((F.col("cosine")) + 1e-8, 4).alias("cosine")
+    )
+
+
+def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs twin of q_embedding_near_dups (num_planes=0, the
+    small-frame opt-in) — certifies that the blocked result is a subset
+    of this one and that the pair dot-product math itself is right."""
+    from facolos_data_pipelines_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(emb, threshold=0.4, num_planes=0)
     return out.select(
         "id_a", "id_b", F.round((F.col("cosine")) + 1e-8, 4).alias("cosine")
     )
@@ -866,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_threshold": q_similarity_threshold,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "cycle_metrics": q_cycle_metrics,
         "video_frame_sample": q_video_frame_sample,
         "corpus_clean": q_corpus_clean,
@@ -894,6 +910,22 @@ def _stopwords_en_sql() -> str:
     from facolos_data_pipelines_spark.operators.text import STOPWORDS
 
     return ", ".join(_sq(w) for w in STOPWORDS["en"])
+
+
+def _hyperplane_values_sql(num_planes: int = 6, num_bands: int = 4, dim: int = 64) -> str:
+    """VALUES rows (band, bitval, plane[]) mirroring the deterministic
+    hyperplane family used by dedup.embedding_near_dup_pairs — plane
+    index = band * num_planes + bit, exactly as the Spark plan builds
+    them, so the DuckDB oracle computes bit-identical signatures."""
+    from facolos_data_pipelines_spark.operators.similarity import _seeded_plane
+
+    rows = []
+    for band in range(num_bands):
+        for bit in range(num_planes):
+            plane = _seeded_plane(dim, band * num_planes + bit)
+            lst = "[" + ", ".join(repr(x) for x in plane) + "]"
+            rows.append(f"({band}, {1 << bit}, {lst})")
+    return ",\n                ".join(rows)
 
 
 def _stopwords_values_sql() -> str:
@@ -1176,7 +1208,42 @@ def oracle_sql() -> dict[str, str]:
                        'min') AS fp_rolling_min
             FROM w
         """,
-        "embedding_near_dups": """
+        "embedding_near_dups": f"""
+            -- banded hyperplane-LSH twin: identical deterministic plane
+            -- literals, signatures on the RAW vector (sign of ordered
+            -- dot), candidates = pairs sharing any band signature, then
+            -- the same scale-then-ordered-dot verification as Spark
+            WITH e AS (
+                SELECT vec_id, embedding,
+                       list_transform(embedding,
+                           x -> x::DOUBLE * (1.0 / sqrt(list_sum(
+                               list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))))
+                           AS sv
+                FROM embeddings
+                WHERE list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)) > 0
+            ), p(band, bitval, plane) AS (
+                VALUES {_hyperplane_values_sql(6, 4, 64)}
+            ), s AS (
+                SELECT e.vec_id, p.band,
+                       SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+                                   i -> e.embedding[i]::DOUBLE * p.plane[i])) > 0
+                                THEN p.bitval ELSE 0 END) AS sig
+                FROM e CROSS JOIN p
+                GROUP BY e.vec_id, p.band
+            ), c AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM s a JOIN s b
+                  ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, ROUND(d + 1e-8, 4) AS cosine FROM (
+                SELECT c.id_a, c.id_b,
+                       list_sum(list_transform(range(1, 65), i -> ea.sv[i] * eb.sv[i])) AS d
+                FROM c
+                JOIN e ea ON ea.vec_id = c.id_a
+                JOIN e eb ON eb.vec_id = c.id_b
+            ) WHERE d >= 0.4
+        """,
+        "embedding_near_dups_exact": """
             -- mirrors the Spark op order exactly: scale each element by
             -- 1/norm per vector first, then a plain ordered dot product
             WITH e AS (
@@ -1186,6 +1253,7 @@ def oracle_sql() -> dict[str, str]:
                                list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))))
                            AS sv
                 FROM embeddings
+                WHERE list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)) > 0
             )
             SELECT id_a, id_b, ROUND(c + 1e-8, 4) AS cosine FROM (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -784,24 +784,40 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    num_planes: int = 0,
+    num_planes: int = 6,
+    num_bands: int = 4,
+    dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Embedding near-dup pairs above a cosine threshold.
+    """Embedding near-dup pairs above a cosine threshold, blocked by
+    banded random-hyperplane LSH — the DEFAULT and the 100 TB path.
 
-    num_planes=0 compares all pairs (exact; fine to ~10^4 vectors per
-    partition-group). For scale, num_planes>0 blocks by a random-
-    hyperplane LSH signature first (see similarity.hyperplane_signature)
-    so comparisons are bucket-local.
+    Each band hashes the vector against ``num_planes`` independent
+    hyperplanes (plane family is deterministic by index, see
+    similarity._seeded_plane — any engine reproduces it, so the DuckDB
+    oracle certifies this exact plan); two vectors are candidates iff
+    they share ANY band's full signature (OR-amplification: candidate
+    prob = 1-(1-(1-θ/π)^planes)^bands — at cosine 0.95 with 6x4 the
+    retention is ~0.95 while unrelated pairs are pruned ~50x). The
+    self-join is bucket-local on (band, sig) — never an O(n^2)
+    cartesian product — and only (id, band, sig) rows shuffle;
+    normalized vectors are joined back by id for the verify dot
+    product, proportional to candidates, not corpus².
+
+    ``num_planes=0`` is an explicit small-frame opt-in that compares
+    ALL pairs (exact; fine to ~10^4 vectors, a scale-killer beyond).
+    ``max_bucket_size`` drops degenerate buckets (e.g. an all-near-zero
+    signature hot spot) the same way lsh_candidate_pairs caps text LSH
+    boilerplate buckets. ``dim`` is the embedding width for the plane
+    literals (defaults to 64, the synthetic table's width).
 
     Zero-norm (all-zero) vectors have no defined cosine and are
-    filtered out up front — they never appear in any pair (previously
-    they produced Infinity-scaled components and NaN cosines that the
-    threshold filter dropped silently; now the exclusion is explicit).
+    filtered out up front — they never appear in any pair.
 
     Vectors are L2-normalized ONCE per row below the join, so the
-    O(n^2) per-pair work is a single dot product — computing full
-    cosine (dot + both norms) per pair was measured 3x slower, and the
-    norm work grows with the pair count instead of the corpus size.
+    per-pair work is a single dot product — computing full cosine
+    (dot + both norms) per pair was measured 3x slower, and the norm
+    work grows with the pair count instead of the corpus size.
     """
     from .similarity import hyperplane_signature
 
@@ -818,25 +834,52 @@ def embedding_near_dup_pairs(
             F.col(vec_col),
         )
     )
-    if num_planes > 0:
-        sig = hyperplane_signature(F.col(vec_col), num_planes=num_planes, dim=None)
-        keyed = scaled.select(F.col(id_col), F.col("_sv"), sig.alias("_sig"))
-        a = keyed.select(
-            F.col(id_col).alias("id_a"), F.col("_sv").alias("va"), F.col("_sig").alias("sa")
-        )
-        b = keyed.select(
-            F.col(id_col).alias("id_b"), F.col("_sv").alias("vb"), F.col("_sig").alias("sb")
-        )
-        pairs = a.join(b, (F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b")))
-    else:
-        a = scaled.select(F.col(id_col).alias("id_a"), F.col("_sv").alias("va"))
-        b = scaled.select(F.col(id_col).alias("id_b"), F.col("_sv").alias("vb"))
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if num_planes <= 0:
+        a = scaled.select(F.col(id_col).alias("id_a"), F.col("_sv").alias("va"))
+        b = scaled.select(F.col(id_col).alias("id_b"), F.col("_sv").alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        return pairs.select("id_a", "id_b", dot.alias("cosine")).filter(
+            F.col("cosine") >= threshold
+        )
+    # Banded blocking: (id, band, sig) rows only — signatures on the RAW
+    # vector (sign is scale-invariant; the oracle mirrors raw too).
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                hyperplane_signature(
+                    F.col(vec_col), num_planes, dim, plane_offset=band * num_planes
+                ).alias("sig"),
+            )
+            for band in range(num_bands)
+        ]
+    )
+    sigs = scaled.select(F.col(id_col), F.explode(bands_arr).alias("_bs")).select(
+        id_col, F.col("_bs.band").alias("band"), F.col("_bs.sig").alias("sig")
+    )
+    if max_bucket_size is not None:
+        sizes = sigs.groupBy("band", "sig").agg(F.count("*").alias("_bsz"))
+        sigs = (
+            sigs.join(sizes, ["band", "sig"])
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    va = scaled.select(F.col(id_col).alias("id_a"), F.col("_sv").alias("va"))
+    vb = scaled.select(F.col(id_col).alias("id_b"), F.col("_sv").alias("vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
     return pairs.select("id_a", "id_b", dot.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
@@ -847,11 +890,16 @@ def embedding_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    num_planes: int = 0,
+    num_planes: int = 6,
+    num_bands: int = 4,
+    dim: int | None = None,
     transitive: bool = False,
 ) -> DataFrame:
     """Drop the higher id of every near-duplicate embedding pair (or,
     with ``transitive=True``, keep one vector per single-link
-    component)."""
-    pairs = embedding_near_dup_pairs(df, vec_col, id_col, threshold, num_planes)
+    component). Banded-LSH blocked by default; ``num_planes=0`` opts
+    into exact all-pairs for small frames."""
+    pairs = embedding_near_dup_pairs(
+        df, vec_col, id_col, threshold, num_planes, num_bands, dim
+    )
     return _drop_pair_losers(df, pairs, id_col, transitive)

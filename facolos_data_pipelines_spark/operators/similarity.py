@@ -43,14 +43,23 @@ def dot_literal(vec_col: Column, plane: list[float]) -> Column:
 
 
 def hyperplane_signature(
-    vec_col: Column, num_planes: int = 8, dim: int | None = None
+    vec_col: Column, num_planes: int = 8, dim: int | None = None, plane_offset: int = 0
 ) -> Column:
     """Random-hyperplane LSH signature: bit i = sign(vec . plane_i),
     packed into a long. dim defaults to 64 (the synthetic table's
-    width); pass the real dimension in production."""
+    width); pass the real dimension in production.
+
+    ``plane_offset`` shifts the plane family (plane index =
+    plane_offset + i) so banded LSH (dedup.embedding_near_dup_pairs)
+    gets independent planes per band. Planes are deterministic
+    literals (seeded by index alone), so any engine can reproduce the
+    exact signature — the DuckDB oracle twin does."""
     d = dim or 64
     bits = [
-        F.when(dot_literal(vec_col, _seeded_plane(d, i)) > 0, F.lit(1 << i).cast("long"))
+        F.when(
+            dot_literal(vec_col, _seeded_plane(d, plane_offset + i)) > 0,
+            F.lit(1 << i).cast("long"),
+        )
         .otherwise(F.lit(0).cast("long"))
         for i in range(num_planes)
     ]

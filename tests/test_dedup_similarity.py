@@ -297,6 +297,39 @@ def test_zero_norm_vectors_never_pair_or_top_rank(spark):
         similarity.topk_bruteforce_pandas(emb, [0.0, 0.0], k=1)
 
 
+def test_embedding_near_dup_blocked_default_is_subset_of_exact(spark, sf_dir):
+    """The default (banded hyperplane-LSH) plan must (a) never invent a
+    pair the exact all-pairs opt-in doesn't have, (b) agree with it on
+    every cosine it does report, and (c) retain high-cosine pairs with
+    the OR-amplified probability — at 0.95+ the planted near-dups
+    should essentially all survive 6x4 banding."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.4, num_planes=0).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_near_dup_pairs(
+            emb, threshold=0.4, num_planes=6, num_bands=4, dim=64
+        ).collect()
+    }
+    assert set(blocked) <= set(exact)
+    for pair, cos in blocked.items():
+        assert cos == pytest.approx(exact[pair])
+    high = {p for p, c in exact.items() if c >= 0.95}
+    if high:  # planted near-dups must survive banding
+        assert len(high & set(blocked)) >= len(high) * 0.8
+    # deterministic: same plan, same result
+    again = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            emb, threshold=0.4, num_planes=6, num_bands=4, dim=64
+        ).collect()
+    }
+    assert again == set(blocked)
+
+
 def test_knn_join(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
