@@ -648,6 +648,32 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(docs).select("doc_id")
 
 
+def q_minhash_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup survivor set under the PORTABLE md5 hash
+    family (lane i = lexicographic min of md5('i:'||shingle) hex) —
+    16 lanes x 4 bands, Jaccard-verified at 0.8. Every stage (shingles,
+    lane minima, band buckets, verification, survivor set) is
+    reproduced by the DuckDB oracle, converting the minhash pipeline
+    from a rows-only check to a full value-hash check."""
+    from facolos_data_pipelines_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(
+        docs, num_hashes=16, bands=4, threshold=0.8, family="md5"
+    ).select("doc_id")
+
+
+def q_simhash_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 16-bit SimHash near-dedup survivor set
+    (dedup.simhash_dedup_md5): word-hash bit d = top bit of hex digit d
+    of md5(word), integer majority votes, nibble-pigeonhole blocking,
+    hamming <= 3 — all reproduced exactly by the DuckDB oracle."""
+    from facolos_data_pipelines_spark.operators.dedup import simhash_dedup_md5
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup_md5(docs).select("doc_id")
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID vs the declared lang label."""
     from facolos_data_pipelines_spark.operators.text import detect_language
@@ -889,6 +915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "knn_join": q_knn_join,
+        "minhash_dedup_portable": q_minhash_dedup_portable,
+        "simhash_dedup_portable": q_simhash_dedup_portable,
         # rows-only (no ANSI-SQL oracle):
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
@@ -926,6 +954,49 @@ def _hyperplane_values_sql(num_planes: int = 6, num_bands: int = 4, dim: int = 6
             lst = "[" + ", ".join(repr(x) for x in plane) + "]"
             rows.append(f"({band}, {1 << bit}, {lst})")
     return ",\n                ".join(rows)
+
+
+def _minhash_lanes_sql(num_hashes: int = 16) -> str:
+    """Per-lane MIN(md5('i:'||shingle)) select list — the md5 MinHash
+    family (dedup.MINHASH_FAMILIES 'md5') verbatim in DuckDB."""
+    return ",\n                   ".join(
+        f"MIN(md5('{i}:' || sh)) AS h{i}" for i in range(num_hashes)
+    )
+
+
+def _minhash_bands_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """UNION ALL of per-band (doc_id, band, key) selects; key is the
+    comma-join of the band's lanes — the same equality classes as
+    Spark's xxhash64-of-joined-lanes band_hash."""
+    r = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        key = " || ',' || ".join(f"h{b * r + j}" for j in range(r))
+        parts.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM lanes")
+    return "\n                UNION ALL ".join(parts)
+
+
+def _simhash_digits_sql() -> str:
+    """Nibble values of the first 15 md5 hex digits — the portable
+    word-hash bit source of dedup.simhash_fingerprints_md5."""
+    return ",\n                   ".join(
+        f"strpos('0123456789abcdef', substr(hx, {d + 1}, 1)) - 1 AS d{d}"
+        for d in range(15)
+    )
+
+
+def _simhash_votes_sql() -> str:
+    """60 per-bit vote sums (bit j = bit j%4 of nibble j//4) —
+    dedup.simhash_fingerprints_md5 verbatim."""
+    return ",\n                   ".join(
+        f"SUM(((d{j // 4} >> {j % 4}) & 1) * 2 - 1) AS v{j}" for j in range(60)
+    )
+
+
+def _simhash_fp_sql() -> str:
+    return "\n                     + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(60)
+    )
 
 
 def _stopwords_values_sql() -> str:
@@ -1365,6 +1436,84 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sz sa ON sa.doc_id = id_a
                 JOIN sz sb ON sb.doc_id = id_b
                 WHERE c / (sa.n + sb.n - c) >= 0.8
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """,
+        "minhash_dedup_portable": f"""
+            -- full minhash pipeline under the portable md5 family:
+            -- 3-gram shingles -> 16 lane minima -> 4 band keys ->
+            -- bucket-local candidates -> distinct-shingle jaccard >= 0.8
+            -- -> drop higher id. Same stages, same values as Spark.
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    list_filter([array_to_string(list_slice(words, i, i + 2), ' ')
+                                 for i in range(1, greatest(len(words) - 2, 1) + 1)],
+                                x -> x <> ''))) AS sh
+                FROM w
+            ), lanes AS (
+                SELECT doc_id,
+                   {_minhash_lanes_sql(16)}
+                FROM g GROUP BY doc_id
+            ), bands AS (
+                {_minhash_bands_sql(16, 4)}
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+            ), shared AS (
+                SELECT cand.id_a, cand.id_b, COUNT(*) AS c
+                FROM cand
+                JOIN g ga ON ga.doc_id = cand.id_a
+                JOIN g gb ON gb.doc_id = cand.id_b AND gb.sh = ga.sh
+                GROUP BY 1, 2
+            ), losers AS (
+                SELECT DISTINCT id_b FROM shared
+                JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b
+                WHERE c / (sa.n + sb.n - c) >= 0.8
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """,
+        "simhash_dedup_portable": f"""
+            -- portable 60-bit simhash: md5 hex-nibble bit votes,
+            -- integer majority fingerprint, 15-bit block pigeonhole,
+            -- hamming <= 3, drop higher id. Bit-identical to Spark.
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), t AS (
+                SELECT doc_id, unnest(list_slice(words, 1, 32767)) AS word FROM w
+            ), h AS (
+                SELECT doc_id, md5(word) AS hx FROM t
+            ), hv AS (
+                SELECT doc_id,
+                   {_simhash_digits_sql()}
+                FROM h
+            ), v AS (
+                SELECT doc_id,
+                   {_simhash_votes_sql()}
+                FROM hv GROUP BY doc_id
+            ), f AS (
+                SELECT doc_id, CAST({_simhash_fp_sql()} AS BIGINT) AS fp FROM v
+            ), blocks AS (
+                SELECT doc_id, fp, q, (fp >> (q * 15)) & 32767 AS blk
+                FROM f CROSS JOIN (VALUES (0), (1), (2), (3)) AS qq(q)
+            ), losers AS (
+                SELECT DISTINCT b.doc_id AS id_b
+                FROM blocks a JOIN blocks b
+                  ON a.q = b.q AND a.blk = b.blk AND a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.fp, b.fp)) <= 3
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT id_b FROM losers)

@@ -68,7 +68,13 @@ def _ansi_enabled(df: DataFrame) -> bool:
 #:   non-ANSI session and is rejected at plan-build time otherwise.
 #: - ``xxhash``: lane i = xxhash64(shingle, seed=i). ~3x slower at 32
 #:   lanes (re-hashes the string per lane) but valid on any session.
-MINHASH_FAMILIES = ("multiply_add", "xxhash")
+#: - ``md5``: lane i = lexicographic MIN of md5('i:' || shingle) hex
+#:   strings. Slowest, but PORTABLE: md5 hex is bit-identical across
+#:   engines (DuckDB, Trino, ...), so signatures — and therefore the
+#:   dedup survivor set — can be cross-checked by an external oracle.
+#:   Lexicographic min over uniformly-distributed fixed-width hex is a
+#:   valid MinHash order statistic.
+MINHASH_FAMILIES = ("multiply_add", "xxhash", "md5")
 
 
 def _resolve_family(family: str, ansi: bool) -> str:
@@ -177,6 +183,17 @@ def minhash_signature(
     )
     family = _resolve_family(family, ansi)
 
+    if family == "md5":
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
+                    )
+                )
+                for i in range(num_hashes)
+            ]
+        )
     if family == "xxhash":
         return F.array(
             *[
@@ -254,7 +271,15 @@ def minhash_signatures(
     # correct) per-lane seeded string hash valid on any session.
     _check_lanes(num_hashes)
     family = _resolve_family(family, _ansi_enabled(df))
-    if family == "xxhash":
+    if family == "md5":
+        hashed = sh.select(
+            id_col,
+            *[
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh"))).alias(f"_h{i}")
+                for i in range(num_hashes)
+            ],
+        )
+    elif family == "xxhash":
         hashed = sh.select(
             id_col,
             *[F.xxhash64("_sh", F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)],
@@ -740,6 +765,94 @@ def simhash_dedup(
     ).select(id_col, "_fp", F.col("b.q").alias("q"), F.col("b.blk").alias("blk"))
     # No persist needed: both self-join sides hang off the same
     # group-by exchange, which Spark reuses (ReusedExchange).
+    a, b = blocks.alias("a"), blocks.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(hamming_distance(F.col("a._fp"), F.col("b._fp")) <= max_hamming)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .dropDuplicates()
+    )
+    return df.join(dups, id_col, "left_anti")
+
+
+def simhash_fingerprints_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, _fp: long) PORTABLE 60-bit SimHash twin of
+    :func:`simhash_fingerprints`.
+
+    A word's hash bits come from the first 15 hex digits of
+    ``md5(word)``: digit d contributes bits 4d..4d+3 (its nibble value,
+    readable in any engine — Spark ``conv(digit,16,10)``, DuckDB
+    ``strpos('0123456789abcdef', digit)-1``). Each word votes +1/-1 per
+    bit; fingerprint bit j is set iff the vote sum is > 0. All-integer
+    math over bit-identical md5 hex, so a DuckDB/Trino oracle
+    reproduces the fingerprints — and the dedup survivor set — exactly.
+    60 bits (not 64) keeps the packed fingerprint positive in engines
+    whose BIGINT shift-left overflow-checks at bit 63. Same explode +
+    vote-sum shape as the 64-bit xxhash variant (one shuffle on id,
+    codegen aggregates); same 32,767-word structural truncation.
+    """
+    w = df.select(
+        F.col(id_col), F.posexplode(normalized_words(text_col)).alias("_pos", "_w")
+    ).filter(F.col("_pos") < 32767)
+    h = w.select(id_col, F.md5("_w").alias("_h"))
+    hv = h.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring("_h", d + 1, 1), 16, 10).cast("int").alias(f"_d{d}")
+            for d in range(15)
+        ],
+    )
+    aggs = [
+        F.sum(
+            F.shiftright(F.col(f"_d{j // 4}"), j % 4).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"_v{j}")
+        for j in range(60)
+    ]
+    votes = hv.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for j in range(60):
+        fp = fp + F.when(F.col(f"_v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return votes.select(F.col(id_col), fp.cast("long").alias("_fp"))
+
+
+def simhash_dedup_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Portable SimHash near-dedup over the 60-bit md5 fingerprints —
+    the oracle-checkable twin of :func:`simhash_dedup`.
+
+    Pigeonhole blocking on the fingerprint's four 15-bit blocks: two
+    60-bit fingerprints within hamming distance 3 must share at least
+    one block exactly, so comparisons stay bucket-local (same scale
+    shape as the 64-bit variant's 16-bit-quarter blocking)."""
+    fp = simhash_fingerprints_md5(df, text_col, id_col)
+    blocks = fp.select(
+        id_col,
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright(F.col("_fp"), q * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("blk"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "_fp", F.col("b.q").alias("q"), F.col("b.blk").alias("blk"))
     a, b = blocks.alias("a"), blocks.alias("b")
     dups = (
         a.join(

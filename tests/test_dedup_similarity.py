@@ -88,6 +88,27 @@ def test_simhash_lane_packing_matches_per_bit_majority(spark):
     assert got == expected
 
 
+def test_portable_md5_minhash_dedup(docs):
+    """The md5 family (cross-engine portable lanes) must produce the
+    same dedup semantics as the native families."""
+    out = dedup.minhash_dedup(docs, num_hashes=16, bands=4, threshold=0.5, family="md5")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 2 not in ids and 3 not in ids
+    assert {4, 5, 6, 7}.issubset(ids)
+    # md5 lanes are 32-char lowercase hex strings
+    sigs = dedup.minhash_signatures(docs, num_hashes=8, family="md5").collect()
+    assert all(len(v) == 32 for r in sigs for v in r["sig"])
+
+
+def test_portable_md5_simhash_dedup(docs):
+    out = dedup.simhash_dedup_md5(docs, max_hamming=3)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 2 not in ids  # identical text -> hamming 0
+    assert 4 in ids and 6 in ids and 7 in ids
+    fps = dedup.simhash_fingerprints_md5(docs).collect()
+    assert all(0 <= r["_fp"] < (1 << 60) for r in fps)  # positive 60-bit pack
+
+
 def test_minhash_family_explicit_no_silent_switch(spark, docs):
     """The hash family is an explicit contract: on an ANSI session the
     default multiply_add family must raise a clear ValueError at plan
@@ -113,7 +134,7 @@ def test_minhash_family_explicit_no_silent_switch(spark, docs):
     with pytest.raises(ValueError, match="hash family"):
         dedup.minhash_signatures(docs, num_hashes=512)
     with pytest.raises(ValueError, match="unknown MinHash family"):
-        dedup.minhash_signatures(docs, family="md5")
+        dedup.minhash_signatures(docs, family="sha9000")
 
 
 def test_minhash_signature_column_api_ansi_rejects(spark, docs):
