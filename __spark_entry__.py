@@ -797,6 +797,50 @@ def q_cycle_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cycle_summary(metrics, last_n=10)
 
 
+def q_schedule_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production health report (quality.monitor.production_health):
+    schedule accuracy over daily event-derived cycles vs a 1440-minute
+    target (monitor_airflow_production.py:82-114), success rate,
+    table-integrity score over five staging tables, and the 20/30/20/
+    20/10 health-score rubric (:274-309). Interval math on whole unix
+    seconds, one /60 after averaging — cross-engine exact."""
+    from facolos_data_pipelines_spark.quality.checks import multi_table_summary
+    from facolos_data_pipelines_spark.quality.monitor import production_health
+
+    events = _t(spark, sf_dir, "events")
+    metrics = events.groupBy(F.to_date("ts").alias("_d")).agg(
+        F.max("ts").alias("started_at"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("double")
+        .alias("duration_seconds"),
+        F.count("*").cast("long").alias("records_processed"),
+        (
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)) * 5
+            < F.count("*")
+        ).alias("success"),
+    ).select(
+        F.col("_d").cast("string").alias("cycle_id"),
+        "started_at",
+        "duration_seconds",
+        "records_processed",
+        "success",
+    )
+    tables = {
+        name: _t(spark, sf_dir, name)
+        for name in ["orders", "lineitem", "customer", "documents", "embeddings"]
+    }
+    return production_health(
+        metrics, multi_table_summary(tables), target_interval_minutes=1440.0
+    ).select(
+        "success_rate_pct",
+        "actual_avg_interval_minutes",
+        "schedule_accurate",
+        F.round(F.col("data_integrity_score") + 1e-6, 2).alias("data_integrity_score"),
+        "health_score",
+        "health_band",
+    )
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling (operators.multimodal
     .sample_video_frames): every-30th-frame selection is pure Spark
@@ -909,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "cycle_metrics": q_cycle_metrics,
+        "schedule_health": q_schedule_health,
         "video_frame_sample": q_video_frame_sample,
         "corpus_clean": q_corpus_clean,
         "language_id": q_language_id,
@@ -1351,6 +1396,76 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(CASE WHEN success THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2)
                        AS success_rate_pct
             FROM r WHERE rn <= 10
+        """,
+        "schedule_health": """
+            -- mirrors monitor.production_health: daily cycles from
+            -- events, last-5 start intervals on whole unix seconds
+            -- (/60 once after averaging), last-10 success rate,
+            -- 5-table integrity, 20/30/20/20/10 rubric in the same
+            -- literal term order as the Spark expression
+            WITH m AS (
+                SELECT CAST(ts AS DATE) AS d,
+                       MAX(ts) AS started_at,
+                       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 5
+                           < COUNT(*) AS success
+                FROM events GROUP BY 1
+            ), r AS (
+                SELECT *, ROW_NUMBER() OVER (ORDER BY started_at DESC) AS rn FROM m
+            ), summ AS (
+                SELECT ROUND(SUM(CASE WHEN success THEN 1 ELSE 0 END) * 100.0
+                             / COUNT(*), 2) AS success_rate_pct
+                FROM r WHERE rn <= 10
+            ), iv AS (
+                SELECT floor(epoch(started_at))
+                       - floor(epoch(LAG(started_at) OVER (ORDER BY started_at ASC)))
+                       AS iv_s
+                FROM r WHERE rn <= 5
+                QUALIFY iv_s IS NOT NULL
+            ), sched AS (
+                SELECT COUNT(*) AS n, AVG(iv_s) AS avg_s FROM iv
+            ), integ AS (
+                SELECT SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) / COUNT(*) * 100.0
+                       AS data_integrity_score
+                FROM (SELECT COUNT(*) AS c FROM orders
+                      UNION ALL SELECT COUNT(*) FROM lineitem
+                      UNION ALL SELECT COUNT(*) FROM customer
+                      UNION ALL SELECT COUNT(*) FROM documents
+                      UNION ALL SELECT COUNT(*) FROM embeddings) t
+            ), parts AS (
+                SELECT summ.success_rate_pct,
+                       ROUND(sched.avg_s / 60.0 + 1e-6, 2) AS actual_avg_interval_minutes,
+                       CASE WHEN sched.n > 0
+                            THEN abs(sched.avg_s / 60.0 - 1440.0) / 1440.0 * 100.0 < 5.0
+                       END AS schedule_accurate,
+                       integ.data_integrity_score
+                FROM summ, sched, integ
+            )
+            SELECT success_rate_pct,
+                   actual_avg_interval_minutes,
+                   schedule_accurate,
+                   ROUND(data_integrity_score + 1e-6, 2) AS data_integrity_score,
+                   ROUND((20.0
+                          + coalesce(success_rate_pct, 0) / 100.0 * 30.0
+                          + CASE WHEN schedule_accurate THEN 20.0 ELSE 0.0 END
+                          + CASE WHEN data_integrity_score >= 80.0 THEN 20.0 ELSE 0.0 END
+                          + 10.0) + 1e-6, 2) AS health_score,
+                   CASE WHEN ROUND((20.0
+                          + coalesce(success_rate_pct, 0) / 100.0 * 30.0
+                          + CASE WHEN schedule_accurate THEN 20.0 ELSE 0.0 END
+                          + CASE WHEN data_integrity_score >= 80.0 THEN 20.0 ELSE 0.0 END
+                          + 10.0) + 1e-6, 2) >= 90 THEN 'excellent'
+                        WHEN ROUND((20.0
+                          + coalesce(success_rate_pct, 0) / 100.0 * 30.0
+                          + CASE WHEN schedule_accurate THEN 20.0 ELSE 0.0 END
+                          + CASE WHEN data_integrity_score >= 80.0 THEN 20.0 ELSE 0.0 END
+                          + 10.0) + 1e-6, 2) >= 80 THEN 'good'
+                        WHEN ROUND((20.0
+                          + coalesce(success_rate_pct, 0) / 100.0 * 30.0
+                          + CASE WHEN schedule_accurate THEN 20.0 ELSE 0.0 END
+                          + CASE WHEN data_integrity_score >= 80.0 THEN 20.0 ELSE 0.0 END
+                          + 10.0) + 1e-6, 2) >= 70 THEN 'warning'
+                        ELSE 'critical' END AS health_band
+            FROM parts
         """,
         "video_frame_sample": """
             SELECT doc_id AS media_id,

@@ -5,16 +5,26 @@ aggs, windows, dedup, similarity, text) on local[$SPARK_GRAFT_CPUS] and
 prints ONE JSON line:
 
     {"metric": ..., "value": total_sec, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": ...}
+     "queries": {name: sec, ...}, "stub_queries": {...}, "sf": ...}
 
 Each query is forced end-to-end with a noop write (full execution, no
 driver-side collect of large results — the cluster-realistic cost).
+
+Noise control: every query runs $SPARK_GRAFT_BENCH_REPEATS times
+(default 3) in interleaved passes and reports the per-query MEDIAN —
+single-execution timings on a shared local[32] JVM vary by 2-3x
+(GC pauses, codegen compilation racing other queries), which round 2
+demonstrated by "regressing" untouched code paths. ``value`` is the sum
+of medians over the real headline queries; the stub-backed
+``multimodal_features`` (its cost is a documented pure-Python fake
+decode, not a Spark plan) is reported separately in ``stub_queries``.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -34,6 +44,7 @@ HEADLINE = [
     "minhash_dedup",
     "simhash_dedup",
     "similarity_topk",
+    "embedding_near_dups",
     "token_counts",
     "quality_scores",
     "pricing_summary",
@@ -41,10 +52,14 @@ HEADLINE = [
     "doc_fingerprint",
     "video_frame_sample",
     "cycle_metrics",
-    "multimodal_features",
     "corpus_clean",
     "language_id",
 ]
+
+# Stub-backed queries: timed and reported, but outside the headline wall
+# (their cost is the documented container-limitation Python stub, not a
+# Spark plan worth optimizing).
+STUB = ["multimodal_features"]
 
 
 def main() -> None:
@@ -53,6 +68,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
     spark = build_spark(app_name="bench")
     # Warm-up: touch every table once so first timed query doesn't pay
@@ -63,12 +79,16 @@ def main() -> None:
         df.count()
 
     qs = entry_mod.queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    names = HEADLINE + STUB
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(repeats):
+        for name in names:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
+    timings = {name: round(statistics.median(samples[name]), 3) for name in HEADLINE}
+    stub_timings = {name: round(statistics.median(samples[name]), 3) for name in STUB}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -77,6 +97,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stub_queries": stub_timings,
+                "repeats": repeats,
                 "sf": sf,
             }
         )

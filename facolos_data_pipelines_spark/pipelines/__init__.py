@@ -1,3 +1,11 @@
+from .registry import due_sources, mark_extracted, seed_data_sources
 from .runner import EndpointSpec, run_backfill, run_incremental_cycle
 
-__all__ = ["EndpointSpec", "run_backfill", "run_incremental_cycle"]
+__all__ = [
+    "EndpointSpec",
+    "run_backfill",
+    "run_incremental_cycle",
+    "seed_data_sources",
+    "due_sources",
+    "mark_extracted",
+]

@@ -82,16 +82,44 @@ def run_incremental_cycle(
     staging_root: str,
     control_root: str | None = None,
     min_tables_with_data: int = 5,
+    registry_path: str | None = None,
+    now: dt.datetime | None = None,
 ) -> dict:
     """One incremental cycle (§3.1): per endpoint in priority order,
     extract → transform → PK-rejected append (or merge upsert), then the
     ≥N-tables-non-empty quality gate. Returns the cycle report dict the
-    reference pushed to XCom (dags/incremental_etl_dag.py:174-176)."""
+    reference pushed to XCom (dags/incremental_etl_dag.py:174-176).
+
+    With ``registry_path``, the data_sources control table decides what
+    runs (create_facolos_enterprise_schemas.sql:98-119): endpoints whose
+    source is not due (last_extract_time newer than its
+    extract_frequency_hours) are skipped with status
+    ``skipped_not_due``, and last_extract_time advances for every
+    successfully-extracted source after the cycle. Endpoints without a
+    registry row always run (opt-in scheduling, matching the
+    orchestrator's fallback). ``now`` pins the clock for tests."""
+    from .registry import due_sources, mark_extracted
+
     batch_id = str(uuid.uuid4())
     started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     report: dict = {"batch_id": batch_id, "endpoints": {}, "status": "success"}
 
+    due: set[str] | None = None
+    registered: set[str] = set()
+    if registry_path is not None:
+        from .registry import load_registry
+
+        registered = {
+            r["source_name"]
+            for r in load_registry(spark, registry_path).select("source_name").collect()
+        }
+        due = due_sources(spark, registry_path, now)
+
+    extracted_ok: list[str] = []
     for ep in endpoints:
+        if due is not None and ep.name in registered and ep.name not in due:
+            report["endpoints"][ep.name] = {"status": "skipped_not_due"}
+            continue
         t0 = time.time()
         path = f"{staging_root}/{ep.table()}"
         try:
@@ -112,6 +140,7 @@ def run_incremental_cycle(
                 "records": n,
                 "seconds": round(time.time() - t0, 3),
             }
+            extracted_ok.append(ep.name)
             if control_root:
                 _log_run(
                     spark, control_root, batch_id, ep.name, ep.table(), "success", n, started
@@ -131,6 +160,14 @@ def run_incremental_cycle(
                     started,
                     error=str(exc),
                 )
+
+    if registry_path is not None and extracted_ok:
+        mark_extracted(
+            spark,
+            registry_path,
+            [n for n in extracted_ok if n in registered],
+            now,
+        )
 
     # §5 data-quality gate over the landed staging tables.
     landed = {

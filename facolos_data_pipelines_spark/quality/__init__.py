@@ -6,7 +6,14 @@ from .checks import (
     validate_post_load,
     validate_pre_load,
 )
-from .monitor import alert_conditions, cycle_summary, record_cycle
+from .monitor import (
+    alert_conditions,
+    cycle_summary,
+    health_score,
+    production_health,
+    record_cycle,
+    schedule_accuracy,
+)
 
 __all__ = [
     "table_stats",
@@ -18,4 +25,7 @@ __all__ = [
     "cycle_summary",
     "alert_conditions",
     "record_cycle",
+    "schedule_accuracy",
+    "health_score",
+    "production_health",
 ]

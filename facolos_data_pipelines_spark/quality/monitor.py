@@ -129,6 +129,120 @@ def alert_conditions(
     return spark.createDataFrame(row, schema)
 
 
+def schedule_accuracy(
+    metrics: DataFrame,
+    target_interval_minutes: float = 15.0,
+    last_n: int = 5,
+    tolerance_pct: float = 5.0,
+) -> DataFrame:
+    """Schedule-accuracy verification — the reference's 15-minute DAG
+    cadence check (monitor_airflow_production.py:82-114): mean interval
+    between consecutive cycle starts over the last N cycles, accurate
+    iff the deviation from the target is under ``tolerance_pct``.
+
+    One row out: target/actual interval, accuracy percentage
+    (100 - deviation%), schedule_accurate, n_intervals. The lag window
+    runs over at most ``last_n`` rows (TakeOrdered first), so the
+    single-partition window is bounded — not a scale risk. Interval
+    math happens on whole unix seconds and divides by 60 ONCE after
+    averaging, so an external SQL oracle reproduces it exactly.
+    Fewer than 2 cycles -> n_intervals=0 and NULL accuracy (the
+    reference returns an error dict there)."""
+    from pyspark.sql import Window
+
+    recent = metrics.orderBy(F.col("started_at").desc()).limit(last_n)
+    w = Window.orderBy(F.col("started_at").asc(), F.col("cycle_id").asc())
+    iv = recent.select(
+        (
+            F.unix_timestamp("started_at")
+            - F.unix_timestamp(F.lag("started_at").over(w))
+        ).alias("_iv_s")
+    ).filter(F.col("_iv_s").isNotNull())
+    agg = iv.agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.avg("_iv_s").alias("_avg_s"),
+    )
+    avg_min = F.col("_avg_s") / 60.0
+    deviation = F.abs(avg_min - target_interval_minutes) / target_interval_minutes * 100.0
+    return agg.select(
+        F.lit(float(target_interval_minutes)).alias("target_interval_minutes"),
+        F.round(avg_min + 1e-6, 2).alias("actual_avg_interval_minutes"),
+        F.round((100.0 - deviation) + 1e-6, 2).alias("accuracy_percentage"),
+        F.when(F.col("n_intervals") > 0, deviation < tolerance_pct).alias(
+            "schedule_accurate"
+        ),
+        F.col("n_intervals"),
+    )
+
+
+def health_score(report: DataFrame) -> DataFrame:
+    """Overall health score — the reference's production rubric
+    (monitor_airflow_production.py:274-309) over a one-row component
+    frame with columns ``dag_active`` (bool), ``success_rate_pct``
+    (double, 0-100), ``schedule_accurate`` (bool),
+    ``data_integrity_score`` (double, 0-100), ``dedup_working`` (bool):
+
+    - DAG active (not paused): 20 points
+    - recent-run success rate: up to 30 points (rate * 30)
+    - schedule accurate (±5%): 20 points
+    - data integrity >= 80: 20 points
+    - deduplication working: 10 points
+
+    Adds ``health_score`` (0-100) and the reference's log-banding as
+    ``health_band``: excellent >= 90, good >= 80, warning >= 70, else
+    critical. NULL components score 0 (fail-closed), matching the
+    reference's .get(...) defaults."""
+    score = (
+        F.when(F.col("dag_active"), F.lit(20.0)).otherwise(0.0)
+        + F.coalesce(F.col("success_rate_pct"), F.lit(0.0)) / 100.0 * 30.0
+        + F.when(F.col("schedule_accurate"), F.lit(20.0)).otherwise(0.0)
+        + F.when(F.col("data_integrity_score") >= 80.0, F.lit(20.0)).otherwise(0.0)
+        + F.when(F.col("dedup_working"), F.lit(10.0)).otherwise(0.0)
+    )
+    scored = report.withColumn("health_score", F.round(score + 1e-6, 2))
+    return scored.withColumn(
+        "health_band",
+        F.when(F.col("health_score") >= 90, "excellent")
+        .when(F.col("health_score") >= 80, "good")
+        .when(F.col("health_score") >= 70, "warning")
+        .otherwise("critical"),
+    )
+
+
+def production_health(
+    metrics: DataFrame,
+    table_summary: DataFrame,
+    target_interval_minutes: float = 15.0,
+    dag_active: bool = True,
+    dedup_working: bool = True,
+    last_n: int = 10,
+) -> DataFrame:
+    """Compose the full production health report (the reference's
+    generate_production_report): success rate from the last N cycles,
+    schedule accuracy, data-integrity score = % of staging tables with
+    data (monitor_airflow_production.py:154-158), plus the
+    caller-supplied DAG/dedup verification flags, scored by
+    :func:`health_score`. All inputs are tiny metric frames — the
+    crossJoins below are 1x1 row joins, not data joins."""
+    sched = schedule_accuracy(metrics, target_interval_minutes, last_n=5)
+    summ = cycle_summary(metrics, last_n)
+    integ = table_summary.agg(
+        (
+            F.sum(F.when(F.col("records") > 0, 1).otherwise(0))
+            / F.count("*")
+            * 100.0
+        ).alias("data_integrity_score")
+    )
+    report = (
+        summ.select("success_rate_pct")
+        .crossJoin(sched.select("schedule_accurate", "actual_avg_interval_minutes"))
+        .crossJoin(integ)
+        .withColumn("dag_active", F.lit(bool(dag_active)))
+        .withColumn("dedup_working", F.lit(bool(dedup_working)))
+    )
+    return health_score(report)
+
+
 def record_cycle(
     spark,
     path: str,

@@ -107,6 +107,55 @@ def test_cycle_upsert_executes_transform_once(spark, tmp_path):
         assert len(f.read()) == n  # one execution, not two
 
 
+def test_registry_schedules_and_advances_extract_time(spark, tmp_path):
+    """data_sources registry contract: a not-yet-due endpoint is
+    skipped (skipped_not_due), a due one runs, and last_extract_time
+    advances only for the sources that actually extracted."""
+    import datetime as dt
+
+    from facolos_data_pipelines_spark.pipelines.registry import (
+        due_sources,
+        load_registry,
+        seed_data_sources,
+    )
+
+    root = str(tmp_path / "staging")
+    reg = str(tmp_path / "data_sources")
+    now = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    seed_data_sources(
+        spark, reg, [("tiktok_orders", "ecommerce", 6.0), ("misa_crm", "crm", 24.0)]
+    )
+    # misa_crm extracted 1h ago (freq 24h -> not due); tiktok never (due)
+    from facolos_data_pipelines_spark.pipelines.registry import mark_extracted
+
+    mark_extracted(spark, reg, ["misa_crm"], now - dt.timedelta(hours=1))
+    assert due_sources(spark, reg, now) == {"tiktok_orders"}
+
+    specs = [_spec(spark), _spec(spark, name="misa_crm")]
+    report = run_incremental_cycle(
+        spark, specs, root, min_tables_with_data=1, registry_path=reg, now=now
+    )
+    assert report["endpoints"]["tiktok_orders"]["status"] == "success"
+    assert report["endpoints"]["misa_crm"]["status"] == "skipped_not_due"
+
+    times = {
+        r["source_name"]: r["last_extract_time"]
+        for r in load_registry(spark, reg).collect()
+    }
+    assert times["tiktok_orders"] == now  # advanced by the cycle
+    assert times["misa_crm"] == now - dt.timedelta(hours=1)  # untouched
+
+    # 7 hours later tiktok (6h freq) is due again, misa (24h) still not
+    later = now + dt.timedelta(hours=7)
+    assert due_sources(spark, reg, later) == {"tiktok_orders"}
+    # seeding again must not clobber state (tolerate-exists)
+    seed_data_sources(
+        spark, reg, [("tiktok_orders", "ecommerce", 6.0), ("misa_crm", "crm", 24.0)]
+    )
+    assert due_sources(spark, reg, later) == {"tiktok_orders"}
+
+
 def test_cycle_continues_past_failing_endpoint(spark, tmp_path):
     root = str(tmp_path / "staging")
 
