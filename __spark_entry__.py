@@ -728,6 +728,22 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round((F.col("cosine")) + 1e-8, 4).alias("cosine"))
 
 
+def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked k-NN join (similarity.knn_join_lsh) — the
+    large-query-side scale twin of knn_join: both sides banded on
+    deterministic hyperplane signatures (4 planes x 4 bands), scoring
+    bucket-local only. The DuckDB oracle reproduces the identical
+    blocking and ranking, certifying the approximate plan itself."""
+    from facolos_data_pipelines_spark.operators.similarity import knn_join_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_side = emb.filter(F.col("vec_id") < 5)
+    out = knn_join_lsh(queries_side, emb, k=3, num_planes=4, num_bands=4, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.round((F.col("cosine")) + 1e-8, 4).alias("cosine")
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (md5-portable twin of operators.text
     .fingerprint): content hash of normalized text + rolling 5-gram
@@ -960,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "knn_join": q_knn_join,
+        "knn_join_lsh": q_knn_join_lsh,
         "minhash_dedup_portable": q_minhash_dedup_portable,
         "simhash_dedup_portable": q_simhash_dedup_portable,
         # rows-only (no ANSI-SQL oracle):
@@ -1554,6 +1571,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """,
+        "knn_join_lsh": f"""
+            -- identical banded blocking (4 planes x 4 bands, same
+            -- deterministic plane literals) + the same cosine op order
+            -- and (cosine desc, neighbor asc) ranking as Spark
+            WITH p(band, bitval, plane) AS (
+                VALUES {_hyperplane_values_sql(4, 4, 64)}
+            ), s AS (
+                SELECT e.vec_id, p.band,
+                       SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+                                   i -> e.embedding[i]::DOUBLE * p.plane[i])) > 0
+                                THEN p.bitval ELSE 0 END) AS sig
+                FROM embeddings e CROSS JOIN p
+                GROUP BY e.vec_id, p.band
+            ), cand AS (
+                SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+                FROM s a JOIN s b ON a.band = b.band AND a.sig = b.sig
+                WHERE a.vec_id < 5
+            ), sc AS (
+                SELECT c.query_id, c.neighbor_id,
+                       list_sum(list_transform(range(1, 65),
+                           i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(q.embedding,
+                              x -> x::DOUBLE * x::DOUBLE)))
+                          * sqrt(list_sum(list_transform(n.embedding,
+                              x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+                FROM cand c
+                JOIN embeddings q ON q.vec_id = c.query_id
+                JOIN embeddings n ON n.vec_id = c.neighbor_id
+            )
+            SELECT query_id, neighbor_id, ROUND(cosine + 1e-8, 4) AS cosine FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+                FROM sc WHERE cosine IS NOT NULL
+            ) WHERE rn <= 3
         """,
         "minhash_dedup_portable": f"""
             -- full minhash pipeline under the portable md5 family:

@@ -932,7 +932,7 @@ def embedding_near_dup_pairs(
     (dot + both norms) per pair was measured 3x slower, and the norm
     work grows with the pair count instead of the corpus size.
     """
-    from .similarity import hyperplane_signature
+    from .similarity import banded_signatures
 
     norm_sq = F.aggregate(
         F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
@@ -961,20 +961,7 @@ def embedding_near_dup_pairs(
         )
     # Banded blocking: (id, band, sig) rows only — signatures on the RAW
     # vector (sign is scale-invariant; the oracle mirrors raw too).
-    bands_arr = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                hyperplane_signature(
-                    F.col(vec_col), num_planes, dim, plane_offset=band * num_planes
-                ).alias("sig"),
-            )
-            for band in range(num_bands)
-        ]
-    )
-    sigs = scaled.select(F.col(id_col), F.explode(bands_arr).alias("_bs")).select(
-        id_col, F.col("_bs.band").alias("band"), F.col("_bs.sig").alias("sig")
-    )
+    sigs = banded_signatures(scaled, vec_col, id_col, num_planes, num_bands, dim, id_col)
     if max_bucket_size is not None:
         sizes = sigs.groupBy("band", "sig").agg(F.count("*").alias("_bsz"))
         sigs = (

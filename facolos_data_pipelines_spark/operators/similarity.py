@@ -69,6 +69,36 @@ def hyperplane_signature(
     return out
 
 
+def banded_signatures(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_planes: int = 6,
+    num_bands: int = 4,
+    dim: int | None = None,
+    out_id: str = "id",
+) -> DataFrame:
+    """(out_id, band, sig) rows: one banded hyperplane-LSH signature per
+    band, plane family disjoint across bands (plane index =
+    band * num_planes + i). The shared blocking primitive behind
+    embedding near-dup and the LSH k-NN join — only (id, band, sig)
+    rows ever shuffle."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                hyperplane_signature(
+                    F.col(vec_col), num_planes, dim, plane_offset=band * num_planes
+                ).alias("sig"),
+            )
+            for band in range(num_bands)
+        ]
+    )
+    return df.select(F.col(id_col).alias(out_id), F.explode(arr).alias("_bs")).select(
+        out_id, F.col("_bs.band").alias("band"), F.col("_bs.sig").alias("sig")
+    )
+
+
 def cosine_to_query(vec_col: Column, query: list[float]) -> Column:
     """Cosine(vec, constant query) — JVM-side.
 
@@ -301,6 +331,62 @@ def knn_join_bruteforce(
         "query_id",
         "neighbor_id",
         cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def knn_join_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_vec: str = "embedding",
+    q_id: str = "vec_id",
+    c_vec: str = "embedding",
+    c_id: str = "vec_id",
+    num_planes: int = 6,
+    num_bands: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate k-NN join for LARGE query sides — the scale twin of
+    :func:`knn_join_bruteforce`.
+
+    Choosing between the two: broadcast-bruteforce is exact and right
+    while the query side fits a broadcast (rule of thumb: under ~10 MB
+    / a few thousand vectors — or chunk it); beyond that the cross
+    product is the killer, and this variant blocks BOTH sides on
+    shared banded hyperplane signatures (similarity.banded_signatures)
+    so scoring happens only inside (band, sig) buckets. Both sides
+    shuffle once on (band, sig) carrying only (id, band, sig) rows;
+    vectors join back by id for scoring, proportional to candidates.
+    Approximate: a query gets fewer than k neighbors when its buckets
+    are thin — raise num_bands (recall) or lower num_planes (bucket
+    width) to trade recall vs candidate count. Zero-norm rows never
+    pair (NULL cosine filtered)."""
+    from pyspark.sql import Window
+
+    from .dedup import cosine_similarity
+
+    qs = banded_signatures(queries, q_vec, q_id, num_planes, num_bands, dim, "query_id")
+    cs = banded_signatures(corpus, c_vec, c_id, num_planes, num_bands, dim, "neighbor_id")
+    cand = qs.join(cs, ["band", "sig"]).select("query_id", "neighbor_id").dropDuplicates()
+    qv = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
+    cv = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

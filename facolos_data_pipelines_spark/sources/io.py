@@ -93,14 +93,27 @@ def upsert_parquet(
     path: str,
     keys: list[str],
     order_col: str = "etl_updated_at",
+    partition_by: list[str] | None = None,
 ) -> None:
     """S11 MERGE upsert onto a parquet staging table.
 
     Uses Delta ``MERGE INTO`` when available (partition-pruned, the
-    100 TB path); otherwise union + last-writer-wins, eagerly
-    materialized via localCheckpoint so overwriting the path we just
-    read is safe. The fallback rewrites the table — acceptable for
-    staging batches, and exactly why production targets Delta.
+    100 TB path). The parquet fallback has two modes:
+
+    - ``partition_by`` given: PARTITION-SCOPED merge — read only the
+      partitions the incoming batch touches (partition pruning on the
+      scan), merge, and dynamic-partition-overwrite exactly those
+      partitions. Untouched partitions' files are never read or
+      rewritten, so the per-cycle cost is O(touched partitions), not
+      O(table) — the 100x-safe parquet path. CONTRACT: partition
+      columns must be stable per key (a key never moves partitions);
+      a key that changed partition value would leave its old row
+      behind. Staging tables partitioned on a key-derived date (e.g.
+      order date, not etl_date) satisfy this.
+    - no ``partition_by``: union + last-writer-wins over the whole
+      table, eagerly materialized via localCheckpoint so overwriting
+      the path we just read is safe. Acceptable for small staging
+      tables only.
     """
     if HAS_DELTA and DeltaTable is not None and DeltaTable.isDeltaTable(spark, path):
         cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
@@ -114,9 +127,43 @@ def upsert_parquet(
         )
         return
     if not table_exists(spark, path):
-        incoming.write.mode("overwrite").parquet(path)
+        w = incoming.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
         return
     existing = spark.read.parquet(path)
+    if partition_by:
+        import functools
+        import operator
+
+        # Touched-partition values: bounded by partitions-per-batch
+        # (metadata-scale), not rows — safe to collect.
+        incoming = incoming.localCheckpoint(eager=True)
+        touched = incoming.select(*partition_by).dropDuplicates().collect()
+        if not touched:
+            return
+        pred = functools.reduce(
+            operator.or_,
+            [
+                functools.reduce(
+                    operator.and_,
+                    [F.col(c).eqNullSafe(F.lit(row[c])) for c in partition_by],
+                )
+                for row in touched
+            ],
+        )
+        scoped = existing.filter(pred)  # partition pruning: only touched files
+        merged = merge_upsert(scoped, incoming, keys, order_col).localCheckpoint(
+            eager=True
+        )
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+        return
     merged = merge_upsert(existing, incoming, keys, order_col).localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(path)
 

@@ -351,6 +351,33 @@ def test_embedding_near_dup_blocked_default_is_subset_of_exact(spark, sf_dir):
     assert again == set(blocked)
 
 
+def test_knn_join_lsh_matches_bruteforce_on_real_vectors(spark, sf_dir):
+    """The LSH-blocked k-NN join must return a bucket-local subset of
+    the bruteforce result: every (query, neighbor) it reports must
+    score identically, and on sf0.001 vectors with 4x4 banding the
+    rank-1 self-match (cosine 1.0, always in the query's own bucket)
+    must never be lost."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.knn_join_bruteforce(queries, emb, k=10).collect()
+    }
+    lsh = similarity.knn_join_lsh(
+        queries, emb, k=3, num_planes=4, num_bands=4, dim=64
+    ).collect()
+    for r in lsh:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:  # shared pairs score identically
+            assert r["cosine"] == pytest.approx(bf[key])
+    by_query = {}
+    for r in lsh:
+        by_query.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_query.items():
+        top = max(rows, key=lambda r: r["cosine"])
+        assert top["neighbor_id"] == qid and top["cosine"] == pytest.approx(1.0)
+
+
 def test_knn_join(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])

@@ -142,6 +142,44 @@ def test_upsert_parquet_fallback(spark, tmp_path):
     assert len(out) == 1 and out[0]["val"] == "new"
 
 
+def test_upsert_parquet_partition_scoped_rewrites_only_touched(spark, tmp_path):
+    """With partition_by, a merge must leave untouched partitions' files
+    byte-for-byte alone (same names, same mtimes) and only rewrite the
+    partitions the incoming batch touches."""
+    import os
+
+    def _files(d):
+        out = {}
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    fp = os.path.join(root, f)
+                    out[fp] = os.path.getmtime(fp)
+        return out
+
+    p = str(tmp_path / "pt")
+    base = spark.createDataFrame(
+        [(1, "a0", _ts("2024-01-01T00:00:00"), "2024-01-01"),
+         (2, "b0", _ts("2024-01-01T00:00:00"), "2024-01-02")],
+        ["pk", "val", "etl_updated_at", "d"],
+    )
+    sio.upsert_parquet(spark, base, p, ["pk"], partition_by=["d"])
+    d1_before = _files(f"{p}/d=2024-01-01")
+
+    # second batch touches only d=2024-01-02: update pk=2, insert pk=3
+    batch = spark.createDataFrame(
+        [(2, "b1", _ts("2024-01-02T00:00:00"), "2024-01-02"),
+         (3, "c1", _ts("2024-01-02T00:00:00"), "2024-01-02")],
+        ["pk", "val", "etl_updated_at", "d"],
+    )
+    sio.upsert_parquet(spark, batch, p, ["pk"], partition_by=["d"])
+
+    assert _files(f"{p}/d=2024-01-01") == d1_before  # untouched partition intact
+    # partition values are type-inferred back as dates
+    rows = {r["pk"]: (r["val"], str(r["d"])) for r in spark.read.parquet(p).collect()}
+    assert rows == {1: ("a0", "2024-01-01"), 2: ("b1", "2024-01-02"), 3: ("c1", "2024-01-02")}
+
+
 def test_retention(spark, tmp_path):
     now = dt.datetime(2024, 6, 1)
     df = spark.createDataFrame(
