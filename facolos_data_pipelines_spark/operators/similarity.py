@@ -279,6 +279,51 @@ def ivf_train_lite(
     return [[float(x) for x in c] for c in C]
 
 
+def ivf_train_distributed(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iterations: int = 3,
+    seed: int = 42,
+    init_sample_fraction: float = 0.01,
+) -> list[list[float]]:
+    """Distributed k-means codebook trainer — the full-scale path the
+    bounded :func:`ivf_train_lite` stands in for.
+
+    Initialization draws k centroids from a tiny bounded sample; each
+    iteration then (1) assigns cells executor-side via the Arrow matmul
+    (:func:`ivf_assign`) and (2) updates centroids with ``dim``
+    per-element AVG aggregates — map-side partial aggregation means the
+    shuffle carries k x dim partials per task, and the driver only ever
+    holds the k x dim codebook. Nothing driver-side scales with the
+    corpus, so this trains on 100 TB as written (production would still
+    prefer MLlib KMeans for k-means++ init and convergence checks).
+    Empty cells keep their previous centroid.
+    """
+    import numpy as np
+
+    init = [
+        list(r[0])
+        for r in df.select(vec_col)
+        .sample(fraction=init_sample_fraction, seed=seed)
+        .limit(max(k * 8, 64))
+        .collect()
+    ]
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(len(init), size=min(k, len(init)), replace=False)
+    C = [init[i] for i in pick]
+    for _ in range(iterations):
+        assigned = ivf_assign(df, C, vec_col)
+        aggs = [
+            F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}") for i in range(dim)
+        ]
+        rows = assigned.groupBy("_cell").agg(*aggs).collect()
+        by_cell = {r["_cell"]: [r[f"c{i}"] for i in range(dim)] for r in rows}
+        C = [by_cell.get(j, C[j]) for j in range(len(C))]
+    return [[float(x) for x in c] for c in C]
+
+
 def topk_ivf(
     df: DataFrame,
     query: list[float],

@@ -41,6 +41,10 @@ class EndpointSpec:
     load_mode: str = "append"  # append (PK-rejected) | upsert
     order_col: str = "etl_updated_at"
     staging_table: str = field(default="")
+    # Upsert mode only: partition columns for the PARTITION-SCOPED merge
+    # (sources/io.upsert_parquet) — only touched partitions are read and
+    # rewritten per cycle. Values must be stable per primary key.
+    partition_by: list[str] | None = None
 
     def table(self) -> str:
         return self.staging_table or self.name
@@ -131,7 +135,14 @@ def run_incremental_cycle(
                 # upsert_parquet had already consumed it).
                 conformed = conformed.localCheckpoint(eager=True)
                 n = conformed.count()
-                upsert_parquet(spark, conformed, path, ep.primary_keys, ep.order_col)
+                upsert_parquet(
+                    spark,
+                    conformed,
+                    path,
+                    ep.primary_keys,
+                    ep.order_col,
+                    partition_by=ep.partition_by,
+                )
             else:
                 # append_with_pk_rejection checkpoints internally.
                 n = append_with_pk_rejection(spark, conformed, path, ep.primary_keys)
@@ -214,6 +225,7 @@ def run_backfill(
                     load_mode=ep.load_mode,
                     order_col=ep.order_col,
                     staging_table=ep.staging_table,
+                    partition_by=ep.partition_by,
                 )
                 for ep in endpoints
             ]

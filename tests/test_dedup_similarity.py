@@ -351,6 +351,22 @@ def test_embedding_near_dup_blocked_default_is_subset_of_exact(spark, sf_dir):
     assert again == set(blocked)
 
 
+def test_ivf_distributed_trainer_produces_working_codebook(spark, sf_dir):
+    """The distributed trainer (cell assignment + per-element AVG
+    aggregates, nothing driver-side proportional to the corpus) must
+    yield a codebook that topk_ivf can search: k rows out, the query's
+    own vector rank-1 when it's in the corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.ivf_train_distributed(
+        emb, k=4, dim=64, iterations=2, init_sample_fraction=1.0
+    )
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    probe = emb.select("embedding").first()["embedding"]
+    out = similarity.topk_ivf(emb, [float(x) for x in probe], cents, k=5, n_probe=2).collect()
+    assert len(out) == 5
+    assert out[0]["cosine"] == pytest.approx(1.0)  # self-match survives probing
+
+
 def test_knn_join_lsh_matches_bruteforce_on_real_vectors(spark, sf_dir):
     """The LSH-blocked k-NN join must return a bucket-local subset of
     the bruteforce result: every (query, neighbor) it reports must

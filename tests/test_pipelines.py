@@ -107,6 +107,29 @@ def test_cycle_upsert_executes_transform_once(spark, tmp_path):
         assert len(f.read()) == n  # one execution, not two
 
 
+def test_cycle_upsert_partition_scoped_layout(spark, tmp_path):
+    """EndpointSpec.partition_by flows through to the partition-scoped
+    merge: the staging table lands hive-partitioned and replays stay
+    idempotent."""
+    import os
+
+    root = str(tmp_path / "staging")
+    spec = EndpointSpec(
+        name="tiktok_orders",
+        extract=lambda s: s.createDataFrame(RAW_ORDERS, RAW_TIKTOK_ORDER_SCHEMA),
+        transform=lambda raw, batch_id: flatten_tiktok_orders(raw, batch_id),
+        primary_keys=["order_id", "item_id", "item_sku_id"],
+        load_mode="upsert",
+        partition_by=["order_status"],
+    )
+    run_incremental_cycle(spark, [spec], root, min_tables_with_data=1)
+    run_incremental_cycle(spark, [spec], root, min_tables_with_data=1)
+    table = f"{root}/tiktok_orders"
+    parts = {p for p in os.listdir(table) if p.startswith("order_status=")}
+    assert parts == {"order_status=COMPLETED", "order_status=UNPAID"}
+    assert spark.read.parquet(table).count() == 3  # replay did not duplicate
+
+
 def test_registry_schedules_and_advances_extract_time(spark, tmp_path):
     """data_sources registry contract: a not-yet-due endpoint is
     skipped (skipped_not_due), a due one runs, and last_extract_time
