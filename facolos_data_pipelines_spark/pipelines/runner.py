@@ -110,7 +110,9 @@ def run_incremental_cycle(
 
     due: set[str] | None = None
     registered: set[str] = set()
-    if registry_path is not None:
+    if registry_path is not None and table_exists(spark, registry_path):
+        # Missing registry table -> no scheduling constraint (everything
+        # runs), matching the unregistered-endpoint fallback below.
         from .registry import load_registry
 
         registered = {
