@@ -664,10 +664,11 @@ def q_minhash_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable 16-bit SimHash near-dedup survivor set
-    (dedup.simhash_dedup_md5): word-hash bit d = top bit of hex digit d
-    of md5(word), integer majority votes, nibble-pigeonhole blocking,
-    hamming <= 3 — all reproduced exactly by the DuckDB oracle."""
+    """Portable 60-bit SimHash near-dedup survivor set
+    (dedup.simhash_dedup_md5): word-hash bits = the nibbles of the
+    first 15 md5 hex digits, integer majority votes, 15-bit-block
+    pigeonhole blocking, hamming <= 3 — all reproduced exactly by the
+    DuckDB oracle."""
     from facolos_data_pipelines_spark.operators.dedup import simhash_dedup_md5
 
     docs = _t(spark, sf_dir, "documents")
@@ -1405,7 +1406,8 @@ def oracle_sql() -> dict[str, str]:
                            AS success
                 FROM events GROUP BY 1
             ), r AS (
-                SELECT *, ROW_NUMBER() OVER (ORDER BY started_at DESC) AS rn FROM m
+                SELECT *, ROW_NUMBER() OVER (ORDER BY started_at DESC, CAST(d AS VARCHAR) DESC) AS rn
+                FROM m
             )
             SELECT CAST(COUNT(*) AS BIGINT) AS cycles,
                    ROUND(AVG(duration_seconds), 3) AS avg_duration_seconds,
@@ -1427,14 +1429,16 @@ def oracle_sql() -> dict[str, str]:
                            < COUNT(*) AS success
                 FROM events GROUP BY 1
             ), r AS (
-                SELECT *, ROW_NUMBER() OVER (ORDER BY started_at DESC) AS rn FROM m
+                SELECT *, ROW_NUMBER() OVER (ORDER BY started_at DESC, CAST(d AS VARCHAR) DESC) AS rn
+                FROM m
             ), summ AS (
                 SELECT ROUND(SUM(CASE WHEN success THEN 1 ELSE 0 END) * 100.0
                              / COUNT(*), 2) AS success_rate_pct
                 FROM r WHERE rn <= 10
             ), iv AS (
                 SELECT floor(epoch(started_at))
-                       - floor(epoch(LAG(started_at) OVER (ORDER BY started_at ASC)))
+                       - floor(epoch(LAG(started_at) OVER (
+                             ORDER BY started_at ASC, CAST(d AS VARCHAR) ASC)))
                        AS iv_s
                 FROM r WHERE rn <= 5
                 QUALIFY iv_s IS NOT NULL

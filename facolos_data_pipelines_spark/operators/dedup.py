@@ -152,8 +152,11 @@ def word_shingles(text_col: str | Column, n: int = 3) -> Column:
 def minhash_signature(
     shingles: Column, num_hashes: int = 32, family: str = "multiply_add"
 ) -> Column:
-    """MinHash signature as a single column expression. Returns
-    array<long> of length num_hashes.
+    """MinHash signature as a single column expression. Returns an
+    array of length num_hashes — array<long> for the multiply_add /
+    xxhash families, array<string> (32-char md5 hex) for the portable
+    md5 family; a persisted signature store must pin ONE family and
+    its schema.
 
     ``family`` selects the hash family (see :data:`MINHASH_FAMILIES`);
     the default ``multiply_add`` (lane i = min of
@@ -922,7 +925,10 @@ def embedding_near_dup_pairs(
     ``max_bucket_size`` drops degenerate buckets (e.g. an all-near-zero
     signature hot spot) the same way lsh_candidate_pairs caps text LSH
     boilerplate buckets. ``dim`` is the embedding width for the plane
-    literals (defaults to 64, the synthetic table's width).
+    literals (defaults to 64, the synthetic table's width); a vector
+    whose width differs raises at run time — it would otherwise
+    silently zero every signature and collapse blocking into one
+    bucket (see hyperplane_signature).
 
     Zero-norm (all-zero) vectors have no defined cosine and are
     filtered out up front — they never appear in any pair.
@@ -961,7 +967,15 @@ def embedding_near_dup_pairs(
         )
     # Banded blocking: (id, band, sig) rows only — signatures on the RAW
     # vector (sign is scale-invariant; the oracle mirrors raw too).
-    sigs = banded_signatures(scaled, vec_col, id_col, num_planes, num_bands, dim, id_col)
+    # Eagerly materialized: the self-join references this frame twice
+    # (three times with the bucket cap), and the signature computation
+    # (num_bands x num_planes dot products per row) is the expensive
+    # subtree — same reasoning as minhash_dedup's persisted buckets.
+    # The checkpointed rows are only (id, band, sig) — id-width, never
+    # vectors.
+    sigs = banded_signatures(
+        scaled, vec_col, id_col, num_planes, num_bands, dim, id_col
+    ).localCheckpoint(eager=True)
     if max_bucket_size is not None:
         sizes = sigs.groupBy("band", "sig").agg(F.count("*").alias("_bsz"))
         sigs = (

@@ -53,13 +53,28 @@ def hyperplane_signature(
     plane_offset + i) so banded LSH (dedup.embedding_near_dup_pairs)
     gets independent planes per band. Planes are deterministic
     literals (seeded by index alone), so any engine can reproduce the
-    exact signature — the DuckDB oracle twin does."""
+    exact signature — the DuckDB oracle twin does.
+
+    The vector width MUST equal ``dim``: a mismatch is a run-time
+    error (raise_error), never a silent degradation — zip_with would
+    otherwise NULL-pad the dot, zero every signature, and collapse
+    all LSH blocking into one bucket (an O(n^2) join that still
+    "works" on small data and hangs at scale)."""
     d = dim or 64
+    width_ok = F.size(vec_col) == d
+    guard = F.raise_error(
+        F.concat(
+            F.lit(f"hyperplane_signature: vector width "),
+            F.size(vec_col).cast("string"),
+            F.lit(f" != dim {d}; pass the embedding's real dimension"),
+        )
+    ).cast("long")
     bits = [
         F.when(
-            dot_literal(vec_col, _seeded_plane(d, plane_offset + i)) > 0,
+            width_ok & (dot_literal(vec_col, _seeded_plane(d, plane_offset + i)) > 0),
             F.lit(1 << i).cast("long"),
         )
+        .when(~width_ok, guard)
         .otherwise(F.lit(0).cast("long"))
         for i in range(num_planes)
     ]
@@ -310,6 +325,21 @@ def ivf_train_distributed(
         .limit(max(k * 8, 64))
         .collect()
     ]
+    if not init:
+        raise ValueError(
+            "ivf_train_distributed: the init sample returned no rows — "
+            "empty input frame, or init_sample_fraction too small; raise it"
+        )
+    if len(init) < k:
+        import warnings
+
+        warnings.warn(
+            f"ivf_train_distributed: init sample has {len(init)} rows < k={k}; "
+            f"returning a {len(init)}-centroid codebook. Raise "
+            "init_sample_fraction for a full-size codebook.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     rng = np.random.default_rng(seed)
     pick = rng.choice(len(init), size=min(k, len(init)), replace=False)
     C = [init[i] for i in pick]
@@ -398,6 +428,7 @@ def knn_join_lsh(
     num_planes: int = 6,
     num_bands: int = 4,
     dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN join for LARGE query sides — the scale twin of
     :func:`knn_join_bruteforce`.
@@ -420,6 +451,17 @@ def knn_join_lsh(
 
     qs = banded_signatures(queries, q_vec, q_id, num_planes, num_bands, dim, "query_id")
     cs = banded_signatures(corpus, c_vec, c_id, num_planes, num_bands, dim, "neighbor_id")
+    if max_bucket_size is not None:
+        # Degenerate hot buckets (e.g. many near-zero vectors all
+        # landing on sig=0) would make the candidate join quadratic —
+        # cap on the corpus side, same guard as embedding_near_dup_pairs
+        # / lsh_candidate_pairs.
+        sizes = cs.groupBy("band", "sig").agg(F.count("*").alias("_bsz"))
+        cs = (
+            cs.join(sizes, ["band", "sig"])
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     cand = qs.join(cs, ["band", "sig"]).select("query_id", "neighbor_id").dropDuplicates()
     qv = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
     cv = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"))

@@ -43,7 +43,10 @@ class EndpointSpec:
     staging_table: str = field(default="")
     # Upsert mode only: partition columns for the PARTITION-SCOPED merge
     # (sources/io.upsert_parquet) — only touched partitions are read and
-    # rewritten per cycle. Values must be stable per primary key.
+    # rewritten per cycle. Values MUST be stable per primary key (a
+    # creation date/time qualifies; a mutable status column does NOT —
+    # the scoped merge would leave the key's old row in its old
+    # partition).
     partition_by: list[str] | None = None
 
     def table(self) -> str:
@@ -144,6 +147,7 @@ def run_incremental_cycle(
                     ep.primary_keys,
                     ep.order_col,
                     partition_by=ep.partition_by,
+                    incoming_materialized=True,
                 )
             else:
                 # append_with_pk_rejection checkpoints internally.

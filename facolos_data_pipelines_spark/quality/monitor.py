@@ -34,8 +34,12 @@ def cycle_summary(metrics: DataFrame, last_n: int = 10) -> DataFrame:
 
     "Last N" selection is ``orderBy().limit()`` — compiles to
     TakeOrderedAndProject (per-partition N-heaps), not the global
-    row_number window that moved the whole table to one partition."""
-    recent = metrics.orderBy(F.col("started_at").desc()).limit(last_n)
+    row_number window that moved the whole table to one partition.
+    cycle_id breaks started_at ties so the selected set (and every
+    stat over it) is deterministic under concurrent cycles."""
+    recent = metrics.orderBy(
+        F.col("started_at").desc(), F.col("cycle_id").desc()
+    ).limit(last_n)
     return recent.agg(
         F.count("*").cast("long").alias("cycles"),
         F.round(F.avg("duration_seconds"), 3).alias("avg_duration_seconds"),
@@ -147,10 +151,14 @@ def schedule_accuracy(
     math happens on whole unix seconds and divides by 60 ONCE after
     averaging, so an external SQL oracle reproduces it exactly.
     Fewer than 2 cycles -> n_intervals=0 and NULL accuracy (the
-    reference returns an error dict there)."""
+    reference returns an error dict there). cycle_id tie-breaks the
+    top-N cut AND the lag order, so tied timestamps can't flip the
+    interval set between runs."""
     from pyspark.sql import Window
 
-    recent = metrics.orderBy(F.col("started_at").desc()).limit(last_n)
+    recent = metrics.orderBy(
+        F.col("started_at").desc(), F.col("cycle_id").desc()
+    ).limit(last_n)
     w = Window.orderBy(F.col("started_at").asc(), F.col("cycle_id").asc())
     iv = recent.select(
         (

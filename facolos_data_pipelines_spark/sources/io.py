@@ -94,6 +94,7 @@ def upsert_parquet(
     keys: list[str],
     order_col: str = "etl_updated_at",
     partition_by: list[str] | None = None,
+    incoming_materialized: bool = False,
 ) -> None:
     """S11 MERGE upsert onto a parquet staging table.
 
@@ -138,8 +139,13 @@ def upsert_parquet(
         import operator
 
         # Touched-partition values: bounded by partitions-per-batch
-        # (metadata-scale), not rows — safe to collect.
-        incoming = incoming.localCheckpoint(eager=True)
+        # (metadata-scale), not rows — safe to collect. The incoming
+        # plan executes for the value collect AND inside the merge, so
+        # it is materialized once here — unless the caller already did
+        # (incoming_materialized, e.g. the cycle runner's checkpoint),
+        # in which case a second copy would just double block storage.
+        if not incoming_materialized:
+            incoming = incoming.localCheckpoint(eager=True)
         touched = incoming.select(*partition_by).dropDuplicates().collect()
         if not touched:
             return

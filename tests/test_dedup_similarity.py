@@ -260,8 +260,12 @@ def test_embedding_dedup_and_topk(spark):
         (4, [0.0, 0.0, 1.0, 0.0]),
     ]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    kept = {r["vec_id"] for r in dedup.embedding_dedup(emb, threshold=0.99).collect()}
+    kept = {r["vec_id"] for r in dedup.embedding_dedup(emb, threshold=0.99, dim=4).collect()}
     assert kept == {1, 3, 4}
+    # a wrong dim must raise at run time, never silently degrade to
+    # single-bucket (O(n^2)) blocking
+    with pytest.raises(Exception, match="vector width"):
+        dedup.embedding_near_dup_pairs(emb, threshold=0.99).collect()
 
     top = similarity.topk_bruteforce(emb, [1.0, 0.0, 0.0, 0.0], k=2).collect()
     assert [r["vec_id"] for r in top] == [1, 2]
@@ -287,9 +291,9 @@ def test_zero_norm_vectors_never_pair_or_top_rank(spark):
     ]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
 
-    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.5).collect()
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.5, dim=2).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
-    kept = {r["vec_id"] for r in dedup.embedding_dedup(emb, threshold=0.5).collect()}
+    kept = {r["vec_id"] for r in dedup.embedding_dedup(emb, threshold=0.5, dim=2).collect()}
     assert kept == {1, 3}  # zero vector survives: it pairs with nothing
 
     cos = emb.select(

@@ -110,7 +110,10 @@ def test_cycle_upsert_executes_transform_once(spark, tmp_path):
 def test_cycle_upsert_partition_scoped_layout(spark, tmp_path):
     """EndpointSpec.partition_by flows through to the partition-scoped
     merge: the staging table lands hive-partitioned and replays stay
-    idempotent."""
+    idempotent. The partition column must be KEY-STABLE (the scoped
+    merge never looks outside the incoming batch's partitions):
+    create_time qualifies — order_status, which changes per key across
+    cycles, would leave stale rows behind and must not be used."""
     import os
 
     root = str(tmp_path / "staging")
@@ -120,13 +123,13 @@ def test_cycle_upsert_partition_scoped_layout(spark, tmp_path):
         transform=lambda raw, batch_id: flatten_tiktok_orders(raw, batch_id),
         primary_keys=["order_id", "item_id", "item_sku_id"],
         load_mode="upsert",
-        partition_by=["order_status"],
+        partition_by=["create_time"],
     )
     run_incremental_cycle(spark, [spec], root, min_tables_with_data=1)
     run_incremental_cycle(spark, [spec], root, min_tables_with_data=1)
     table = f"{root}/tiktok_orders"
-    parts = {p for p in os.listdir(table) if p.startswith("order_status=")}
-    assert parts == {"order_status=COMPLETED", "order_status=UNPAID"}
+    parts = {p for p in os.listdir(table) if p.startswith("create_time=")}
+    assert parts == {"create_time=1700000000", "create_time=1700000100"}
     assert spark.read.parquet(table).count() == 3  # replay did not duplicate
 
 
