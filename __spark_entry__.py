@@ -814,6 +814,38 @@ def q_cycle_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cycle_summary(metrics, last_n=10)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (operators.text.chunk_documents): 64-token
+    chunks with 8-token overlap — integer window arithmetic over
+    whitespace tokens, exactly reproducible in SQL."""
+    from facolos_data_pipelines_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=8)
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators.text.redact_pii) over documents with
+    deterministic synthetic PII appended (email + ipv4 derived from
+    doc_id) — RE2-compatible patterns, so counts and the redacted text
+    are byte-identical across engines."""
+    from facolos_data_pipelines_spark.operators.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    out = redact_pii(seeded)
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone", "clean_text")
+
+
 def q_schedule_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production health report (quality.monitor.production_health):
     schedule accuracy over daily event-derived cycles vs a 1440-minute
@@ -976,6 +1008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+        "chunk_documents": q_chunk_documents,
+        "pii_redaction": q_pii_redaction,
         "knn_join": q_knn_join,
         "knn_join_lsh": q_knn_join_lsh,
         "minhash_dedup_portable": q_minhash_dedup_portable,
@@ -1060,6 +1094,34 @@ def _simhash_fp_sql() -> str:
     return "\n                     + ".join(
         f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(60)
     )
+
+
+def _pii_oracle_sql() -> str:
+    """PII-redaction twin: the same RE2-compatible patterns from
+    text.PII_PATTERNS, applied in the same order; counts via
+    regexp_extract_all on the original (seeded) text."""
+    from facolos_data_pipelines_spark.operators.text import PII_PATTERNS
+
+    count_cols = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(s, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS
+    )
+    clean = "s"
+    for _name, pat in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '[REDACTED]', 'g')"
+    return f"""
+            WITH seeded AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or 10.0.0.'
+                            || CAST(doc_id % 256 AS VARCHAR) AS s
+                FROM documents
+            )
+            SELECT doc_id,
+                   {count_cols},
+                   {clean} AS clean_text
+            FROM seeded
+        """
 
 
 def _stopwords_values_sql() -> str:
@@ -1416,6 +1478,28 @@ def oracle_sql() -> dict[str, str]:
                        AS success_rate_pct
             FROM r WHERE rn <= 10
         """,
+        "chunk_documents": r"""
+            -- mirrors text.chunk_documents: whitespace tokens, stride
+            -- 56 = 64 - 8, ceil((n-8)/56.0) chunks (min 1), slice windows
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                FROM documents
+            ), c AS (
+                SELECT doc_id, t,
+                       unnest(range(0, greatest(
+                           CAST(ceil((len(t) - 8) / 56.0) AS INT), 1))) AS chunk_id
+                FROM w WHERE len(t) > 0
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS INT) AS chunk_id,
+                   array_to_string(list_slice(t, chunk_id * 56 + 1, chunk_id * 56 + 64), ' ')
+                       AS chunk_text,
+                   CAST(len(list_slice(t, chunk_id * 56 + 1, chunk_id * 56 + 64)) AS BIGINT)
+                       AS n_tokens
+            FROM c
+        """,
+        "pii_redaction": _pii_oracle_sql(),
         "schedule_health": """
             -- mirrors monitor.production_health: daily cycles from
             -- events, last-5 start intervals on whole unix seconds

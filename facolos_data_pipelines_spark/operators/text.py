@@ -225,3 +225,94 @@ def fingerprint_md5(
     return out.withColumn(
         "fp_rolling_min", F.coalesce(F.col("fp_rolling_min"), F.md5(F.lit("")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking + PII redaction (training-data preparation)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window preparation step of an LLM training pipeline.
+
+    Whitespace tokens; chunk c covers tokens [c*stride, c*stride +
+    chunk_tokens) with stride = chunk_tokens - overlap; the number of
+    chunks is ceil((n - overlap) / stride) (min 1), so every token is
+    covered and consecutive chunks share ``overlap`` tokens. Documents
+    with no tokens emit no chunks.
+
+    Output: (id_col, chunk_id, chunk_text, n_tokens). Pure narrow
+    Spark (split + sequence + explode + slice): no shuffle, no UDF —
+    chunking 100 TB is map-side work. All arithmetic is integer/double
+    ops an external SQL oracle reproduces exactly.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap={overlap} must be smaller than chunk_tokens={chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    num_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(float(stride))).cast("int"), F.lit(1)
+    )
+    base = df.select(F.col(id_col), toks.alias("_t"), num_chunks.alias("_nc")).filter(
+        F.size("_t") > 0
+    )
+    exploded = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+        "_t",
+    )
+    piece = F.slice(F.col("_t"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+#: PII patterns applied in order by redact_pii. Deliberately limited to
+#: RE2-compatible syntax (no lookaround, no backrefs) so external
+#: engines (DuckDB/Trino/Go) reproduce the redaction byte-for-byte.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    replacement: str = "[REDACTED]",
+    out_col: str = "clean_text",
+    with_counts: bool = True,
+) -> DataFrame:
+    """Scrub common PII (emails, IPv4 addresses, phone-like digit runs)
+    from a text column — standard hygiene before training-data release.
+
+    Patterns apply in PII_PATTERNS order (email before phone, so a
+    phone-like digit run inside an address local-part is already gone).
+    ``with_counts`` adds an ``n_<name>`` column per pattern counting
+    matches in the ORIGINAL text. Narrow per-row regexp work, zero
+    shuffle; counts and replacement are reproducible in any RE2-style
+    engine.
+    """
+    out = df
+    if with_counts:
+        for name, pat in PII_PATTERNS:
+            out = out.withColumn(
+                f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+            )
+    clean = F.col(text_col)
+    for _name, pat in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, replacement)
+    return out.withColumn(out_col, clean)

@@ -355,6 +355,47 @@ def test_embedding_near_dup_blocked_default_is_subset_of_exact(spark, sf_dir):
     assert again == set(blocked)
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    toks = " ".join(f"t{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, toks), (2, "only three tokens"), (3, ""), (4, "   ")],
+        ["doc_id", "text"],
+    )
+    out = text.chunk_documents(df, chunk_tokens=10, overlap=2)
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"], r["chunk_id"]))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 30 tokens, stride 8 -> ceil((30-2)/8) = 4 chunks; last one short
+    assert [r["chunk_id"] for r in by_doc[1]] == [0, 1, 2, 3]
+    assert by_doc[1][0]["chunk_text"].split() == [f"t{i}" for i in range(10)]
+    assert by_doc[1][1]["chunk_text"].split()[0] == "t8"  # 2-token overlap
+    assert by_doc[1][3]["n_tokens"] == 6  # 30 - 3*8 = 6 tail tokens
+    # short doc -> exactly one whole-doc chunk; empty docs emit nothing
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "only three tokens"
+    assert 3 not in by_doc and 4 not in by_doc
+    with pytest.raises(ValueError, match="overlap"):
+        text.chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org today"),
+            (2, "server 192.168.0.17 answered"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and "@" not in out[1]["clean_text"]
+    assert out[2]["n_ipv4"] == 1 and "192.168" not in out[2]["clean_text"]
+    assert out[3]["n_phone"] == 1 and "4567" not in out[3]["clean_text"]
+    assert out[4]["clean_text"] == "nothing sensitive here"
+    assert all(out[i]["clean_text"].count("[REDACTED]") == 1 for i in (1, 2, 3))
+
+
 def test_ivf_distributed_trainer_produces_working_codebook(spark, sf_dir):
     """The distributed trainer (cell assignment + per-element AVG
     aggregates, nothing driver-side proportional to the corpus) must
