@@ -814,6 +814,27 @@ def q_cycle_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cycle_summary(metrics, last_n=10)
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment
+    (operators.sampling.hash_split): md5-bucketed id hash, portable
+    across engines — the DuckDB twin recomputes the identical buckets
+    digit-by-digit."""
+    from facolos_data_pipelines_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs).select("doc_id", "split")
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sampling
+    (operators.sampling.sample_per_group): 20 docs per language by
+    md5-rank — portable reservoir-sampling stand-in."""
+    from facolos_data_pipelines_spark.operators.sampling import sample_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_per_group(docs, "lang", k=20).select("doc_id", "lang")
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (operators.text.chunk_documents): 64-token
     chunks with 8-token overlap — integer window arithmetic over
@@ -1010,6 +1031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "chunk_documents": q_chunk_documents,
         "pii_redaction": q_pii_redaction,
+        "dataset_split": q_dataset_split,
+        "sample_per_group": q_sample_per_group,
         "knn_join": q_knn_join,
         "knn_join_lsh": q_knn_join_lsh,
         "minhash_dedup_portable": q_minhash_dedup_portable,
@@ -1094,6 +1117,33 @@ def _simhash_fp_sql() -> str:
     return "\n                     + ".join(
         f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(60)
     )
+
+
+def _split_oracle_sql() -> str:
+    """hash_split twin: the 32-bit md5 bucket rebuilt digit-by-digit
+    (DuckDB has no hex->int conv), with the SAME cumulative-float
+    boundaries the Spark expression uses (repr-exact literals)."""
+    value = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1) * {16 ** (7 - d)}"
+        for d in range(8)
+    )
+    splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(splits)
+    cases = []
+    cumulative = 0.0
+    for name in names[:-1]:
+        cumulative += splits[name]
+        cases.append(f"WHEN frac < {cumulative!r} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"""
+            WITH h8 AS (
+                SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ), f AS (
+                SELECT doc_id, ({value}) / 4294967296.0 AS frac FROM h8
+            )
+            SELECT doc_id, {case} AS split FROM f
+        """
 
 
 def _pii_oracle_sql() -> str:
@@ -1500,6 +1550,19 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "dataset_split": _split_oracle_sql(),
+        "sample_per_group": """
+            -- mirrors sampling.sample_per_group: md5-rank within lang,
+            -- doc_id tiebreak, k=20
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)) ASC,
+                                    doc_id ASC) AS rn
+                FROM documents
+            ) WHERE rn <= 20
+        """,
         "schedule_health": """
             -- mirrors monitor.production_health: daily cycles from
             -- events, last-5 start intervals on whole unix seconds

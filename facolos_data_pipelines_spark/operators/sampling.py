@@ -1,0 +1,96 @@
+"""Dataset sampling / splitting for training-data pipelines.
+
+Three tools with different determinism contracts:
+
+- :func:`hash_split` — train/val/test assignment from a hash of the row
+  id. PORTABLE determinism: md5-derived bucket, so the same row lands
+  in the same split in any engine, any run, any cluster size — the
+  property training pipelines actually need (re-runs must not leak val
+  rows into train). Narrow per-row work, zero shuffle.
+- :func:`sample_per_group` — keep k rows per group, chosen by md5-rank.
+  Deterministic and portable like hash_split; the per-group window
+  shuffles once on the group key.
+- :func:`stratified_sample` — thin wrapper over Spark's ``sampleBy``
+  (per-stratum Bernoulli). Deterministic only within Spark for a fixed
+  seed and partitioning; use for exploratory downsampling, not for
+  split assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HASH_DENOM = float(1 << 32)
+
+
+def _hash_fraction(id_col: str, salt: str):
+    """Uniform [0,1) fraction from the first 8 hex digits of
+    md5(salt ':' id) — 32 bits, reproducible in any engine with md5."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_HASH_DENOM)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hashed id.
+
+    ``splits`` maps name -> weight (must sum to ~1); boundaries are
+    cumulative weights over the [0,1) hash fraction, assigned in the
+    dict's iteration order. Changing ``salt`` re-deals the assignment;
+    keeping it fixed makes the split stable across re-runs and engines
+    (md5 is the contract, like the portable dedup families).
+    """
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1 (got {total})")
+    frac = _hash_fraction(id_col, salt)
+    expr = None
+    cumulative = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cumulative += splits[name]
+        cond = frac < F.lit(cumulative)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep the k rows per group with the smallest md5(salt ':' id) —
+    a deterministic, portable stand-in for per-group reservoir
+    sampling (uniform because md5 is uniform over ids). One shuffle on
+    the group key; ties cannot occur (distinct ids hash distinctly
+    modulo md5 collisions)."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (Spark ``sampleBy``). Spark-internal
+    determinism only (fixed seed + partitioning) — use hash_split /
+    sample_per_group when the selection must be reproducible outside
+    Spark."""
+    return df.sampleBy(strata_col, fractions, seed)

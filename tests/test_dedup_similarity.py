@@ -355,6 +355,38 @@ def test_embedding_near_dup_blocked_default_is_subset_of_exact(spark, sf_dir):
     assert again == set(blocked)
 
 
+def test_hash_split_and_sample_per_group(spark, sf_dir):
+    from facolos_data_pipelines_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    split1 = {r["doc_id"]: r["split"] for r in sampling.hash_split(docs).collect()}
+    split2 = {r["doc_id"]: r["split"] for r in sampling.hash_split(docs).collect()}
+    assert split1 == split2  # stable across runs
+    shares = {s: sum(1 for v in split1.values() if v == s) / n for s in set(split1.values())}
+    assert 0.8 < shares["train"] < 0.97  # ~0.9 with 500-doc noise
+    assert set(shares) == {"train", "val", "test"}
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.hash_split(docs, splits={"a": 0.5, "b": 0.2})
+
+    sampled = sampling.sample_per_group(docs, "lang", k=7).collect()
+    per_group = {}
+    for r in sampled:
+        per_group[r["lang"]] = per_group.get(r["lang"], 0) + 1
+    assert all(v <= 7 for v in per_group.values())
+    again = {r["doc_id"] for r in sampling.sample_per_group(docs, "lang", k=7).collect()}
+    assert again == {r["doc_id"] for r in sampled}  # deterministic
+    # different salt re-deals the selection
+    other = {
+        r["doc_id"]
+        for r in sampling.sample_per_group(docs, "lang", k=7, salt="other").collect()
+    }
+    assert other != again
+
+    strat = sampling.stratified_sample(docs, "lang", {r["lang"]: 0.2 for r in docs.select("lang").distinct().collect()})
+    assert 0 < strat.count() < n
+
+
 def test_chunk_documents_windows_and_overlap(spark):
     toks = " ".join(f"t{i}" for i in range(30))
     df = spark.createDataFrame(
