@@ -4,6 +4,7 @@ from . import (
     incremental,
     merge,
     multimodal,
+    sampling,
     similarity,
     skew,
     text,
@@ -15,6 +16,7 @@ __all__ = [
     "incremental",
     "merge",
     "multimodal",
+    "sampling",
     "similarity",
     "skew",
     "text",
