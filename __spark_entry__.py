@@ -814,6 +814,17 @@ def q_cycle_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cycle_summary(metrics, last_n=10)
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile (quality.checks.column_profile): counts,
+    nulls, exact distincts, min/max and exact interpolated quartiles —
+    DuckDB's quantile_cont shares the percentile definition, so values
+    hash-match under the rounding convention."""
+    from facolos_data_pipelines_spark.quality.checks import column_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    return column_profile(orders, ["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment
     (operators.sampling.hash_split): md5-bucketed id hash, portable
@@ -1033,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "dataset_split": q_dataset_split,
         "sample_per_group": q_sample_per_group,
+        "column_profile": q_column_profile,
         "knn_join": q_knn_join,
         "knn_join_lsh": q_knn_join_lsh,
         "minhash_dedup_portable": q_minhash_dedup_portable,
@@ -1550,6 +1562,39 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "column_profile": """
+            -- mirrors quality.checks.column_profile: one row per column,
+            -- exact interpolated quartiles (quantile_cont == percentile)
+            SELECT 'o_orderkey' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                   MIN(CAST(o_orderkey AS DOUBLE)) AS min_value,
+                   MAX(CAST(o_orderkey AS DOUBLE)) AS max_value,
+                   ROUND(quantile_cont(CAST(o_orderkey AS DOUBLE), 0.25) + 1e-9, 4) AS p25,
+                   ROUND(quantile_cont(CAST(o_orderkey AS DOUBLE), 0.5) + 1e-9, 4) AS p50,
+                   ROUND(quantile_cont(CAST(o_orderkey AS DOUBLE), 0.75) + 1e-9, 4) AS p75
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+                   MIN(CAST(o_totalprice AS DOUBLE)),
+                   MAX(CAST(o_totalprice AS DOUBLE)),
+                   ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) + 1e-9, 4),
+                   ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) + 1e-9, 4),
+                   ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) + 1e-9, 4)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM orders
+        """,
         "dataset_split": _split_oracle_sql(),
         "sample_per_group": """
             -- mirrors sampling.sample_per_group: md5-rank within lang,

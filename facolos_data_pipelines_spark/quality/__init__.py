@@ -1,4 +1,5 @@
 from .checks import (
+    column_profile,
     flatten_invariants,
     multi_table_summary,
     quality_gate,
@@ -17,6 +18,7 @@ from .monitor import (
 
 __all__ = [
     "table_stats",
+    "column_profile",
     "multi_table_summary",
     "flatten_invariants",
     "validate_pre_load",

@@ -37,6 +37,57 @@ def table_stats(
     return df.agg(*aggs)
 
 
+_NUMERIC_TYPES = (
+    "tinyint", "smallint", "int", "integer", "bigint", "long",
+    "float", "double", "decimal",
+)
+
+
+def column_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column data profile: one row per column with
+    (column_name, n_rows, n_null, n_distinct, min_value, max_value,
+    p25, p50, p75). Numeric stats are NULL for non-numeric columns;
+    percentiles are the exact interpolated definition (``percentile``),
+    so an external engine's quantile_cont reproduces them.
+
+    Each column profiles in ONE aggregation pass (map-side partials),
+    rows stacked with unionByName — k columns cost k scans but zero
+    joins. At 100 TB set ``exact_distinct=False``: COUNT(DISTINCT) is
+    the only stat here that needs a full shuffle of values, and the
+    HLL approximation avoids it.
+    """
+    cols = columns or df.columns
+    distinct_fn = F.countDistinct if exact_distinct else F.approx_count_distinct
+    pieces = []
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        numeric = any(dt.startswith(t) for t in _NUMERIC_TYPES)
+        num = F.col(c).cast("double") if numeric else F.lit(None).cast("double")
+        pieces.append(
+            df.agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null"),
+                distinct_fn(F.col(c)).cast("long").alias("n_distinct"),
+                F.min(num).alias("min_value"),
+                F.max(num).alias("max_value"),
+                *[
+                    F.round(F.percentile(num, F.lit(p / 100)) + 1e-9, 4).alias(f"p{p}")
+                    for p in (25, 50, 75)
+                ],
+            ).select(F.lit(c).alias("column_name"), "*")
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def rows_last_hours(df: DataFrame, ts_col: str, hours: int = 24) -> DataFrame:
     """A5 — time-windowed conditional count
     (misa_crm_loader.py:357-362)."""

@@ -96,3 +96,26 @@ def test_simple_filters(spark):
     assert status_filter(df, "order_status", None).count() == 3
     assert not_null_filter(df, "order_status").count() == 2
     assert negative_count(df, "value").first()["negative_rows"] == 1
+
+
+def test_column_profile_numeric_and_string(spark):
+    from facolos_data_pipelines_spark.quality import column_profile
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, None), (4, None, "a")],
+        ["k", "v", "s"],
+    )
+    out = {r["column_name"]: r for r in column_profile(df).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_null"] == 0
+    assert out["k"]["n_distinct"] == 4
+    assert out["k"]["min_value"] == 1.0 and out["k"]["max_value"] == 4.0
+    assert out["k"]["p50"] == 2.5  # exact interpolated median of 1,2,3,4
+    assert out["v"]["n_null"] == 1 and out["v"]["p50"] == 20.0
+    # string column: distinct/null real, numeric stats NULL
+    assert out["s"]["n_distinct"] == 2 and out["s"]["n_null"] == 1
+    assert out["s"]["min_value"] is None and out["s"]["p25"] is None
+    # approx mode still returns a sane distinct count
+    approx = {
+        r["column_name"]: r for r in column_profile(df, exact_distinct=False).collect()
+    }
+    assert approx["k"]["n_distinct"] >= 3
