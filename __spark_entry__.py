@@ -814,6 +814,21 @@ def q_cycle_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cycle_summary(metrics, last_n=10)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (text.repetition_stats):
+    duplicate-line fraction + top-bigram fraction — integer counts with
+    one final division, exactly reproducible in SQL."""
+    from facolos_data_pipelines_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        F.round(F.col("dup_line_frac") + 1e-9, 4).alias("dup_line_frac"),
+        F.round(F.col("top_bigram_frac") + 1e-9, 4).alias("top_bigram_frac"),
+    )
+
+
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data profile (quality.checks.column_profile): counts,
     nulls, exact distincts, min/max and exact interpolated quartiles —
@@ -1045,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "sample_per_group": q_sample_per_group,
         "column_profile": q_column_profile,
+        "repetition_stats": q_repetition_stats,
         "knn_join": q_knn_join,
         "knn_join_lsh": q_knn_join_lsh,
         "minhash_dedup_portable": q_minhash_dedup_portable,
@@ -1562,6 +1578,40 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "repetition_stats": r"""
+            -- mirrors text.repetition_stats: non-empty lines for the
+            -- dup fraction, word bigrams counted per doc for the top
+            -- fraction; integer counts, one division, same rounding
+            WITH l AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+                FROM documents
+            ), base AS (
+                SELECT doc_id,
+                       CASE WHEN len(lines) > 0
+                            THEN 1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE)
+                       END AS dup_line_frac
+                FROM l
+            ), w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest([words[i] || ' ' || words[i + 1]
+                               for i in range(1, greatest(len(words), 1))]) AS gram
+                FROM w WHERE len(words) >= 2
+            ), c AS (
+                SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+            ), t AS (
+                SELECT doc_id, MAX(cnt) AS top, SUM(cnt) AS total FROM c GROUP BY 1
+            )
+            SELECT base.doc_id,
+                   ROUND(base.dup_line_frac + 1e-9, 4) AS dup_line_frac,
+                   ROUND(CAST(t.top AS DOUBLE) / t.total + 1e-9, 4) AS top_bigram_frac
+            FROM base LEFT JOIN t ON t.doc_id = base.doc_id
+        """,
         "column_profile": """
             -- mirrors quality.checks.column_profile: one row per column,
             -- exact interpolated quartiles (quantile_cont == percentile)

@@ -316,3 +316,49 @@ def redact_pii(
     for _name, pat in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, replacement)
     return out.withColumn(out_col, clean)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``dup_line_frac``: 1 - distinct/total over non-empty lines
+      (boilerplate pages repeat nav/footer lines) — narrow per-row
+      array work, zero shuffle.
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over total bigrams (n_words - 1) — spam/keyword-stuffed docs
+      score high. One explode + count + max, a single shuffle on
+      (id, gram) with map-side partial counts.
+
+    NULL when the document has no lines / fewer than 2 words (nothing
+    to measure). All-integer counts with one final division, so an
+    external SQL oracle reproduces the values exactly.
+    """
+    lines = F.filter(F.split(F.col(text_col), r"\n"), lambda x: x != "")
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+    )
+    base = df.select(F.col(id_col), dup_line_frac.alias("dup_line_frac"))
+
+    w = df.select(
+        F.col(id_col), F.posexplode(normalized_words(text_col)).alias("_pos", "_w")
+    )
+    win = Window.partitionBy(id_col).orderBy("_pos")
+    grams = (
+        w.select(id_col, "_pos", "_w", F.lead("_w", 1).over(win).alias("_w1"))
+        .filter(F.col("_w1").isNotNull())
+        .select(id_col, F.concat_ws(" ", "_w", "_w1").alias("_g"))
+    )
+    counts = grams.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+    top = counts.groupBy(id_col).agg(
+        F.max("_c").alias("_top"), F.sum("_c").alias("_total")
+    )
+    joined = base.join(top, id_col, "left")
+    return joined.select(
+        id_col,
+        "dup_line_frac",
+        (F.col("_top").cast("double") / F.col("_total")).alias("top_bigram_frac"),
+    )

@@ -639,3 +639,22 @@ def test_ivf_topk_finds_exact_neighbors(spark):
     assigned = similarity.ivf_assign(emb, centroids)
     cells = assigned.select("_cell").distinct().count()
     assert 2 <= cells <= 4  # corpus actually spread over cells
+
+
+def test_repetition_stats_flags_repeated_content(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "same line\nsame line\nsame line\nother line"),
+            (2, "buy now buy now buy now buy now"),
+            (3, "a perfectly normal sentence with varied words"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert out[1]["dup_line_frac"] == pytest.approx(0.5)  # 2 distinct of 4
+    # "buy now" appears 4x of 7 bigrams
+    assert out[2]["top_bigram_frac"] == pytest.approx(4 / 7)
+    assert out[3]["dup_line_frac"] == pytest.approx(0.0)
+    assert out[3]["top_bigram_frac"] == pytest.approx(1 / 6)  # all unique bigrams
+    assert out[4]["dup_line_frac"] is None and out[4]["top_bigram_frac"] is None
