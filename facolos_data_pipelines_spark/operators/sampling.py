@@ -24,10 +24,17 @@ from pyspark.sql import functions as F
 _HASH_DENOM = float(1 << 32)
 
 
+def _salted_md5(id_col: str, salt: str):
+    """md5(salt ':' id) — THE portability contract both split and
+    sample share with their external-oracle twins; change it in one
+    place only."""
+    return F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+
+
 def _hash_fraction(id_col: str, salt: str):
     """Uniform [0,1) fraction from the first 8 hex digits of
     md5(salt ':' id) — 32 bits, reproducible in any engine with md5."""
-    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    h = _salted_md5(id_col, salt)
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_HASH_DENOM)
 
 
@@ -74,7 +81,7 @@ def sample_per_group(
     sampling (uniform because md5 is uniform over ids). One shuffle on
     the group key; ties cannot occur (distinct ids hash distinctly
     modulo md5 collisions)."""
-    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    h = _salted_md5(id_col, salt)
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("_rn", F.row_number().over(w))

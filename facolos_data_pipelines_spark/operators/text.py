@@ -319,7 +319,10 @@ def redact_pii(
 
 
 def repetition_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    validate_ids: bool = False,
 ) -> DataFrame:
     """Gopher-style repetition signals per document:
 
@@ -334,7 +337,14 @@ def repetition_stats(
     NULL when the document has no lines / fewer than 2 words (nothing
     to measure). All-integer counts with one final division, so an
     external SQL oracle reproduces the values exactly.
-    """
+
+    PRECONDITION (same as :func:`fingerprint`): ``id_col`` must be
+    unique and non-null — duplicate ids would interleave two documents
+    in the per-id bigram window nondeterministically and fan out the
+    profile join. ``validate_ids=True`` enforces it with an extra
+    aggregate pass."""
+    if validate_ids:
+        _require_unique_ids(df, id_col, "repetition_stats")
     lines = F.filter(F.split(F.col(text_col), r"\n"), lambda x: x != "")
     n_lines = F.size(lines)
     dup_line_frac = F.when(
