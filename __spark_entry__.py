@@ -1007,6 +1007,101 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators.events.session_stats): one
+    window pass per user (lag + running sum sharing a single Window
+    node, one shuffle), then a partition-compatible per-session rollup.
+    30-minute gap over the events table; durations are exact integer
+    milliseconds so the SQL twin hash-matches."""
+    from facolos_data_pipelines_spark.operators.events import session_stats
+
+    events = _t(spark, sf_dir, "events")
+    out = session_stats(
+        events, "user_id", "ts", gap_minutes=30, tiebreak_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "duration_ms",
+        F.round(F.col("total_value") + 1e-6, 2).alias("total_value"),
+    )
+
+
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators.events.asof_join): each purchase
+    event gains the user's most recent click at-or-before it. Merge
+    formulation — union + last-ignore-nulls over one user_id shuffle,
+    not a range join — checked against DuckDB's native ASOF JOIN."""
+    from facolos_data_pipelines_spark.operators.events import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    out = asof_join(
+        purchases, clicks, "user_id", "ts", ["click_event_id"], suffix="_click"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts_click").alias("click_ts"),
+        F.col("click_event_id_click").alias("click_event_id"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.text.decontaminate): count
+    distinct 3-gram shingles shared with a held-out benchmark slice
+    (doc_id % 50 == 0) and flag overlapping training docs. The
+    benchmark gram set broadcasts; the corpus is scanned once."""
+    from facolos_data_pipelines_spark.operators.text import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, bench, n=3)
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-k bigrams (operators.text.top_ngrams): explode +
+    partial-agg count + TakeOrderedAndProject top-20, ties broken on
+    the gram string."""
+    from facolos_data_pipelines_spark.operators.text import top_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=2, k=20)
+
+
+def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (similarity.assign_nearest_centroid)
+    with deterministic centroids (the 8 lowest vec_ids) — the
+    oracle-certified JVM twin of the Arrow ivf_assign path: broadcast
+    centroids, zip_with/aggregate squared L2 in index order, argmin via
+    min(struct(dist, cid)). No shuffle wider than the final id agg."""
+    from facolos_data_pipelines_spark.operators.similarity import (
+        assign_nearest_centroid,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("centroid")
+    )
+    out = assign_nearest_centroid(emb, cents)
+    return out.select(
+        "vec_id",
+        "cluster_id",
+        F.round(F.col("sq_dist") + 1e-6, 4).alias("sq_dist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_sales_summary": q_daily_sales_summary,
@@ -1065,6 +1160,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_lsh": q_knn_join_lsh,
         "minhash_dedup_portable": q_minhash_dedup_portable,
         "simhash_dedup_portable": q_simhash_dedup_portable,
+        "sessionization": q_sessionization,
+        "asof_join_events": q_asof_join_events,
+        "decontaminate": q_decontaminate,
+        "top_ngrams": q_top_ngrams,
+        "cluster_assign": q_cluster_assign,
         # rows-only (no ANSI-SQL oracle):
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
@@ -1966,5 +2066,104 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, n_tokens, fp_content FROM f
             QUALIFY ROW_NUMBER() OVER (PARTITION BY fp_content ORDER BY doc_id ASC) = 1
+        """,
+        "sessionization": """
+            -- events.session_stats twin: lag/cumsum session assignment
+            -- (new session when gap > 30 min), integer-ms durations
+            WITH s AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), t AS (
+                SELECT user_id, ts, value,
+                       SUM(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS session_idx
+                FROM s
+            )
+            SELECT user_id,
+                   CAST(session_idx AS BIGINT) AS session_idx,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS BIGINT) AS duration_ms,
+                   ROUND((SUM(value)) + 1e-6, 2) AS total_value
+            FROM t GROUP BY user_id, session_idx
+        """,
+        "asof_join_events": """
+            -- events.asof_join twin via DuckDB's native ASOF JOIN:
+            -- greatest click ts at-or-before each purchase, per user
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   r.ts AS click_ts, r.event_id AS click_event_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "decontaminate": r"""
+            -- text.decontaminate twin: distinct 3-gram shingles (same
+            -- short-doc fallback as word_shingles), benchmark slice
+            -- doc_id % 50 == 0, per-training-doc overlap counts
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    list_filter([array_to_string(list_slice(words, i, i + 2), ' ')
+                                 for i in range(1, greatest(len(words) - 2, 1) + 1)],
+                                x -> x <> ''))) AS sh
+                FROM w
+            ), bench AS (
+                SELECT DISTINCT sh FROM g WHERE doc_id % 50 = 0
+            ), hits AS (
+                SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+                FROM g JOIN bench USING (sh)
+                WHERE g.doc_id % 50 <> 0
+                GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n_overlap, 0) AS n_overlap,
+                   COALESCE(h.n_overlap, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 50 <> 0
+        """,
+        "top_ngrams": r"""
+            -- text.top_ngrams twin: non-distinct bigrams, global top-20
+            -- with (count desc, gram asc) deterministic ordering
+            WITH w AS (
+                SELECT list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), g AS (
+                SELECT unnest([array_to_string(list_slice(words, i, i + 1), ' ')
+                               for i in range(1, len(words))]) AS ngram
+                FROM w WHERE len(words) >= 2
+            )
+            SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM g GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
+        """,
+        "cluster_assign": """
+            -- similarity.assign_nearest_centroid twin: same centroid
+            -- choice (vec_id < 8), squared L2 summed in index order,
+            -- argmin with (dist, cluster_id) tie-break
+            WITH c AS (
+                SELECT vec_id AS cluster_id, embedding AS centroid
+                FROM embeddings WHERE vec_id < 8
+            ), d AS (
+                SELECT e.vec_id, c.cluster_id,
+                       list_sum(list_transform(range(1, 65),
+                           i -> (e.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE)
+                              * (e.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE))) AS dist
+                FROM embeddings e CROSS JOIN c
+            )
+            SELECT vec_id, cluster_id, ROUND(dist + 1e-6, 4) AS sq_dist FROM d
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist ASC, cluster_id ASC) = 1
         """,
     }

@@ -54,6 +54,10 @@ HEADLINE = [
     "cycle_metrics",
     "corpus_clean",
     "language_id",
+    "sessionization",
+    "asof_join_events",
+    "decontaminate",
+    "cluster_assign",
 ]
 
 # Stub-backed queries: timed and reported, but outside the headline wall

@@ -1,6 +1,7 @@
 from . import (
     conform,
     dedup,
+    events,
     incremental,
     merge,
     multimodal,
@@ -13,6 +14,7 @@ from . import (
 __all__ = [
     "conform",
     "dedup",
+    "events",
     "incremental",
     "merge",
     "multimodal",

@@ -483,3 +483,73 @@ def knn_join_lsh(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+MAX_LITERAL_CENTROIDS = 256
+
+
+def assign_nearest_centroid(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cluster_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """Nearest-centroid assignment (the k-means E-step / coarse IVF
+    quantizer) as pure JVM expressions — the oracle-checkable twin of
+    the Arrow-matmul :func:`ivf_assign` fast path.
+
+    The k centroid rows are inlined as plan literals (k is bounded by
+    ``MAX_LITERAL_CENTROIDS`` — collecting them is the same k-row
+    driver hop a broadcast would make, not a data-dependent collect),
+    so the whole operator is ONE narrow projection: per row, a
+    ``transform`` over the k (dist, cid) structs — squared L2 via
+    ``zip_with``/``aggregate`` in index order, bit-reproducible across
+    engines — and argmin via ``array_min`` struct ordering, which
+    tie-breaks on the lower cluster id. Zero shuffles, zero joins,
+    whole-stage codegen end to end; at 100 TB the cost is exactly one
+    pass over the embeddings. Prefer :func:`ivf_assign` when k is large
+    enough that BLAS matmul beats k codegen'd fold loops (~k > 64) and
+    the assignment need not be engine-portable.
+    """
+    rows = centroids.select(
+        F.col(centroid_id_col).alias("cid"), F.col(centroid_vec_col).alias("cvec")
+    ).collect()
+    if not rows:
+        raise ValueError("assign_nearest_centroid: empty centroid frame")
+    if len(rows) > MAX_LITERAL_CENTROIDS:
+        raise ValueError(
+            f"assign_nearest_centroid: {len(rows)} centroids exceeds the "
+            f"literal-plan bound ({MAX_LITERAL_CENTROIDS}); use ivf_assign"
+        )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r["cid"]).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("v"),
+            )
+            for r in rows
+        ]
+    )
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    c["v"],
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.array_min(dists)
+    return embeddings.select(
+        F.col(id_col),
+        best["cid"].alias(centroid_id_col),
+        best["dist"].alias("sq_dist"),
+    )

@@ -372,3 +372,83 @@ def repetition_stats(
         "dup_line_frac",
         (F.col("_top").cast("double") / F.col("_total")).alias("top_bigram_frac"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: count the distinct word n-grams each
+    training document shares with a benchmark corpus and flag documents
+    at or above ``min_overlap`` (the n-gram-overlap decontamination rule
+    used for pre-training corpora, cf. GPT-3 §C / Dolma).
+
+    Plan shape for 100 TB: the benchmark side collapses to its DISTINCT
+    n-gram set (benchmarks are tiny relative to the corpus, so this side
+    is broadcast-able); the corpus side explodes distinct-per-doc
+    shingles and inner-joins on the gram string, then one groupBy(doc)
+    count. The corpus is touched once; the join key is the shingle, so
+    AQE broadcasts the benchmark set and no corpus-wide shuffle happens
+    at all. Zero-overlap docs are preserved via a left join of the base
+    ids against the hit counts (id-only frames — narrow).
+    """
+    from .dedup import word_shingles
+
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("_g")).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "_g")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level top-k word n-grams with counts (vocabulary /
+    boilerplate inspection — the usual first look at a new crawl).
+
+    Non-distinct n-grams per document (frequency matters), one explode +
+    groupBy(gram) with map-side partial aggregation, then a global top-k
+    via TakeOrderedAndProject — no full sort of the gram vocabulary.
+    Ties break on the gram string so the result is deterministic.
+    """
+    from .dedup import normalized_words
+
+    words = normalized_words(text_col)
+    size = F.size(words)
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(0), size - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

@@ -4,6 +4,7 @@ from .pipeline import (
     read_parquet_stream,
     run_available_now,
     running_totals_stateful,
+    session_event_counts,
     windowed_event_counts,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "read_parquet_stream",
     "run_available_now",
     "running_totals_stateful",
+    "session_event_counts",
     "windowed_event_counts",
 ]

@@ -94,6 +94,37 @@ def windowed_event_counts(
     )
 
 
+def session_event_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based session windows with late-data watermark — the
+    streaming twin of operators.events.session_stats (same session
+    boundaries: a session extends while consecutive events arrive
+    within ``gap``). ``F.session_window`` keeps per-session state until
+    the watermark passes session end, so state is bounded by active
+    sessions, not history — the property that makes this viable on an
+    unbounded 100 TB/day stream."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_available_now(
     stream: DataFrame,
     sink_path: str,

@@ -1,0 +1,136 @@
+"""Sessionization, as-of join, decontamination, top-ngrams, and
+nearest-centroid assignment."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from facolos_data_pipelines_spark.operators.events import (
+    asof_join,
+    session_stats,
+    sessionize,
+)
+from facolos_data_pipelines_spark.operators.similarity import assign_nearest_centroid
+from facolos_data_pipelines_spark.operators.text import decontaminate, top_ngrams
+
+
+def _ts(minute, second=0):
+    return datetime(2024, 1, 1, 12, minute, second)
+
+
+@pytest.fixture()
+def tiny_events(spark):
+    rows = [
+        # user 1: two sessions split by a 45-min gap
+        (1, 1, _ts(0), 1.0),
+        (2, 1, _ts(10), 2.0),
+        (3, 1, _ts(55), 4.0),
+        # user 2: single event
+        (4, 2, _ts(5), 8.0),
+        # user 3: event exactly at the 30-min boundary stays in-session
+        (5, 3, _ts(0), 16.0),
+        (6, 3, _ts(30), 32.0),
+    ]
+    return spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+
+
+def test_sessionize_splits_on_gap(tiny_events):
+    out = sessionize(tiny_events, "user_id", "ts", 30, ["event_id"])
+    got = {r["event_id"]: r["session_idx"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1, 6: 1}
+
+
+def test_session_stats_rollup(tiny_events):
+    out = session_stats(tiny_events, "user_id", "ts", 30, tiebreak_cols=["event_id"])
+    rows = {(r["user_id"], r["session_idx"]): r for r in out.collect()}
+    assert len(rows) == 4
+    s11 = rows[(1, 1)]
+    assert s11["n_events"] == 2
+    assert s11["duration_ms"] == 10 * 60 * 1000
+    assert s11["total_value"] == 3.0
+    assert rows[(1, 2)]["n_events"] == 1
+    # boundary event (exactly gap minutes later) belongs to the session
+    assert rows[(3, 1)]["n_events"] == 2
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(10), "p"), (2, 10, _ts(20), "p"), (3, 11, _ts(5), "p")],
+        ["event_id", "user_id", "ts", "kind"],
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 10, _ts(10)),  # same instant as left #1 -> inclusive match
+            (102, 10, _ts(15)),
+            (103, 11, _ts(7)),  # after left #3 -> no match
+        ],
+        ["r_id", "user_id", "ts"],
+    )
+    out = asof_join(left, right, "user_id", "ts", ["r_id"], suffix="_m")
+    got = {r["event_id"]: (r["r_id_m"], r["ts_m"]) for r in out.collect()}
+    assert got[1] == (101, _ts(10))  # at-or-before is inclusive
+    assert got[2] == (102, _ts(15))  # latest prior wins, not the first
+    assert got[3] == (None, None)  # no prior right row -> NULLs
+    assert out.count() == left.count()  # left rows always preserved
+
+
+def test_asof_join_tie_break_on_right(spark):
+    left = spark.createDataFrame([(1, 7, _ts(10))], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [(201, 7, _ts(5)), (202, 7, _ts(5))], ["r_id", "user_id", "ts"]
+    )
+    out = asof_join(
+        left, right, "user_id", "ts", ["r_id"], suffix="_m", right_tiebreak="r_id"
+    )
+    assert out.collect()[0]["r_id_m"] == 202  # greatest tie-break wins
+
+
+def test_decontaminate_counts_shared_shingles(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),  # shares "alpha beta gamma" + "beta gamma delta"
+            (2, "zeta eta theta iota"),  # no overlap
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=3).collect()}
+    assert out[1]["n_overlap"] == 2 and out[1]["contaminated"]
+    assert out[2]["n_overlap"] == 0 and not out[2]["contaminated"]
+
+
+def test_top_ngrams_orders_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    rows = top_ngrams(docs, n=2, k=3).collect()
+    # "a b" occurs 3x (twice in doc 1, once in doc 2); ties then by gram
+    assert [(r["ngram"], r["n_occurrences"]) for r in rows] == [
+        ("a b", 3),
+        ("b a", 1),
+        ("b c", 1),
+    ]
+
+
+def test_assign_nearest_centroid(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 10.0]),
+            (2, [1.0, 0.0]),
+            (3, [9.0, 10.0]),
+            (4, [5.0, 5.0]),  # equidistant -> lowest cluster_id wins
+        ],
+        ["vec_id", "embedding"],
+    )
+    cents = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("centroid")
+    )
+    out = {r["vec_id"]: r for r in assign_nearest_centroid(emb, cents).collect()}
+    assert out[2]["cluster_id"] == 0 and out[2]["sq_dist"] == 1.0
+    assert out[3]["cluster_id"] == 1 and out[3]["sq_dist"] == 1.0
+    assert out[4]["cluster_id"] == 0  # tie broken toward the lower id
+    assert out[0]["sq_dist"] == 0.0 and out[1]["sq_dist"] == 0.0

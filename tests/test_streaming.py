@@ -230,3 +230,53 @@ def test_stateful_running_totals_across_cycles(spark, tmp_root):
     _write_batch(spark, src, _rows(200, 2, 3))
     second = run_cycle(f"{tmp_root}/out2")
     assert second == {1: 3, 2: 3, 3: 3}
+
+
+def test_session_window_counts_match_batch_twin(spark, tmp_root):
+    """Streaming session_window agg produces the same session membership
+    as the batch operators.events.session_stats twin: same number of
+    sessions per user, same per-session event counts, and each streaming
+    session's start equals the batch session_start. (Streaming session
+    *end* is last-event + gap by definition of F.session_window, so only
+    starts are compared.)"""
+    import uuid as _uuid
+
+    import datetime as dt
+
+    from facolos_data_pipelines_spark.operators.events import session_stats
+    from facolos_data_pipelines_spark.streaming import session_event_counts
+
+    src = f"{tmp_root}/sess_src"
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: (0, 10min) in one session; 55min starts a new one
+        (1, base, 1, "click", 1.0),
+        (2, base + dt.timedelta(minutes=10), 1, "click", 2.0),
+        (3, base + dt.timedelta(minutes=55), 1, "click", 4.0),
+        # user 2: one event
+        (4, base + dt.timedelta(minutes=5), 2, "click", 8.0),
+    ]
+    _write_batch(spark, src, rows)
+    stream = session_event_counts(
+        read_parquet_stream(spark, src, EVENT_SCHEMA), gap="30 minutes"
+    )
+    name = f"sess_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.table(name).collect()
+    }
+    batch = session_stats(
+        spark.read.parquet(src), "user_id", "ts", 30, tiebreak_cols=["event_id"]
+    )
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()
+    }
+    assert got == want
