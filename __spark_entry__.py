@@ -1102,6 +1102,40 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-quartile quality curation (sampling.filter_by_score_quantile
+    over text.quality_score): exact interpolated percentile threshold
+    broadcast back over the corpus — the oracle-certified twin of the
+    percentile_approx scale path (same plan shape, sketch vs exact
+    threshold)."""
+    from facolos_data_pipelines_spark.operators.sampling import (
+        filter_by_score_quantile,
+    )
+    from facolos_data_pipelines_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "quality_score")
+    kept = filter_by_score_quantile(scored, "quality_score", q=0.75, approx=False)
+    return kept.select(
+        "doc_id", F.round(F.col("quality_score") + 1e-8, 4).alias("quality_score")
+    )
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts (1-hour windows every 30 minutes): each
+    event lands in exactly 2 windows. Spark's window() expands to the
+    window set JVM-side (an Expand of factor window/slide, then one
+    shuffle on (window, type) with map-side partial counts)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_sales_summary": q_daily_sales_summary,
@@ -1165,6 +1199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "top_ngrams": q_top_ngrams,
         "cluster_assign": q_cluster_assign,
+        "quality_quantile_filter": q_quality_quantile_filter,
+        "sliding_window": q_sliding_window,
         # rows-only (no ANSI-SQL oracle):
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
@@ -2165,5 +2201,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cluster_id, ROUND(dist + 1e-6, 4) AS sq_dist FROM d
             QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
                                        ORDER BY dist ASC, cluster_id ASC) = 1
+        """,
+        "quality_quantile_filter": rf"""
+            -- sampling.filter_by_score_quantile twin: identical score
+            -- terms (see quality_scores), quantile_cont threshold
+            -- (same interpolation as Spark's exact percentile), filter
+            -- on the unrounded doubles
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '[^\p{{L}}\p{{N}}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), t AS (
+                SELECT doc_id,
+                       ((least(len(words) / 50.0, 1.0)
+                         + greatest(0.0, 1.0 -
+                             (len(regexp_extract_all(text, '[^\p{{L}}\p{{N}}\s]'))
+                              / greatest(length(text), 1)) * 4))
+                        + least((len(list_filter(words,
+                                    x -> list_contains([{_stopwords_en_sql()}], x)))
+                                 / greatest(len(words), 1)) * 4, 1.0)
+                        + len(list_distinct(words)) / greatest(len(words), 1)) / 4
+                           AS qs
+                FROM w
+            ), thr AS (
+                SELECT quantile_cont(qs, 0.75) AS t FROM t
+            )
+            SELECT doc_id, ROUND(qs + 1e-8, 4) AS quality_score
+            FROM t, thr WHERE qs >= t
+        """,
+        "sliding_window": """
+            -- F.window(ts, '1 hour', '30 minutes') twin: each event
+            -- belongs to the 2 epoch-aligned 30-min-grid windows
+            -- covering it (k = 0, 1 back-shifts of the 30-min floor)
+            WITH b AS (
+                SELECT event_type,
+                       date_trunc('hour', ts)
+                         + CASE WHEN minute(ts) >= 30
+                                THEN INTERVAL 30 MINUTE
+                                ELSE INTERVAL 0 MINUTE END AS bucket30
+                FROM events
+            )
+            SELECT bucket30 - INTERVAL 30 MINUTE * k AS window_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM b CROSS JOIN (SELECT unnest([0, 1]) AS k)
+            GROUP BY 1, 2
         """,
     }

@@ -101,3 +101,40 @@ def stratified_sample(
     sample_per_group when the selection must be reproducible outside
     Spark."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def filter_by_score_quantile(
+    df: DataFrame,
+    score_col: str,
+    q: float = 0.75,
+    approx: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Keep rows whose ``score_col`` is at or above the corpus's q-th
+    quantile — the standard "top-X% by quality score" curation filter.
+
+    Scale path (``approx=True``, default): ``percentile_approx`` — a
+    mergeable one-pass KLL-style sketch, constant memory per partition,
+    the only sane option at 100 TB. Exact path (``approx=False``):
+    ``percentile`` (interpolated), which materializes the value
+    multiset on the final aggregate — reserve it for bounded frames and
+    cross-engine oracle checks (DuckDB ``quantile_cont`` shares the
+    interpolation, proven by the column_profile parity query).
+
+    Either way the threshold is a 1-row aggregate broadcast back over
+    the corpus — the data is scanned twice but never shuffled wide
+    (agg is partial+final; the join is a broadcast of one row).
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile must be in [0,1], got {q}")
+    fn = (
+        F.percentile_approx(score_col, q, accuracy)
+        if approx
+        else F.percentile(score_col, q)
+    )
+    thr = df.agg(fn.alias("_thr"))
+    return (
+        df.join(F.broadcast(thr))
+        .filter(F.col(score_col) >= F.col("_thr"))
+        .drop("_thr")
+    )

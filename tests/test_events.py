@@ -134,3 +134,48 @@ def test_assign_nearest_centroid(spark):
     assert out[3]["cluster_id"] == 1 and out[3]["sq_dist"] == 1.0
     assert out[4]["cluster_id"] == 0  # tie broken toward the lower id
     assert out[0]["sq_dist"] == 0.0 and out[1]["sq_dist"] == 0.0
+
+
+def test_filter_by_score_quantile_exact_and_approx(spark):
+    from facolos_data_pipelines_spark.operators.sampling import (
+        filter_by_score_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], ["id", "score"]
+    )
+    exact = filter_by_score_quantile(df, "score", q=0.75, approx=False)
+    # 75th percentile of 1..100 (interpolated) = 75.25 -> keep 76..100
+    assert exact.count() == 25
+    assert exact.agg(F.min("score")).first()[0] == 76.0
+    approx = filter_by_score_quantile(df, "score", q=0.75, approx=True)
+    # sketch threshold lands on an observed value near the exact one
+    assert 20 <= approx.count() <= 30
+    with pytest.raises(ValueError):
+        filter_by_score_quantile(df, "score", q=1.5)
+
+
+def test_sliding_window_membership(spark):
+    """Every event lands in exactly windowDuration/slide sliding
+    windows, and each window's count equals the events it covers."""
+    rows = [
+        (1, _ts(0), 1, "click", 1.0),
+        (2, _ts(29), 1, "click", 1.0),
+        (3, _ts(31), 1, "click", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = (
+        df.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+        .collect()
+    )
+    got = {r["ws"]: r["n"] for r in out}
+    # events at 12:00/12:29 covered by [11:30,12:30) and [12:00,13:00);
+    # 12:31 by [12:00,13:00) and [12:30,13:30)
+    assert sum(got.values()) == 6  # 3 events x 2 windows each
+    assert got[datetime(2024, 1, 1, 11, 30)] == 2
+    assert got[datetime(2024, 1, 1, 12, 0)] == 3
+    assert got[datetime(2024, 1, 1, 12, 30)] == 1
