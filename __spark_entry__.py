@@ -1136,6 +1136,29 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase
+    (operators.events.funnel_counts): stacked running-max window flags
+    over ONE key sort (funnel depth adds no extra shuffles), per-key
+    max, global sums."""
+    from facolos_data_pipelines_spark.operators.events import funnel_counts
+
+    events = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        events, ["view", "click", "purchase"], tiebreak_cols=["event_id"]
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators.events.cohort_retention):
+    first-active week per user, distinct weekly activity, integer
+    epoch-week periods — count of active users per (cohort, period)."""
+    from facolos_data_pipelines_spark.operators.events import cohort_retention
+
+    events = _t(spark, sf_dir, "events")
+    return cohort_retention(events)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_sales_summary": q_daily_sales_summary,
@@ -1201,6 +1224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_assign": q_cluster_assign,
         "quality_quantile_filter": q_quality_quantile_filter,
         "sliding_window": q_sliding_window,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         # rows-only (no ANSI-SQL oracle):
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
@@ -2246,6 +2271,60 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM b CROSS JOIN (SELECT unnest([0, 1]) AS k)
+            GROUP BY 1, 2
+        """,
+        "funnel": """
+            -- events.funnel_counts twin: stacked running-max flags over
+            -- the same (user, ts, event_id) ordering, per-user max,
+            -- global sums, one row per funnel step
+            WITH r1 AS (
+                SELECT user_id, ts, event_id, event_type,
+                       MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                           OVER w AS s1
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), r2 AS (
+                SELECT *, MAX(CASE WHEN event_type = 'click' THEN s1 ELSE 0 END)
+                              OVER w AS s2
+                FROM r1
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), r3 AS (
+                SELECT *, MAX(CASE WHEN event_type = 'purchase' THEN s2 ELSE 0 END)
+                              OVER w AS s3
+                FROM r2
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), per_user AS (
+                SELECT user_id, MAX(s1) AS s1, MAX(s2) AS s2, MAX(s3) AS s3
+                FROM r3 GROUP BY user_id
+            ), tot AS (
+                SELECT CAST(SUM(s1) AS BIGINT) AS n1,
+                       CAST(SUM(s2) AS BIGINT) AS n2,
+                       CAST(SUM(s3) AS BIGINT) AS n3
+                FROM per_user
+            )
+            SELECT 1 AS step_index, 'view' AS step, n1 AS n_completed FROM tot
+            UNION ALL SELECT 2, 'click', n2 FROM tot
+            UNION ALL SELECT 3, 'purchase', n3 FROM tot
+        """,
+        "cohort_retention": """
+            -- events.cohort_retention twin: ISO-week truncation both
+            -- engines, integer epoch-week periods
+            WITH a AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS TIMESTAMP) AS activity_week
+                FROM events
+            ), c AS (
+                SELECT user_id, MIN(activity_week) AS cohort_week
+                FROM a GROUP BY user_id
+            )
+            SELECT c.cohort_week,
+                   CAST((epoch(a.activity_week) - epoch(c.cohort_week)) / 604800
+                        AS BIGINT) AS period_weeks,
+                   CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+            FROM a JOIN c USING (user_id)
             GROUP BY 1, 2
         """,
     }

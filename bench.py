@@ -58,6 +58,8 @@ HEADLINE = [
     "asof_join_events",
     "decontaminate",
     "cluster_assign",
+    "funnel",
+    "cohort_retention",
 ]
 
 # Stub-backed queries: timed and reported, but outside the headline wall

@@ -110,6 +110,16 @@ def asof_join(
     among right rows at the same ts resolve to the greatest
     ``right_tiebreak`` (pass one when right (key, ts) is not unique).
     """
+    reserved = {"_side", "_rpayload", "_match", "_rtb"}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(f"asof_join: left columns collide with internals: {clash}")
+    out_cols = {f"{ts_col}{suffix}", *(f"{c}{suffix}" for c in right_cols)}
+    clash = out_cols & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: suffixed output columns collide with left: {clash}"
+        )
     payload = F.struct(
         F.col(ts_col).alias(ts_col), *[F.col(c).alias(c) for c in right_cols]
     )
@@ -141,3 +151,94 @@ def asof_join(
     sel.append(F.col(f"_match.{ts_col}").alias(f"{ts_col}{suffix}"))
     sel.extend(F.col(f"_match.{c}").alias(f"{c}{suffix}") for c in right_cols)
     return out.select(*sel)
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Ordered funnel: how many keys completed each prefix of ``steps``
+    IN ORDER (a step counts only at-or-after the previous step's first
+    completion).
+
+    Single-sort formulation: one shuffle+sort per key (shared by all
+    stages — each stage is a running-max flag over the SAME window
+    ordering, so Catalyst stacks Window nodes on one Exchange), then a
+    per-key max and a global sum. No joins, no per-step passes over the
+    corpus; cost is independent of funnel depth. Result: one row per
+    step — (step_index, step, n_completed), monotonically
+    non-increasing.
+    """
+    if not steps:
+        raise ValueError("funnel_counts: steps must be non-empty")
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cur = df.select(key_col, ts_col, type_col, *(tiebreak_cols or []))
+    prev_flag = F.lit(1)
+    reach_cols = []
+    for i, step in enumerate(steps):
+        # reached_i at a row: some event at-or-before it completed the
+        # i-prefix — current row counts when it matches step i and the
+        # (i-1)-prefix was already reached at this row.
+        flag = F.when(
+            F.col(type_col) == step,
+            prev_flag if i == 0 else F.col(f"_r{i - 1}"),
+        ).otherwise(F.lit(0))
+        cur = cur.withColumn(f"_r{i}", F.max(flag).over(w))
+        reach_cols.append(f"_r{i}")
+    per_key = cur.groupBy(key_col).agg(
+        *[F.max(c).alias(c) for c in reach_cols]
+    )
+    totals = per_key.agg(
+        *[F.sum(c).cast("long").alias(f"_n{i}") for i, c in enumerate(reach_cols)]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step_index"),
+                F.lit(s).alias("step"),
+                F.col(f"_n{i}").alias("n_completed"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return totals.select(F.explode(rows).alias("_f")).select("_f.*")
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: keys grouped by first-active week, and
+    for each (cohort_week, weeks-since-cohort) the count of distinct
+    keys active in that week.
+
+    Plan: per-key first week (one groupBy on the key), distinct
+    (key, week) activity (same key partitioning — AQE reuses the
+    shuffle), join on the key, then a count-distinct keyed by
+    (cohort_week, period). The wide data is touched once; everything
+    downstream carries (key, week) pairs only. Week truncation is ISO
+    (Monday) in both Spark and standard SQL engines; the period index
+    is integer epoch-week arithmetic, exact across engines.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    cohorts = df.groupBy(key_col).agg(F.min(week).alias("cohort_week"))
+    activity = df.select(F.col(key_col), week.alias("activity_week")).distinct()
+    period = (
+        (F.unix_timestamp("activity_week") - F.unix_timestamp("cohort_week"))
+        / F.lit(604800)
+    ).cast("long")
+    return (
+        activity.join(cohorts, key_col)
+        .groupBy("cohort_week", period.alias("period_weeks"))
+        .agg(F.count_distinct(F.col(key_col)).cast("long").alias("n_active"))
+    )

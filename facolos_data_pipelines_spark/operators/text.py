@@ -396,13 +396,15 @@ def decontaminate(
     at all. Zero-overlap docs are preserved via a left join of the base
     ids against the hit counts (id-only frames — narrow).
     """
-    from .dedup import word_shingles
+    from .dedup import exploded_shingles
 
     bench_grams = (
-        benchmark.select(F.explode(word_shingles(text_col, n)).alias("_g")).distinct()
+        exploded_shingles(benchmark, text_col, id_col, n, distinct=False)
+        .select(F.col("_sh").alias("_g"))
+        .distinct()
     )
-    doc_grams = docs.select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_g")
+    doc_grams = exploded_shingles(docs, text_col, id_col, n, distinct=True).select(
+        F.col(id_col), F.col("_sh").alias("_g")
     )
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "_g")

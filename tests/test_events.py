@@ -179,3 +179,57 @@ def test_sliding_window_membership(spark):
     assert got[datetime(2024, 1, 1, 11, 30)] == 2
     assert got[datetime(2024, 1, 1, 12, 0)] == 3
     assert got[datetime(2024, 1, 1, 12, 30)] == 1
+
+
+def test_funnel_counts_ordering(spark):
+    rows = [
+        # user 1 completes view -> click -> purchase in order
+        (1, 1, _ts(0), "view"),
+        (2, 1, _ts(1), "click"),
+        (3, 1, _ts(2), "purchase"),
+        # user 2: purchase BEFORE view/click -> only first step counts
+        (4, 2, _ts(0), "purchase"),
+        (5, 2, _ts(1), "view"),
+        # user 3: view then purchase, no click -> stops at step 1
+        (6, 3, _ts(0), "view"),
+        (7, 3, _ts(1), "purchase"),
+        # user 4: never starts
+        (8, 4, _ts(0), "click"),
+    ]
+    from facolos_data_pipelines_spark.operators.events import funnel_counts
+
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = {
+        r["step"]: r["n_completed"]
+        for r in funnel_counts(
+            df, ["view", "click", "purchase"], tiebreak_cols=["event_id"]
+        ).collect()
+    }
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+    with pytest.raises(ValueError):
+        funnel_counts(df, [])
+
+
+def test_cohort_retention_periods(spark):
+    from facolos_data_pipelines_spark.operators.events import cohort_retention
+
+    rows = [
+        # user 1 first active Mon Jan 1 week, returns 2 weeks later
+        (1, datetime(2024, 1, 2, 10)),
+        (1, datetime(2024, 1, 16, 10)),
+        # user 2 same cohort, active only week 0 (two events, one week)
+        (2, datetime(2024, 1, 3, 9)),
+        (2, datetime(2024, 1, 4, 9)),
+        # user 3 joins a week later
+        (3, datetime(2024, 1, 9, 12)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r["cohort_week"].date().isoformat(), r["period_weeks"]): r["n_active"]
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
