@@ -50,6 +50,8 @@ def sessionize(
     same pass — both window functions share the frame, so Catalyst
     emits one Window node.
     """
+    if gap_minutes <= 0:
+        raise ValueError(f"sessionize: gap_minutes must be positive, got {gap_minutes}")
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
     w = Window.partitionBy(key_col).orderBy(*order)
     prev = F.lag(F.col(ts_col)).over(w)
@@ -110,6 +112,11 @@ def asof_join(
     among right rows at the same ts resolve to the greatest
     ``right_tiebreak`` (pass one when right (key, ts) is not unique).
     """
+    if ts_col in right_cols or key_col in right_cols:
+        raise ValueError(
+            "asof_join: right_cols must not repeat ts_col/key_col "
+            "(the matched ts is always returned as ts_col+suffix)"
+        )
     reserved = {"_side", "_rpayload", "_match", "_rtb"}
     clash = reserved & set(left.columns)
     if clash:

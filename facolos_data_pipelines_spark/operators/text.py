@@ -398,6 +398,10 @@ def decontaminate(
     """
     from .dedup import exploded_shingles
 
+    if id_col not in benchmark.columns:
+        # the shingle window only needs SOME per-row key on the bench
+        # side; the ids never leave the distinct-gram subquery
+        benchmark = benchmark.withColumn(id_col, F.monotonically_increasing_id())
     bench_grams = (
         exploded_shingles(benchmark, text_col, id_col, n, distinct=False)
         .select(F.col("_sh").alias("_g"))

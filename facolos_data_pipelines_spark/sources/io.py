@@ -245,3 +245,51 @@ def write_csv(df: DataFrame, path: str) -> None:
     """S14 — CSV export (utf-8 is Spark's default; the reference's
     utf-8-sig BOM was an Excel-compat detail)."""
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Compact a small-files parquet table in place: rewrite with file
+    counts sized from the table's actual bytes (``target_file_mb`` per
+    output file, the usual 128 MB HDFS/S3 sweet spot).
+
+    Incremental micro-batch appends (the reference's 10-minute cycles)
+    produce one-file-per-cycle tables whose scan cost at 100 TB is
+    dominated by file-open overhead and tiny row groups; periodic
+    compaction is the standard fix (cf. Delta OPTIMIZE). The rewrite
+    stages through a temp directory then atomically swaps via rename —
+    the same durability story as write_replace. Returns
+    ``{"files_before": n, "files_after": m, "rows": r}``.
+    """
+    import glob
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))  # ceil
+    df = spark.read.parquet(path)
+    rows = df.count()
+    tmp = path.rstrip("/") + "._compact_tmp"
+    writer = df.repartition(int(n_out)).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    return {"files_before": len(files), "files_after": len(after), "rows": rows}

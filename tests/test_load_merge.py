@@ -206,3 +206,24 @@ def test_csv_export_roundtrip(spark, tmp_path):
     back = spark.read.option("header", "true").csv(path)
     rows = {r["id"]: (r["txt"], r["val"]) for r in back.collect()}
     assert rows == {"1": ("a,b", "1.5"), "2": (None, "-0.25")}
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from facolos_data_pipelines_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    # simulate 10 micro-batch appends -> >= 10 files
+    for i in range(10):
+        df.filter((F.col("id") % 10) == i).coalesce(1).write.mode("append").parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 10
+    stats = compact_parquet(spark, path, target_file_mb=128)
+    assert stats["files_before"] == before
+    assert stats["files_after"] == 1  # tiny table -> single 128MB-target file
+    assert stats["rows"] == 1000
+    out = spark.read.parquet(path)
+    assert out.count() == 1000
+    assert out.agg(F.sum("v")).first()[0] == 2 * sum(range(1000))
