@@ -1,9 +1,10 @@
-"""Event-stream operators: sessionization and as-of join.
+"""Event-stream operators: sessionization, as-of join, funnels, and
+cohort retention.
 
 The reference's event surface is schedule-driven micro-batches (SURVEY
 §2.7); a Spark-native engine over an events table additionally needs the
-two classic event-time operators Spark has no single built-in for in
-batch mode:
+classic event-time operators Spark has no single built-in for in batch
+mode — most importantly:
 
 - **sessionization** — gap-based session assignment (the batch twin of
   ``F.session_window``), implemented as one window pass per key: a

@@ -233,3 +233,80 @@ def test_cohort_retention_periods(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# Property-based: sessionize and asof_join against a pure-Python reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+EVENT_LISTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=5000),  # seconds offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(EVENT_LISTS)
+def test_sessionize_matches_python_reference(spark, events):
+    from datetime import timedelta
+
+    gap_min = 10
+    rows = [
+        (i, u, datetime(2024, 1, 1) + timedelta(seconds=s))
+        for i, (u, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    got = {
+        r["event_id"]: (r["user_id"], r["session_idx"])
+        for r in sessionize(df, "user_id", "ts", gap_min, ["event_id"]).collect()
+    }
+    # python reference: sort per user by (ts, event_id), split on gap
+    want = {}
+    by_user = {}
+    for i, (u, s) in enumerate(events):
+        by_user.setdefault(u, []).append((s, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        idx, prev = 0, None
+        for s, i in evs:
+            if prev is None or s - prev > gap_min * 60:
+                idx += 1
+            want[i] = (u, idx)
+            prev = s
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(EVENT_LISTS, EVENT_LISTS)
+def test_asof_join_matches_python_reference(spark, levs, revs):
+    from datetime import timedelta
+
+    base = datetime(2024, 1, 1)
+    lrows = [
+        (i, u, base + timedelta(seconds=s)) for i, (u, s) in enumerate(levs)
+    ]
+    rrows = [
+        (i, u, base + timedelta(seconds=s)) for i, (u, s) in enumerate(revs)
+    ]
+    left = spark.createDataFrame(lrows, ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(rrows, ["r_id", "user_id", "ts"])
+    out = asof_join(
+        left, right, "user_id", "ts", ["r_id"], suffix="_m", right_tiebreak="r_id"
+    )
+    got = {r["event_id"]: r["r_id_m"] for r in out.collect()}
+    # python reference: greatest (ts, r_id) with r.ts <= l.ts, same user
+    want = {}
+    for i, (u, s) in enumerate(levs):
+        best = None
+        for j, (ru, rs) in enumerate(revs):
+            if ru == u and rs <= s and (best is None or (rs, j) > best):
+                best = (rs, j)
+        want[i] = None if best is None else best[1]
+    assert got == want
