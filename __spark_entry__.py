@@ -1057,6 +1057,39 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators.events.asof_join,
+    direction='forward'): each click gains the user's next purchase
+    at-or-after it (time-to-convert shape) — same single-shuffle merge
+    formulation scanned in reverse; checked against DuckDB's native
+    forward ASOF JOIN."""
+    from facolos_data_pipelines_spark.operators.events import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_event_id")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        "user_id",
+        "ts",
+        ["purchase_event_id"],
+        suffix="_p",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_p").alias("purchase_ts"),
+        F.col("purchase_event_id_p").alias("purchase_event_id"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators.text.decontaminate): count
     distinct 3-gram shingles shared with a held-out benchmark slice
@@ -1219,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup_portable": q_simhash_dedup_portable,
         "sessionization": q_sessionization,
         "asof_join_events": q_asof_join_events,
+        "asof_join_forward": q_asof_join_forward,
         "decontaminate": q_decontaminate,
         "top_ngrams": q_top_ngrams,
         "cluster_assign": q_cluster_assign,
@@ -2163,6 +2197,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') l
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_join_forward": """
+            -- events.asof_join direction='forward' twin: earliest
+            -- purchase ts at-or-after each click, per user
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS purchase_ts, r.event_id AS purchase_event_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts <= r.ts
         """,
         "decontaminate": r"""
             -- text.decontaminate twin: distinct 3-gram shingles (same

@@ -100,19 +100,26 @@ def asof_join(
     right_cols: list[str],
     suffix: str = "_asof",
     right_tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gains the ``right_cols`` of
-    the latest right row with ``right.ts <= left.ts`` for the same key
-    (NULLs when no prior right row exists).
+    """As-of join: each left row gains the ``right_cols`` of the
+    nearest right row for the same key — the latest with
+    ``right.ts <= left.ts`` (``direction='backward'``, default) or the
+    earliest with ``right.ts >= left.ts`` (``'forward'``). NULLs when
+    no such right row exists.
 
     Merge formulation: tag and union both inputs, sort within each key
-    by (ts, side) — right rows sort before left rows at equal ts, so
-    the match is inclusive — and carry the right payload forward with
-    ``last(..., ignorenulls=True)``. One shuffle of |L|+|R| rows keyed
-    by ``key_col``; no range-join blowup, no per-row subquery. Ties
-    among right rows at the same ts resolve to the greatest
-    ``right_tiebreak`` (pass one when right (key, ts) is not unique).
+    by (ts, side) — right rows sort adjacent to left rows at equal ts
+    on the inclusive side — and carry the right payload across with
+    ``last(..., ignorenulls=True)`` (forward runs the identical frame
+    over the reversed ordering). One shuffle of |L|+|R| rows keyed by
+    ``key_col``; no range-join blowup, no per-row subquery. Ties among
+    right rows at the same ts resolve to the greatest
+    ``right_tiebreak`` for backward and the smallest for forward (pass
+    one when right (key, ts) is not unique).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     if ts_col in right_cols or key_col in right_cols:
         raise ValueError(
             "asof_join: right_cols must not repeat ts_col/key_col "
@@ -141,9 +148,16 @@ def asof_join(
     l = left.withColumn("_side", F.lit(1))
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    order: list[Column] = [F.col(ts_col), F.col("_side")]
-    if right_tiebreak:
-        order.append(F.col("_rtb").asc_nulls_last())
+    if direction == "backward":
+        order: list[Column] = [F.col(ts_col).asc(), F.col("_side").asc()]
+        if right_tiebreak:
+            order.append(F.col("_rtb").asc_nulls_last())
+    else:
+        # reversed scan: later timestamps first, right rows still ahead
+        # of left rows at equal ts (inclusive), nearest-following wins
+        order = [F.col(ts_col).desc(), F.col("_side").asc()]
+        if right_tiebreak:
+            order.append(F.col("_rtb").desc_nulls_last())
     w = (
         Window.partitionBy(key_col)
         .orderBy(*order)

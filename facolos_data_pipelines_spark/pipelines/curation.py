@@ -1,0 +1,97 @@
+"""Corpus-curation pipeline — the LLM-training-data twin of the
+reference-shaped ETL cycle in :mod:`.runner`.
+
+Chains the extension operators into the standard pre-training data
+flow (C4/Gopher/Dolma-shaped):
+
+    quality filter (score >= quantile threshold)
+      -> benchmark decontamination (drop n-gram-overlapping docs)
+      -> near-duplicate removal (MinHash-LSH by default)
+      -> fingerprint + write survivors, with a per-stage metrics frame
+
+Every stage is one of the individually oracle-certified operators; the
+pipeline adds composition, stage metrics, and the write. All counts are
+computed from the SAME lazy frames the next stage consumes (one
+localCheckpoint per stage boundary keeps each stage's work from being
+re-executed by the count AND truncates lineage — the minhash self-join
+downstream must not re-run the quality filter per side).
+
+At 100 TB the stage order matters: quality filtering and
+decontamination are narrow-ish early reducers (drop 30-60% of the
+corpus before the shuffle-heavy dedup), which is why they run first —
+the same ordering argument the published pipelines make.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import minhash_dedup
+from ..operators.sampling import filter_by_score_quantile
+from ..operators.text import decontaminate, fingerprint, quality_score
+
+
+@dataclass
+class CurationResult:
+    survivors: DataFrame
+    metrics: DataFrame
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_quantile: float = 0.25,
+    decontaminate_n: int = 3,
+    dedup_threshold: float = 0.8,
+    output_path: str | None = None,
+) -> CurationResult:
+    """Run the full curation flow; returns surviving docs (id, text,
+    fingerprint) and a 4-row metrics frame (stage, rows_in, rows_out).
+
+    ``quality_quantile`` drops the bottom X of the score distribution
+    (0.25 = keep top 75%); ``benchmark=None`` skips decontamination.
+    With ``output_path`` the survivors are also written as parquet.
+    """
+    stages: list[tuple[str, int, int]] = []
+
+    n0 = docs.count()
+    scored = quality_score(docs, text_col).localCheckpoint(eager=True)
+    kept = filter_by_score_quantile(
+        scored, "quality_score", q=quality_quantile, approx=True
+    ).drop("quality_score")
+    kept = kept.localCheckpoint(eager=True)
+    n1 = kept.count()
+    stages.append(("quality_filter", n0, n1))
+
+    if benchmark is not None:
+        flags = decontaminate(kept, benchmark, n=decontaminate_n, id_col=id_col,
+                              text_col=text_col)
+        clean_ids = flags.filter(~F.col("contaminated")).select(id_col)
+        kept = kept.join(clean_ids, id_col, "left_semi").localCheckpoint(eager=True)
+        n2 = kept.count()
+    else:
+        n2 = n1
+    stages.append(("decontaminate", n1, n2))
+
+    deduped = minhash_dedup(kept, text_col=text_col, id_col=id_col,
+                            threshold=dedup_threshold)
+    deduped = deduped.localCheckpoint(eager=True)
+    n3 = deduped.count()
+    stages.append(("near_dedup", n2, n3))
+
+    survivors = fingerprint(deduped, text_col=text_col, id_col=id_col)
+    if output_path is not None:
+        survivors.write.mode("overwrite").parquet(output_path)
+    stages.append(("fingerprint", n3, n3))
+
+    metrics = spark.createDataFrame(
+        [(s, int(i), int(o)) for s, i, o in stages],
+        ["stage", "rows_in", "rows_out"],
+    )
+    return CurationResult(survivors=survivors, metrics=metrics)

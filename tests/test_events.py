@@ -310,3 +310,57 @@ def test_asof_join_matches_python_reference(spark, levs, revs):
                 best = (rs, j)
         want[i] = None if best is None else best[1]
     assert got == want
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(10)), (2, 10, _ts(30)), (3, 11, _ts(5))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 10, _ts(10)),  # same instant -> inclusive forward match
+            (102, 10, _ts(15)),
+            (103, 11, _ts(3)),  # before left #3 -> no forward match
+        ],
+        ["r_id", "user_id", "ts"],
+    )
+    out = asof_join(
+        left, right, "user_id", "ts", ["r_id"], suffix="_m", direction="forward"
+    )
+    got = {r["event_id"]: (r["r_id_m"], r["ts_m"]) for r in out.collect()}
+    assert got[1] == (101, _ts(10))  # inclusive at equal ts
+    assert got[2] == (None, None)  # nothing at-or-after 12:30
+    assert got[3] == (None, None)
+    with pytest.raises(ValueError):
+        asof_join(left, right, "user_id", "ts", ["r_id"], direction="nearest")
+
+
+@settings(max_examples=15, deadline=None)
+@given(EVENT_LISTS, EVENT_LISTS)
+def test_asof_join_forward_matches_python_reference(spark, levs, revs):
+    from datetime import timedelta
+
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, u, base + timedelta(seconds=s)) for i, (u, s) in enumerate(levs)],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(i, u, base + timedelta(seconds=s)) for i, (u, s) in enumerate(revs)],
+        ["r_id", "user_id", "ts"],
+    )
+    out = asof_join(
+        left, right, "user_id", "ts", ["r_id"], suffix="_m",
+        right_tiebreak="r_id", direction="forward",
+    )
+    got = {r["event_id"]: r["r_id_m"] for r in out.collect()}
+    # reference: smallest (ts, r_id) with r.ts >= l.ts, same user
+    want = {}
+    for i, (u, s) in enumerate(levs):
+        best = None
+        for j, (ru, rs) in enumerate(revs):
+            if ru == u and rs >= s and (best is None or (rs, j) < best):
+                best = (rs, j)
+        want[i] = None if best is None else best[1]
+    assert got == want

@@ -201,3 +201,27 @@ def test_cycle_continues_past_failing_endpoint(spark, tmp_path):
     assert report["endpoints"]["bad"]["status"] == "failed"
     assert report["endpoints"]["tiktok_orders"]["status"] == "success"
     assert report["quality"]["passed"]
+
+
+def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
+    from facolos_data_pipelines_spark.pipelines import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    out_path = str(tmp_path / "curated")
+    res = curate_corpus(spark, train, benchmark=bench, output_path=out_path)
+    m = {r["stage"]: (r["rows_in"], r["rows_out"]) for r in res.metrics.collect()}
+    n0 = train.count()
+    assert m["quality_filter"][0] == n0
+    # each stage consumes the previous stage's output and never grows
+    assert m["decontaminate"][0] == m["quality_filter"][1]
+    assert m["near_dedup"][0] == m["decontaminate"][1]
+    for rin, rout in m.values():
+        assert 0 <= rout <= rin
+    assert m["quality_filter"][1] < n0  # bottom quartile dropped
+    surv = spark.read.parquet(out_path)
+    assert surv.count() == m["near_dedup"][1]
+    assert {"doc_id", "text", "fp_content", "fp_rolling_min"} <= set(surv.columns)
+    # survivors are a subset of the input ids
+    assert surv.join(train, "doc_id", "left_anti").count() == 0

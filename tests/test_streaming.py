@@ -280,3 +280,45 @@ def test_session_window_counts_match_batch_twin(spark, tmp_root):
         (r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()
     }
     assert got == want
+
+
+def test_session_window_merges_across_micro_batches(spark, tmp_root):
+    """A session's state survives the end of one availableNow drain and
+    absorbs events from the next drain (same checkpoint): two events 10
+    minutes apart, arriving in separate cycles, land in ONE session —
+    the cross-cycle continuity the reference's lookback window
+    approximates and session_window state makes exact."""
+    import datetime as dt
+    import uuid as _uuid
+
+    from facolos_data_pipelines_spark.streaming import session_event_counts
+
+    src = f"{tmp_root}/sess2_src"
+    ckpt = f"{tmp_root}/sess2_ckpt"
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    name = f"sess2_{_uuid.uuid4().hex[:8]}"
+
+    def drain():
+        stream = session_event_counts(
+            read_parquet_stream(spark, src, EVENT_SCHEMA), gap="30 minutes"
+        )
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_batch(spark, src, [(1, base, 1, "click", 1.0)])
+    drain()
+    _write_batch(
+        spark, src, [(2, base + dt.timedelta(minutes=10), 1, "click", 2.0)]
+    )
+    drain()
+    rows = spark.table(name).filter(F.col("user_id") == 1).collect()
+    assert len(rows) == 1  # one merged session, not two
+    assert rows[0]["n_events"] == 2
+    assert rows[0]["session_start"] == base
