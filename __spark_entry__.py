@@ -1045,7 +1045,13 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.col("event_id").alias("click_event_id")
     )
     out = asof_join(
-        purchases, clicks, "user_id", "ts", ["click_event_id"], suffix="_click"
+        purchases,
+        clicks,
+        "user_id",
+        "ts",
+        ["click_event_id"],
+        suffix="_click",
+        right_tiebreak="click_event_id",
     )
     return out.select(
         "event_id",
@@ -1080,6 +1086,7 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["purchase_event_id"],
         suffix="_p",
         direction="forward",
+        right_tiebreak="purchase_event_id",
     )
     return out.select(
         "event_id",
@@ -2195,8 +2202,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id, l.ts, l.value,
                    r.ts AS click_ts, r.event_id AS click_event_id
             FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
-              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ASOF LEFT JOIN (
+                -- same-ts ties resolve to the greatest event_id, the
+                -- right_tiebreak contract of the Spark side
+                SELECT user_id, ts, MAX(event_id) AS event_id
+                FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            ) r ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "asof_join_forward": """
             -- events.asof_join direction='forward' twin: earliest
@@ -2204,8 +2215,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id, l.ts,
                    r.ts AS purchase_ts, r.event_id AS purchase_event_id
             FROM (SELECT * FROM events WHERE event_type = 'click') l
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-              ON l.user_id = r.user_id AND l.ts <= r.ts
+            ASOF LEFT JOIN (
+                -- forward ties resolve to the SMALLEST event_id
+                SELECT user_id, ts, MIN(event_id) AS event_id
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            ) r ON l.user_id = r.user_id AND l.ts <= r.ts
         """,
         "decontaminate": r"""
             -- text.decontaminate twin: distinct 3-gram shingles (same

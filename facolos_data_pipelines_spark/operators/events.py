@@ -138,6 +138,11 @@ def asof_join(
     payload = F.struct(
         F.col(ts_col).alias(ts_col), *[F.col(c).alias(c) for c in right_cols]
     )
+    # NULL-timestamp right rows can never be "at or before/after" any
+    # left row (SQL comparison semantics — DuckDB ASOF agrees); without
+    # this filter the asc nulls-first sort would carry them into every
+    # left row as a phantom earliest match.
+    right = right.filter(F.col(ts_col).isNotNull())
     r = right.select(
         F.col(key_col),
         F.col(ts_col),
@@ -163,7 +168,11 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = F.last("_rpayload", ignorenulls=True).over(w)
+    # a NULL-ts LEFT row matches nothing either (it would otherwise sit
+    # at one end of the sort and absorb whatever payload is adjacent)
+    matched = F.when(
+        F.col(ts_col).isNotNull(), F.last("_rpayload", ignorenulls=True).over(w)
+    )
     out = (
         unioned.withColumn("_match", matched)
         .filter(F.col("_side") == 1)
@@ -255,10 +264,11 @@ def cohort_retention(
     week = F.date_trunc("week", F.col(ts_col))
     cohorts = df.groupBy(key_col).agg(F.min(week).alias("cohort_week"))
     activity = df.select(F.col(key_col), week.alias("activity_week")).distinct()
-    period = (
-        (F.unix_timestamp("activity_week") - F.unix_timestamp("cohort_week"))
-        / F.lit(604800)
-    ).cast("long")
+    # calendar-day arithmetic, not epoch seconds: week boundaries are
+    # always a multiple of 7 days apart, but NOT of 604800 s in a
+    # DST-observing session timezone (spring-forward weeks are 1 h
+    # short and an epoch quotient would truncate to period-1)
+    period = (F.datediff("activity_week", "cohort_week") / F.lit(7)).cast("long")
     return (
         activity.join(cohorts, key_col)
         .groupBy("cohort_week", period.alias("period_weeks"))

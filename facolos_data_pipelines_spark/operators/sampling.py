@@ -127,6 +127,11 @@ def filter_by_score_quantile(
     """
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"quantile must be in [0,1], got {q}")
+    if "_thr" in df.columns:
+        raise ValueError(
+            "filter_by_score_quantile: input already has a '_thr' column "
+            "(internal threshold name); rename it first"
+        )
     fn = (
         F.percentile_approx(score_col, q, accuracy)
         if approx

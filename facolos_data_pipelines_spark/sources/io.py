@@ -261,29 +261,50 @@ def compact_parquet(
     produce one-file-per-cycle tables whose scan cost at 100 TB is
     dominated by file-open overhead and tiny row groups; periodic
     compaction is the standard fix (cf. Delta OPTIMIZE). The rewrite
-    stages through a temp directory then atomically swaps via rename —
-    the same durability story as write_replace. Returns
-    ``{"files_before": n, "files_after": m, "rows": r}``.
+    stages through a temp directory, then swaps via two directory
+    renames. The swap window is NOT transactional (a crash between the
+    renames leaves the data in ``<path>._compact_old``; no concurrent
+    readers/writers during compaction) — the same single-writer
+    contract as write_replace. LOCAL filesystem paths only, matching
+    this engine's file-based staging; on an object store / HDFS use the
+    table format's own compaction (Delta OPTIMIZE). Returns
+    ``{"files_before": n, "files_after": m, "rows": r}``; the input is
+    scanned exactly once (the row count is read from the compacted
+    output's footers, not a pre-pass).
     """
     import glob
     import os
     import shutil
+
+    if "://" in path:
+        raise ValueError(
+            f"compact_parquet handles local paths only, got {path!r}; "
+            "use the table format's compaction (e.g. Delta OPTIMIZE) on "
+            "remote filesystems"
+        )
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    for stale in (tmp, old):  # leftovers from an interrupted prior run
+        shutil.rmtree(stale, ignore_errors=True)
 
     files = [
         f
         for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         if os.path.isfile(f)
     ]
+    if not files:
+        raise ValueError(f"compact_parquet: no parquet files under {path!r}")
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))  # ceil
-    df = spark.read.parquet(path)
-    rows = df.count()
-    tmp = path.rstrip("/") + "._compact_tmp"
-    writer = df.repartition(int(n_out)).write.mode("overwrite")
+    writer = (
+        spark.read.parquet(path).repartition(int(n_out)).write.mode("overwrite")
+    )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
+    # count from the compacted output's metadata — a few large files,
+    # no second scan of the fragmented input
+    rows = spark.read.parquet(tmp).count()
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

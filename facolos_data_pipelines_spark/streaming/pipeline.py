@@ -100,6 +100,7 @@ def session_event_counts(
     gap: str = "30 minutes",
     watermark: str = "1 hour",
     key_col: str = "user_id",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Gap-based session windows with late-data watermark — the
     streaming twin of operators.events.session_stats (same session
@@ -108,20 +109,21 @@ def session_event_counts(
     the watermark passes session end, so state is bounded by active
     sessions, not history — the property that makes this viable on an
     unbounded 100 TB/day stream."""
+    aggs = [F.count("*").cast("long").alias("n_events")]
+    sel = [
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        F.col(key_col),
+        F.col("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 2).alias("total_value"))
+        sel.append(F.col("total_value"))
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
-        .agg(
-            F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            key_col,
-            "n_events",
-            "total_value",
-        )
+        .agg(*aggs)
+        .select(*sel)
     )
 
 

@@ -364,3 +364,26 @@ def test_asof_join_forward_matches_python_reference(spark, levs, revs):
                 best = (rs, j)
         want[i] = None if best is None else best[1]
     assert got == want
+
+
+def test_asof_join_null_timestamps_never_match(spark):
+    """NULL-ts right rows are not phantom matches (asc sort would put
+    them first) and NULL-ts left rows match nothing — SQL comparison
+    semantics, same as a native ASOF join."""
+    left = spark.createDataFrame(
+        [(1, 5, _ts(10)), (2, 5, None)], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(900, 5, None), (901, 5, _ts(4))], ["r_id", "user_id", "ts"]
+    )
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            left, right, "user_id", "ts", ["r_id"], suffix="_m",
+            direction=direction,
+        )
+        got = {r["event_id"]: r["r_id_m"] for r in out.collect()}
+        assert got[2] is None, direction  # null left ts -> no match
+        if direction == "backward":
+            assert got[1] == 901  # real prior row, not the null-ts one
+        else:
+            assert got[1] is None  # nothing at-or-after 12:10
