@@ -1176,6 +1176,18 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot distribution drift (quality.checks.snapshot_drift):
+    pre-1996 vs 1996+ orders, one single-scan profile per snapshot
+    joined on column name; exact counts + one division per flag input."""
+    from facolos_data_pipelines_spark.quality.checks import snapshot_drift
+
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderdate") < "1996-01-01")
+    b = orders.filter(F.col("o_orderdate") >= "1996-01-01")
+    return snapshot_drift(a, b, ["o_totalprice", "o_custkey", "o_orderstatus"])
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase
     (operators.events.funnel_counts): stacked running-max window flags
@@ -1267,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "snapshot_drift": q_snapshot_drift,
         # rows-only (no ANSI-SQL oracle):
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
@@ -1413,6 +1426,50 @@ def _stopwords_values_sql() -> str:
         lst = ", ".join(_sq(w) for w in words)
         rows.append(f"({_sq(lang)}, [{lst}])")
     return ", ".join(rows)
+
+
+def _snapshot_drift_sql() -> str:
+    """quality.checks.snapshot_drift twin: per-snapshot single-pass
+    profiles (counts, null counts, AVG means), joined per column; drift
+    flags computed on the UNROUNDED fractions/means exactly as Spark
+    does, display values epsilon-rounded."""
+    cols = [("o_totalprice", True), ("o_custkey", True), ("o_orderstatus", False)]
+    prof_items = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    for i, (c, numeric) in enumerate(cols):
+        prof_items.append(
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_{i}"
+        )
+        prof_items.append(
+            f"AVG(CAST({c} AS DOUBLE)) AS m_{i}"
+            if numeric
+            else f"CAST(NULL AS DOUBLE) AS m_{i}"
+        )
+    prof = ",\n                       ".join(prof_items)
+    branches = []
+    for i, (c, _numeric) in enumerate(cols):
+        branches.append(f"""
+            SELECT '{c}' AS column_name,
+                   pa.n_rows AS n_rows_a, pb.n_rows AS n_rows_b,
+                   pa.nn_{i} AS n_null_a, pb.nn_{i} AS n_null_b,
+                   ROUND(pa.nn_{i} / greatest(pa.n_rows, 1) + 1e-9, 4) AS null_frac_a,
+                   ROUND(pb.nn_{i} / greatest(pb.n_rows, 1) + 1e-9, 4) AS null_frac_b,
+                   ROUND(pa.m_{i} + 1e-9, 4) AS mean_a,
+                   ROUND(pb.m_{i} + 1e-9, 4) AS mean_b,
+                   (ABS(pb.nn_{i} / greatest(pb.n_rows, 1)
+                        - pa.nn_{i} / greatest(pa.n_rows, 1)) > 0.05) AS null_drift,
+                   COALESCE(CASE WHEN pa.m_{i} IS NOT NULL AND pa.m_{i} <> 0
+                                 THEN ABS(pb.m_{i} - pa.m_{i}) / ABS(pa.m_{i}) > 0.10
+                            END, FALSE) AS mean_drift
+            FROM pa, pb""")
+    return f"""
+            WITH pa AS (
+                SELECT {prof}
+                FROM orders WHERE o_orderdate < DATE '1996-01-01'
+            ), pb AS (
+                SELECT {prof}
+                FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+            ){" UNION ALL ".join(branches)}
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2384,4 +2441,5 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN c USING (user_id)
             GROUP BY 1, 2
         """,
+        "snapshot_drift": _snapshot_drift_sql(),
     }

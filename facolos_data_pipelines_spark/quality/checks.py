@@ -216,3 +216,69 @@ def validate_post_load(
             >= F.current_timestamp() - F.expr(f"INTERVAL {freshness_hours} HOURS")
         ).alias("fresh"),
     )
+
+
+def snapshot_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    columns: list[str],
+    null_frac_threshold: float = 0.05,
+    mean_rel_threshold: float = 0.10,
+) -> DataFrame:
+    """Distribution drift between two snapshots of the same table —
+    the between-cycle sanity check the reference's monitor implies but
+    never implements (production_monitor.py tracks only volumes).
+
+    One aggregation pass per snapshot (same single-scan shape as
+    :func:`column_profile`), joined on column name: per column the
+    row/null counts, null fractions, means (numeric only), and two
+    drift flags — absolute null-fraction shift above
+    ``null_frac_threshold`` and relative mean shift above
+    ``mean_rel_threshold``. All inputs to the flags are exact counts
+    and one division, so an external engine reproduces them.
+    """
+    from pyspark.sql.types import NumericType
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        aggs = [F.count("*").cast("long").alias(f"n_rows_{tag}")]
+        for i, c in enumerate(columns):
+            numeric = isinstance(df.schema[c].dataType, NumericType)
+            num = F.col(c).cast("double") if numeric else F.lit(None).cast("double")
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"__null_{i}")
+            )
+            aggs.append(F.avg(num).alias(f"__mean_{i}"))
+        one = df.agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"n_rows_{tag}").alias(f"n_rows_{tag}"),
+                F.col(f"__null_{i}").alias(f"n_null_{tag}"),
+                F.col(f"__mean_{i}").alias(f"mean_{tag}"),
+            )
+            for i, c in enumerate(columns)
+        ]
+        return one.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+
+    joined = profile(df_a, "a").join(profile(df_b, "b"), "column_name")
+    null_frac_a = F.col("n_null_a") / F.greatest(F.col("n_rows_a"), F.lit(1))
+    null_frac_b = F.col("n_null_b") / F.greatest(F.col("n_rows_b"), F.lit(1))
+    mean_shift = F.when(
+        F.col("mean_a").isNotNull() & (F.col("mean_a") != 0),
+        F.abs(F.col("mean_b") - F.col("mean_a")) / F.abs(F.col("mean_a")),
+    )
+    return joined.select(
+        "column_name",
+        "n_rows_a",
+        "n_rows_b",
+        "n_null_a",
+        "n_null_b",
+        F.round(null_frac_a + 1e-9, 4).alias("null_frac_a"),
+        F.round(null_frac_b + 1e-9, 4).alias("null_frac_b"),
+        F.round(F.col("mean_a") + 1e-9, 4).alias("mean_a"),
+        F.round(F.col("mean_b") + 1e-9, 4).alias("mean_b"),
+        (F.abs(null_frac_b - null_frac_a) > null_frac_threshold).alias("null_drift"),
+        F.coalesce(mean_shift > mean_rel_threshold, F.lit(False)).alias("mean_drift"),
+    )

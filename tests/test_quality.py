@@ -119,3 +119,24 @@ def test_column_profile_numeric_and_string(spark):
         r["column_name"]: r for r in column_profile(df, exact_distinct=False).collect()
     }
     assert approx["k"]["n_distinct"] >= 3
+
+
+def test_snapshot_drift_flags(spark):
+    from facolos_data_pipelines_spark.quality.checks import snapshot_drift
+
+    a = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 12.0, "y"), (3, 11.0, None)], ["id", "v", "s"]
+    )
+    b = spark.createDataFrame(
+        [(4, 30.0, "x"), (5, 32.0, None), (6, None, None)], ["id", "v", "s"]
+    )
+    out = {r["column_name"]: r for r in snapshot_drift(a, b, ["v", "s"]).collect()}
+    v = out["v"]
+    assert v["n_rows_a"] == 3 and v["n_rows_b"] == 3
+    assert v["n_null_a"] == 0 and v["n_null_b"] == 1
+    assert v["mean_a"] == 11.0 and v["mean_b"] == 31.0
+    assert v["mean_drift"]  # ~182% relative shift
+    assert v["null_drift"]  # 0 -> 1/3
+    s = out["s"]
+    assert s["mean_a"] is None and not s["mean_drift"]  # non-numeric
+    assert s["null_drift"]  # 1/3 -> 2/3
