@@ -1176,6 +1176,30 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (batch twin of
+    streaming.stream_stream_interval_join): purchases within 1 hour
+    after a click, same user. Equi-join on user_id with the time range
+    as a post-join filter — a sort-merge join keyed on user, never a
+    cartesian range join."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return (
+        clicks.join(purchases, "user_id")
+        .filter(
+            (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+    )
+
+
 def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-snapshot distribution drift (quality.checks.snapshot_drift):
     pre-1996 vs 1996+ orders, one single-scan profile per snapshot
@@ -1280,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "snapshot_drift": q_snapshot_drift,
+        "interval_join": q_interval_join,
         # rows-only (no ANSI-SQL oracle):
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
@@ -2442,4 +2467,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "snapshot_drift": _snapshot_drift_sql(),
+        "interval_join": """
+            -- batch twin of the streaming interval join: purchases
+            -- within [click_ts, click_ts + 1 h], same user
+            SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+                   p.event_id AS purchase_id, p.ts AS purchase_ts
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        """,
     }

@@ -5,6 +5,7 @@ from .pipeline import (
     run_available_now,
     running_totals_stateful,
     session_event_counts,
+    stream_stream_interval_join,
     windowed_event_counts,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "run_available_now",
     "running_totals_stateful",
     "session_event_counts",
+    "stream_stream_interval_join",
     "windowed_event_counts",
 ]

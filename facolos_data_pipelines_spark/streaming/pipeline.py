@@ -127,6 +127,38 @@ def session_event_counts(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    left_prefix: str = "l",
+    right_prefix: str = "r",
+) -> DataFrame:
+    """Stream-stream inner join on key with an event-time interval:
+    right events within ``[left.ts, left.ts + within]`` — the streaming
+    attribution/conversion join (click -> purchase within the hour).
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time range in ONE direction plus the watermark in the other,
+    which is exactly what Spark needs to evict join state: each side's
+    buffered rows are dropped once the other side's watermark passes
+    the latest instant they could still match. Without the interval
+    bound the state would grow forever — the property that makes
+    stream-stream joins viable on an unbounded feed.
+    """
+    lw = left.withWatermark(ts_col, watermark).alias(left_prefix)
+    rw = right.withWatermark(ts_col, watermark).alias(right_prefix)
+    cond = F.expr(
+        f"{left_prefix}.{key_col} = {right_prefix}.{key_col} AND "
+        f"{right_prefix}.{ts_col} >= {left_prefix}.{ts_col} AND "
+        f"{right_prefix}.{ts_col} <= {left_prefix}.{ts_col} + INTERVAL {within}"
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def run_available_now(
     stream: DataFrame,
     sink_path: str,

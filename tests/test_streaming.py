@@ -322,3 +322,46 @@ def test_session_window_merges_across_micro_batches(spark, tmp_root):
     assert len(rows) == 1  # one merged session, not two
     assert rows[0]["n_events"] == 2
     assert rows[0]["session_start"] == base
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_root):
+    """Streaming click->purchase interval join (purchase within 1 h of
+    the click, same user) produces exactly the batch join's pairs."""
+    import datetime as dt
+    import uuid as _uuid
+
+    from facolos_data_pipelines_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    src = f"{tmp_root}/ssj_src"
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1, "click", 1.0),
+        (2, base + dt.timedelta(minutes=30), 1, "purchase", 5.0),  # within 1h
+        (3, base + dt.timedelta(minutes=90), 1, "purchase", 7.0),  # outside
+        (4, base, 2, "click", 1.0),  # user 2: no purchase
+        (5, base + dt.timedelta(minutes=10), 3, "purchase", 9.0),  # no click
+    ]
+    _write_batch(spark, src, rows)
+    stream = read_parquet_stream(spark, src, EVENT_SCHEMA)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    joined = stream_stream_interval_join(clicks, purchases).select(
+        "click_id", "purchase_id"
+    )
+    name = f"ssj_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["click_id"], r["purchase_id"]) for r in spark.table(name).collect()}
+    assert got == {(1, 2)}  # only the within-window same-user pair
