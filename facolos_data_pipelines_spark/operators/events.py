@@ -76,16 +76,21 @@ def session_stats(
     partitioned compatibly with the window's shuffle on ``key_col``, so
     AQE coalesces rather than re-shuffling the full width. Durations are
     integer milliseconds (``unix_millis``) — exact across engines, no
-    float epoch drift.
+    float epoch drift. ``unix_millis`` rejects TIMESTAMP_NTZ inputs
+    (parquet written without timezone metadata reads as NTZ), so the
+    endpoints are cast to TIMESTAMP first — exact under the session's
+    pinned-UTC timezone (session.build_spark), and a no-op for columns
+    that are already TIMESTAMP.
     """
     sess = sessionize(df, key_col, ts_col, gap_minutes, tiebreak_cols)
+    as_ts = lambda c: c.cast("timestamp")  # noqa: E731
     aggs = [
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         F.count("*").cast("long").alias("n_events"),
-        (F.unix_millis(F.max(ts_col)) - F.unix_millis(F.min(ts_col))).alias(
-            "duration_ms"
-        ),
+        (
+            F.unix_millis(as_ts(F.max(ts_col))) - F.unix_millis(as_ts(F.min(ts_col)))
+        ).alias("duration_ms"),
     ]
     if value_col is not None:
         aggs.append(F.sum(value_col).alias("total_value"))
