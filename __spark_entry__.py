@@ -1235,6 +1235,79 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(events)
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history (operators.merge.scd2_history): per-customer
+    order-status change log with validity intervals — one key shuffle,
+    lag change-detection and lead interval windows share partitioning."""
+    from facolos_data_pipelines_spark.operators.merge import scd2_history
+
+    orders = _t(spark, sf_dir, "orders")
+    return scd2_history(
+        orders,
+        keys=["o_custkey"],
+        tracked=["o_orderstatus"],
+        order_col="o_orderdate",
+        tiebreakers=["o_orderkey"],
+    )
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab reshape (operators.conform.pivot_aggregate): revenue by
+    order year pivoted wide over status. Explicit pivot values — single
+    groupBy pass, no distinct discovery scan, fixed declared schema."""
+    from facolos_data_pipelines_spark.operators.conform import pivot_aggregate
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    wide = pivot_aggregate(
+        base, ["order_year"], "o_orderstatus", ["O", "F", "P"], "o_totalprice", "sum",
+        prefix="revenue_",
+    )
+    return wide.select(
+        "order_year",
+        *[F.round(F.col(f"revenue_{v}") + 1e-6, 2).alias(f"revenue_{v}") for v in ("O", "F", "P")],
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms (operators.text.tfidf_top_terms):
+    smoothed sklearn idf, in-plan corpus count (1-row broadcast),
+    deterministic (rounded score desc, term asc) ranking."""
+    from facolos_data_pipelines_spark.operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-local sequence packing (operators.text.pack_documents):
+    portable md5 shard + id-ordered token cumsum -> pack_id; one
+    shuffle on the shard key, next-fit with <=1 straddler per pack."""
+    from facolos_data_pipelines_spark.operators.text import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_documents(docs, max_tokens=512, num_shards=4)
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS/semi-join surface (TPC-H Q4 shape): orders in the 1996
+    ship window having at least one returned lineitem, counted by
+    priority. left_semi — the probe side never duplicates or widens."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.filter(F.col("o_orderdate").between(SHIP_START, SHIP_END))
+        .join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_sales_summary": q_daily_sales_summary,
@@ -1305,6 +1378,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "snapshot_drift": q_snapshot_drift,
         "interval_join": q_interval_join,
+        "scd2_history": q_scd2_history,
+        "pivot_status": q_pivot_status,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "pack_documents": q_pack_documents,
+        "order_priority_check": q_order_priority_check,
         # rows-only (no ANSI-SQL oracle):
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
@@ -1411,6 +1489,38 @@ def _split_oracle_sql() -> str:
                 SELECT doc_id, ({value}) / 4294967296.0 AS frac FROM h8
             )
             SELECT doc_id, {case} AS split FROM f
+        """
+
+
+def _pack_oracle_sql() -> str:
+    """pack_documents twin: the 32-bit md5 shard bucket rebuilt
+    digit-by-digit (same idiom as _split_oracle_sql), whitespace token
+    count, per-shard id-ordered running sum, floor-division pack id."""
+    value = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1) * {16 ** (7 - d)}"
+        for d in range(8)
+    )
+    return rf"""
+            WITH h8 AS (
+                SELECT doc_id,
+                       md5('pack:' || CAST(doc_id AS VARCHAR)) AS h,
+                       CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                            x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), s AS (
+                SELECT doc_id, CAST(({value}) % 4 AS BIGINT) AS shard, n_tokens
+                FROM h8
+            ), c AS (
+                SELECT doc_id, shard, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cum_before
+                FROM s
+            )
+            SELECT doc_id, shard,
+                   CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id, n_tokens
+            FROM c
         """
 
 
@@ -2476,5 +2586,78 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
               ON c.user_id = p.user_id
              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        """,
+        "scd2_history": """
+            -- merge.scd2_history twin: null-safe change detection via
+            -- IS DISTINCT FROM, (o_orderdate, o_orderkey) ordering on
+            -- both windows, intervals by LEAD over the change rows
+            WITH ordered AS (
+                SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                       LAG(o_orderstatus) OVER w AS prev_s,
+                       ROW_NUMBER() OVER w AS rn
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)
+            ), changes AS (
+                SELECT o_custkey, o_orderstatus,
+                       o_orderdate AS effective_from, o_orderkey
+                FROM ordered
+                WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM prev_s
+            )
+            SELECT o_custkey, o_orderstatus, effective_from,
+                   LEAD(effective_from) OVER w2 AS effective_to,
+                   LEAD(effective_from) OVER w2 IS NULL AS is_current
+            FROM changes
+            WINDOW w2 AS (PARTITION BY o_custkey
+                          ORDER BY effective_from, o_orderkey)
+        """,
+        "pivot_status": """
+            -- conform.pivot_aggregate twin: conditional aggregation,
+            -- same epsilon-nudged cent rounding, NULL for empty combos
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                   ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) + 1e-6, 2) AS revenue_O,
+                   ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) + 1e-6, 2) AS revenue_F,
+                   ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) + 1e-6, 2) AS revenue_P
+            FROM orders GROUP BY 1
+        """,
+        "tfidf_top_terms": r"""
+            -- text.tfidf_top_terms twin: same tokenization as
+            -- top_ngrams, sklearn-smoothed idf, rank on the ROUNDED
+            -- score (ties -> term asc) exactly like the Spark window
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), t AS (
+                SELECT doc_id, unnest(words) AS term FROM w
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+                FROM t GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term
+            ), n AS (
+                SELECT COUNT(*)::DOUBLE AS n_docs FROM documents
+            ), scored AS (
+                SELECT doc_id, term,
+                       ROUND(tf * (ln((n_docs + 1) / (df + 1)) + 1) + 1e-9, 6) AS tfidf
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tfidf FROM scored
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term ASC) <= 3
+        """,
+        "pack_documents": _pack_oracle_sql(),
+        "order_priority_check": f"""
+            -- TPC-H Q4-shaped EXISTS: orders in the {SHIP_START[:4]} ship
+            -- window with >=1 returned lineitem, counted by priority
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate BETWEEN TIMESTAMP '{SHIP_START} 00:00:00'
+                                    AND TIMESTAMP '{SHIP_END} 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
         """,
     }

@@ -123,3 +123,55 @@ def append_dedup(
     """
     old_keys = _renamed_keys(existing, keys)
     return incoming.join(old_keys, _null_safe_key_cond(incoming, old_keys, keys), "left_anti")
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    order_col: str,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from change/
+    snapshot rows: collapse runs of identical tracked values per key,
+    then derive validity intervals.
+
+    The reference's MERGE keeps only the latest row per PK (SCD1,
+    run_historical_backfill.py:152-183); this is the warehouse-standard
+    SCD2 extension — every attribute CHANGE becomes a versioned row
+    with ``effective_from`` (the change's order_col), ``effective_to``
+    (the next change's, NULL while current) and ``is_current``.
+
+    Plan shape: one shuffle on ``keys``; the change-detection lag
+    window and the interval lead window share the same partitioning, so
+    Spark plans a single Exchange with two Sort+Window nodes on top —
+    at 100 TB the cost is one key shuffle, same as ``latest_by_key``.
+    Change detection is null-safe (NULL -> value counts as a change,
+    NULL == NULL does not). Ordering ties on ``order_col`` break on
+    ``tiebreakers`` so the history is deterministic; rows that tie on
+    the full ordering produce zero-length intervals rather than
+    nondeterminism.
+    """
+    ties = [t for t in (tiebreakers or []) if t in df.columns]
+    order_exprs = [F.col(order_col).asc_nulls_first()] + [F.col(t).asc() for t in ties]
+    w = Window.partitionBy(*keys).orderBy(*order_exprs)
+    changed = F.row_number().over(w) == 1
+    for t in tracked:
+        changed = changed | ~F.col(t).eqNullSafe(F.lag(t).over(w))
+    carried = [t for t in ties if t not in keys and t not in tracked and t != order_col]
+    changes = (
+        df.withColumn("_chg", changed)
+        .filter(F.col("_chg"))
+        .select(*keys, *tracked, F.col(order_col).alias("effective_from"), *carried)
+    )
+    w2 = Window.partitionBy(*keys).orderBy(
+        F.col("effective_from").asc_nulls_first(),
+        *[F.col(t).asc() for t in ties if t in tracked or t in carried],
+    )
+    return changes.select(
+        *keys,
+        *tracked,
+        "effective_from",
+        F.lead("effective_from").over(w2).alias("effective_to"),
+        F.lead("effective_from").over(w2).isNull().alias("is_current"),
+    )

@@ -474,3 +474,120 @@ def top_ngrams(
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (smoothed) — keyword /
+    topical-signature extraction for corpus triage and near-dup triage.
+
+    tf = raw term count in the doc; idf = ln((N + 1) / (df + 1)) + 1
+    (scikit-learn's smoothed formulation — never zero, never divides by
+    zero); score = tf * idf rounded to ``round_digits`` so the result
+    is comparable across engines (ln is IEEE-754 on both sides).
+
+    Plan shape: one explode, a groupBy on (doc, term) for tf, a
+    groupBy on term for df (map-side partial agg both times), then the
+    corpus size joins in as a broadcast of ONE aggregate row — the
+    whole computation stays in-plan, nothing collects to the driver.
+    The final per-doc top-k is a window on ``id_col`` whose shuffle
+    reuses the (doc, term) partitioning's doc component; ties break on
+    the term string so output is deterministic. At 100 TB: two
+    aggregation shuffles plus the window — the canonical TF-IDF
+    dataflow, no corpus-sized broadcast anywhere.
+    """
+    from .dedup import normalized_words
+
+    _require_unique_ids(docs, id_col, "tfidf_top_terms")
+    terms = docs.select(
+        F.col(id_col), F.explode(normalized_words(text_col)).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").cast("double").alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(doc_freq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            # 1e-9 nudge before rounding: keeps half-ulp boundary cases
+            # off the .5 rounding edge so Spark and external engines
+            # agree bit-for-bit (same idiom as the money-sum oracles)
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+                + 1e-9,
+                round_digits,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    num_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign documents to training-context packs of ~``max_tokens``
+    whitespace tokens (sequence packing for LLM pretraining batches).
+
+    Packing is SHARD-LOCAL: every doc hashes to one of ``num_shards``
+    shards (portable md5 bucket — the same contract as
+    ``sampling.hash_split``), and packs are built inside a shard by a
+    running token cumsum in id order: ``pack_id = floor(cum_tokens_before
+    / max_tokens)``. This is next-fit packing with at most one
+    boundary-straddling doc per pack (the straddler starts the pack it
+    lands in; exact packers would truncate or split it — acceptable for
+    pretraining where docs are clipped to the context anyway), in
+    exchange for which the whole operator is ONE window per shard: no
+    sequential scan, no driver loop, embarrassingly parallel across
+    shards. At 100 TB: one shuffle on the shard key; shard count scales
+    with the cluster, and a pack never spans shards so downstream
+    writers can bucket by (shard, pack_id).
+
+    Output: (id, shard, pack_id, n_tokens), one row per doc.
+    Deterministic and engine-portable (md5 shard + id-ordered cumsum
+    are both reproducible in any SQL engine — the DuckDB oracle twin
+    proves it).
+    """
+    if max_tokens <= 0 or num_shards <= 0:
+        raise ValueError("pack_documents: max_tokens and num_shards must be positive")
+    shard = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long") % num_shards
+    toks = docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        token_count_whitespace(text_col).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return toks.select(
+        F.col(id_col),
+        "shard",
+        F.floor(cum_before / max_tokens).cast("long").alias("pack_id"),
+        "n_tokens",
+    )

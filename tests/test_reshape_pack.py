@@ -1,0 +1,147 @@
+"""SCD2 history, pivot_aggregate, TF-IDF top terms, sequence packing,
+and the semi-join priority query."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from facolos_data_pipelines_spark.operators.conform import pivot_aggregate
+from facolos_data_pipelines_spark.operators.merge import scd2_history
+from facolos_data_pipelines_spark.operators.text import pack_documents, tfidf_top_terms
+
+
+def _d(day):
+    return datetime(2024, 1, day)
+
+
+@pytest.fixture()
+def status_rows(spark):
+    rows = [
+        # key 1: A, A (collapses), B, B (collapses) -> two versions
+        (1, _d(1), 101, "A"),
+        (1, _d(2), 102, "A"),
+        (1, _d(3), 103, "B"),
+        (1, _d(4), 104, "B"),
+        # key 2: NULL -> A -> NULL: null transitions are changes,
+        # NULL==NULL run collapses
+        (2, _d(1), 201, None),
+        (2, _d(2), 202, None),
+        (2, _d(3), 203, "A"),
+        (2, _d(4), 204, None),
+    ]
+    return spark.createDataFrame(rows, ["k", "ts", "seq", "status"])
+
+
+def test_scd2_collapses_runs_and_builds_intervals(status_rows):
+    out = scd2_history(
+        status_rows, keys=["k"], tracked=["status"], order_col="ts", tiebreakers=["seq"]
+    ).collect()
+    k1 = sorted(
+        [r for r in out if r["k"] == 1], key=lambda r: r["effective_from"]
+    )
+    assert [(r["status"], r["effective_from"], r["effective_to"], r["is_current"]) for r in k1] == [
+        ("A", _d(1), _d(3), False),
+        ("B", _d(3), None, True),
+    ]
+    k2 = sorted(
+        [r for r in out if r["k"] == 2], key=lambda r: r["effective_from"]
+    )
+    # NULL run collapses; NULL -> A and A -> NULL are both changes
+    assert [(r["status"], r["is_current"]) for r in k2] == [
+        (None, False),
+        ("A", False),
+        (None, True),
+    ]
+    # interval chain is gapless: each effective_to equals the next
+    # version's effective_from
+    assert k2[0]["effective_to"] == k2[1]["effective_from"]
+    assert k2[1]["effective_to"] == k2[2]["effective_from"]
+
+
+def test_scd2_same_timestamp_ties_break_on_tiebreaker(spark):
+    rows = [(1, _d(1), 2, "B"), (1, _d(1), 1, "A")]
+    df = spark.createDataFrame(rows, ["k", "ts", "seq", "status"])
+    out = scd2_history(
+        df, keys=["k"], tracked=["status"], order_col="ts", tiebreakers=["seq"]
+    ).collect()
+    by_status = {r["status"]: r for r in out}
+    # seq=1 (A) sorts first -> superseded by B at the same instant
+    assert by_status["A"]["is_current"] is False
+    assert by_status["B"]["is_current"] is True
+
+
+def test_pivot_aggregate_conditional_sums(spark):
+    rows = [
+        (2023, "O", 10.0),
+        (2023, "O", 5.0),
+        (2023, "F", 2.0),
+        (2024, "F", 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["yr", "status", "amount"])
+    out = {
+        r["yr"]: r
+        for r in pivot_aggregate(
+            df, ["yr"], "status", ["O", "F", "P"], "amount", "sum"
+        ).collect()
+    }
+    assert out[2023]["amount_O"] == 15.0
+    assert out[2023]["amount_F"] == 2.0
+    assert out[2023]["amount_P"] is None  # empty combo -> NULL, not 0
+    assert out[2024]["amount_O"] is None
+    assert out[2024]["amount_F"] == 7.0
+
+
+def test_pivot_aggregate_rejects_unknown_agg(spark):
+    df = spark.createDataFrame([(1, "a", 1.0)], ["g", "p", "v"])
+    with pytest.raises(ValueError, match="agg must be one of"):
+        pivot_aggregate(df, ["g"], "p", ["a"], "v", agg="median")
+
+
+def test_tfidf_ranks_rare_terms_above_common(spark):
+    rows = [
+        (1, "apple banana banana"),
+        (2, "apple cherry"),
+        (3, "apple durian"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_top_terms(docs, k=1)
+    top = {r["doc_id"]: r["term"] for r in out.collect()}
+    # 'apple' appears in every doc (min idf); the doc-specific term wins
+    assert top == {1: "banana", 2: "cherry", 3: "durian"}
+    # k bound respected per doc
+    assert tfidf_top_terms(docs, k=2).groupBy("doc_id").count().agg(
+        F.max("count")
+    ).collect()[0][0] <= 2
+
+
+def test_pack_documents_budget_and_determinism(spark):
+    rows = [(i, "tok " * (i % 7 + 1)) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_documents(docs, max_tokens=10, num_shards=3).collect()
+    assert len(out) == 40  # one row per doc
+    # within a shard, pack_id is nondecreasing in doc_id and every pack
+    # STARTS under budget (next-fit: only the straddler may overflow)
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= {0, 1, 2}
+    for docs_in_shard in by_shard.values():
+        cum = 0
+        prev_pack = 0
+        for r in docs_in_shard:
+            assert r["pack_id"] == cum // 10
+            assert r["pack_id"] >= prev_pack
+            prev_pack = r["pack_id"]
+            cum += r["n_tokens"]
+    # deterministic across runs
+    again = pack_documents(docs, max_tokens=10, num_shards=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pack_documents_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="must be positive"):
+        pack_documents(df, max_tokens=0)
+    with pytest.raises(ValueError, match="must be positive"):
+        pack_documents(df, num_shards=0)
