@@ -1308,6 +1308,37 @@ def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff of two synthetic order-table versions
+    (operators.merge.snapshot_diff): one full-outer null-safe key join,
+    column-wise IS-DISTINCT comparison, added/removed/changed labels."""
+    from facolos_data_pipelines_spark.operators.merge import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 10.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
+    )
+
+
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture downsampling (operators.sampling.mix_to_weights):
+    in-plan group counts -> max consistent total -> per-group md5-hash
+    keep fractions; fully deterministic and engine-portable."""
+    from facolos_data_pipelines_spark.operators.sampling import mix_to_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return mix_to_weights(
+        docs, "lang", {"en": 0.5, "es": 0.2, "de": 0.2, "fr": 0.05, "zh": 0.05}
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_sales_summary": q_daily_sales_summary,
@@ -1383,6 +1414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "pack_documents": q_pack_documents,
         "order_priority_check": q_order_priority_check,
+        "snapshot_diff_cdc": q_snapshot_diff_cdc,
+        "mix_corpus": q_mix_corpus,
         # rows-only (no ANSI-SQL oracle):
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
@@ -1521,6 +1554,39 @@ def _pack_oracle_sql() -> str:
             SELECT doc_id, shard,
                    CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id, n_tokens
             FROM c
+        """
+
+
+def _mix_oracle_sql() -> str:
+    """mix_to_weights twin: in-SQL group counts, T = min(count/weight),
+    per-group LEAST(1, T*w/c) thresholds, the shared 32-bit md5
+    id-fraction (all arithmetic forced to DOUBLE — DuckDB would
+    otherwise parse the weight literals as DECIMAL and round
+    differently than Spark's doubles)."""
+    value = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1) * {16 ** (7 - d)}"
+        for d in range(8)
+    )
+    weights = {"en": 0.5, "es": 0.2, "de": 0.2, "fr": 0.05, "zh": 0.05}
+    vals = ", ".join(f"('{k}', CAST({v!r} AS DOUBLE))" for k, v in weights.items())
+    langs = ", ".join(f"'{k}'" for k in weights)
+    return f"""
+            WITH w(lang, wt) AS (VALUES {vals}),
+            counts AS (
+                SELECT lang, COUNT(*)::DOUBLE AS c
+                FROM documents WHERE lang IN ({langs}) GROUP BY lang
+            ), t AS (
+                SELECT MIN(c / wt) AS total FROM counts JOIN w USING (lang)
+            ), thr AS (
+                SELECT lang, LEAST(CAST(1.0 AS DOUBLE), total * wt / c) AS thr
+                FROM counts JOIN w USING (lang) CROSS JOIN t
+            ), f AS (
+                SELECT d.*, ({value}) / 4294967296.0 AS frac
+                FROM (SELECT *, md5('mix:' || CAST(doc_id AS VARCHAR)) AS h
+                      FROM documents) d
+            )
+            SELECT doc_id, text, lang, source, n_chars
+            FROM f JOIN thr USING (lang) WHERE frac < thr
         """
 
 
@@ -2660,4 +2726,31 @@ def oracle_sql() -> dict[str, str]:
                             AND l.l_returnflag = 'R')
             GROUP BY o_orderpriority
         """,
+        "snapshot_diff_cdc": """
+            -- merge.snapshot_diff twin: same synthetic versions, full
+            -- outer join, column-wise IS DISTINCT FROM change labels
+            WITH old_v AS (
+                SELECT o_orderkey, o_totalprice, o_orderstatus
+                FROM orders WHERE o_orderkey % 7 <> 0
+            ), new_v AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 10.0
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderstatus
+                FROM orders WHERE o_orderkey % 5 <> 0
+            ), d AS (
+                SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+                       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                            WHEN n.o_orderkey IS NULL THEN 'removed'
+                            WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                              OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                              THEN 'changed'
+                            ELSE 'unchanged' END AS change_type
+                FROM old_v o FULL OUTER JOIN new_v n
+                  ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT o_orderkey, change_type FROM d
+            WHERE change_type <> 'unchanged'
+        """,
+        "mix_corpus": _mix_oracle_sql(),
     }

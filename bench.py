@@ -60,6 +60,13 @@ HEADLINE = [
     "cluster_assign",
     "funnel",
     "cohort_retention",
+    "scd2_history",
+    "pivot_status",
+    "tfidf_top_terms",
+    "pack_documents",
+    "order_priority_check",
+    "snapshot_diff_cdc",
+    "mix_corpus",
 ]
 
 # Stub-backed queries: timed and reported, but outside the headline wall

@@ -143,3 +143,71 @@ def filter_by_score_quantile(
         .filter(F.col(score_col) >= F.col("_thr"))
         .drop("_thr")
     )
+
+
+def mix_to_weights(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample a multi-source corpus to target mixture proportions
+    (domain/language mixing for pretraining: "50% en, 20% es, ...").
+
+    The largest total consistent with the targets is
+    ``T = min_s(count_s / w_s)``; each group then keeps a
+    ``min(1, T * w_s / count_s)`` fraction of its rows, selected by the
+    portable md5 id-fraction (the ``hash_split`` contract) — so the
+    kept set is deterministic, engine-reproducible, and stable under
+    re-runs (a doc never flips groups between runs). Counts are
+    hash-approximate (binomial around the target), which is what
+    mixture sampling needs; exact-k per group is ``sample_per_group``.
+
+    Everything stays IN-PLAN: per-group counts (one map-side-combined
+    aggregation over at most |weights| groups), the scalar T (1-row
+    aggregate), and the per-group thresholds all flow through broadcast
+    joins — no driver collect, so the operator is one corpus scan + one
+    tiny-agg pass at any scale. Rows whose group has no weight are
+    dropped. Raises if a weighted group is absent (T would be 0 and the
+    whole output silently empty — loud beats empty).
+    """
+    if not weights:
+        raise ValueError("mix_to_weights: weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("mix_to_weights: weights must be positive")
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"mix weights must sum to 1 (got {total})")
+
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    counts = (
+        df.filter(F.col(group_col).isin(list(weights)))
+        .groupBy(group_col)
+        .agg(F.count("*").cast("double").alias("_cnt"))
+        .withColumn("_w", wmap[F.col(group_col)])
+    )
+    # Materialize the <=|weights|-row counts frame once: the guard, T,
+    # and the threshold join would otherwise each re-run the corpus
+    # aggregation (the double-plan-execution trap io.upsert_parquet
+    # dodges the same way).
+    counts = counts.localCheckpoint(eager=True)
+    n_present = counts.count()
+    if n_present < len(weights):
+        present = {r[group_col] for r in counts.select(group_col).collect()}
+        missing = sorted(set(weights) - present)
+        raise ValueError(
+            f"mix_to_weights: no rows for weighted group(s) {missing}; "
+            "remove them from weights or fix the input"
+        )
+    t_total = counts.agg(F.min(F.col("_cnt") / F.col("_w")).alias("_t"))
+    thresholds = counts.join(F.broadcast(t_total)).select(
+        F.col(group_col).alias("_g"),
+        F.least(F.lit(1.0), F.col("_t") * F.col("_w") / F.col("_cnt")).alias("_thr"),
+    )
+    frac = _hash_fraction(id_col, salt)
+    return (
+        df.join(F.broadcast(thresholds), df[group_col] == F.col("_g"))
+        .filter(frac < F.col("_thr"))
+        .drop("_g", "_thr")
+    )

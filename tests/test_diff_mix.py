@@ -1,0 +1,64 @@
+"""snapshot_diff CDC labels and mix_to_weights mixture sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from facolos_data_pipelines_spark.operators.merge import snapshot_diff
+from facolos_data_pipelines_spark.operators.sampling import mix_to_weights
+
+
+def test_snapshot_diff_labels_added_removed_changed(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (None, "n", 1.0)],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0), (None, "n", 2.0)],
+        ["k", "s", "v"],
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    # 1 unchanged (excluded), 2 changed, 3 removed, 4 added; NULL keys
+    # match null-safely -> the None row is changed, not added+removed
+    assert got == {2: "changed", 3: "removed", 4: "added", None: "changed"}
+
+
+def test_snapshot_diff_include_unchanged_and_custom_cols(spark):
+    old = spark.createDataFrame([(1, "a", 1.0)], ["k", "s", "v"])
+    new = spark.createDataFrame([(1, "a", 99.0)], ["k", "s", "v"])
+    # comparing only 's' -> the v difference is invisible
+    rows = snapshot_diff(
+        old, new, ["k"], compare_cols=["s"], include_unchanged=True
+    ).collect()
+    assert [(r["k"], r["change_type"]) for r in rows] == [(1, "unchanged")]
+
+
+def test_mix_to_weights_hits_targets_and_is_deterministic(spark):
+    rows = [(i, "en" if i < 600 else ("es" if i < 800 else "de")) for i in range(900)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    weights = {"en": 0.6, "es": 0.2, "de": 0.2}
+    out = mix_to_weights(df, "lang", weights)
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    # T = min(600/.6, 200/.2, 100/.2) = 500 -> targets 300/100/100;
+    # de is the binding group and keeps everything (threshold 1.0)
+    assert got["de"] == 100
+    assert abs(got["en"] - 300) < 60  # binomial tolerance
+    assert abs(got["es"] - 100) < 40
+    again = mix_to_weights(df, "lang", weights)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_mix_to_weights_drops_unweighted_and_validates(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "xx"), (3, "es")], ["doc_id", "lang"]
+    )
+    out = mix_to_weights(df, "lang", {"en": 0.5, "es": 0.5})
+    assert {r["lang"] for r in out.collect()} <= {"en", "es"}
+    with pytest.raises(ValueError, match="sum to 1"):
+        mix_to_weights(df, "lang", {"en": 0.5})
+    with pytest.raises(ValueError, match="no rows for weighted group"):
+        mix_to_weights(df, "lang", {"en": 0.5, "fr": 0.5})
+    with pytest.raises(ValueError, match="must be positive"):
+        mix_to_weights(df, "lang", {"en": 1.5, "es": -0.5})
