@@ -1339,6 +1339,21 @@ def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key (operators.skew.zorder_key):
+    8-bit interleave of two bucketed dims — pure bitwise codegen
+    expressions, the sort key behind write_zordered's layout."""
+    from facolos_data_pipelines_spark.operators.skew import zorder_key
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        zorder_key([F.col("o_custkey") % 256, F.col("o_orderkey") % 256], bits=8).alias(
+            "zkey"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_sales_summary": q_daily_sales_summary,
@@ -1416,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_check": q_order_priority_check,
         "snapshot_diff_cdc": q_snapshot_diff_cdc,
         "mix_corpus": q_mix_corpus,
+        "zorder_key": q_zorder_key,
         # rows-only (no ANSI-SQL oracle):
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
@@ -1587,6 +1603,25 @@ def _mix_oracle_sql() -> str:
             )
             SELECT doc_id, text, lang, source, n_chars
             FROM f JOIN thr USING (lang) WHERE frac < thr
+        """
+
+
+def _zorder_oracle_sql() -> str:
+    """zorder_key twin: the same 8-bit two-dim Morton interleave as
+    plain bitwise arithmetic (dim i contributes bit b at position
+    b*ndims + i)."""
+    terms = []
+    for ci, c in enumerate(("x", "y")):
+        for b in range(8):
+            terms.append(f"((({c} >> {b}) & 1) << {b * 2 + ci})")
+    expr = " | ".join(terms)
+    return f"""
+            WITH d AS (
+                SELECT o_orderkey,
+                       o_custkey % 256 AS x, o_orderkey % 256 AS y
+                FROM orders
+            )
+            SELECT o_orderkey, CAST(({expr}) AS BIGINT) AS zkey FROM d
         """
 
 
@@ -2753,4 +2788,5 @@ def oracle_sql() -> dict[str, str]:
             WHERE change_type <> 'unchanged'
         """,
         "mix_corpus": _mix_oracle_sql(),
+        "zorder_key": _zorder_oracle_sql(),
     }

@@ -93,3 +93,43 @@ def cap_group_size(
         .filter(F.col("_rn") <= max_rows)
         .drop("_rn")
     )
+
+
+def zorder_key(
+    cols: list[str | Column],
+    bits: int = 16,
+) -> Column:
+    """Z-order (Morton) key: interleave the low ``bits`` bits of each
+    input column into one long — the multi-dimensional clustering key
+    behind Delta/Iceberg OPTIMIZE ZORDER, built from plain bitwise
+    expressions (whole-stage codegen, no UDF).
+
+    Sorting a table by this key co-locates rows that are close in ALL
+    dimensions at once, so parquet row-group min/max stats prune scans
+    for predicates on ANY prefix of the dimensions — the data-skipping
+    property a single-column sort only gives its own column. Inputs
+    must already be non-negative integers in [0, 2^bits); map/bucket
+    them first (e.g. days-since-epoch, hashed-mod ids). ``bits * len(
+    cols)`` must fit a long (<= 62). NULLs map to 0 (cluster together
+    at the low corner) — filter or fill first if that is not wanted.
+    """
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key: need at least one column")
+    if bits * n > 62:
+        raise ValueError(
+            f"zorder_key: {n} cols x {bits} bits = {bits * n} interleaved "
+            "bits > 62; lower bits or drop dimensions"
+        )
+    out = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        col = (F.col(c) if isinstance(c, str) else c).cast("long")
+        col = F.coalesce(col, F.lit(0).cast("long"))
+        for b in range(bits):
+            out = out.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(col, b).bitwiseAND(F.lit(1).cast("long")),
+                    b * n + ci,
+                )
+            )
+    return out
