@@ -1354,6 +1354,74 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-5-row per-user rolling features
+    (operators.events.rolling_stats): one key shuffle, one Window node,
+    five sliding-frame aggregates."""
+    from facolos_data_pipelines_spark.operators.events import rolling_stats
+
+    events = _t(spark, sf_dir, "events")
+    return rolling_stats(
+        events.select("event_id", "user_id", "ts", "value"),
+        key_col="user_id",
+        order_col="ts",
+        value_col="value",
+        n_rows=5,
+        tiebreak_cols=["event_id"],
+    )
+
+
+def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-integrity gate (quality.checks.referential_check): lineitem
+    against a parent subset with every third order removed — keys-only
+    anti-join, NULL FKs exempt per SQL MATCH SIMPLE."""
+    from facolos_data_pipelines_spark.quality.checks import referential_check
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    parent = orders.filter(F.col("o_orderkey") % 3 != 0)
+    return referential_check(lineitem, parent, ["l_orderkey"], ["o_orderkey"])
+
+
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report window aggregate: each nation's share of its
+    region's revenue — broadcast dim joins, one group agg, then a
+    window SUM over the tiny aggregate (the share math never touches
+    fact-table rows)."""
+    from facolos_data_pipelines_spark.session import load_tables
+
+    t = load_tables(
+        spark, sf_dir, ["customer", "orders", "lineitem", "supplier", "nation", "region"]
+    )
+    rev = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w) + 1e-9, 6).alias(
+            "revenue_share"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_sales_summary": q_daily_sales_summary,
@@ -1432,6 +1500,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_cdc": q_snapshot_diff_cdc,
         "mix_corpus": q_mix_corpus,
         "zorder_key": q_zorder_key,
+        "rolling_user_value": q_rolling_user_value,
+        "referential_orphans": q_referential_orphans,
+        "revenue_share": q_revenue_share,
         # rows-only (no ANSI-SQL oracle):
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
@@ -2789,4 +2860,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mix_corpus": _mix_oracle_sql(),
         "zorder_key": _zorder_oracle_sql(),
+        "rolling_user_value": """
+            -- events.rolling_stats twin: identical ROWS frame,
+            -- (ts, event_id) ordering, epsilon-nudged sum/avg rounding
+            SELECT event_id, user_id, ts, value,
+                   ROUND(SUM(value) OVER w + 1e-6, 2) AS roll_sum,
+                   ROUND(AVG(value) OVER w + 1e-6, 2) AS roll_avg,
+                   MIN(value) OVER w AS roll_min,
+                   MAX(value) OVER w AS roll_max,
+                   CAST(COUNT(value) OVER w AS BIGINT) AS roll_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "referential_orphans": """
+            -- quality.referential_check twin: NOT EXISTS against the
+            -- thinned parent, NULL FKs exempt and counted separately
+            WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_child FROM lineitem),
+            nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_null_fk
+                   FROM lineitem WHERE l_orderkey IS NULL),
+            o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans
+                  FROM lineitem l
+                  WHERE l.l_orderkey IS NOT NULL
+                    AND NOT EXISTS (SELECT 1 FROM orders p
+                                    WHERE p.o_orderkey % 3 <> 0
+                                      AND p.o_orderkey = l.l_orderkey))
+            SELECT n_child, n_null_fk, n_orphans,
+                   n_orphans = 0 AS ref_ok
+            FROM c, nf, o
+        """,
+        "revenue_share": """
+            -- ratio-to-report twin: nation revenue (cent-rounded) over
+            -- a region-partitioned window sum of the rounded values
+            WITH rev AS (
+                SELECT r_name AS region, n_name AS nation,
+                       ROUND((SUM(l_extendedprice * (1 - l_discount))) + 1e-6, 2)
+                           AS revenue
+                FROM customer
+                JOIN orders ON c_custkey = o_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                GROUP BY r_name, n_name
+            )
+            SELECT region, nation, revenue,
+                   ROUND(revenue / SUM(revenue) OVER (PARTITION BY region) + 1e-9, 6)
+                       AS revenue_share
+            FROM rev
+        """,
     }

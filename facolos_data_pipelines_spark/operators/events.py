@@ -279,3 +279,43 @@ def cohort_retention(
         .groupBy("cohort_week", period.alias("period_weeks"))
         .agg(F.count_distinct(F.col(key_col)).cast("long").alias("n_active"))
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    n_rows: int = 5,
+    tiebreak_cols: list[str] | None = None,
+    round_digits: int = 2,
+) -> DataFrame:
+    """Trailing-window feature engineering: per key, the rolling
+    sum / avg / min / max / count of ``value_col`` over the last
+    ``n_rows`` rows (current inclusive) in event order — the standard
+    "recent behavior" features a training pipeline derives per user.
+
+    One shuffle on the key, one sort, one Window node computing all
+    five aggregates over the same ROWS frame — sliding-frame aggs are
+    O(1) amortized per row (running add/evict), so cost at 100 TB is
+    the key sort, identical to sessionize. Ordering ties break on
+    ``tiebreak_cols`` for a deterministic frame; sum/avg are rounded
+    (epsilon-nudged) so the result is engine-comparable.
+    """
+    if n_rows <= 0:
+        raise ValueError("rolling_stats: n_rows must be positive")
+    ties = [F.col(t).asc() for t in (tiebreak_cols or []) if t in df.columns]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(order_col).asc(), *ties)
+        .rowsBetween(-(n_rows - 1), 0)
+    )
+    v = F.col(value_col)
+    return df.select(
+        "*",
+        F.round(F.sum(v).over(w) + 1e-6, round_digits).alias("roll_sum"),
+        F.round(F.avg(v).over(w) + 1e-6, round_digits).alias("roll_avg"),
+        F.min(v).over(w).alias("roll_min"),
+        F.max(v).over(w).alias("roll_max"),
+        F.count(v).over(w).cast("long").alias("roll_n"),
+    )

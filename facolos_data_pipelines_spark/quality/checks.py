@@ -282,3 +282,46 @@ def snapshot_drift(
         (F.abs(null_frac_b - null_frac_a) > null_frac_threshold).alias("null_drift"),
         F.coalesce(mean_shift > mean_rel_threshold, F.lit(False)).alias("mean_drift"),
     )
+
+
+def referential_check(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: list[str],
+    pk: list[str],
+) -> DataFrame:
+    """Referential-integrity gate: count child rows whose foreign key
+    has no matching parent row (orphans) — the FK constraint the
+    reference delegates to SQL Server, expressed as a scan + anti-join
+    so it works on files.
+
+    SQL FK semantics: rows with any NULL foreign-key component are
+    exempt (MATCH SIMPLE) and counted separately instead of as orphans.
+    Plan: one anti-join of the child's FK projection against the
+    parent's deduped PK projection — at 100 TB the join carries keys
+    only, broadcasts when the parent is a dim, and AQE handles FK skew.
+    Returns one row: n_child, n_null_fk, n_orphans, ref_ok.
+    """
+    if len(fk) != len(pk):
+        raise ValueError("referential_check: fk and pk must have equal length")
+    null_fk = None
+    for c in fk:
+        cond = F.col(c).isNull()
+        null_fk = cond if null_fk is None else null_fk | cond
+    keys = parent.select(*pk).dropDuplicates(pk)
+    for a, b in zip(fk, pk):
+        keys = keys.withColumnRenamed(b, f"__p_{a}")
+    cond = None
+    for c in fk:
+        eq = F.col(c) == F.col(f"__p_{c}")
+        cond = eq if cond is None else cond & eq
+    candidates = child.filter(~null_fk)
+    orphans = candidates.join(keys, cond, "left_anti")
+    return (
+        child.agg(F.count("*").cast("long").alias("n_child"))
+        .crossJoin(
+            child.filter(null_fk).agg(F.count("*").cast("long").alias("n_null_fk"))
+        )
+        .crossJoin(orphans.agg(F.count("*").cast("long").alias("n_orphans")))
+        .withColumn("ref_ok", F.col("n_orphans") == 0)
+    )
