@@ -67,6 +67,10 @@ HEADLINE = [
     "order_priority_check",
     "snapshot_diff_cdc",
     "mix_corpus",
+    "zorder_key",
+    "rolling_user_value",
+    "referential_orphans",
+    "revenue_share",
 ]
 
 # Stub-backed queries: timed and reported, but outside the headline wall

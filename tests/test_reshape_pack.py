@@ -145,3 +145,84 @@ def test_pack_documents_rejects_bad_params(spark):
         pack_documents(df, max_tokens=0)
     with pytest.raises(ValueError, match="must be positive"):
         pack_documents(df, num_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# Property-based: Spark results vs plain-python references
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+CHANGE_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # key
+        st.integers(min_value=0, max_value=20),  # day offset (ties likely)
+        st.sampled_from(["A", "B", None]),  # tracked value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(CHANGE_ROWS)
+def test_scd2_matches_python_reference(spark, rows):
+    data = [(k, _d(1 + d), i, s) for i, (k, d, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k: long, ts: timestamp, seq: long, status: string")
+    def canon(t):  # None-safe total order over the result tuples
+        k, s, ef, et, cur = t
+        return (k, ef, s is None, s or "", et is None, et or datetime.min, cur)
+
+    got = sorted(
+        (
+            (r["k"], r["status"], r["effective_from"], r["effective_to"], r["is_current"])
+            for r in scd2_history(
+                df, keys=["k"], tracked=["status"], order_col="ts", tiebreakers=["seq"]
+            ).collect()
+        ),
+        key=canon,
+    )
+    # python reference: per key sort by (ts, seq), keep change rows,
+    # chain intervals
+    by_key = {}
+    for k, ts, seq, s in data:
+        by_key.setdefault(k, []).append((ts, seq, s))
+    want = []
+    for k, evs in by_key.items():
+        evs.sort(key=lambda e: (e[0], e[1]))
+        changes = []
+        prev = object()
+        for ts, _seq, s in evs:
+            if s != prev:
+                changes.append((ts, s))
+            prev = s
+        for i, (ts, s) in enumerate(changes):
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            want.append((k, s, ts, nxt, nxt is None))
+    assert got == sorted(want, key=canon)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=50),
+)
+def test_pack_documents_matches_python_reference(spark, token_counts, max_tokens):
+    data = [(i, "w " * n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(data, "doc_id: long, text: string")
+    out = pack_documents(df, max_tokens=max_tokens, num_shards=2)
+    got = {r["doc_id"]: (r["shard"], r["pack_id"], r["n_tokens"]) for r in out.collect()}
+    # python reference: md5 shard, id-ordered cumsum, floor-division
+    import hashlib
+
+    def shard_of(i):
+        return int(hashlib.md5(f"pack:{i}".encode()).hexdigest()[:8], 16) % 2
+
+    cum = {0: 0, 1: 0}
+    want = {}
+    for i, n in enumerate(token_counts):
+        s = shard_of(i)
+        want[i] = (s, cum[s] // max_tokens, n)
+        cum[s] += n
+    assert got == want
