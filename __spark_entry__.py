@@ -1422,6 +1422,42 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions (ntile / percent_rank /
+    cume_dist) per status over a deterministic (price, key) total
+    order — the §2.6 window surface beyond row_number."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.round(F.percent_rank().over(w) + 1e-9, 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w) + 1e-9, 6).alias("cume_dist"),
+    )
+
+
+def q_daily_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue delta: lag over the DAILY AGGREGATE (a
+    bounded few-thousand-row frame — the unpartitioned window never
+    touches fact rows, so the single-partition sort is over dates, not
+    the table)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.round(F.sum("o_totalprice") + 1e-6, 2).alias("revenue")
+    )
+    w = Window.orderBy("order_date")
+    return daily.select(
+        "order_date",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w) + 1e-9, 2).alias(
+            "revenue_delta"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_sales_summary": q_daily_sales_summary,
@@ -1503,6 +1539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_value": q_rolling_user_value,
         "referential_orphans": q_referential_orphans,
         "revenue_share": q_revenue_share,
+        "window_percentiles": q_window_percentiles,
+        "daily_revenue_delta": q_daily_revenue_delta,
         # rows-only (no ANSI-SQL oracle):
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
@@ -2908,5 +2946,29 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(revenue / SUM(revenue) OVER (PARTITION BY region) + 1e-9, 6)
                        AS revenue_share
             FROM rev
+        """,
+        "window_percentiles": """
+            -- distribution-rank window twin: same deterministic
+            -- (price, key) ordering, nudged double rounding
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(NTILE(4) OVER w AS BIGINT) AS price_quartile,
+                   ROUND(PERCENT_RANK() OVER w + 1e-9, 6) AS pct_rank,
+                   ROUND(CUME_DIST() OVER w + 1e-9, 6) AS cume_dist
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice ASC, o_orderkey ASC)
+        """,
+        "daily_revenue_delta": """
+            -- day-over-day delta twin: lag over the cent-rounded daily
+            -- aggregate; first day's delta is NULL on both engines
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS order_date,
+                       ROUND(SUM(o_totalprice) + 1e-6, 2) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT order_date, revenue,
+                   ROUND(revenue - LAG(revenue) OVER (ORDER BY order_date) + 1e-9, 2)
+                       AS revenue_delta
+            FROM daily
         """,
     }
