@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_dedup
-from ..operators.sampling import filter_by_score_quantile
+from ..operators.sampling import filter_by_score_quantile, mix_to_weights
 from ..operators.text import decontaminate, fingerprint, quality_score
 
 
@@ -49,13 +49,19 @@ def curate_corpus(
     quality_quantile: float = 0.25,
     decontaminate_n: int = 3,
     dedup_threshold: float = 0.8,
+    mix_col: str | None = None,
+    mix_weights: dict[str, float] | None = None,
     output_path: str | None = None,
 ) -> CurationResult:
     """Run the full curation flow; returns surviving docs (id, text,
-    fingerprint) and a 4-row metrics frame (stage, rows_in, rows_out).
+    fingerprint) and a per-stage metrics frame (stage, rows_in,
+    rows_out).
 
     ``quality_quantile`` drops the bottom X of the score distribution
     (0.25 = keep top 75%); ``benchmark=None`` skips decontamination.
+    ``mix_col``/``mix_weights`` add a final mixture-downsampling stage
+    (``sampling.mix_to_weights``) AFTER dedup — mixing last, so target
+    proportions are measured over unique clean docs, not duplicates.
     With ``output_path`` the survivors are also written as parquet.
     """
     stages: list[tuple[str, int, int]] = []
@@ -85,10 +91,19 @@ def curate_corpus(
     n3 = deduped.count()
     stages.append(("near_dedup", n2, n3))
 
+    if mix_col is not None and mix_weights:
+        deduped = mix_to_weights(
+            deduped, mix_col, mix_weights, id_col=id_col
+        ).localCheckpoint(eager=True)
+        n4 = deduped.count()
+        stages.append(("mixture", n3, n4))
+    else:
+        n4 = n3
+
     survivors = fingerprint(deduped, text_col=text_col, id_col=id_col)
     if output_path is not None:
         survivors.write.mode("overwrite").parquet(output_path)
-    stages.append(("fingerprint", n3, n3))
+    stages.append(("fingerprint", n4, n4))
 
     metrics = spark.createDataFrame(
         [(s, int(i), int(o)) for s, i, o in stages],

@@ -225,3 +225,26 @@ def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
     assert {"doc_id", "text", "fp_content", "fp_rolling_min"} <= set(surv.columns)
     # survivors are a subset of the input ids
     assert surv.join(train, "doc_id", "left_anti").count() == 0
+
+
+def test_curate_corpus_with_mixture_stage(spark, sf_dir):
+    from facolos_data_pipelines_spark.pipelines import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = curate_corpus(
+        spark,
+        docs,
+        quality_quantile=0.0,  # keep all: isolate the mixture stage
+        dedup_threshold=0.8,
+        mix_col="lang",
+        mix_weights={"en": 0.6, "es": 0.2, "de": 0.2},
+    )
+    m = {r["stage"]: (r["rows_in"], r["rows_out"]) for r in res.metrics.collect()}
+    assert "mixture" in m
+    assert m["mixture"][0] == m["near_dedup"][1]
+    assert 0 < m["mixture"][1] <= m["mixture"][0]
+    assert m["fingerprint"][0] == m["mixture"][1]
+    # only weighted languages survive the mix
+    assert {r["lang"] for r in res.survivors.select("lang").distinct().collect()} <= {
+        "en", "es", "de"
+    }
