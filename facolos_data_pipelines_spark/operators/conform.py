@@ -407,8 +407,9 @@ def pivot_aggregate(
     100 TB, and the form the DuckDB oracle can mirror exactly as
     ``agg(CASE WHEN ...)`` columns. Output columns are
     ``{prefix}{value}`` (prefix defaults to ``{value_col}_``);
-    combinations with no rows yield NULL (SQL aggregate-over-empty
-    semantics, both engines agree).
+    combinations with no rows yield NULL for sum/avg/min/max (SQL
+    aggregate-over-empty semantics, both engines agree) and 0 for
+    count.
     """
     aggs = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max, "count": F.count}
     if agg not in aggs:

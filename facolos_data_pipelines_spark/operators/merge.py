@@ -82,15 +82,19 @@ def _renamed_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     return out
 
 
-def _null_safe_key_cond(left, right, keys: list[str]):
-    """NULL-safe key equality (<=>) against ``__r_``-renamed right keys —
+def _null_safe_key_cond(
+    left, right, keys: list[str], left_prefix: str = "", right_prefix: str = "__r_"
+):
+    """NULL-safe key equality (<=>) against prefix-renamed keys —
     composite staging PKs can carry NULL components (e.g. item_sku_id on
     itemless orders); a plain equi-join would never match them and
     duplicates would slip through the anti-join. SQL Server PKs reject
-    NULLs outright; null-safe match is the faithful dedup semantics."""
+    NULLs outright; null-safe match is the faithful dedup semantics.
+    Prefixes keep the join condition unambiguous when both sides share
+    lineage (see _renamed_keys); snapshot_diff passes its own pair."""
     cond = None
     for k in keys:
-        c = left[k].eqNullSafe(right[f"__r_{k}"])
+        c = left[f"{left_prefix}{k}"].eqNullSafe(right[f"{right_prefix}{k}"])
         cond = c if cond is None else cond & c
     return cond
 
@@ -217,10 +221,7 @@ def snapshot_diff(
         *[F.col(c).alias(f"__nc_{c}") for c in compare],
         F.lit(1).alias("__n_present"),
     )
-    cond = None
-    for k in keys:
-        c = o[f"__o_{k}"].eqNullSafe(n[f"__n_{k}"])
-        cond = c if cond is None else cond & c
+    cond = _null_safe_key_cond(o, n, keys, left_prefix="__o_", right_prefix="__n_")
     joined = o.join(n, cond, "full_outer")
     differs = F.lit(False)
     for c in compare:

@@ -109,9 +109,13 @@ def zorder_key(
     for predicates on ANY prefix of the dimensions — the data-skipping
     property a single-column sort only gives its own column. Inputs
     must already be non-negative integers in [0, 2^bits); map/bucket
-    them first (e.g. days-since-epoch, hashed-mod ids). ``bits * len(
-    cols)`` must fit a long (<= 62). NULLs map to 0 (cluster together
-    at the low corner) — filter or fill first if that is not wanted.
+    them first (e.g. days-since-epoch, hashed-mod ids) — out-of-range
+    values are a RUN-TIME ERROR (raise_error), never silent key
+    corruption: an arithmetic shift on a negative would set every bit
+    and a value >= 2^bits would truncate, colliding distant rows.
+    ``bits * len(cols)`` must fit a long (<= 62). NULLs map to 0
+    (cluster together at the low corner) — filter or fill first if
+    that is not wanted.
     """
     n = len(cols)
     if n == 0:
@@ -125,6 +129,17 @@ def zorder_key(
     for ci, c in enumerate(cols):
         col = (F.col(c) if isinstance(c, str) else c).cast("long")
         col = F.coalesce(col, F.lit(0).cast("long"))
+        col = F.when(
+            (col >= 0) & (col < (1 << bits)), col
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"zorder_key: dimension {ci} value "),
+                    col.cast("string"),
+                    F.lit(f" outside [0, 2^{bits}); bucket/bin inputs first"),
+                )
+            ).cast("long")
+        )
         for b in range(bits):
             out = out.bitwiseOR(
                 F.shiftleft(

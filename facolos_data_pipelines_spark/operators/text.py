@@ -567,6 +567,10 @@ def pack_documents(
     """
     if max_tokens <= 0 or num_shards <= 0:
         raise ValueError("pack_documents: max_tokens and num_shards must be positive")
+    # duplicate/NULL ids would tie in the id-ordered cumsum window and
+    # make pack assignment run-dependent — the same reason tfidf and
+    # fingerprint guard their ids
+    _require_unique_ids(docs, id_col, "pack_documents")
     shard = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8

@@ -297,9 +297,10 @@ def referential_check(
 
     SQL FK semantics: rows with any NULL foreign-key component are
     exempt (MATCH SIMPLE) and counted separately instead of as orphans.
-    Plan: one anti-join of the child's FK projection against the
-    parent's deduped PK projection — at 100 TB the join carries keys
-    only, broadcasts when the parent is a dim, and AQE handles FK skew.
+    Plan: two passes over the child — one aggregate computing both row
+    counts, and one anti-join of its FK projection against the parent's
+    deduped PK projection. The join carries keys only, broadcasts when
+    the parent is a dim, and AQE handles FK skew at 100 TB.
     Returns one row: n_child, n_null_fk, n_orphans, ref_ok.
     """
     if len(fk) != len(pk):
@@ -317,11 +318,15 @@ def referential_check(
         cond = eq if cond is None else cond & eq
     candidates = child.filter(~null_fk)
     orphans = candidates.join(keys, cond, "left_anti")
+    # one scan computes both row counts; the anti-join is the only
+    # other pass over the child
+    totals = child.agg(
+        F.count("*").cast("long").alias("n_child"),
+        F.coalesce(F.sum(null_fk.cast("long")), F.lit(0)).cast("long").alias(
+            "n_null_fk"
+        ),
+    )
     return (
-        child.agg(F.count("*").cast("long").alias("n_child"))
-        .crossJoin(
-            child.filter(null_fk).agg(F.count("*").cast("long").alias("n_null_fk"))
-        )
-        .crossJoin(orphans.agg(F.count("*").cast("long").alias("n_orphans")))
+        totals.crossJoin(orphans.agg(F.count("*").cast("long").alias("n_orphans")))
         .withColumn("ref_ok", F.col("n_orphans") == 0)
     )

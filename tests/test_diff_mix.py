@@ -62,3 +62,21 @@ def test_mix_to_weights_drops_unweighted_and_validates(spark):
         mix_to_weights(df, "lang", {"en": 0.5, "fr": 0.5})
     with pytest.raises(ValueError, match="must be positive"):
         mix_to_weights(df, "lang", {"en": 1.5, "es": -0.5})
+
+
+def test_curate_corpus_rejects_half_specified_mix(spark):
+    from facolos_data_pipelines_spark.pipelines import curate_corpus
+
+    docs = spark.createDataFrame([(1, "some text", "en")], ["doc_id", "text", "lang"])
+    with pytest.raises(ValueError, match="must be given together"):
+        curate_corpus(spark, docs, mix_weights={"en": 1.0})
+    with pytest.raises(ValueError, match="must be given together"):
+        curate_corpus(spark, docs, mix_col="lang")
+
+
+def test_pack_documents_rejects_duplicate_ids(spark):
+    from facolos_data_pipelines_spark.operators.text import pack_documents
+
+    df = spark.createDataFrame([(1, "a b"), (1, "c d")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="unique, non-null id"):
+        pack_documents(df, max_tokens=10)

@@ -75,3 +75,12 @@ def test_write_zordered_clusters_matching_rows(spark, tmp_path):
     assert r_files >= 8, r_files
     # layout changes placement, never content
     assert spark.read.parquet(z_path).filter(pred).count() == 64
+
+
+def test_zorder_key_rejects_out_of_range_values(spark):
+    df = spark.createDataFrame([(300, 1)], "x: long, y: long")
+    with pytest.raises(Exception, match="outside"):
+        df.select(zorder_key(["x", "y"], bits=8).alias("z")).collect()
+    neg = spark.createDataFrame([(-1, 1)], "x: long, y: long")
+    with pytest.raises(Exception, match="outside"):
+        neg.select(zorder_key(["x", "y"], bits=8).alias("z")).collect()
