@@ -1458,6 +1458,41 @@ def q_daily_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (30-min gap) — the
+    built-in twin of operators.events.sessionize; the oracle rebuilds
+    the same sessions with lag/cumsum SQL, proving the two
+    formulations agree. session end = last event + gap by definition."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value") + 1e-6, 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact percentiles (median + p90 of order value by
+    status) — F.percentile shares DuckDB quantile_cont's linear
+    interpolation (the column_profile parity), so the values
+    hash-match; percentile_approx is the documented 100 TB swap."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.5) + 1e-6, 2).alias("p50_price"),
+        F.round(F.percentile("o_totalprice", 0.9) + 1e-6, 2).alias("p90_price"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_sales_summary": q_daily_sales_summary,
@@ -1541,6 +1576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_share": q_revenue_share,
         "window_percentiles": q_window_percentiles,
         "daily_revenue_delta": q_daily_revenue_delta,
+        "session_window_agg": q_session_window_agg,
+        "group_percentiles": q_group_percentiles,
         # rows-only (no ANSI-SQL oracle):
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
@@ -2970,5 +3007,38 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(revenue - LAG(revenue) OVER (ORDER BY order_date) + 1e-9, 2)
                        AS revenue_delta
             FROM daily
+        """,
+        "session_window_agg": """
+            -- native session_window twin: the hand-rolled lag/cumsum
+            -- session assignment (same as the sessionization oracle),
+            -- then per-session aggregates; end = last event + 30 min
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM flagged
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value) + 1e-6, 2) AS total_value
+            FROM sess GROUP BY user_id, session_idx
+        """,
+        "group_percentiles": """
+            -- exact-percentile twin: quantile_cont shares Spark
+            -- percentile's linear interpolation (column_profile parity)
+            SELECT o_orderstatus,
+                   ROUND(quantile_cont(o_totalprice, 0.5) + 1e-6, 2) AS p50_price,
+                   ROUND(quantile_cont(o_totalprice, 0.9) + 1e-6, 2) AS p90_price,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_orderstatus
         """,
     }
