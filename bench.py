@@ -71,6 +71,10 @@ HEADLINE = [
     "rolling_user_value",
     "referential_orphans",
     "revenue_share",
+    "window_percentiles",
+    "daily_revenue_delta",
+    "session_window_agg",
+    "group_percentiles",
 ]
 
 # Stub-backed queries: timed and reported, but outside the headline wall
