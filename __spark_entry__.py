@@ -1493,6 +1493,37 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental data-mart maintenance (operators.merge.
+    merge_aggregate): pre-1997 daily sales held as stored aggregate
+    state, the 1997+ orders folded in as a raw batch. The oracle is the
+    DIRECT full recompute — proving fold(state, batch) == recompute,
+    the invariant that lets a 100 TB mart update in O(batch) per cycle
+    instead of the reference's per-cycle rebuild."""
+    from facolos_data_pipelines_spark.operators.merge import merge_aggregate
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = "1997-01-01"
+    sale_date = F.to_date("o_orderdate").alias("sale_date")
+    existing = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .groupBy(sale_date)
+        .agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+    batch = orders.filter(F.col("o_orderdate") >= cut).select(
+        sale_date, F.col("o_totalprice").alias("revenue")
+    )
+    merged = merge_aggregate(existing, batch, ["sale_date"], ["revenue"])
+    return merged.select(
+        "sale_date",
+        F.round(F.col("revenue") + 1e-6, 2).alias("revenue"),
+        "n_rows",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_sales_summary": q_daily_sales_summary,
@@ -1578,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_delta": q_daily_revenue_delta,
         "session_window_agg": q_session_window_agg,
         "group_percentiles": q_group_percentiles,
+        "incremental_daily_sales": q_incremental_daily_sales,
         # rows-only (no ANSI-SQL oracle):
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
@@ -3040,5 +3072,13 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(o_totalprice, 0.9) + 1e-6, 2) AS p90_price,
                    CAST(COUNT(*) AS BIGINT) AS n_orders
             FROM orders GROUP BY o_orderstatus
+        """,
+        "incremental_daily_sales": """
+            -- merge_aggregate twin is the DIRECT recompute: the
+            -- incremental fold must equal aggregating all of history
+            SELECT CAST(o_orderdate AS DATE) AS sale_date,
+                   ROUND(SUM(o_totalprice) + 1e-6, 2) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM orders GROUP BY 1
         """,
     }

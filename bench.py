@@ -75,6 +75,7 @@ HEADLINE = [
     "daily_revenue_delta",
     "session_window_agg",
     "group_percentiles",
+    "incremental_daily_sales",
 ]
 
 # Stub-backed queries: timed and reported, but outside the headline wall

@@ -239,3 +239,41 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("change_type") != "unchanged")
     return out
+
+
+def merge_aggregate(
+    existing_agg: DataFrame,
+    new_batch: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a new batch into a
+    stored aggregate table WITHOUT recomputing history — the scale
+    answer to the reference's per-cycle full data-mart rebuild
+    (sql/staging/create_future_platforms_schemas.sql:179-201 recomputes
+    daily_sales from scratch every 10-minute cycle).
+
+    ``existing_agg`` holds (keys, sum_cols..., count_col) — the
+    decomposable state; ``new_batch`` is RAW rows. The batch is
+    aggregated (map-side partial combine over only the new data), then
+    unioned with the stored state and re-summed per key: cost per cycle
+    is O(batch) + a shuffle of (existing groups ∩ touched ∪ new) key
+    rows, never O(history). Decomposable aggregates only (sum/count
+    here; min/max fold the same way; avg = sum/count at read time —
+    the standard incremental-view-maintenance restriction).
+    """
+    batch_agg = new_batch.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.count("*").cast("long").alias(count_col),
+    )
+    cols = keys + sum_cols + [count_col]
+    return (
+        existing_agg.select(*cols)
+        .unionByName(batch_agg.select(*cols))
+        .groupBy(*keys)
+        .agg(
+            *[F.sum(c).alias(c) for c in sum_cols],
+            F.sum(count_col).cast("long").alias(count_col),
+        )
+    )

@@ -80,3 +80,20 @@ def test_pack_documents_rejects_duplicate_ids(spark):
     df = spark.createDataFrame([(1, "a b"), (1, "c d")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="unique, non-null id"):
         pack_documents(df, max_tokens=10)
+
+
+def test_merge_aggregate_folds_batch_into_state(spark):
+    from facolos_data_pipelines_spark.operators.merge import merge_aggregate
+
+    existing = spark.createDataFrame(
+        [("a", 10.0, 2), ("b", 5.0, 1)], "k: string, v: double, n_rows: long"
+    )
+    batch = spark.createDataFrame(
+        [("a", 3.0), ("c", 7.0)], "k: string, v: double"
+    )
+    got = {
+        r["k"]: (r["v"], r["n_rows"])
+        for r in merge_aggregate(existing, batch, ["k"], ["v"]).collect()
+    }
+    # touched key folds, untouched key unchanged, new key appears
+    assert got == {"a": (13.0, 3), "b": (5.0, 1), "c": (7.0, 1)}
