@@ -1524,6 +1524,49 @@ def q_incremental_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT join customer->orders (zero-order
+    customers kept), per-customer order count, then the distribution
+    of counts — outer join + double aggregation."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+
+
+def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-customers-per-year via mergeable HLL
+    sketches (operators.merge.merge_distinct_sketch): pre-1997 state +
+    1997+ batch folded by sketch union. Rows-only check by design: the
+    Datasketches HLL binary and its estimator are Spark-specific
+    (DuckDB's approx_count_distinct uses a different sketch), so no
+    cross-engine value oracle exists; the unit test bounds the estimate
+    against exact COUNT(DISTINCT) instead."""
+    from facolos_data_pipelines_spark.operators.merge import (
+        distinct_estimate,
+        merge_distinct_sketch,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = "1997-01-01"
+    year = F.year("o_orderdate").cast("long").alias("order_year")
+    existing = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .select(year, "o_custkey")
+        .groupBy("order_year")
+        .agg(F.hll_sketch_agg("o_custkey", F.lit(12)).alias("hll_sketch"))
+    )
+    batch = orders.filter(F.col("o_orderdate") >= cut).select(year, "o_custkey")
+    merged = merge_distinct_sketch(existing, batch, ["order_year"], "o_custkey")
+    return distinct_estimate(merged)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_sales_summary": q_daily_sales_summary,
@@ -1610,7 +1653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_agg": q_session_window_agg,
         "group_percentiles": q_group_percentiles,
         "incremental_daily_sales": q_incremental_daily_sales,
+        "customer_order_distribution": q_customer_order_distribution,
         # rows-only (no ANSI-SQL oracle):
+        "incremental_distinct": q_incremental_distinct,
         "multimodal_features": q_multimodal_features,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -3080,5 +3125,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice) + 1e-6, 2) AS revenue,
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM orders GROUP BY 1
+        """,
+        "customer_order_distribution": """
+            -- Q13-shaped twin: LEFT join keeps zero-order customers,
+            -- COUNT(col) ignores the NULL right side
+            WITH c AS (
+                SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM c GROUP BY n_orders
         """,
     }

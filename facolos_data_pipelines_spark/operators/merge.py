@@ -277,3 +277,48 @@ def merge_aggregate(
             F.sum(count_col).cast("long").alias(count_col),
         )
     )
+
+
+def merge_distinct_sketch(
+    existing_sketches: DataFrame,
+    new_batch: DataFrame,
+    keys: list[str],
+    distinct_col: str,
+    sketch_col: str = "hll_sketch",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Incremental COUNT DISTINCT maintenance via mergeable HLL
+    sketches (Datasketches, built into Spark) — the companion to
+    :func:`merge_aggregate` for the one aggregate that is NOT
+    decomposable as a plain sum.
+
+    ``existing_sketches`` holds (keys, sketch_col binary) state; the
+    new batch's raw rows are sketched per key (map-side partial
+    aggregation — sketches merge, so the shuffle carries one ~2^lg_k
+    byte sketch per key per task, never the distinct values), then
+    unioned into the stored state with ``hll_union_agg``. Per cycle the
+    cost is O(batch) + a key shuffle of sketch bytes; estimates come
+    out via :func:`distinct_estimate` at read time (~1-2% error at the
+    default lg_k=12). This is how a 100 TB mart keeps 'distinct
+    customers per day' fresh without ever rescanning history —
+    re-aggregating exact COUNT(DISTINCT) per cycle is O(history).
+    """
+    batch = new_batch.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(distinct_col), F.lit(lg_k)).alias(sketch_col)
+    )
+    cols = keys + [sketch_col]
+    return (
+        existing_sketches.select(*cols)
+        .unionByName(batch.select(*cols))
+        .groupBy(*keys)
+        .agg(F.hll_union_agg(F.col(sketch_col), F.lit(True)).alias(sketch_col))
+    )
+
+
+def distinct_estimate(
+    sketches: DataFrame, sketch_col: str = "hll_sketch", out_col: str = "n_distinct_est"
+) -> DataFrame:
+    """Read-time estimate column from stored HLL sketch state."""
+    return sketches.withColumn(
+        out_col, F.hll_sketch_estimate(F.col(sketch_col)).cast("long")
+    ).drop(sketch_col)

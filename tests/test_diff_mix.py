@@ -97,3 +97,29 @@ def test_merge_aggregate_folds_batch_into_state(spark):
     }
     # touched key folds, untouched key unchanged, new key appears
     assert got == {"a": (13.0, 3), "b": (5.0, 1), "c": (7.0, 1)}
+
+
+def test_merge_distinct_sketch_tracks_exact_distinct(spark):
+    from pyspark.sql import functions as F2
+    from facolos_data_pipelines_spark.operators.merge import (
+        distinct_estimate,
+        merge_distinct_sketch,
+    )
+
+    old = spark.range(0, 600).select(
+        (F2.col("id") % 2).alias("g"), F2.col("id").alias("user")
+    )
+    new = spark.range(400, 1000).select(
+        (F2.col("id") % 2).alias("g"), F2.col("id").alias("user")
+    )
+    state = old.groupBy("g").agg(
+        F2.hll_sketch_agg("user", F2.lit(12)).alias("hll_sketch")
+    )
+    merged = merge_distinct_sketch(state, new, ["g"], "user")
+    est = {r["g"]: r["n_distinct_est"] for r in distinct_estimate(merged).collect()}
+    # truth: union of [0,600) and [400,1000) per parity group = 500 each
+    for g in (0, 1):
+        assert abs(est[g] - 500) / 500 < 0.05, est
+    # sketch union must NOT double-count the [400,600) overlap: a plain
+    # sum of per-batch distincts would give 600
+    assert est[0] + est[1] < 1100
