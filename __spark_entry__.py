@@ -1567,6 +1567,17 @@ def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_estimate(merged)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample, Efraimidis-Spirakis over the portable
+    md5 fraction): top-50 documents by u^(1/n_chars) priority —
+    TakeOrderedAndProject, no corpus shuffle."""
+    from facolos_data_pipelines_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_sales_summary": q_daily_sales_summary,
@@ -1654,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_percentiles": q_group_percentiles,
         "incremental_daily_sales": q_incremental_daily_sales,
         "customer_order_distribution": q_customer_order_distribution,
+        "weighted_sample": q_weighted_sample,
         # rows-only (no ANSI-SQL oracle):
         "incremental_distinct": q_incremental_distinct,
         "multimodal_features": q_multimodal_features,
@@ -1793,6 +1805,29 @@ def _pack_oracle_sql() -> str:
             SELECT doc_id, shard,
                    CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id, n_tokens
             FROM c
+        """
+
+
+def _weighted_sample_oracle_sql() -> str:
+    """weighted_sample twin: same 32-bit md5 bucket, u = (bucket+1)/2^32,
+    priority exp(ln(u)/w) — ln/div/exp are IEEE-identical doubles on
+    both engines, so the top-50 selection matches exactly."""
+    value = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1) * {16 ** (7 - d)}"
+        for d in range(8)
+    )
+    return f"""
+            WITH h8 AS (
+                SELECT d.*, md5('wsample:' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents d
+            ), s AS (
+                SELECT doc_id, text, lang, source, n_chars,
+                       exp(ln((({value}) + 1) / 4294967296.0)
+                           / CAST(n_chars AS DOUBLE)) AS wkey
+                FROM h8 WHERE n_chars > 0
+            )
+            SELECT doc_id, text, lang, source, n_chars
+            FROM s ORDER BY wkey DESC, doc_id ASC LIMIT 50
         """
 
 
@@ -2972,6 +3007,7 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY tfidf DESC, term ASC) <= 3
         """,
         "pack_documents": _pack_oracle_sql(),
+        "weighted_sample": _weighted_sample_oracle_sql(),
         "order_priority_check": f"""
             -- TPC-H Q4-shaped EXISTS: orders in the {SHIP_START[:4]} ship
             -- window with >=1 returned lineitem, counted by priority

@@ -76,6 +76,8 @@ HEADLINE = [
     "session_window_agg",
     "group_percentiles",
     "incremental_daily_sales",
+    "customer_order_distribution",
+    "weighted_sample",
 ]
 
 # Stub-backed queries: timed and reported, but outside the headline wall

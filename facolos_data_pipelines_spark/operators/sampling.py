@@ -211,3 +211,41 @@ def mix_to_weights(
         .filter(frac < F.col("_thr"))
         .drop("_g", "_thr")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-Res): keep the k rows with the largest
+    ``u^(1/w)`` where u is the portable md5 id-fraction — rows are
+    drawn with probability proportional to ``weight_col``, yet the
+    selection is reproducible across runs, engines, and cluster sizes
+    (the hash_split determinism contract, weighted).
+
+    The sampling key is computed per row (one narrow pass) and the
+    selection is ``orderBy(key desc).limit(k)`` — TakeOrderedAndProject,
+    a per-partition k-heap with only k rows per partition reaching the
+    driver; no global sort, no shuffle of the corpus. The standard way
+    to draw a quality-weighted training subset at 100 TB. Rows with
+    NULL, zero, or negative weights are excluded (log/power undefined);
+    u in (0, 1] uses (bucket + 1) / 2^32 so ln(u) is finite.
+    """
+    if k <= 0:
+        raise ValueError("weighted_sample: k must be positive")
+    h = _salted_md5(id_col, salt)
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    u = (bucket + 1) / F.lit(_HASH_DENOM)  # (0, 1] -> ln(u) finite
+    w = F.col(weight_col).cast("double")
+    key = F.exp(F.log(u) / w)  # u^(1/w), monotone in the E-S priority
+    return (
+        df.filter(w > 0)
+        .withColumn("_wkey", key)
+        .orderBy(F.col("_wkey").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_wkey")
+    )

@@ -123,3 +123,32 @@ def test_merge_distinct_sketch_tracks_exact_distinct(spark):
     # sketch union must NOT double-count the [400,600) overlap: a plain
     # sum of per-batch distincts would give 600
     assert est[0] + est[1] < 1100
+
+
+def test_weighted_sample_prefers_heavy_rows_deterministically(spark):
+    from pyspark.sql import functions as F2
+    from facolos_data_pipelines_spark.operators.sampling import weighted_sample
+
+    # ids 0-99 light (w=1), ids 100-199 heavy (w=50)
+    df = spark.range(200).select(
+        F2.col("id").alias("doc_id"),
+        F2.when(F2.col("id") >= 100, 50.0).otherwise(1.0).alias("w"),
+    )
+    out = weighted_sample(df, "w", k=40)
+    rows = out.collect()
+    assert len(rows) == 40
+    heavy = sum(1 for r in rows if r["doc_id"] >= 100)
+    assert heavy > 30  # 50x weight dominates the draw
+    # deterministic
+    again = weighted_sample(df, "w", k=40).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in again)
+    # non-positive weights excluded, k validated
+    with_zero = df.withColumn(
+        "w", F2.when(F2.col("doc_id") < 150, 0.0).otherwise(F2.col("w"))
+    )
+    kept = weighted_sample(with_zero, "w", k=200).collect()
+    assert all(r["doc_id"] >= 150 for r in kept)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must be positive"):
+        weighted_sample(df, "w", k=0)
