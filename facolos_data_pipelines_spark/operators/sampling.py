@@ -237,6 +237,11 @@ def weighted_sample(
     """
     if k <= 0:
         raise ValueError("weighted_sample: k must be positive")
+    if "_wkey" in df.columns:
+        raise ValueError(
+            "weighted_sample: input already has a '_wkey' column (internal "
+            "priority name); rename it first"
+        )
     h = _salted_md5(id_col, salt)
     bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     u = (bucket + 1) / F.lit(_HASH_DENOM)  # (0, 1] -> ln(u) finite

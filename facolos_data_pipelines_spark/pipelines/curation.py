@@ -64,6 +64,13 @@ def curate_corpus(
     proportions are measured over unique clean docs, not duplicates.
     With ``output_path`` the survivors are also written as parquet.
     """
+    if (mix_col is None) != (not mix_weights):
+        raise ValueError(
+            "curate_corpus: mix_col and mix_weights must be given together "
+            f"(got mix_col={mix_col!r}, mix_weights={mix_weights!r}) — "
+            "a half-specified mixture would silently skip downsampling"
+        )
+
     stages: list[tuple[str, int, int]] = []
 
     n0 = docs.count()
@@ -91,12 +98,6 @@ def curate_corpus(
     n3 = deduped.count()
     stages.append(("near_dedup", n2, n3))
 
-    if (mix_col is None) != (not mix_weights):
-        raise ValueError(
-            "curate_corpus: mix_col and mix_weights must be given together "
-            f"(got mix_col={mix_col!r}, mix_weights={mix_weights!r}) — "
-            "a half-specified mixture would silently skip downsampling"
-        )
     if mix_col is not None and mix_weights:
         deduped = mix_to_weights(
             deduped, mix_col, mix_weights, id_col=id_col

@@ -148,7 +148,5 @@ def test_weighted_sample_prefers_heavy_rows_deterministically(spark):
     )
     kept = weighted_sample(with_zero, "w", k=200).collect()
     assert all(r["doc_id"] >= 150 for r in kept)
-    import pytest as _pt
-
-    with _pt.raises(ValueError, match="k must be positive"):
+    with pytest.raises(ValueError, match="k must be positive"):
         weighted_sample(df, "w", k=0)
