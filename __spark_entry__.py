@@ -1578,6 +1578,22 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "n_chars", k=50)
 
 
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured parsing surface: events.props JSON parsed with a
+    DECLARED schema (from_json — JVM-side Jackson, typed struct out,
+    the S6 explicit-schema principle applied to embedded JSON), then
+    aggregated per event type."""
+    events = _t(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type", F.from_json("props", "k INT").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.round(F.avg(F.col("p.k")) + 1e-6, 2).alias("avg_k"),
+        F.max(F.col("p.k")).cast("long").alias("max_k"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_sales_summary": q_daily_sales_summary,
@@ -1666,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_daily_sales": q_incremental_daily_sales,
         "customer_order_distribution": q_customer_order_distribution,
         "weighted_sample": q_weighted_sample,
+        "json_props_stats": q_json_props_stats,
         # rows-only (no ANSI-SQL oracle):
         "incremental_distinct": q_incremental_distinct,
         "multimodal_features": q_multimodal_features,
@@ -3172,5 +3189,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
             FROM c GROUP BY n_orders
+        """,
+        "json_props_stats": """
+            -- from_json twin: json_extract_string + cast, same
+            -- per-type aggregates
+            SELECT event_type,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                         + 1e-6, 2) AS avg_k,
+                   CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                        AS BIGINT) AS max_k,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type
         """,
     }

@@ -78,6 +78,7 @@ HEADLINE = [
     "incremental_daily_sales",
     "customer_order_distribution",
     "weighted_sample",
+    "json_props_stats",
 ]
 
 # Stub-backed queries: timed and reported, but outside the headline wall
