@@ -1594,6 +1594,41 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface beyond union: customers active in BOTH
+    1996 and 1997 (INTERSECT) plus the 1996-only churned set (EXCEPT),
+    labeled — Spark intersect/exceptAll compile to left-semi/anti
+    aggregates, one shuffle each over key projections."""
+    orders = _t(spark, sf_dir, "orders")
+    y96 = (
+        orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    )
+    y97 = (
+        orders.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    )
+    both = y96.intersect(y97).withColumn("cohort", F.lit("repeat"))
+    churned = y96.exceptAll(y97).withColumn("cohort", F.lit("churned"))
+    return both.unionByName(churned)
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery): revenue from
+    lineitems under 20% of their part's average quantity. Spark plans
+    the per-part threshold as a groupBy + equi-join back — the
+    decorrelated form; the oracle keeps the correlated subquery.
+    Threshold rounded on both sides so avg summation-order ulp drift
+    cannot flip the boundary compare."""
+    li = _t(spark, sf_dir, "lineitem")
+    thr = li.groupBy("l_partkey").agg(
+        F.round(0.2 * F.avg("l_quantity") + 1e-9, 6).alias("thr")
+    )
+    return (
+        li.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0 + 1e-6, 2).alias("avg_yearly"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_sales_summary": q_daily_sales_summary,
@@ -1683,6 +1718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": q_customer_order_distribution,
         "weighted_sample": q_weighted_sample,
         "json_props_stats": q_json_props_stats,
+        "repeat_buyers": q_repeat_buyers,
+        "small_quantity_revenue": q_small_quantity_revenue,
         # rows-only (no ANSI-SQL oracle):
         "incremental_distinct": q_incremental_distinct,
         "multimodal_features": q_multimodal_features,
@@ -3200,5 +3237,29 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS max_k,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "repeat_buyers": """
+            -- set-ops twin: INTERSECT for repeat, EXCEPT for churned
+            SELECT o_custkey, 'repeat' AS cohort FROM (
+                SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+                INTERSECT
+                SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+            )
+            UNION ALL
+            SELECT o_custkey, 'churned' AS cohort FROM (
+                SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+                EXCEPT
+                SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+            )
+        """,
+        "small_quantity_revenue": """
+            -- Q17-shaped twin: correlated scalar subquery, threshold
+            -- rounded identically to the Spark decorrelated form
+            SELECT ROUND(SUM(l_extendedprice) / 7.0 + 1e-6, 2) AS avg_yearly
+            FROM lineitem l1
+            WHERE l_quantity < (
+                SELECT ROUND(0.2 * AVG(l_quantity) + 1e-9, 6)
+                FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+            )
         """,
     }
