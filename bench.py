@@ -79,6 +79,8 @@ HEADLINE = [
     "customer_order_distribution",
     "weighted_sample",
     "json_props_stats",
+    "repeat_buyers",
+    "small_quantity_revenue",
 ]
 
 # Stub-backed queries: timed and reported, but outside the headline wall
