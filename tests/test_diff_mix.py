@@ -150,3 +150,70 @@ def test_weighted_sample_prefers_heavy_rows_deterministically(spark):
     assert all(r["doc_id"] >= 150 for r in kept)
     with pytest.raises(ValueError, match="k must be positive"):
         weighted_sample(df, "w", k=0)
+
+
+# ---------------------------------------------------------------------------
+# Property-based: Spark results vs plain-python references
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.floats(min_value=0.1, max_value=100.0), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=10),
+)
+def test_weighted_sample_matches_python_reference(spark, weights, k):
+    import hashlib
+    import math
+
+    from facolos_data_pipelines_spark.operators.sampling import weighted_sample
+
+    data = [(i, float(w)) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(data, "doc_id: long, w: double")
+    got = sorted(r["doc_id"] for r in weighted_sample(df, "w", k=k).collect())
+
+    def priority(i, w):
+        h = hashlib.md5(f"wsample:{i}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 1) / float(1 << 32)
+        return math.exp(math.log(u) / w)
+
+    ranked = sorted(data, key=lambda t: (-priority(*t), t[0]))
+    want = sorted(i for i, _ in ranked[:k])
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=15),
+        st.sampled_from(["a", "b"]),
+        max_size=12,
+    ),
+    st.dictionaries(
+        st.integers(min_value=0, max_value=15),
+        st.sampled_from(["a", "b"]),
+        max_size=12,
+    ),
+)
+def test_snapshot_diff_matches_python_reference(spark, old_map, new_map):
+    old = spark.createDataFrame(
+        [(k, v) for k, v in old_map.items()] or [(None, None)], "k: long, s: string"
+    ).filter("k IS NOT NULL")
+    new = spark.createDataFrame(
+        [(k, v) for k, v in new_map.items()] or [(None, None)], "k: long, s: string"
+    ).filter("k IS NOT NULL")
+    got = {
+        r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    want = {}
+    for k in set(old_map) | set(new_map):
+        if k not in old_map:
+            want[k] = "added"
+        elif k not in new_map:
+            want[k] = "removed"
+        elif old_map[k] != new_map[k]:
+            want[k] = "changed"
+    assert got == want
