@@ -1629,6 +1629,36 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension read (operators.merge.scd2_lookup): each
+    customer's order-status version valid at 1996-06-01 — the SCD2
+    history narrowed by one interval predicate."""
+    from facolos_data_pipelines_spark.operators.merge import scd2_history, scd2_lookup
+
+    orders = _t(spark, sf_dir, "orders")
+    hist = scd2_history(
+        orders,
+        keys=["o_custkey"],
+        tracked=["o_orderstatus"],
+        order_col="o_orderdate",
+        tiebreakers=["o_orderkey"],
+    )
+    return scd2_lookup(hist, "1996-06-01 00:00:00")
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: rows minus distinct content
+    hashes per source (the curation dashboard's first column) — one
+    aggregation, md5 on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.count("*") - F.countDistinct(F.md5(F.col("text").cast("binary"))))
+        .cast("long")
+        .alias("n_dup_rows"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "daily_sales_summary": q_daily_sales_summary,
@@ -1720,6 +1750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "repeat_buyers": q_repeat_buyers,
         "small_quantity_revenue": q_small_quantity_revenue,
+        "scd2_asof_lookup": q_scd2_asof_lookup,
+        "dup_rate_by_source": q_dup_rate_by_source,
         # rows-only (no ANSI-SQL oracle):
         "incremental_distinct": q_incremental_distinct,
         "multimodal_features": q_multimodal_features,
@@ -3261,5 +3293,41 @@ def oracle_sql() -> dict[str, str]:
                 SELECT ROUND(0.2 * AVG(l_quantity) + 1e-9, 6)
                 FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
             )
+        """,
+        "scd2_asof_lookup": """
+            -- scd2_lookup twin: the scd2_history CTE narrowed to the
+            -- version valid at the probe instant
+            WITH ordered AS (
+                SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                       LAG(o_orderstatus) OVER w AS prev_s,
+                       ROW_NUMBER() OVER w AS rn
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)
+            ), changes AS (
+                SELECT o_custkey, o_orderstatus,
+                       o_orderdate AS effective_from, o_orderkey
+                FROM ordered
+                WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM prev_s
+            ), hist AS (
+                SELECT o_custkey, o_orderstatus, effective_from,
+                       LEAD(effective_from) OVER w2 AS effective_to,
+                       LEAD(effective_from) OVER w2 IS NULL AS is_current
+                FROM changes
+                WINDOW w2 AS (PARTITION BY o_custkey
+                              ORDER BY effective_from, o_orderkey)
+            )
+            SELECT * FROM hist
+            WHERE effective_from <= TIMESTAMP '1996-06-01 00:00:00'
+              AND (effective_to IS NULL
+                   OR effective_to > TIMESTAMP '1996-06-01 00:00:00')
+        """,
+        "dup_rate_by_source": """
+            -- per-source duplication twin: md5 over the text bytes on
+            -- both engines
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+                       AS n_dup_rows
+            FROM documents GROUP BY source
         """,
     }

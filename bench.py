@@ -81,6 +81,8 @@ HEADLINE = [
     "json_props_stats",
     "repeat_buyers",
     "small_quantity_revenue",
+    "scd2_asof_lookup",
+    "dup_rate_by_source",
 ]
 
 # Stub-backed queries: timed and reported, but outside the headline wall

@@ -322,3 +322,22 @@ def distinct_estimate(
     return sketches.withColumn(
         out_col, F.hll_sketch_estimate(F.col(sketch_col)).cast("long")
     ).drop(sketch_col)
+
+
+def scd2_lookup(history: DataFrame, at, order_col: str = "effective_from") -> DataFrame:
+    """Point-in-time read over an SCD2 history (:func:`scd2_history`
+    output): the version of each key valid AT the given instant —
+    ``effective_from <= at < effective_to`` (open-ended current rows
+    match any later instant). Keys with no version yet at ``at`` simply
+    produce no row.
+
+    A narrow filter over the history — with the history partitioned or
+    z-ordered on ``effective_from`` the predicate prunes files, so a
+    point-in-time dimension read at 100 TB touches only the spans
+    covering ``at``, never the full history.
+    """
+    ts = F.lit(at)
+    return history.filter(
+        (F.col(order_col) <= ts)
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > ts))
+    )

@@ -226,3 +226,19 @@ def test_pack_documents_matches_python_reference(spark, token_counts, max_tokens
         want[i] = (s, cum[s] // max_tokens, n)
         cum[s] += n
     assert got == want
+
+
+def test_scd2_lookup_returns_version_valid_at_instant(status_rows):
+    from facolos_data_pipelines_spark.operators.merge import scd2_lookup
+
+    hist = scd2_history(
+        status_rows, keys=["k"], tracked=["status"], order_col="ts", tiebreakers=["seq"]
+    )
+    at = scd2_lookup(hist, _d(3))
+    got = {(r["k"], r["status"]) for r in at.collect()}
+    # at day 3: key 1 just flipped to B; key 2 just flipped to A
+    assert got == {(1, "B"), (2, "A")}
+    # exactly one version per key at any instant
+    assert at.groupBy("k").count().filter("count > 1").count() == 0
+    # before any history: no rows
+    assert scd2_lookup(hist, datetime(2023, 12, 31)).count() == 0
