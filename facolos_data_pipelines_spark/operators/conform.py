@@ -414,7 +414,15 @@ def pivot_aggregate(
     aggs = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max, "count": F.count}
     if agg not in aggs:
         raise ValueError(f"pivot_aggregate: agg must be one of {sorted(aggs)}, got {agg!r}")
+    if len(set(pivot_values)) != len(pivot_values):
+        raise ValueError("pivot_aggregate: pivot_values contains duplicates")
     pre = f"{value_col}_" if prefix is None else prefix
+    collisions = {f"{pre}{v}" for v in pivot_values} & set(group_cols)
+    if collisions:
+        raise ValueError(
+            f"pivot_aggregate: generated columns {sorted(collisions)} collide "
+            "with group_cols; pass a different prefix"
+        )
     fn = aggs[agg]
     cols = [
         fn(F.when(F.col(pivot_col) == v, F.col(value_col))).alias(f"{pre}{v}")

@@ -303,8 +303,16 @@ def referential_check(
     the parent is a dim, and AQE handles FK skew at 100 TB.
     Returns one row: n_child, n_null_fk, n_orphans, ref_ok.
     """
+    if not fk or not pk:
+        raise ValueError("referential_check: fk and pk must be non-empty")
     if len(fk) != len(pk):
         raise ValueError("referential_check: fk and pk must have equal length")
+    clash = [c for c in child.columns if c.startswith("__p_")]
+    if clash:
+        raise ValueError(
+            f"referential_check: child columns {clash} collide with the "
+            "internal __p_ parent-key prefix; rename them first"
+        )
     null_fk = None
     for c in fk:
         cond = F.col(c).isNull()

@@ -91,6 +91,12 @@ def test_pivot_aggregate_conditional_sums(spark):
     assert out[2024]["amount_O"] is None
     assert out[2024]["amount_F"] == 7.0
 
+    with pytest.raises(ValueError, match="duplicates"):
+        pivot_aggregate(df, ["yr"], "status", ["O", "O"], "amount", "sum")
+    with pytest.raises(ValueError, match="collide"):
+        pivot_aggregate(df, ["yr"], "status", ["r"], "amount", "sum", prefix="y")
+
+
 
 def test_pivot_aggregate_rejects_unknown_agg(spark):
     df = spark.createDataFrame([(1, "a", 1.0)], ["g", "p", "v"])

@@ -58,3 +58,10 @@ def test_referential_check_counts_orphans_and_exempts_null_fk(spark):
 
     with pytest.raises(ValueError, match="equal length"):
         referential_check(child, parent, ["fk"], ["pk", "pk2"])
+
+    with pytest.raises(ValueError, match="non-empty"):
+        referential_check(child, parent, [], [])
+
+    clashing = child.withColumnRenamed("id", "__p_fk")
+    with pytest.raises(ValueError, match="__p_"):
+        referential_check(clashing, parent, ["fk"], ["pk"])
