@@ -961,9 +961,11 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[NQ] Image feature extraction through the real mapInPandas/Arrow
-    plumbing (operators.multimodal.extract_image_features); decode is
-    the documented deterministic stub, payloads are synthesized from
-    document text. Rows-only check (no SQL twin for the Python stage)."""
+    plumbing (operators.multimodal.extract_image_features). Decode is
+    real for PNG/WAV (stdlib) or any Pillow-readable format; these
+    payloads are synthesized from document text, so they exercise the
+    deterministic-fake fallback and report decode_mode='fake'.
+    Rows-only check (no SQL twin for the Python stage)."""
     from facolos_data_pipelines_spark.operators.multimodal import extract_image_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -981,6 +983,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round(F.col("mean_pixel") + 1e-8, 4).alias("mean_pixel"),
         F.size("features").alias("feature_dim"),
+        "decode_mode",
     )
 
 
