@@ -713,14 +713,16 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[NQ] IVF-bucketed approximate top-k (coarse-quantization scale
-    path; codebook trained on a sample)."""
-    from facolos_data_pipelines_spark.operators.similarity import (
-        ivf_train_lite,
-        topk_ivf,
-    )
+    path). The codebook comes from ivf_train, the size-dispatching
+    default trainer; small_threshold=0 forces the DISTRIBUTED k-means
+    rounds here so the gate certifies the 100 TB training path, not
+    just the driver-side small-data shortcut."""
+    from facolos_data_pipelines_spark.operators.similarity import ivf_train, topk_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = ivf_train_lite(emb, k=8, sample_fraction=0.5)
+    centroids = ivf_train(
+        emb, k=8, small_threshold=0, init_sample_fraction=0.5
+    )
     out = topk_ivf(emb, QUERY_VEC, centroids, k=10, n_probe=3)
     return out.select("vec_id", F.round((F.col("cosine")) + 1e-8, 4).alias("cosine"))
 

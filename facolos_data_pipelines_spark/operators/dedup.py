@@ -609,6 +609,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_posting_size: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs >= threshold, no MinHash approximation.
 
@@ -617,14 +618,30 @@ def ngram_jaccard_pairs(
     join on exploded (shingle -> id) postings finds every qualifying
     pair; shared-shingle counts come back from the same join (one
     aggregation), and Jaccard is |A∩B| / (|A|+|B|-|A∩B|) without
-    re-touching the texts. Exact but heavier than LSH: posting-list
-    self-join cost is Σ_shingle freq² — use cap_group_size/LSH when a
-    corpus has viral boilerplate shingles.
+    re-touching the texts.
+
+    The posting-list self-join costs Σ_shingle freq² — one viral
+    boilerplate shingle shared by 10^6 docs alone is 10^12 candidate
+    pairs. ``max_posting_size`` (default 10k) therefore caps each
+    shingle's posting list in-plan (``skew.cap_group_size`` on the
+    shingle key, deterministic id order; the window shares the join's
+    shuffle partitioning). Results are EXACT whenever no posting list
+    exceeds the cap; beyond it, a capped shingle pairs only its first
+    ``max_posting_size`` docs and its contribution to |A∩B| is
+    under-counted — strictly conservative (never a false duplicate).
+    Pass ``None`` for fully exact semantics regardless of skew.
+    Doc sizes |A| are always computed from the uncapped postings.
     """
     sh = exploded_shingles(df, text_col, id_col, shingle_n, distinct=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "_sh")
-    b = sh.select(F.col(id_col).alias("id_b"), "_sh")
+    if max_posting_size is not None:
+        from .skew import cap_group_size
+
+        posted = cap_group_size(sh, ["_sh"], max_posting_size, order_col=id_col)
+    else:
+        posted = sh
+    a = posted.select(F.col(id_col).alias("id_a"), "_sh")
+    b = posted.select(F.col(id_col).alias("id_b"), "_sh")
     shared = (
         a.join(b, ["_sh"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -670,12 +687,18 @@ def ngram_jaccard_dedup(
     shingle_n: int = 3,
     threshold: float = 0.8,
     transitive: bool = False,
+    max_posting_size: int | None = 10_000,
 ) -> DataFrame:
     """Exact Jaccard near-dedup: drop the higher id of each pair >=
     threshold (or, with ``transitive=True``, keep one doc per
     single-link component). The exact twin of :func:`minhash_dedup`
-    (which trades exactness for bucket-local comparisons)."""
-    pairs = ngram_jaccard_pairs(df, text_col, id_col, shingle_n, threshold)
+    (which trades exactness for bucket-local comparisons).
+    ``max_posting_size`` bounds viral-shingle blowup (see
+    :func:`ngram_jaccard_pairs`); ``None`` restores unconditional
+    exactness."""
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n, threshold, max_posting_size
+    )
     return _drop_pair_losers(df, pairs, id_col, transitive)
 
 

@@ -170,7 +170,11 @@ def mix_to_weights(
     joins — no driver collect, so the operator is one corpus scan + one
     tiny-agg pass at any scale. Rows whose group has no weight are
     dropped. Raises if a weighted group is absent (T would be 0 and the
-    whole output silently empty — loud beats empty).
+    whole output silently empty — loud beats empty); the error fetch is
+    capped at 10 example groups, so even a million-entry ``weights``
+    dict never drives a large driver collect. The weights themselves
+    travel as a broadcast frame (never ``isin``/``create_map``
+    literals, which would bloat the plan at high weight cardinality).
     """
     if not weights:
         raise ValueError("mix_to_weights: weights must be non-empty")
@@ -180,12 +184,19 @@ def mix_to_weights(
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"mix weights must sum to 1 (got {total})")
 
-    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    spark = df.sparkSession
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(g, float(w)) for g, w in weights.items()], ["_wg", "_w"]
+        )
+    )
     counts = (
-        df.filter(F.col(group_col).isin(list(weights)))
+        df.join(wdf, df[group_col] == F.col("_wg"))
         .groupBy(group_col)
-        .agg(F.count("*").cast("double").alias("_cnt"))
-        .withColumn("_w", wmap[F.col(group_col)])
+        .agg(
+            F.count("*").cast("double").alias("_cnt"),
+            F.first("_w").alias("_w"),
+        )
     )
     # Materialize the <=|weights|-row counts frame once: the guard, T,
     # and the threshold join would otherwise each re-run the corpus
@@ -194,11 +205,21 @@ def mix_to_weights(
     counts = counts.localCheckpoint(eager=True)
     n_present = counts.count()
     if n_present < len(weights):
-        present = {r[group_col] for r in counts.select(group_col).collect()}
-        missing = sorted(set(weights) - present)
+        sample = [
+            r["_wg"]
+            for r in wdf.join(
+                counts, F.col("_wg") == counts[group_col], "left_anti"
+            )
+            .select("_wg")
+            .limit(10)
+            .collect()
+        ]
+        n_missing = len(weights) - n_present
+        more = f" (+{n_missing - len(sample)} more)" if n_missing > len(sample) else ""
         raise ValueError(
-            f"mix_to_weights: no rows for weighted group(s) {missing}; "
-            "remove them from weights or fix the input"
+            f"mix_to_weights: no rows for {n_missing} weighted group(s), "
+            f"e.g. {sorted(sample)}{more}; remove them from weights or fix "
+            "the input"
         )
     t_total = counts.agg(F.min(F.col("_cnt") / F.col("_w")).alias("_t"))
     thresholds = counts.join(F.broadcast(t_total)).select(

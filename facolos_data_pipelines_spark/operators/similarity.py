@@ -354,6 +354,50 @@ def ivf_train_distributed(
     return [[float(x) for x in c] for c in C]
 
 
+def ivf_train(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    small_threshold: int = 100_000,
+    iterations: int = 3,
+    seed: int = 42,
+    init_sample_fraction: float = 0.01,
+) -> list[list[float]]:
+    """Codebook trainer dispatch — THE default entry point for IVF.
+
+    Corpora at or under ``small_threshold`` rows train driver-side
+    (:func:`ivf_train_lite` on the full set — cheapest and exact for
+    small data); anything larger trains with the distributed k-means
+    rounds (:func:`ivf_train_distributed`), whose driver footprint is
+    the k x dim codebook regardless of corpus size. The size probe is
+    ``limit(threshold + 1).count()`` so it never scans past the
+    threshold. Pass ``small_threshold=0`` to force the distributed
+    path (e.g. to exercise it in tests)."""
+    if (
+        small_threshold > 0
+        and df.limit(small_threshold + 1).count() <= small_threshold
+    ):
+        return ivf_train_lite(
+            df,
+            k,
+            vec_col,
+            sample_fraction=1.0,
+            iterations=iterations,
+            seed=seed,
+            max_rows=small_threshold,
+        )
+    return ivf_train_distributed(
+        df,
+        k,
+        vec_col,
+        dim,
+        iterations,
+        seed,
+        init_sample_fraction=init_sample_fraction,
+    )
+
+
 def topk_ivf(
     df: DataFrame,
     query: list[float],

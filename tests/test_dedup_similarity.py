@@ -444,6 +444,57 @@ def test_ivf_distributed_trainer_produces_working_codebook(spark, sf_dir):
     assert out[0]["cosine"] == pytest.approx(1.0)  # self-match survives probing
 
 
+def test_ivf_train_dispatches_by_corpus_size(spark, sf_dir):
+    """ivf_train is the default entry: small corpora stay driver-side
+    (lite path, full-sample), large ones (forced here via
+    small_threshold=0) run the distributed k-means rounds. Both must
+    hand topk_ivf a usable codebook."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = [float(x) for x in emb.select("embedding").first()["embedding"]]
+
+    lite = similarity.ivf_train(emb, k=4, small_threshold=10_000)
+    dist = similarity.ivf_train(
+        emb, k=4, small_threshold=0, iterations=2, init_sample_fraction=1.0
+    )
+    for cents in (lite, dist):
+        assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+        out = similarity.topk_ivf(emb, probe, cents, k=3, n_probe=2).collect()
+        assert len(out) == 3
+        assert out[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_ngram_jaccard_capped_postings_stay_conservative(spark):
+    """A viral boilerplate shingle must not blow up the posting-list
+    self-join: with max_posting_size set, the capped run completes and
+    reports a subset of the exact run's pairs (conservative), and on a
+    skew-free corpus capped == exact."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{boiler} unique tail {i} {'x' * (i % 3)}") for i in range(40)]
+    rows += [(100, "totally different text one"), (101, "totally different text one")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.5, max_posting_size=None
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.5, max_posting_size=5
+        ).collect()
+    }
+    assert capped <= exact  # never invents a duplicate
+    assert (100, 101) in capped  # skew-free pair still found
+    # default cap (10k) >> every posting list here -> identical to exact
+    default = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert default == exact
+
+
 def test_knn_join_lsh_matches_bruteforce_on_real_vectors(spark, sf_dir):
     """The LSH-blocked k-NN join must return a bucket-local subset of
     the bruteforce result: every (query, neighbor) it reports must

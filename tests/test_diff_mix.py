@@ -58,10 +58,26 @@ def test_mix_to_weights_drops_unweighted_and_validates(spark):
     assert {r["lang"] for r in out.collect()} <= {"en", "es"}
     with pytest.raises(ValueError, match="sum to 1"):
         mix_to_weights(df, "lang", {"en": 0.5})
-    with pytest.raises(ValueError, match="no rows for weighted group"):
+    with pytest.raises(ValueError, match=r"no rows for 1 weighted group\(s\), e.g. \['fr'\]"):
         mix_to_weights(df, "lang", {"en": 0.5, "fr": 0.5})
     with pytest.raises(ValueError, match="must be positive"):
         mix_to_weights(df, "lang", {"en": 1.5, "es": -0.5})
+
+
+def test_mix_to_weights_bounded_error_on_huge_weights(spark):
+    """A high-cardinality weights dict must not drive a large driver
+    fetch: the missing-group error reports at most 10 examples plus a
+    count, and the weights travel as a broadcast frame (no create_map
+    literal blowing up the plan)."""
+    df = spark.createDataFrame([(1, "g0"), (2, "g1")], ["doc_id", "lang"])
+    n = 5000
+    weights = {f"g{i}": 1.0 / n for i in range(n)}
+    with pytest.raises(ValueError) as e:
+        mix_to_weights(df, "lang", weights)
+    msg = str(e.value)
+    assert f"no rows for {n - 2} weighted group(s)" in msg
+    assert "(+" in msg and "more)" in msg
+    assert msg.count("'g") <= 10  # sample capped, not the full list
 
 
 def test_curate_corpus_rejects_half_specified_mix(spark):

@@ -3,6 +3,7 @@ MERGE upsert semantics, retention delete."""
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from facolos_data_pipelines_spark.operators.incremental import retention_filter
@@ -227,3 +228,37 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 1000
     assert out.agg(F.sum("v")).first()[0] == 2 * sum(range(1000))
+
+
+def test_upsert_parquet_delta_merge_dispatch(spark, tmp_path):
+    """S11's Delta MERGE INTO slot: when delta-spark is importable,
+    upsert_parquet against a Delta table must dispatch to a real
+    partition-prunable MERGE (update-in-place, no duplicate keys).
+    Skipped — with the import-gate reason recorded — in environments
+    without delta-spark (this sandbox ships no Delta jars and network
+    installs are off); the parquet fallback paths are covered by the
+    two tests above either way."""
+    from facolos_data_pipelines_spark.sources.io import HAS_DELTA, upsert_parquet
+
+    if not HAS_DELTA:
+        pytest.skip(
+            "delta-spark not importable (sources.io.HAS_DELTA=False): the "
+            "Delta MERGE dispatch at io.upsert_parquet needs the delta "
+            "package + jars, which this sandbox cannot install"
+        )
+    path = str(tmp_path / "delta_tbl")
+    spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01")],
+        ["pk", "val", "etl_updated_at"],
+    ).write.format("delta").save(path)
+    upsert_parquet(
+        spark,
+        spark.createDataFrame(
+            [(2, "b2", "2024-01-02"), (3, "c", "2024-01-02")],
+            ["pk", "val", "etl_updated_at"],
+        ),
+        path,
+        keys=["pk"],
+    )
+    out = {r["pk"]: r["val"] for r in spark.read.format("delta").load(path).collect()}
+    assert out == {1: "a", 2: "b2", 3: "c"}
