@@ -1688,57 +1688,15 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Entry ORDER is deliberate: the driver's correctness gate checks
+    # the FIRST 50 entries only, so the window ROTATES each round. The
+    # r1-r3 windows certified the 50 entries from daily_sales_summary
+    # through sample_per_group (see CORRECTNESS_r0{1,2,3}.json); this
+    # round leads with the 46 queries those windows never reached, plus
+    # the 4 whose definitions changed this round. The full 96-query run
+    # is committed as CORRECTNESS_local_r4.json (scripts/check_oracle.py).
     return {
-        "daily_sales_summary": q_daily_sales_summary,
-        "table_stats": q_table_stats,
-        "conditional_agg": q_conditional_agg,
-        "multi_table_summary": q_multi_table_summary,
-        "quality_gate": q_quality_gate,
-        "flatten_invariants": q_flatten_invariants,
-        "flatten_explode": q_flatten_explode,
-        "derived_columns": q_derived_columns,
-        "safe_cast": q_safe_cast,
-        "string_funcs": q_string_funcs,
-        "lookback_filter": q_lookback_filter,
-        "time_range_filter": q_time_range_filter,
-        "status_filter": q_status_filter,
-        "retention_filter": q_retention_filter,
-        "negative_count": q_negative_count,
-        "latest_by_key": q_latest_by_key,
-        "merge_stats": q_merge_stats,
-        "anti_join_new_keys": q_anti_join_new_keys,
-        "dim_enrichment_join": q_dim_enrichment_join,
-        "topk_orders": q_topk_orders,
-        "window_rank": q_window_rank,
-        "union_sources": q_union_sources,
-        "tumbling_window": q_tumbling_window,
-        "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
-        "region_volume": q_region_volume,
-        "rollup_sales": q_rollup_sales,
-        "date_parts": q_date_parts,
-        "value_buckets": q_value_buckets,
-        "json_construct": q_json_construct,
-        "approx_distinct": q_approx_distinct,
-        "exact_dedup": q_exact_dedup,
-        "token_counts": q_token_counts,
-        "doc_length_stats": q_doc_length_stats,
-        "similarity_topk": q_similarity_topk,
-        "similarity_threshold": q_similarity_threshold,
-        "doc_fingerprint": q_doc_fingerprint,
-        "embedding_near_dups": q_embedding_near_dups,
-        "embedding_near_dups_exact": q_embedding_near_dups_exact,
-        "cycle_metrics": q_cycle_metrics,
-        "schedule_health": q_schedule_health,
-        "video_frame_sample": q_video_frame_sample,
-        "corpus_clean": q_corpus_clean,
-        "language_id": q_language_id,
-        "quality_scores": q_quality_scores,
-        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
-        "chunk_documents": q_chunk_documents,
-        "pii_redaction": q_pii_redaction,
-        "dataset_split": q_dataset_split,
-        "sample_per_group": q_sample_per_group,
+        # -- round-4 window: previously unchecked (46) --
         "column_profile": q_column_profile,
         "repetition_stats": q_repetition_stats,
         "knn_join": q_knn_join,
@@ -1780,12 +1738,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": q_small_quantity_revenue,
         "scd2_asof_lookup": q_scd2_asof_lookup,
         "dup_rate_by_source": q_dup_rate_by_source,
-        # rows-only (no ANSI-SQL oracle):
-        "incremental_distinct": q_incremental_distinct,
-        "multimodal_features": q_multimodal_features,
-        "minhash_dedup": q_minhash_dedup,
-        "simhash_dedup": q_simhash_dedup,
-        "ivf_topk": q_ivf_topk,
+        "incremental_distinct": q_incremental_distinct,  # bounded oracle (new r4)
+        "multimodal_features": q_multimodal_features,  # rows-only
+        "minhash_dedup": q_minhash_dedup,  # rows-only
+        "simhash_dedup": q_simhash_dedup,  # rows-only
+        "ivf_topk": q_ivf_topk,  # rows-only
+        # -- round-4 window: changed this round or flagship (4) --
+        "approx_distinct": q_approx_distinct,  # bounded oracle (new r4)
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,  # capped postings (r4)
+        "daily_sales_summary": q_daily_sales_summary,
+        "tumbling_window": q_tumbling_window,
+        # -- certified in the r1-r3 windows (46) --
+        "table_stats": q_table_stats,
+        "conditional_agg": q_conditional_agg,
+        "multi_table_summary": q_multi_table_summary,
+        "quality_gate": q_quality_gate,
+        "flatten_invariants": q_flatten_invariants,
+        "flatten_explode": q_flatten_explode,
+        "derived_columns": q_derived_columns,
+        "safe_cast": q_safe_cast,
+        "string_funcs": q_string_funcs,
+        "lookback_filter": q_lookback_filter,
+        "time_range_filter": q_time_range_filter,
+        "status_filter": q_status_filter,
+        "retention_filter": q_retention_filter,
+        "negative_count": q_negative_count,
+        "latest_by_key": q_latest_by_key,
+        "merge_stats": q_merge_stats,
+        "anti_join_new_keys": q_anti_join_new_keys,
+        "dim_enrichment_join": q_dim_enrichment_join,
+        "topk_orders": q_topk_orders,
+        "window_rank": q_window_rank,
+        "union_sources": q_union_sources,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "region_volume": q_region_volume,
+        "rollup_sales": q_rollup_sales,
+        "date_parts": q_date_parts,
+        "value_buckets": q_value_buckets,
+        "json_construct": q_json_construct,
+        "exact_dedup": q_exact_dedup,
+        "token_counts": q_token_counts,
+        "doc_length_stats": q_doc_length_stats,
+        "similarity_topk": q_similarity_topk,
+        "similarity_threshold": q_similarity_threshold,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
+        "cycle_metrics": q_cycle_metrics,
+        "schedule_health": q_schedule_health,
+        "video_frame_sample": q_video_frame_sample,
+        "corpus_clean": q_corpus_clean,
+        "language_id": q_language_id,
+        "quality_scores": q_quality_scores,
+        "chunk_documents": q_chunk_documents,
+        "pii_redaction": q_pii_redaction,
+        "dataset_split": q_dataset_split,
+        "sample_per_group": q_sample_per_group,
     }
 
 

@@ -109,6 +109,14 @@ def main() -> None:
 
     qs = entry_mod.queries()
     names = HEADLINE + STUB
+    # Optional subset (scale-curve runs): comma-separated query names.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:
+        keep = {s.strip() for s in subset.split(",") if s.strip()}
+        unknown = keep - set(names)
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {sorted(unknown)}")
+        names = [n for n in names if n in keep]
     samples: dict[str, list[float]] = {name: [] for name in names}
     for _ in range(repeats):
         for name in names:
@@ -116,8 +124,16 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.time() - t0)
-    timings = {name: round(statistics.median(samples[name]), 3) for name in HEADLINE}
-    stub_timings = {name: round(statistics.median(samples[name]), 3) for name in STUB}
+    timings = {
+        name: round(statistics.median(samples[name]), 3)
+        for name in names
+        if name in HEADLINE
+    }
+    stub_timings = {
+        name: round(statistics.median(samples[name]), 3)
+        for name in names
+        if name in STUB
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -5,7 +5,13 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and, where an
 parquet tables; compares row count, column names, and an
 order-insensitive value multiset. Usage:
 
-    python scripts/check_oracle.py [sf_dir] [query ...]
+    python scripts/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes the results in the driver's
+CORRECTNESS_r{N}.json format (rows_match/schema_match/hash_match/
+spark_rows/oracle_rows/err per query; [NQ] queries get err='no_oracle'
+with their row count) so full-coverage runs can be committed as
+reproducible artifacts.
 """
 
 from __future__ import annotations
@@ -43,8 +49,14 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from facolos_data_pipelines_spark.session import build_spark, load_tables
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = build_spark(app_name="oracle-check")
     load_tables(spark, sf_dir)
@@ -59,6 +71,7 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -70,11 +83,20 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark error: {exc}"[:300],
+            }
             continue
         if name not in oracles:
             print(f"  NQ {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
             if not srows:
                 print(f"WARN {name}: NQ query returned 0 rows")
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             cur = con.execute(oracles[name])
@@ -83,24 +105,44 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": f"duckdb error: {exc}"[:300],
+            }
             continue
         problems = []
-        if scols != ocols:
+        rows_match = len(srows) == len(orows)
+        schema_match = scols == ocols
+        hash_match = None
+        if not schema_match:
             problems.append(f"columns {scols} != {ocols}")
-        if len(srows) != len(orows):
+        if not rows_match:
             problems.append(f"rowcount {len(srows)} != {len(orows)}")
         if not problems:
             sset = sorted(row_key([r[c] for c in scols]) for r in srows)
             oset = sorted(row_key(list(r)) for r in orows)
-            if sset != oset:
+            hash_match = sset == oset
+            if not hash_match:
                 diff = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
                 problems.append(f"value mismatch, first diffs: {diff}")
+        results[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": len(srows),
+            "oracle_rows": len(orows), "err": None,
+        }
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures.append(name)
         else:
             print(f"  OK {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
     print()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_out} ({len(results)} queries)")
     if failures:
         print(f"{len(failures)} FAILED: {failures}")
         return 1

@@ -1,0 +1,128 @@
+"""Synthesize an sf1-scale dataset from /root/testdata/sf0.1 for the
+scale-curve bench (SCALE.md §6a).
+
+The driver ships sf0.001/0.01/0.1 only; this script scales the FACT
+tables 10x by unioning key-shifted copies while keeping workload
+*density* constant, so sf0.1 -> sf1 timings measure data-volume
+scaling, not a change in problem character:
+
+- ``orders``/``lineitem``: order keys shifted per copy (custkeys kept —
+  more orders per customer, as real growth does).
+- ``events``: event ids AND user ids shifted — 10x users at constant
+  per-user event density, so per-user windows/sessions stay the same
+  size and a super-linear bench delta would indicate a plan problem,
+  not fatter partitions.
+- ``documents``: doc ids shifted; for copies > 0 a copy-specific marker
+  token is spliced in every 5 words (rewrites ~3/5 of all 3-shingles,
+  so copies are NOT near-duplicates of their originals and the
+  dedup-pair density per doc stays flat instead of exploding 10x).
+  ``n_chars`` is recomputed from the perturbed text.
+- ``embeddings``: vec ids shifted; copies > 0 get deterministic
+  per-element sinusoidal noise large enough to decorrelate cosine
+  (keeps ANN candidate density flat).
+- dims (``region nation customer supplier part``) copy through
+  unchanged — dimensions don't grow 10x when facts do.
+
+Everything is pure DataFrame ops (narrow per-copy maps + union), seeded
+by the copy index — fully deterministic. Usage:
+
+    python scripts/make_scale_data.py [src_sf_dir] [dst_dir] [factor]
+
+Defaults: /root/testdata/sf0.1 /tmp/scale_sf1 10
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+KEY_OFFSET = 1 << 33  # far above any sf0.1 key
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from facolos_data_pipelines_spark.session import build_spark, load_tables
+
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    spark = build_spark(app_name="make-scale-data")
+    t = load_tables(spark, src)
+
+    def shifted(df, key_cols: dict[str, int], i: int):
+        out = df
+        for c, mult in key_cols.items():
+            out = out.withColumn(c, F.col(c) + F.lit(i * mult))
+        return out
+
+    def union_copies(df, key_cols: dict[str, int], perturb=None):
+        parts = []
+        for i in range(factor):
+            cp = shifted(df, key_cols, i)
+            if perturb is not None and i > 0:
+                cp = perturb(cp, i)
+            parts.append(cp)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def perturb_documents(df, i: int):
+        words = F.split(F.col("text"), " ")
+        marked = F.transform(
+            words,
+            lambda w, j: F.when(
+                j % 5 == F.lit(0), F.concat(w, F.lit(f" q{i}z"))
+            ).otherwise(w),
+        )
+        text = F.array_join(marked, " ")
+        return df.withColumn("text", text).withColumn(
+            "n_chars", F.length("text").cast("long")
+        )
+
+    def perturb_embeddings(df, i: int):
+        noisy = F.transform(
+            F.col("embedding"),
+            lambda x, j: (
+                x
+                + F.lit(0.5)
+                * F.sin(
+                    j.cast("double") * F.lit(float(i + 1))
+                    + F.col("vec_id").cast("double")
+                )
+            ).cast("float"),
+        )
+        return df.withColumn("embedding", noisy)
+
+    plans = {
+        "region": t["region"],
+        "nation": t["nation"],
+        "customer": t["customer"],
+        "supplier": t["supplier"],
+        "part": t["part"],
+        "orders": union_copies(t["orders"], {"o_orderkey": KEY_OFFSET}),
+        "lineitem": union_copies(t["lineitem"], {"l_orderkey": KEY_OFFSET}),
+        "events": union_copies(
+            t["events"], {"event_id": KEY_OFFSET, "user_id": 1_000_000}
+        ),
+        "documents": union_copies(
+            t["documents"], {"doc_id": 10_000_000}, perturb_documents
+        ),
+        "embeddings": union_copies(
+            t["embeddings"], {"vec_id": 10_000_000}, perturb_embeddings
+        ),
+    }
+    for name, df in plans.items():
+        df.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+        print(f"wrote {dst}/{name}.parquet")
+    for name in plans:
+        n = spark.read.parquet(f"{dst}/{name}.parquet").count()
+        print(f"{name}: {n} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
