@@ -83,11 +83,57 @@ HEADLINE = [
     "small_quantity_revenue",
     "scd2_asof_lookup",
     "dup_rate_by_source",
+    # round 4: headline widened to EVERY queries() entry (was 52) — the
+    # bench now times the complete oracle-certified surface.
+    "anti_join_new_keys",
+    "approx_distinct",
+    "asof_join_forward",
+    "chunk_documents",
+    "column_profile",
+    "conditional_agg",
+    "dataset_split",
+    "date_parts",
+    "doc_length_stats",
+    "embedding_near_dups_exact",
+    "flatten_invariants",
+    "incremental_distinct",
+    "interval_join",
+    "ivf_topk",
+    "json_construct",
+    "knn_join",
+    "knn_join_lsh",
+    "merge_stats",
+    "minhash_dedup_portable",
+    "multi_table_summary",
+    "negative_count",
+    "ngram_jaccard_dedup",
+    "pii_redaction",
+    "quality_gate",
+    "quality_quantile_filter",
+    "repetition_stats",
+    "retention_filter",
+    "rollup_sales",
+    "safe_cast",
+    "sample_per_group",
+    "schedule_health",
+    "shipping_priority",
+    "simhash_dedup_portable",
+    "similarity_threshold",
+    "sliding_window",
+    "snapshot_drift",
+    "status_filter",
+    "string_funcs",
+    "table_stats",
+    "time_range_filter",
+    "top_ngrams",
+    "union_sources",
+    "value_buckets",
 ]
 
-# Stub-backed queries: timed and reported, but outside the headline wall
-# (their cost is the documented container-limitation Python stub, not a
-# Spark plan worth optimizing).
+# Reported outside the headline wall: the multimodal query's decode is
+# real (stdlib PNG/WAV since round 4) but its bench payloads are
+# synthesized text that takes the tagged deterministic-fake path, so its
+# cost is not a representative Spark plan.
 STUB = ["multimodal_features"]
 
 
