@@ -3,6 +3,7 @@ from . import (
     dedup,
     events,
     incremental,
+    linkage,
     merge,
     multimodal,
     sampling,
@@ -16,6 +17,7 @@ __all__ = [
     "dedup",
     "events",
     "incremental",
+    "linkage",
     "merge",
     "multimodal",
     "sampling",

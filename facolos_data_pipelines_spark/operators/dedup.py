@@ -1078,3 +1078,154 @@ def embedding_dedup(
         df, vec_col, id_col, threshold, num_planes, num_bands, dim
     )
     return _drop_pair_losers(df, pairs, id_col, transitive)
+
+
+# ---------------------------------------------------------------------------
+# Line-level (CCNet-style) corpus dedup
+# ---------------------------------------------------------------------------
+
+def _quote_sep(sep: str) -> str:
+    """``sep`` is a LITERAL separator; ``F.split`` takes a Java regex,
+    so quote it (\\Q…\\E) — '.' must mean a period, not any-char."""
+    return "\\Q" + sep + "\\E"
+
+
+def line_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """(line, n_docs) — how many DISTINCT documents contain each
+    non-empty trimmed line. The corpus-statistics half of
+    :func:`line_dedup`, exposed separately so a precomputed frequency
+    table can be reused across incremental batches.
+
+    One shuffle, on the line value, with partial aggregation; hot
+    boilerplate lines ("Subscribe to our newsletter") are exactly the
+    high-frequency groups partial agg collapses map-side. At trillions
+    of lines, group on ``xxhash64(line)`` instead to shuffle 8 bytes a
+    line — kept on the raw string here so external engines reproduce
+    the table byte-for-byte."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), _quote_sep(sep), -1)).alias("_l"),
+    ).select(F.col(id_col), F.trim(F.col("_l")).alias("line"))
+    return (
+        lines.filter(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.countDistinct(F.col(id_col)).cast("long").alias("n_docs"))
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_docs: int | float = 2,
+    frequencies: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style line-level corpus dedup: drop from every document
+    each line whose trimmed form occurs in >= ``min_docs`` distinct
+    documents (cross-document boilerplate — headers, nav bars, cookie
+    banners), then reassemble the survivors in original order.
+
+    ``min_docs`` accepts an absolute count (int >= 1) or a corpus
+    FRACTION (float in (0, 1)): a fraction is resolved IN-PLAN against
+    the corpus document count (1-row aggregate, broadcast into the
+    boilerplate filter — no driver collect), so the same pipeline
+    definition scales from a 500-doc test corpus to 10^9 documents
+    without retuning an absolute threshold.
+
+    Output: (id, clean_text, n_lines_kept, n_lines_dropped). Documents
+    whose every line is boilerplate remain as rows with an empty
+    ``clean_text`` — dropping documents is a separate quality-filter
+    decision (compose with a length filter).
+
+    Plan shape: split/posexplode is narrow; the frequency table
+    (:func:`line_frequencies`) costs one shuffle on the line value;
+    tagging lines is one more line-keyed join (Spark ≥3.4 injects a
+    runtime bloom filter on the big side automatically); reassembly is
+    one shuffle on the doc id with ``array_sort`` over (pos, line)
+    structs restoring order deterministically. Empty/whitespace lines
+    carry no boilerplate signal and are always kept (they preserve
+    paragraph structure), matching CCNet's non-empty-line hashing.
+
+    ``frequencies`` accepts a precomputed/persisted line-frequency
+    table (same schema as :func:`line_frequencies`) so incremental
+    pipelines can fold new batches into corpus statistics instead of
+    recomputing them — the mergeable-state pattern of
+    merge.merge_aggregate.
+    """
+    fractional = isinstance(min_docs, float) and not isinstance(min_docs, bool)
+    if fractional:
+        if not (0.0 < min_docs < 1.0):
+            raise ValueError(
+                "line_dedup: fractional min_docs must be in (0, 1) exclusive; "
+                "pass an int for an absolute document count"
+            )
+    elif min_docs < 1:
+        raise ValueError("line_dedup: min_docs must be >= 1")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _quote_sep(sep), -1)).alias(
+            "_pos", "_raw"
+        ),
+    ).select(
+        F.col(id_col), F.col("_pos"), F.col("_raw"), F.trim(F.col("_raw")).alias("line")
+    )
+    freq = (
+        frequencies
+        if frequencies is not None
+        else line_frequencies(df, text_col, id_col, sep)
+    )
+    if fractional:
+        total = df.agg(F.countDistinct(F.col(id_col)).alias("_n_corpus"))
+        boiler = (
+            freq.crossJoin(F.broadcast(total))
+            .filter(F.col("n_docs") >= F.lit(min_docs) * F.col("_n_corpus"))
+            .select("line")
+        )
+    else:
+        boiler = freq.filter(F.col("n_docs") >= min_docs).select("line")
+    tagged = lines.join(
+        boiler.withColumn("_drop", F.lit(True)),
+        "line",
+        "left",
+    ).select(
+        F.col(id_col),
+        "_pos",
+        "_raw",
+        (F.col("_drop").isNotNull() & (F.col("line") != "")).alias("_is_boiler"),
+    )
+    kept = tagged.filter(~F.col("_is_boiler"))
+    # matching is on the TRIMMED line; reassembly keeps the original
+    # raw line so surviving text is byte-identical to the input
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_raw")))
+                ),
+                lambda s: s["_raw"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_lines_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").cast("long").alias("_n_total"))
+    # left join from totals: a fully-boilerplate document still gets a row
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0).cast("long")).alias(
+                "n_lines_kept"
+            ),
+            (F.col("_n_total") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )

@@ -1,0 +1,135 @@
+"""Fuzzy record linkage (operators.linkage) and CCNet-style line-level
+corpus dedup (operators.dedup.line_dedup)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from facolos_data_pipelines_spark.operators import dedup
+from facolos_data_pipelines_spark.operators.linkage import best_fuzzy_match, fuzzy_join
+
+
+def test_fuzzy_join_blocked_levenshtein(spark):
+    left = spark.createDataFrame(
+        [(1, "jonathan smith"), (2, "mary jones"), (3, "zzz unmatched")],
+        ["l_id", "l_name"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "jonathon smith"),   # distance 1 from l_id=1
+            (11, "jonathan smith"),   # distance 0 from l_id=1
+            (12, "mary janes"),       # distance 1 from l_id=2
+            (13, "harry jones"),      # shares no 4-char block with left
+        ],
+        ["r_id", "r_name"],
+    )
+    out = fuzzy_join(left, right, "l_name", "r_name", max_distance=2).collect()
+    pairs = {(r["l_id"], r["r_id"]): r["_distance"] for r in out}
+    assert pairs == {(1, 10): 1, (1, 11): 0, (2, 12): 1}
+
+    best = best_fuzzy_match(
+        left, right, "l_id", "l_name", "r_id", "r_name", max_distance=2
+    ).collect()
+    assert {(r["l_id"], r["r_id"]) for r in best} == {(1, 11), (2, 12)}
+
+
+def test_fuzzy_join_length_band_prunes_before_levenshtein(spark):
+    # same block, but length differs by more than max_distance: the
+    # candidate must be pruned by the band predicate (and would also
+    # fail the distance test — the band is a cost guard, not semantics)
+    left = spark.createDataFrame([(1, "abcd")], ["l_id", "l_name"])
+    right = spark.createDataFrame([(2, "abcdefgh")], ["r_id", "r_name"])
+    assert fuzzy_join(left, right, "l_name", "r_name", max_distance=2).count() == 0
+
+
+def test_fuzzy_join_rejects_overlapping_columns(spark):
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    with pytest.raises(ValueError, match="overlapping"):
+        fuzzy_join(df, df, "name", "name")
+
+
+def test_fuzzy_join_custom_block_on(spark):
+    # soundex blocking catches a first-letter-preserving misspelling
+    # that prefix blocking of the full string would still match, and
+    # verifies the block_on injection point works
+    left = spark.createDataFrame([(1, "smith")], ["l_id", "l_name"])
+    right = spark.createDataFrame([(2, "smyth")], ["r_id", "r_name"])
+    out = fuzzy_join(
+        left,
+        right,
+        "l_name",
+        "r_name",
+        max_distance=2,
+        block_on=(F.soundex(F.col("l_name")), F.soundex(F.col("r_name"))),
+    ).collect()
+    assert [(r["l_id"], r["r_id"], r["_distance"]) for r in out] == [(1, 2, 1)]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "unique alpha\nSHARED BANNER\nunique beta"),
+            (1, "SHARED BANNER\nunique gamma\n"),
+            (2, "  SHARED BANNER  \nunique delta"),
+            (3, "SHARED BANNER"),  # fully boilerplate
+            (4, "solo line only"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_line_dedup_drops_cross_doc_boilerplate(spark):
+    out = {r["doc_id"]: r for r in dedup.line_dedup(_docs(spark), min_docs=2).collect()}
+    assert out[0]["clean_text"] == "unique alpha\nunique beta"
+    assert out[0]["n_lines_kept"] == 2 and out[0]["n_lines_dropped"] == 1
+    # trailing empty line survives (structure preserved), boilerplate gone
+    assert out[1]["clean_text"] == "unique gamma\n"
+    assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_dropped"] == 1
+    # match is on the TRIMMED form, output keeps the raw line
+    assert out[2]["clean_text"] == "unique delta"
+    # fully-boilerplate document keeps its row with empty text
+    assert out[3]["clean_text"] == "" and out[3]["n_lines_kept"] == 0
+    assert out[3]["n_lines_dropped"] == 1
+    # untouched document round-trips byte-identically
+    assert out[4]["clean_text"] == "solo line only"
+    assert out[4]["n_lines_dropped"] == 0
+
+
+def test_line_dedup_custom_sep_is_literal_not_regex(spark):
+    docs = spark.createDataFrame(
+        [(0, "keep me.common part"), (1, "common part.other text")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.line_dedup(docs, sep=".", min_docs=2).collect()
+    }
+    assert out == {0: "keep me", 1: "other text"}
+
+
+def test_line_dedup_precomputed_frequencies(spark):
+    docs = _docs(spark)
+    freq = dedup.line_frequencies(docs)
+    stats = {r["line"]: r["n_docs"] for r in freq.collect()}
+    assert stats["SHARED BANNER"] == 4
+    out = dedup.line_dedup(docs, min_docs=2, frequencies=freq)
+    assert out.filter(F.col("doc_id") == 3).first()["clean_text"] == ""
+
+
+def test_line_dedup_min_docs_validation(spark):
+    with pytest.raises(ValueError, match="min_docs"):
+        dedup.line_dedup(_docs(spark), min_docs=0)
+    with pytest.raises(ValueError, match="fractional"):
+        dedup.line_dedup(_docs(spark), min_docs=1.5)
+
+
+def test_line_dedup_fractional_threshold(spark):
+    # 5 docs; "SHARED BANNER" is in 4 of them (80%). A 0.7 fraction
+    # resolves in-plan to >= 3.5 docs and drops it; 0.9 keeps it.
+    docs = _docs(spark)
+    dropped = {
+        r["doc_id"]: r["n_lines_dropped"]
+        for r in dedup.line_dedup(docs, min_docs=0.7).collect()
+    }
+    assert dropped[0] == 1 and dropped[3] == 1
+    kept_all = dedup.line_dedup(docs, min_docs=0.9)
+    assert kept_all.agg(F.sum("n_lines_dropped")).first()[0] == 0
