@@ -1687,6 +1687,150 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (operators.linkage.fuzzy_join):
+    customer names with the last character dropped are matched back to
+    the clean registry — equi-join on a 15-char lowercased prefix
+    block, length-band prune, levenshtein<=1 verify. The DuckDB twin
+    reproduces blocking, band, and edit distance exactly."""
+    from facolos_data_pipelines_spark.operators.linkage import fuzzy_join
+
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.filter(F.col("c_custkey") % 20 == 0).select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.expr("substring(c_name, 1, length(c_name) - 1)").alias("dirty_name"),
+    )
+    right = cust.select(
+        F.col("c_custkey").alias("cand_id"), F.col("c_name").alias("cand_name")
+    )
+    out = fuzzy_join(left, right, "dirty_name", "cand_name", max_distance=1,
+                     block_prefix=15)
+    return out.select(
+        "dirty_id", "cand_id", F.col("_distance").cast("int").alias("distance")
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level corpus dedup (operators.dedup.line_dedup)
+    at word granularity (the synthetic corpus has no newlines): every
+    token appearing in >= 78% of documents — resolved IN-PLAN from the
+    corpus count, no driver collect — is cross-document boilerplate
+    and is dropped; survivors reassemble in original order. Exact
+    integer counts + string reassembly, byte-reproducible in SQL."""
+    from facolos_data_pipelines_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return line_dedup(docs, sep=" ", min_docs=0.78)
+
+
+def q_supplier_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped blame query: suppliers who were the SOLE late
+    shipper on a multi-supplier finalized order (late = shipped more
+    than 90 days after the order date). The EXISTS / NOT-EXISTS pair of
+    the classic formulation is restated as one aggregation over
+    (order, supplier) — per order: supplier count and late-supplier
+    count — which costs ONE shuffle on the order key instead of two
+    extra self-joins of lineitem; the supplier dim joins broadcast.
+    Top-10 by wait count, name tie-break."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    j = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(late, 1).otherwise(0)).alias("_is_late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("_n_supp"), F.sum("_is_late").alias("_n_late")
+    )
+    waiters = per_os.filter(F.col("_is_late") == 1).join(
+        per_o.filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)), "l_orderkey"
+    )
+    return (
+        waiters.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: of all revenue on orders placed by
+    ASIA-region customers, the fraction supplied by NATION_2 suppliers,
+    per order year. Five-table join; nation/region broadcast
+    explicitly, AQE picks strategies for the rest; two-level aggregate
+    (conditional sum / total sum) in ONE grouped pass."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    n_c = nation.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_regionkey").alias("_cr_key")
+    )
+    n_s = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("_sn_name")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("_cn_key"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("_cr_key") == F.col("r_regionkey"),
+        )
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("_sn_key"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("_sn_name") == "NATION_2", rev).otherwise(0.0))
+                / F.sum(rev)
+                + 1e-9,
+                4,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev) + 1e-6, 2).alias("total_revenue"),
+        )
+    )
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly flags over the event stream: events
+    whose value deviates from the user's mean by more than 1.7
+    population standard deviations (the synthetic values are
+    near-uniform, so 3-sigma would be empty by construction). One
+    window shuffle on user_id — mean/stddev/count come from the same
+    partition sort; no join back."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    stats = (
+        events.withColumn("_mu", F.mean("value").over(w))
+        .withColumn("_sd", F.stddev_pop("value").over(w))
+        .withColumn("_n", F.count("*").over(w))
+    )
+    z = (F.col("value") - F.col("_mu")) / F.col("_sd")
+    return (
+        stats.filter((F.col("_n") >= 30) & (F.col("_sd") > 0))
+        .filter(F.abs(z) > 1.7)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") + 1e-9, 2).alias("value"),
+            F.round(z + 1e-9, 4).alias("zscore"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the driver's correctness gate checks
     # the FIRST 50 entries only, so the window ROTATES each round. The
@@ -1696,6 +1840,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 4 whose definitions changed this round. The full 96-query run
     # is committed as CORRECTNESS_local_r4.json (scripts/check_oracle.py).
     return {
+        # -- round-4 additions (new this round, never driver-checked) --
+        "fuzzy_match": q_fuzzy_match,
+        "line_dedup": q_line_dedup,
+        "supplier_wait": q_supplier_wait,
+        "market_share": q_market_share,
+        "anomaly_zscore": q_anomaly_zscore,
         # -- round-4 window: previously unchecked (46) --
         "column_profile": q_column_profile,
         "repetition_stats": q_repetition_stats,
@@ -2097,6 +2247,112 @@ def oracle_sql() -> dict[str, str]:
         "sqrt(list_sum(list_transform(q, x -> x * x))))"
     )
     return {
+        "fuzzy_match": """
+            -- mirrors linkage.fuzzy_join: 15-char lowercased prefix
+            -- block, |len| band, levenshtein verify (same algorithm in
+            -- both engines: plain edit distance)
+            WITH l AS (
+                SELECT c_custkey AS dirty_id,
+                       substring(c_name, 1, length(c_name) - 1) AS dirty_name
+                FROM customer WHERE c_custkey % 20 = 0
+            ), r AS (
+                SELECT c_custkey AS cand_id, c_name AS cand_name FROM customer
+            )
+            SELECT dirty_id, cand_id,
+                   CAST(levenshtein(dirty_name, cand_name) AS INT) AS distance
+            FROM l JOIN r
+              ON lower(substring(dirty_name, 1, 15)) = lower(substring(cand_name, 1, 15))
+             AND abs(length(dirty_name) - length(cand_name)) <= 1
+            WHERE levenshtein(dirty_name, cand_name) <= 1
+        """,
+        "line_dedup": """
+            -- mirrors dedup.line_dedup at word granularity: trimmed
+            -- token doc-frequencies, fractional threshold vs the
+            -- corpus count, positional reassembly of survivors
+            WITH x AS (
+                SELECT doc_id, pr.pos AS pos, pr.raw AS raw, trim(pr.raw) AS line
+                FROM (
+                    SELECT doc_id,
+                           unnest([{'pos': i, 'raw': ws[i+1]}
+                                   for i in range(0, len(ws))]) AS pr
+                    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+                )
+            ), f AS (
+                SELECT line, COUNT(DISTINCT doc_id) AS n FROM x
+                WHERE line <> '' GROUP BY 1
+            ), tot AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+            b AS (SELECT line FROM f, tot WHERE n >= 0.78 * nd),
+            kept AS (
+                SELECT x.* FROM x
+                WHERE x.line = '' OR x.line NOT IN (SELECT line FROM b)
+            ), reb AS (
+                SELECT doc_id, string_agg(raw, ' ' ORDER BY pos) AS clean_text,
+                       COUNT(*) AS nk
+                FROM kept GROUP BY doc_id
+            ), t AS (SELECT doc_id, COUNT(*) AS ntot FROM x GROUP BY doc_id)
+            SELECT t.doc_id,
+                   COALESCE(reb.clean_text, '') AS clean_text,
+                   CAST(COALESCE(reb.nk, 0) AS BIGINT) AS n_lines_kept,
+                   CAST(t.ntot - COALESCE(reb.nk, 0) AS BIGINT) AS n_lines_dropped
+            FROM t LEFT JOIN reb USING (doc_id)
+        """,
+        "supplier_wait": """
+            -- Q21-shaped: sole late shipper on multi-supplier 'F' orders
+            WITH per_os AS (
+                SELECT l_orderkey, l_suppkey,
+                       MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                                THEN 1 ELSE 0 END) AS is_late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+                GROUP BY 1, 2
+            ), per_o AS (
+                SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+                FROM per_os GROUP BY 1
+            )
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM per_os
+            JOIN per_o USING (l_orderkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE per_os.is_late = 1 AND per_o.n_supp >= 2 AND per_o.n_late = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 10
+        """,
+        "market_share": """
+            -- Q8-shaped: NATION_2's supplier-side share of ASIA-customer
+            -- order revenue per year
+            SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+                   ROUND(SUM(CASE WHEN sn.n_name = 'NATION_2'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 4)
+                       AS mkt_share,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                       AS total_revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            GROUP BY 1
+        """,
+        "anomaly_zscore": """
+            -- per-user z-score outliers (population stddev, 1.7 sigma)
+            WITH s AS (
+                SELECT event_id, user_id, value,
+                       AVG(value) OVER (PARTITION BY user_id) AS mu,
+                       STDDEV_POP(value) OVER (PARTITION BY user_id) AS sd,
+                       COUNT(*) OVER (PARTITION BY user_id) AS n
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   ROUND(value + 1e-9, 2) AS value,
+                   ROUND((value - mu) / sd + 1e-9, 4) AS zscore
+            FROM s
+            WHERE n >= 30 AND sd > 0 AND abs((value - mu) / sd) > 1.7
+        """,
         "daily_sales_summary": f"""
             SELECT CAST(o_orderdate AS DATE) AS sale_date,
                    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS total_orders,

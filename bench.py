@@ -128,6 +128,12 @@ HEADLINE = [
     "top_ngrams",
     "union_sources",
     "value_buckets",
+    # round-4 additions: linkage, line dedup, join-heavy analytics
+    "fuzzy_match",
+    "line_dedup",
+    "supplier_wait",
+    "market_share",
+    "anomaly_zscore",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is
