@@ -1831,6 +1831,42 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations
+    (quality.expectations.expect): six rule types over lineitem,
+    compiled into ONE aggregation over ONE scan — the reference's
+    scattered pre-load validations (tiktok_shop_staging_loader.py:
+    205-250) generalized into a config-driven rule list."""
+    from facolos_data_pipelines_spark.quality import expect
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return expect(
+        lineitem,
+        [
+            {"type": "not_null", "column": "l_orderkey"},
+            {"type": "unique", "columns": ["l_orderkey", "l_linenumber"]},
+            {"type": "in_range", "column": "l_discount", "min": 0.0, "max": 1.0},
+            {"type": "accepted_values", "column": "l_returnflag",
+             "values": ["A", "N", "R"]},
+            {"type": "matches_regex", "column": "l_linestatus", "pattern": "^[OF]$"},
+            {"type": "expression", "expr": "l_quantity >= 0",
+             "name": "non_negative_quantity"},
+        ],
+    )
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis (operators.skew.key_skew_profile):
+    the 10 heaviest supplier keys in lineitem with row share and skew
+    factor — the pre-flight check before picking a partitioning or
+    join key at 100 TB. Totals fold back in-plan (1-row broadcast);
+    top-n is TakeOrderedAndProject."""
+    from facolos_data_pipelines_spark.operators.skew import key_skew_profile
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return key_skew_profile(lineitem, "l_suppkey", top_n=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the driver's correctness gate checks
     # the FIRST 50 entries only, so the window ROTATES each round. The
@@ -1846,6 +1882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_wait": q_supplier_wait,
         "market_share": q_market_share,
         "anomaly_zscore": q_anomaly_zscore,
+        "expectations": q_expectations,
+        "key_skew": q_key_skew,
         # -- round-4 window: previously unchecked (46) --
         "column_profile": q_column_profile,
         "repetition_stats": q_repetition_stats,
@@ -2247,6 +2285,60 @@ def oracle_sql() -> dict[str, str]:
         "sqrt(list_sum(list_transform(q, x -> x * x))))"
     )
     return {
+        "expectations": """
+            -- mirrors quality.expectations.expect: one conditional
+            -- count per rule over one scan, stacked as rule rows
+            WITH a AS (
+                SELECT
+                    SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
+                    SUM(CASE WHEN l_orderkey IS NOT NULL
+                              AND l_linenumber IS NOT NULL THEN 1 ELSE 0 END)
+                      - COUNT(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+                              AND l_linenumber IS NOT NULL
+                              THEN ROW(l_orderkey, l_linenumber) END) AS v1,
+                    SUM(CASE WHEN l_discount IS NOT NULL
+                              AND (l_discount < 0.0 OR l_discount > 1.0)
+                             THEN 1 ELSE 0 END) AS v2,
+                    SUM(CASE WHEN l_returnflag IS NOT NULL
+                              AND l_returnflag NOT IN ('A', 'N', 'R')
+                             THEN 1 ELSE 0 END) AS v3,
+                    SUM(CASE WHEN l_linestatus IS NOT NULL
+                              AND NOT regexp_matches(l_linestatus, '^[OF]$')
+                             THEN 1 ELSE 0 END) AS v4,
+                    SUM(CASE WHEN NOT COALESCE(l_quantity >= 0, FALSE)
+                             THEN 1 ELSE 0 END) AS v5
+                FROM lineitem
+            )
+            SELECT 'not_null' AS rule, 'l_orderkey' AS "column",
+                   CAST(v0 AS BIGINT) AS n_violations, v0 = 0 AS passed FROM a
+            UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber',
+                   CAST(v1 AS BIGINT), v1 = 0 FROM a
+            UNION ALL SELECT 'in_range', 'l_discount',
+                   CAST(v2 AS BIGINT), v2 = 0 FROM a
+            UNION ALL SELECT 'accepted_values', 'l_returnflag',
+                   CAST(v3 AS BIGINT), v3 = 0 FROM a
+            UNION ALL SELECT 'matches_regex', 'l_linestatus',
+                   CAST(v4 AS BIGINT), v4 = 0 FROM a
+            UNION ALL SELECT 'expression', 'non_negative_quantity',
+                   CAST(v5 AS BIGINT), v5 = 0 FROM a
+        """,
+        "key_skew": """
+            -- mirrors skew.key_skew_profile on l_suppkey
+            WITH per_key AS (
+                SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+                FROM lineitem GROUP BY 1
+            ), tot AS (
+                SELECT SUM(n_rows) AS total_rows, COUNT(*) AS n_groups
+                FROM per_key
+            )
+            SELECT l_suppkey, n_rows,
+                   ROUND(n_rows / CAST(total_rows AS DOUBLE) + 1e-9, 6) AS row_share,
+                   ROUND(n_rows / CAST(total_rows AS DOUBLE) * n_groups + 1e-9, 4)
+                       AS skew_factor
+            FROM per_key, tot
+            ORDER BY n_rows DESC, l_suppkey ASC
+            LIMIT 10
+        """,
         "fuzzy_match": """
             -- mirrors linkage.fuzzy_join: 15-char lowercased prefix
             -- block, |len| band, levenshtein verify (same algorithm in

@@ -134,6 +134,8 @@ HEADLINE = [
     "supplier_wait",
     "market_share",
     "anomaly_zscore",
+    "expectations",
+    "key_skew",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is

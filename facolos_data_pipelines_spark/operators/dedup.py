@@ -1153,10 +1153,14 @@ def line_dedup(
     paragraph structure), matching CCNet's non-empty-line hashing.
 
     ``frequencies`` accepts a precomputed/persisted line-frequency
-    table (same schema as :func:`line_frequencies`) so incremental
-    pipelines can fold new batches into corpus statistics instead of
-    recomputing them — the mergeable-state pattern of
-    merge.merge_aggregate.
+    table (same schema as :func:`line_frequencies`) so the corpus
+    statistics can be built once and reused across runs. Note the
+    distinct-document count is NOT foldable from per-batch counts
+    alone (the same doc id may recur across batches): incremental
+    maintenance needs either the distinct (line, doc_id) pair set as
+    the persisted state (union + re-count) or a mergeable HLL sketch
+    per line (merge.merge_distinct_sketch) when approximate
+    frequencies are acceptable.
     """
     fractional = isinstance(min_docs, float) and not isinstance(min_docs, bool)
     if fractional:

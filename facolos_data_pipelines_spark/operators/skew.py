@@ -148,3 +148,54 @@ def zorder_key(
                 )
             )
     return out
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Shuffle-key skew diagnosis: the ``top_n`` heaviest key groups
+    with their share of the table and their skew factor (group size /
+    mean group size) — the number that predicts whether a groupBy/join
+    on this key will straggle at scale (a factor of 100 means the hot
+    partition runs ~100x longer than the average unless AQE splits it
+    or the plan salts).
+
+    Two aggregation passes over key-width rows only: per-key counts
+    (one shuffle on the key, map-side partial), then the global
+    row/group totals folded back in-plan as a 1-row broadcast (no
+    driver collect). Top-n selection is TakeOrderedAndProject — a
+    per-partition n-heap, never a full sort. Use before choosing a
+    partitioning/bucketing key; pair with salted_groupby_agg /
+    salted_join when the factor is pathological.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not keys:
+        raise ValueError("key_skew_profile: key_cols must be non-empty")
+    if top_n < 1:
+        raise ValueError("key_skew_profile: top_n must be >= 1")
+    per_key = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    totals = per_key.agg(
+        F.sum("n_rows").cast("long").alias("_total_rows"),
+        F.count("*").cast("long").alias("_n_groups"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total_rows") + 1e-9, 6).alias(
+                "row_share"
+            ),
+            # divide first: long*long would overflow before the divide
+            # on trillion-row tables; both engines mirror this order
+            F.round(
+                F.col("n_rows") / F.col("_total_rows") * F.col("_n_groups") + 1e-9, 4
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
+        .limit(top_n)
+    )

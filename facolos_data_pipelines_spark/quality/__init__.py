@@ -7,6 +7,7 @@ from .checks import (
     validate_post_load,
     validate_pre_load,
 )
+from .expectations import expect, expectations_gate
 from .monitor import (
     alert_conditions,
     cycle_summary,
@@ -24,6 +25,8 @@ __all__ = [
     "validate_pre_load",
     "validate_post_load",
     "quality_gate",
+    "expect",
+    "expectations_gate",
     "cycle_summary",
     "alert_conditions",
     "record_cycle",
