@@ -1118,6 +1118,36 @@ def line_frequencies(
     )
 
 
+def line_doc_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Distinct (line, doc id) pairs — the MERGEABLE state behind
+    incremental line frequencies. COUNT(DISTINCT doc) is not foldable
+    from per-batch counts (a doc id may recur across batches), but the
+    distinct pair set is: union the persisted pair table with a new
+    batch's pairs, re-distinct, and :func:`pairs_to_frequencies` gives
+    corpus-exact counts — per cycle cost O(batch lines + touched
+    groups), never O(corpus). For approximate-tolerant corpora, a
+    per-line HLL sketch (merge.merge_distinct_sketch) shrinks the
+    state to one sketch per line."""
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), _quote_sep(sep), -1)).alias("_l"),
+    ).select(F.col("doc"), F.trim(F.col("_l")).alias("line"))
+    return lines.filter(F.col("line") != "").dropDuplicates(["line", "doc"])
+
+
+def pairs_to_frequencies(pairs: DataFrame) -> DataFrame:
+    """Fold a (line, doc) pair table into the (line, n_docs) frequency
+    schema :func:`line_dedup` consumes. Pairs must already be distinct
+    (:func:`line_doc_pairs` output, or a union of such tables after
+    ``dropDuplicates``)."""
+    return pairs.groupBy("line").agg(F.count("*").cast("long").alias("n_docs"))
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -1156,11 +1186,12 @@ def line_dedup(
     table (same schema as :func:`line_frequencies`) so the corpus
     statistics can be built once and reused across runs. Note the
     distinct-document count is NOT foldable from per-batch counts
-    alone (the same doc id may recur across batches): incremental
-    maintenance needs either the distinct (line, doc_id) pair set as
-    the persisted state (union + re-count) or a mergeable HLL sketch
-    per line (merge.merge_distinct_sketch) when approximate
-    frequencies are acceptable.
+    alone (the same doc id may recur across batches): persist the
+    distinct (line, doc) pair set instead (:func:`line_doc_pairs` →
+    union → :func:`pairs_to_frequencies`, proven equal to the full
+    recompute in tests) or a mergeable HLL sketch per line
+    (merge.merge_distinct_sketch) when approximate frequencies are
+    acceptable.
     """
     fractional = isinstance(min_docs, float) and not isinstance(min_docs, bool)
     if fractional:

@@ -122,6 +122,38 @@ def test_line_dedup_min_docs_validation(spark):
         dedup.line_dedup(_docs(spark), min_docs=1.5)
 
 
+def test_incremental_line_frequencies_equal_full_recompute(spark):
+    """The distinct (line, doc) pair state folds new batches into
+    corpus-exact frequencies — including a doc id recurring across
+    batches (the case plain count-merging double-counts)."""
+    docs = _docs(spark)
+    batch1 = docs.filter(F.col("doc_id") <= 2)
+    batch2 = docs.filter(F.col("doc_id") >= 2)  # doc 2 in BOTH batches
+    state = dedup.line_doc_pairs(batch1)
+    merged = state.unionByName(dedup.line_doc_pairs(batch2)).dropDuplicates(
+        ["line", "doc"]
+    )
+    inc = {
+        (r["line"], r["n_docs"])
+        for r in dedup.pairs_to_frequencies(merged).collect()
+    }
+    full = {
+        (r["line"], r["n_docs"]) for r in dedup.line_frequencies(docs).collect()
+    }
+    assert inc == full
+    # and line_dedup over the incremental table matches the direct run
+    direct = sorted(map(tuple, dedup.line_dedup(docs, min_docs=2).collect()))
+    via_state = sorted(
+        map(
+            tuple,
+            dedup.line_dedup(
+                docs, min_docs=2, frequencies=dedup.pairs_to_frequencies(merged)
+            ).collect(),
+        )
+    )
+    assert direct == via_state
+
+
 def test_line_dedup_fractional_threshold(spark):
     # 5 docs; "SHARED BANNER" is in 4 of them (80%). A 0.7 fraction
     # resolves in-plan to >= 3.5 docs and drops it; 0.9 keeps it.
