@@ -1867,6 +1867,40 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(lineitem, "l_suppkey", top_n=10)
 
 
+def q_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM fluency scores
+    (operators.text.unigram_logprob_scores): mean smoothed unigram
+    log-probability per document — the cheap CCNet-style LM quality
+    signal with the corpus as its own model. Same tokenizer as the
+    dedup/text family; DuckDB reproduces ln() and the smoothing
+    arithmetic exactly (4dp round for summation-order ulp)."""
+    from facolos_data_pipelines_spark.operators.text import unigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs)
+
+
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-link duplicate clusters (dedup.connected_components) over
+    the certified banded-LSH embedding near-dup pairs: min-label
+    propagation with pointer doubling, O(log diameter) id-only rounds.
+    The DuckDB twin recomputes the SAME pair set (the certified
+    embedding_near_dups CTEs) and closes it with a recursive CTE — an
+    iterative Spark algorithm certified against declarative SQL."""
+    from facolos_data_pipelines_spark.operators.dedup import (
+        connected_components,
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return comp.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the driver's correctness gate checks
     # the FIRST 50 entries only, so the window ROTATES each round. The
@@ -1885,6 +1919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": q_anomaly_zscore,
         "expectations": q_expectations,
         "key_skew": q_key_skew,
+        "unigram_scores": q_unigram_scores,
+        "dup_components": q_dup_components,
         # -- round-4 window: changed this round or flagship (4) --
         "approx_distinct": q_approx_distinct,  # bounded oracle (new r4)
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,  # capped postings (r4)
@@ -2288,6 +2324,76 @@ def oracle_sql() -> dict[str, str]:
         "sqrt(list_sum(list_transform(q, x -> x * x))))"
     )
     return {
+        "unigram_scores": r"""
+            -- mirrors text.unigram_logprob_scores: same tokenizer as
+            -- the text family, additive smoothing 0.5, natural log
+            WITH wx AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                           x -> x <> '')) AS w
+                FROM documents
+            ), v AS (
+                SELECT w, COUNT(*) AS c FROM wx GROUP BY 1
+            ), t AS (
+                SELECT SUM(c) AS total, COUNT(*) AS nv FROM v
+            ), d AS (
+                SELECT doc_id, COUNT(*) AS n_words,
+                       AVG(ln((c + 0.5) / (total + 0.5 * nv))) AS alp
+                FROM wx JOIN v USING (w) CROSS JOIN t
+                GROUP BY doc_id
+            )
+            SELECT docs.doc_id,
+                   CAST(COALESCE(d.n_words, 0) AS BIGINT) AS n_words,
+                   ROUND(d.alp + 1e-9, 4) AS avg_logprob
+            FROM (SELECT doc_id FROM documents) docs
+            LEFT JOIN d USING (doc_id)
+        """,
+        "dup_components": f"""
+            -- the certified embedding_near_dups pair CTEs + a recursive
+            -- transitive closure; component = min reachable node
+            WITH RECURSIVE e AS (
+                SELECT vec_id, embedding,
+                       list_transform(embedding,
+                           x -> x::DOUBLE * (1.0 / sqrt(list_sum(
+                               list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))))
+                           AS sv
+                FROM embeddings
+                WHERE list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)) > 0
+            ), p(band, bitval, plane) AS (
+                VALUES {_hyperplane_values_sql(6, 4, 64)}
+            ), s AS (
+                SELECT e.vec_id, p.band,
+                       SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+                                   i -> e.embedding[i]::DOUBLE * p.plane[i])) > 0
+                                THEN p.bitval ELSE 0 END) AS sig
+                FROM e CROSS JOIN p
+                GROUP BY e.vec_id, p.band
+            ), c AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM s a JOIN s b
+                  ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+            ), pr AS (
+                SELECT id_a, id_b FROM (
+                    SELECT c.id_a, c.id_b,
+                           list_sum(list_transform(range(1, 65),
+                               i -> ea.sv[i] * eb.sv[i])) AS d
+                    FROM c
+                    JOIN e ea ON ea.vec_id = c.id_a
+                    JOIN e eb ON eb.vec_id = c.id_b
+                ) WHERE d >= 0.4
+            ), und AS (
+                SELECT id_a AS u, id_b AS v FROM pr
+                UNION ALL
+                SELECT id_b, id_a FROM pr
+            ), reach(a, b) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM und)
+                UNION
+                SELECT r.a, ed.v FROM reach r JOIN und ed ON r.b = ed.u
+            )
+            SELECT CAST(a AS BIGINT) AS node, CAST(MIN(b) AS BIGINT) AS component
+            FROM reach GROUP BY a
+        """,
         "expectations": """
             -- mirrors quality.expectations.expect: one conditional
             -- count per rule over one scan, stacked as rule rows

@@ -136,6 +136,8 @@ HEADLINE = [
     "anomaly_zscore",
     "expectations",
     "key_skew",
+    "unigram_scores",
+    "dup_components",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is

@@ -1155,6 +1155,7 @@ def line_dedup(
     sep: str = "\n",
     min_docs: int | float = 2,
     frequencies: DataFrame | None = None,
+    corpus_docs: int | None = None,
 ) -> DataFrame:
     """CCNet-style line-level corpus dedup: drop from every document
     each line whose trimmed form occurs in >= ``min_docs`` distinct
@@ -1166,7 +1167,11 @@ def line_dedup(
     the corpus document count (1-row aggregate, broadcast into the
     boilerplate filter — no driver collect), so the same pipeline
     definition scales from a 500-doc test corpus to 10^9 documents
-    without retuning an absolute threshold.
+    without retuning an absolute threshold. With a precomputed
+    ``frequencies`` table, ``df`` may be one small batch of a much
+    larger corpus, so a fractional threshold cannot be resolved from
+    ``df`` — pass ``corpus_docs`` (the document count the frequency
+    table was built over) explicitly, or the call raises.
 
     Output: (id, clean_text, n_lines_kept, n_lines_dropped). Documents
     whose every line is boilerplate remain as rows with an empty
@@ -1200,13 +1205,21 @@ def line_dedup(
                 "line_dedup: fractional min_docs must be in (0, 1) exclusive; "
                 "pass an int for an absolute document count"
             )
+        if frequencies is not None and corpus_docs is None:
+            raise ValueError(
+                "line_dedup: a fractional min_docs with a precomputed "
+                "frequencies table needs corpus_docs (the document count the "
+                "table was built over) — df may be one batch of a larger "
+                "corpus, so its own count would resolve the wrong threshold"
+            )
     elif min_docs < 1:
         raise ValueError("line_dedup: min_docs must be >= 1")
+    # NULL text is treated as the empty document (split of NULL explodes
+    # to zero rows, which would silently DROP the doc from the output)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), _quote_sep(sep), -1)).alias(
-            "_pos", "_raw"
-        ),
+        F.posexplode(F.split(text, _quote_sep(sep), -1)).alias("_pos", "_raw"),
     ).select(
         F.col(id_col), F.col("_pos"), F.col("_raw"), F.trim(F.col("_raw")).alias("line")
     )
@@ -1216,12 +1229,17 @@ def line_dedup(
         else line_frequencies(df, text_col, id_col, sep)
     )
     if fractional:
-        total = df.agg(F.countDistinct(F.col(id_col)).alias("_n_corpus"))
-        boiler = (
-            freq.crossJoin(F.broadcast(total))
-            .filter(F.col("n_docs") >= F.lit(min_docs) * F.col("_n_corpus"))
-            .select("line")
-        )
+        if corpus_docs is not None:
+            boiler = freq.filter(
+                F.col("n_docs") >= F.lit(min_docs) * F.lit(corpus_docs)
+            ).select("line")
+        else:
+            total = df.agg(F.countDistinct(F.col(id_col)).alias("_n_corpus"))
+            boiler = (
+                freq.crossJoin(F.broadcast(total))
+                .filter(F.col("n_docs") >= F.lit(min_docs) * F.col("_n_corpus"))
+                .select("line")
+            )
     else:
         boiler = freq.filter(F.col("n_docs") >= min_docs).select("line")
     tagged = lines.join(

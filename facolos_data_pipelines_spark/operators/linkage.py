@@ -61,6 +61,14 @@ def fuzzy_join(
             f"fuzzy_join: overlapping column names {sorted(overlap)}; "
             "alias/rename one side first"
         )
+    internal = {"_bk", "_bk_r", "_distance"}
+    clash = internal & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"fuzzy_join: input columns {sorted(clash)} collide with "
+            "internal working columns; rename them first (e.g. a prior "
+            "fuzzy_join pass's _distance — alias it before a second pass)"
+        )
     if block_on is None:
         lkey, rkey = (
             _block_key(F.col(left_text), block_prefix),

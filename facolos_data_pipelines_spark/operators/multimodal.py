@@ -210,6 +210,34 @@ def _make_media_codecs() -> SimpleNamespace:
         rng = np.random.default_rng(zlib.crc32(bytes(payload)))
         return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
 
+    # Optional-dependency probes, cached in closure cells: a FAILED
+    # import is not cached in sys.modules, so probing per payload would
+    # re-scan sys.path on every row of a 100 TB decode job on exactly
+    # the bare clusters this fallback exists for. One probe per
+    # (deserialized) closure instead. [] = unprobed, [None] = absent.
+    _pil_cell: list = []
+    _sf_cell: list = []
+
+    def _pil():
+        if not _pil_cell:
+            try:
+                from PIL import Image  # optional dependency, preferred
+
+                _pil_cell.append(Image)
+            except ImportError:
+                _pil_cell.append(None)
+        return _pil_cell[0]
+
+    def _soundfile():
+        if not _sf_cell:
+            try:
+                import soundfile as sf  # optional dependency, preferred
+
+                _sf_cell.append(sf)
+            except ImportError:
+                _sf_cell.append(None)
+        return _sf_cell[0]
+
     def image_decode(payload: bytes) -> tuple[np.ndarray, str]:
         """(pixels, mode): real decode via Pillow when importable, else
         the stdlib PNG reader; anything undecodable yields the
@@ -219,16 +247,13 @@ def _make_media_codecs() -> SimpleNamespace:
                 "image_decode requires a payload; NULL blobs must be filtered upstream"
             )
         data = bytes(payload)
-        try:
-            from PIL import Image  # optional dependency, preferred
-
+        Image = _pil()
+        if Image is not None:
             try:
                 px = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
                 return px, "real"
             except Exception:
                 pass  # unreadable by PIL -> try stdlib / fake
-        except ImportError:
-            pass
         if data[:8] == sig:
             try:
                 return png_decode(data), "real"
@@ -248,16 +273,13 @@ def _make_media_codecs() -> SimpleNamespace:
                 "audio_decode requires a payload; NULL blobs must be filtered upstream"
             )
         data = bytes(payload)
-        try:
-            import soundfile as sf  # optional dependency, preferred
-
+        sf = _soundfile()
+        if sf is not None:
             try:
                 x, sr = sf.read(io.BytesIO(data), dtype="float64", always_2d=True)
                 return x.mean(axis=1), int(sr), "real"
             except Exception:
                 pass
-        except ImportError:
-            pass
         try:
             x, sr = wav_decode(data)
             return x, sr, "real"
@@ -430,6 +452,13 @@ def audio_features(df: DataFrame) -> DataFrame:
                 x, sr, mode = codecs.audio_decode(payload)
                 rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
                 dur.append(len(x) / sr if sr else 0.0)
+                if len(x) == 0:
+                    # a valid zero-frame WAV decodes to an empty signal;
+                    # rfft([]) raises — emit a zero spectrum instead of
+                    # killing the task on one degenerate blob
+                    feats.append([0.0] * dim)
+                    modes.append(mode)
+                    continue
                 spec = np.abs(np.fft.rfft(x)) ** 2
                 bands = np.array_split(spec, dim)
                 energy = np.array([float(b.sum()) for b in bands])

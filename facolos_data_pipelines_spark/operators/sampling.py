@@ -180,6 +180,12 @@ def mix_to_weights(
         raise ValueError("mix_to_weights: weights must be non-empty")
     if any(w <= 0 for w in weights.values()):
         raise ValueError("mix_to_weights: weights must be positive")
+    clash = {"_wg", "_w", "_cnt", "_t", "_g", "_thr"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"mix_to_weights: input columns {sorted(clash)} collide with "
+            "internal working columns; rename them first"
+        )
     total = sum(weights.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"mix weights must sum to 1 (got {total})")

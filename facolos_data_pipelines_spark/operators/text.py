@@ -595,3 +595,58 @@ def pack_documents(
         F.floor(cum_before / max_tokens).cast("long").alias("pack_id"),
         "n_tokens",
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the classic cheap fluency/quality signal (CCNet-style
+    LM filtering with the corpus itself as the model): documents full
+    of rare/out-of-distribution tokens score low, formulaic in-domain
+    text scores high. Additive smoothing:
+    p(w) = (count(w) + s) / (total + s * |V|).
+
+    Plan shape: tokenize/explode is narrow; the vocabulary is one
+    aggregation on the word; scoring joins tokens back to the
+    vocabulary (one word-keyed shuffle — Spark injects a runtime bloom
+    filter on the big side); corpus totals fold in as a 1-row
+    broadcast; the per-doc mean is one id-keyed aggregation. Nothing
+    driver-side, no UDFs. Documents with zero words keep their row
+    with n_words=0 and a NULL score (no words ≠ fluent).
+    """
+    if smoothing <= 0:
+        raise ValueError("unigram_logprob_scores: smoothing must be > 0")
+    words = df.select(
+        F.col(id_col), F.explode(normalized_words(F.col(text_col))).alias("_w")
+    )
+    vocab = words.groupBy("_w").agg(F.count("*").cast("long").alias("_c"))
+    totals = vocab.agg(
+        F.sum("_c").cast("long").alias("_total"),
+        F.count("*").cast("long").alias("_v"),
+    )
+    lp = F.log(
+        (F.col("_c") + F.lit(float(smoothing)))
+        / (F.col("_total") + F.lit(float(smoothing)) * F.col("_v"))
+    )
+    per_doc = (
+        words.join(vocab, "_w")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.avg(lp).alias("_avg_lp"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_words"), F.lit(0).cast("long")).alias("n_words"),
+            F.round(F.col("_avg_lp") + 1e-9, 4).alias("avg_logprob"),
+        )
+    )

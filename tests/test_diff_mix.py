@@ -233,3 +233,11 @@ def test_snapshot_diff_matches_python_reference(spark, old_map, new_map):
         elif old_map[k] != new_map[k]:
             want[k] = "changed"
     assert got == want
+
+
+def test_mix_to_weights_rejects_internal_column_clash(spark):
+    from facolos_data_pipelines_spark.operators.sampling import mix_to_weights
+
+    df = spark.createDataFrame([(1, "a", 0.5)], ["doc_id", "source", "_w"])
+    with pytest.raises(ValueError, match="internal working columns"):
+        mix_to_weights(df, "source", {"a": 1.0})

@@ -165,3 +165,63 @@ def test_line_dedup_fractional_threshold(spark):
     assert dropped[0] == 1 and dropped[3] == 1
     kept_all = dedup.line_dedup(docs, min_docs=0.9)
     assert kept_all.agg(F.sum("n_lines_dropped")).first()[0] == 0
+
+
+def test_line_dedup_null_text_doc_is_kept(spark):
+    docs = spark.createDataFrame(
+        [(0, "shared\nown"), (1, "shared"), (2, None)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in dedup.line_dedup(docs, min_docs=2).collect()}
+    assert set(out) == {0, 1, 2}, "NULL-text doc must not vanish from the output"
+    assert out[2]["clean_text"] == "" and out[2]["n_lines_dropped"] == 0
+    assert out[0]["clean_text"] == "own"
+
+
+def test_line_dedup_fractional_with_precomputed_freq_needs_corpus_docs(spark):
+    docs = _docs(spark)
+    freq = dedup.line_frequencies(docs)
+    with pytest.raises(ValueError, match="corpus_docs"):
+        dedup.line_dedup(docs.limit(2), min_docs=0.5, frequencies=freq)
+    # with the corpus count supplied, the threshold resolves against the
+    # CORPUS (5 docs * 0.7 = 3.5), not the 2-doc batch
+    out = dedup.line_dedup(
+        docs.filter(F.col("doc_id") <= 1),
+        min_docs=0.7,
+        frequencies=freq,
+        corpus_docs=5,
+    )
+    dropped = {r["doc_id"]: r["n_lines_dropped"] for r in out.collect()}
+    assert dropped == {0: 1, 1: 1}  # SHARED BANNER (4/5 docs) dropped
+
+
+def test_fuzzy_join_rejects_internal_column_clash(spark):
+    left = spark.createDataFrame([(1, "abc", 0)], ["l_id", "l_name", "_distance"])
+    right = spark.createDataFrame([(2, "abc")], ["r_id", "r_name"])
+    with pytest.raises(ValueError, match="internal working columns"):
+        fuzzy_join(left, right, "l_name", "r_name")
+
+
+def test_unigram_logprob_scores(spark):
+    from facolos_data_pipelines_spark.operators.text import unigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common common common rare"),
+            (1, "common common"),
+            (2, ""),  # zero words: row kept, NULL score
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob_scores(docs).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[2]["n_words"] == 0 and out[2]["avg_logprob"] is None
+    # corpus: common x5, rare x1; total 6, |V| 2 -> p(common)=(5.5/7),
+    # p(rare)=(1.5/7); the all-common doc must outscore the one with rare
+    assert out[1]["avg_logprob"] > out[0]["avg_logprob"]
+    import math
+
+    assert out[1]["avg_logprob"] == pytest.approx(
+        round(math.log(5.5 / 7.0) + 1e-9, 4), abs=1e-9
+    )
+    with pytest.raises(ValueError, match="smoothing"):
+        unigram_logprob_scores(docs, smoothing=0.0)

@@ -163,3 +163,16 @@ def test_audio_features_real_wav(spark):
     assert real["features"][0] > 0.9
     assert out[2]["decode_mode"] == "fake"
     assert len(out[2]["features"]) == multimodal.FEATURE_DIM
+
+
+def test_audio_features_zero_frame_wav_survives(spark):
+    """A syntactically valid WAV with zero frames decodes to an empty
+    signal; the FFT stage must emit a zero spectrum instead of raising
+    (the 'job never dies on one bad blob' contract)."""
+    payload = _make_wav(np.zeros(0), 8000)
+    rows = [(1, payload, "wav", 8000, 0.0, len(payload))]
+    df = spark.createDataFrame(rows, multimodal.AUDIO_SCHEMA)
+    r = multimodal.audio_features(df).collect()[0]
+    assert r["decode_mode"] == "real"
+    assert r["rms"] == 0.0 and r["measured_duration_s"] == 0.0
+    assert r["features"] == [0.0] * multimodal.FEATURE_DIM
