@@ -365,3 +365,66 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_root):
     q.awaitTermination()
     got = {(r["click_id"], r["purchase_id"]) for r in spark.table(name).collect()}
     assert got == {(1, 2)}  # only the within-window same-user pair
+
+
+def test_streaming_line_frequency_state_matches_batch(spark, tmp_root):
+    """Incremental corpus line-statistics over streaming micro-batches:
+    each cycle folds its documents' distinct (line, doc) pairs into a
+    parquet state table (foreachBatch append; replays collapse via
+    dropDuplicates on read), and line_dedup fed from the folded state
+    equals the direct batch run over the full corpus — the streaming
+    realization of dedup.line_doc_pairs/pairs_to_frequencies."""
+    from pyspark.sql import types as T
+
+    from facolos_data_pipelines_spark.operators.dedup import (
+        line_dedup,
+        line_doc_pairs,
+        pairs_to_frequencies,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = f"{tmp_root}/docs_src"
+    state = f"{tmp_root}/pair_state"
+    ckpt = f"{tmp_root}/docs_ckpt"
+    batch1 = [(0, "shared banner\nalpha"), (1, "shared banner\nbeta")]
+    batch2 = [(2, "shared banner\ngamma"), (3, "delta only")]
+    spark.createDataFrame(batch1, doc_schema).coalesce(1).write.mode("append").parquet(src)
+
+    def fold_pairs(batch_df, batch_id):
+        line_doc_pairs(batch_df).write.mode("append").parquet(state)
+
+    def run_cycle():
+        q = (
+            spark.readStream.schema(doc_schema)
+            .parquet(src)
+            .writeStream.foreachBatch(fold_pairs)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_cycle()
+    spark.createDataFrame(batch2, doc_schema).coalesce(1).write.mode("append").parquet(src)
+    run_cycle()
+
+    folded = spark.read.parquet(state).dropDuplicates(["line", "doc"])
+    docs = spark.createDataFrame(batch1 + batch2, doc_schema)
+    via_stream = sorted(
+        map(
+            tuple,
+            line_dedup(
+                docs, min_docs=3, frequencies=pairs_to_frequencies(folded)
+            ).collect(),
+        )
+    )
+    direct = sorted(map(tuple, line_dedup(docs, min_docs=3).collect()))
+    assert via_stream == direct
+    # the shared banner (3 of 4 docs) is gone, uniques survive
+    cleaned = {r[0]: r[1] for r in direct}
+    assert cleaned[0] == "alpha" and cleaned[3] == "delta only"
