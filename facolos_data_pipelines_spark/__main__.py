@@ -1,0 +1,7 @@
+"""``python -m facolos_data_pipelines_spark`` — see cli.py."""
+
+import sys
+
+from .cli import main
+
+sys.exit(main())

@@ -1,0 +1,251 @@
+"""Command-line entry point — the reference's ``run_*.py`` scripts
+(run_complete_backfill.py:422-460, run_historical_backfill.py:333-376,
+dags/incremental_etl_dag.py) restated as one `python -m
+facolos_data_pipelines_spark` CLI over landed-JSON sources.
+
+The REST fetch itself stays a separate concern (sources/rest — network
+credentials don't belong in a compute CLI); this entry point drives
+everything AFTER landing: per-endpoint conform → PK-safe load →
+control log → quality gate, exactly the §3.1 cycle. Landing layout::
+
+    <landing-root>/<endpoint>/*.json      (one JSON object per line)
+
+with endpoint directories named after the known sources
+(``tiktok_shop_orders``, ``misa_sale_orders``, ``misa_customers``,
+``misa_contacts``, ``misa_stocks``, ``misa_products``).
+
+Subcommands:
+
+- ``cycle``     one incremental cycle over whatever landed
+- ``quality``   gate + per-table counts over the staging root
+- ``bootstrap`` create the catalog databases / control tables
+
+Every subcommand prints ONE JSON report line to stdout (the
+reference's XCom/report dict), so shells and schedulers can consume
+it without parsing logs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _tiktok_transform(raw: DataFrame, batch_id: str) -> DataFrame:
+    from .catalog.schemas import TRUNCATION_WIDTHS
+    from .operators.conform import flatten_tiktok_orders, truncate_strings
+
+    return truncate_strings(flatten_tiktok_orders(raw, batch_id), TRUNCATION_WIDTHS)
+
+
+def _misa_orders_transform(raw: DataFrame, batch_id: str) -> DataFrame:
+    from .operators.conform import flatten_misa_sale_orders
+
+    return flatten_misa_sale_orders(raw, batch_id)
+
+
+def _misa_entity_transform(table: str):
+    def transform(raw: DataFrame, batch_id: str) -> DataFrame:
+        from .catalog.schemas import STAGING_TABLES
+        from .operators.conform import add_etl_metadata, align_to_schema
+
+        stamped = add_etl_metadata(raw, batch_id=batch_id, source="misa_crm_api")
+        return align_to_schema(stamped, STAGING_TABLES[table])
+
+    return transform
+
+
+def _known_endpoints() -> dict[str, dict]:
+    """Endpoint registry: raw schema (None = permissive inference over
+    the landed JSON — the reference's pd.DataFrame(list_of_dicts)
+    behavior), conform fn, staging table, business PKs, load mode."""
+    from .catalog.schemas import (
+        PRIMARY_KEYS,
+        RAW_MISA_SALE_ORDER_SCHEMA,
+        RAW_TIKTOK_ORDER_SCHEMA,
+    )
+
+    eps: dict[str, dict] = {
+        "tiktok_shop_orders": {
+            "raw_schema": RAW_TIKTOK_ORDER_SCHEMA,
+            "transform": _tiktok_transform,
+            "table": "tiktok_shop_order_detail",
+            # business keys (PK minus etl_batch_id): replayed rows must
+            # REJECT, not re-land under a fresh batch id
+            "primary_keys": ["order_id", "item_id", "item_sku_id"],
+            "load_mode": "append",
+        },
+        "misa_sale_orders": {
+            "raw_schema": RAW_MISA_SALE_ORDER_SCHEMA,
+            "transform": _misa_orders_transform,
+            "table": "misa_sale_orders_flattened",
+            "primary_keys": PRIMARY_KEYS["misa_sale_orders_flattened"],
+            "load_mode": "append",
+        },
+    }
+    for name, table in [
+        ("misa_customers", "misa_customers"),
+        ("misa_contacts", "misa_contacts"),
+        ("misa_stocks", "misa_stocks"),
+        ("misa_products", "misa_products"),
+    ]:
+        eps[name] = {
+            "raw_schema": None,
+            "transform": _misa_entity_transform(table),
+            "table": table,
+            "primary_keys": PRIMARY_KEYS[table],
+            "load_mode": "upsert",
+        }
+    return eps
+
+
+def build_endpoints(spark: SparkSession, landing_root: str) -> list:
+    """EndpointSpecs for every known endpoint directory under
+    ``landing_root`` (priority order = the orchestrator's: sale orders
+    first, run_complete_backfill.py:114-124). Unknown directories raise
+    — a typo'd endpoint silently skipped would look like missing data
+    downstream."""
+    import os
+
+    from .pipelines.runner import EndpointSpec
+
+    known = _known_endpoints()
+    present = sorted(
+        d
+        for d in os.listdir(landing_root)
+        if os.path.isdir(os.path.join(landing_root, d))
+    )
+    unknown = [d for d in present if d not in known]
+    if unknown:
+        raise SystemExit(
+            f"unknown endpoint dir(s) {unknown}; expected a subset of "
+            f"{sorted(known)}"
+        )
+    priority = [n for n in (
+        "misa_sale_orders",
+        "tiktok_shop_orders",
+        "misa_customers",
+        "misa_contacts",
+        "misa_stocks",
+        "misa_products",
+    ) if n in present]
+
+    specs = []
+    for name in priority:
+        spec = known[name]
+        path = os.path.join(landing_root, name)
+
+        def extract(s: SparkSession, _path=path, _schema=spec["raw_schema"]):
+            reader = s.read
+            if _schema is not None:
+                reader = reader.schema(_schema)
+            return reader.json(_path)
+
+        specs.append(
+            EndpointSpec(
+                name=name,
+                extract=extract,
+                transform=spec["transform"],
+                primary_keys=spec["primary_keys"],
+                load_mode=spec["load_mode"],
+                staging_table=spec["table"],
+            )
+        )
+    return specs
+
+
+def _build_spark(app: str) -> SparkSession:
+    from .session import build_spark
+
+    return build_spark(app_name=app)
+
+
+def cmd_cycle(args: argparse.Namespace) -> dict:
+    from .pipelines.runner import run_incremental_cycle
+
+    spark = _build_spark("facolos-cli-cycle")
+    endpoints = build_endpoints(spark, args.landing_root)
+    if not endpoints:
+        raise SystemExit(f"no endpoint directories under {args.landing_root}")
+    return run_incremental_cycle(
+        spark,
+        endpoints,
+        args.staging_root,
+        control_root=args.control_root,
+        min_tables_with_data=args.min_tables,
+        registry_path=args.registry,
+    )
+
+
+def cmd_quality(args: argparse.Namespace) -> dict:
+    import os
+
+    from .quality.checks import multi_table_summary, quality_gate
+
+    spark = _build_spark("facolos-cli-quality")
+    tables = {
+        d: spark.read.parquet(os.path.join(args.staging_root, d))
+        for d in sorted(os.listdir(args.staging_root))
+        if os.path.isdir(os.path.join(args.staging_root, d))
+    }
+    if not tables:
+        raise SystemExit(f"no staging tables under {args.staging_root}")
+    summary = multi_table_summary(tables)
+    gate = quality_gate(summary, min_tables_with_data=args.min_tables).collect()[0]
+    return {
+        "tables": {r["table_name"]: int(r["records"]) for r in summary.collect()},
+        "tables_with_data": gate["tables_with_data"],
+        "total_records": int(gate["total_records"]),
+        "quality_score": float(gate["quality_score"]),
+        "passed": bool(gate["passed"]),
+    }
+
+
+def cmd_bootstrap(args: argparse.Namespace) -> dict:
+    from .catalog.bootstrap import bootstrap_catalog
+
+    spark = _build_spark("facolos-cli-bootstrap")
+    executed = bootstrap_catalog(spark, staging_root=args.staging_root)
+    return {"statements": len(executed), "status": "ok"}
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="facolos_data_pipelines_spark",
+        description="PySpark-native ELT engine CLI (cycle / quality / bootstrap)",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_cycle = sub.add_parser("cycle", help="run one incremental cycle")
+    p_cycle.add_argument("--landing-root", required=True)
+    p_cycle.add_argument("--staging-root", required=True)
+    p_cycle.add_argument("--control-root", default=None)
+    p_cycle.add_argument("--registry", default=None)
+    p_cycle.add_argument("--min-tables", type=int, default=5)
+    p_cycle.set_defaults(func=cmd_cycle)
+
+    p_q = sub.add_parser("quality", help="quality gate over staging tables")
+    p_q.add_argument("--staging-root", required=True)
+    p_q.add_argument("--min-tables", type=int, default=5)
+    p_q.set_defaults(func=cmd_quality)
+
+    p_b = sub.add_parser("bootstrap", help="create catalog databases/control tables")
+    p_b.add_argument("--staging-root", default=None)
+    p_b.set_defaults(func=cmd_bootstrap)
+
+    args = parser.parse_args(argv)
+    report = args.func(args)
+    print(json.dumps(report, default=str))
+    # the reference's orchestrator exit semantics: partial failures exit
+    # nonzero so schedulers alert (production_etl_orchestrator.py)
+    status_ok = report.get("status", "success") == "success" and report.get(
+        "passed", True
+    )
+    return 0 if status_ok else 1
+
+
+if __name__ == "__main__":  # pragma: no cover — exercised via tests calling main()
+    sys.exit(main())

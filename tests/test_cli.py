@@ -1,0 +1,93 @@
+"""CLI entry point (cli.main): cycle over landed JSON, quality gate,
+JSON report contract, exit codes."""
+
+import json
+import os
+
+import pytest
+
+from facolos_data_pipelines_spark.cli import main
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    root = tmp_path / "landing"
+    tiktok = root / "tiktok_shop_orders"
+    tiktok.mkdir(parents=True)
+    orders = [
+        {
+            "order_id": "O1",
+            "order_status": "COMPLETED",
+            "create_time": 1700000000,
+            "line_items": [
+                {"product_id": "p1", "product_name": "widget", "sku_id": "s1",
+                 "quantity": "1"},
+                {"product_id": "p2", "product_name": "gadget", "sku_id": "s2",
+                 "quantity": "2"},
+            ],
+        },
+        {"order_id": "O2", "order_status": "UNPAID", "create_time": 1700000100,
+         "line_items": []},
+    ]
+    with open(tiktok / "batch1.json", "w") as f:
+        for o in orders:
+            f.write(json.dumps(o) + "\n")
+    customers = root / "misa_customers"
+    customers.mkdir()
+    with open(customers / "batch1.json", "w") as f:
+        for i in range(3):
+            f.write(json.dumps({"id": i, "account_name": f"acct{i}"}) + "\n")
+    return str(root)
+
+
+def test_cli_cycle_and_quality_and_replay(landing, tmp_path, capsys):
+    staging = str(tmp_path / "staging")
+    control = str(tmp_path / "control")
+    rc = main([
+        "cycle", "--landing-root", landing, "--staging-root", staging,
+        "--control-root", control, "--min-tables", "2",
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and report["status"] == "success"
+    assert report["endpoints"]["tiktok_shop_orders"]["records"] == 3
+    assert report["endpoints"]["misa_customers"]["records"] == 3
+    assert report["quality"]["passed"]
+    assert os.path.isdir(f"{staging}/tiktok_shop_order_detail")
+    assert os.path.isdir(f"{control}/batch_runs")
+
+    # replay: appends reject on business PKs, upserts update in place
+    rc2 = main([
+        "cycle", "--landing-root", landing, "--staging-root", staging,
+        "--min-tables", "2",
+    ])
+    report2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 0
+    assert report2["endpoints"]["tiktok_shop_orders"]["records"] == 0
+
+    rc3 = main(["quality", "--staging-root", staging, "--min-tables", "2"])
+    q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc3 == 0 and q["passed"]
+    assert q["tables"]["tiktok_shop_order_detail"] == 3
+    assert q["tables"]["misa_customers"] == 3
+
+
+def test_cli_quality_gate_failure_exits_nonzero(landing, tmp_path, capsys):
+    staging = str(tmp_path / "staging")
+    main([
+        "cycle", "--landing-root", landing, "--staging-root", staging,
+        "--min-tables", "2",
+    ])
+    capsys.readouterr()
+    rc = main(["quality", "--staging-root", staging, "--min-tables", "5"])
+    q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and not q["passed"]
+
+
+def test_cli_unknown_endpoint_dir_is_loud(tmp_path):
+    root = tmp_path / "landing"
+    (root / "mystery_source").mkdir(parents=True)
+    with pytest.raises(SystemExit, match="mystery_source"):
+        main([
+            "cycle", "--landing-root", str(root),
+            "--staging-root", str(tmp_path / "s"),
+        ])
