@@ -1906,10 +1906,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 entries only, so the window ROTATES each round. The
     # r1-r3 windows certified the 50 entries from daily_sales_summary
     # through sample_per_group (see CORRECTNESS_r0{1,2,3}.json); this
-    # round leads with the 7 queries ADDED this round, then the 46 the
-    # earlier windows never reached, plus the 4 whose definitions
-    # changed this round. The full 103-query run is committed as
-    # CORRECTNESS_local_r4.json (scripts/check_oracle.py).
+    # round leads with the 9 queries ADDED this round, then the 4 whose
+    # definitions changed, then the 46 the earlier windows never
+    # reached — of which the last 9 (repeat_buyers onward) fall past
+    # the 50-entry cutoff and rely on the committed local artifact. The
+    # full 105-query run is committed as CORRECTNESS_local_r4.json
+    # (scripts/check_oracle.py).
     return {
         # -- round-4 additions (new this round, never driver-checked) --
         "fuzzy_match": q_fuzzy_match,
@@ -1926,7 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,  # capped postings (r4)
         "daily_sales_summary": q_daily_sales_summary,
         "tumbling_window": q_tumbling_window,
-        # -- round-4 window: previously unchecked (46; the last 7 fall
+        # -- round-4 window: previously unchecked (46; the last 9 fall
         # past the driver's 50-entry cutoff and rely on the committed
         # local artifact, as every entry below also does) --
         "column_profile": q_column_profile,

@@ -193,14 +193,18 @@ def cmd_quality(args: argparse.Namespace) -> dict:
     }
     if not tables:
         raise SystemExit(f"no staging tables under {args.staging_root}")
-    summary = multi_table_summary(tables)
-    gate = quality_gate(summary, min_tables_with_data=args.min_tables).collect()[0]
+    # collect the per-table counts ONCE and fold the gate driver-side —
+    # running quality_gate over the uncollected summary would execute
+    # the counting plan (one scan per table) a second time
+    rows = multi_table_summary(tables).collect()
+    counts = {r["table_name"]: int(r["records"]) for r in rows}
+    with_data = sum(1 for n in counts.values() if n > 0)
     return {
-        "tables": {r["table_name"]: int(r["records"]) for r in summary.collect()},
-        "tables_with_data": gate["tables_with_data"],
-        "total_records": int(gate["total_records"]),
-        "quality_score": float(gate["quality_score"]),
-        "passed": bool(gate["passed"]),
+        "tables": counts,
+        "tables_with_data": with_data,
+        "total_records": sum(counts.values()),
+        "quality_score": round(with_data * 100.0 / len(counts), 2),
+        "passed": with_data >= args.min_tables,
     }
 
 
@@ -209,7 +213,7 @@ def cmd_bootstrap(args: argparse.Namespace) -> dict:
 
     spark = _build_spark("facolos-cli-bootstrap")
     executed = bootstrap_catalog(spark, staging_root=args.staging_root)
-    return {"statements": len(executed), "status": "ok"}
+    return {"statements": len(executed), "status": "success"}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -239,10 +243,14 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     report = args.func(args)
     print(json.dumps(report, default=str))
-    # the reference's orchestrator exit semantics: partial failures exit
-    # nonzero so schedulers alert (production_etl_orchestrator.py)
-    status_ok = report.get("status", "success") == "success" and report.get(
-        "passed", True
+    # the reference's orchestrator exit semantics: partial failures AND
+    # failed quality gates exit nonzero so schedulers alert
+    # (production_etl_orchestrator.py). The cycle report nests the gate
+    # under "quality"; the quality subcommand reports it top-level.
+    status_ok = (
+        report.get("status", "success") == "success"
+        and report.get("passed", True)
+        and report.get("quality", {}).get("passed", True)
     )
     return 0 if status_ok else 1
 

@@ -1212,6 +1212,12 @@ def line_dedup(
                 "table was built over) — df may be one batch of a larger "
                 "corpus, so its own count would resolve the wrong threshold"
             )
+        if corpus_docs is not None and corpus_docs < 1:
+            raise ValueError(
+                f"line_dedup: corpus_docs={corpus_docs} must be >= 1 — a "
+                "non-positive count would resolve the threshold to <= 0 and "
+                "silently classify EVERY line as boilerplate"
+            )
     elif min_docs < 1:
         raise ValueError("line_dedup: min_docs must be >= 1")
     # NULL text is treated as the empty document (split of NULL explodes

@@ -91,3 +91,15 @@ def test_cli_unknown_endpoint_dir_is_loud(tmp_path):
             "cycle", "--landing-root", str(root),
             "--staging-root", str(tmp_path / "s"),
         ])
+
+
+def test_cli_cycle_failed_gate_exits_nonzero(landing, tmp_path, capsys):
+    staging = str(tmp_path / "staging")
+    rc = main([
+        "cycle", "--landing-root", landing, "--staging-root", staging,
+        "--min-tables", "5",  # only 2 endpoints land -> gate fails
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["status"] == "success"          # loads succeeded
+    assert not report["quality"]["passed"]        # but the gate failed
+    assert rc == 1                                # and the exit says so

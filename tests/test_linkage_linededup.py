@@ -225,3 +225,10 @@ def test_unigram_logprob_scores(spark):
     )
     with pytest.raises(ValueError, match="smoothing"):
         unigram_logprob_scores(docs, smoothing=0.0)
+
+
+def test_line_dedup_rejects_nonpositive_corpus_docs(spark):
+    docs = _docs(spark)
+    freq = dedup.line_frequencies(docs)
+    with pytest.raises(ValueError, match="corpus_docs=0"):
+        dedup.line_dedup(docs, min_docs=0.5, frequencies=freq, corpus_docs=0)
