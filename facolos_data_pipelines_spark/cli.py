@@ -180,6 +180,47 @@ def cmd_cycle(args: argparse.Namespace) -> dict:
     )
 
 
+def cmd_backfill(args: argparse.Namespace) -> dict:
+    """Historical backfill (§3.2-3.3): the landing root holds one
+    sub-directory per date window (the reference's 30-day batches,
+    run_historical_backfill.py:32-39), each containing endpoint dirs::
+
+        <landing-root>/<window>/<endpoint>/*.json
+
+    Windows run sequentially in name order; PK-safe loads make
+    re-running a window idempotent (the reference's MERGE semantics).
+    The report nests one cycle report per window."""
+    import os
+
+    from .pipelines.runner import run_incremental_cycle
+
+    spark = _build_spark("facolos-cli-backfill")
+    windows = sorted(
+        d
+        for d in os.listdir(args.landing_root)
+        if os.path.isdir(os.path.join(args.landing_root, d))
+    )
+    if not windows:
+        raise SystemExit(f"no window directories under {args.landing_root}")
+    report: dict = {"windows": {}, "status": "success"}
+    for w in windows:
+        endpoints = build_endpoints(spark, os.path.join(args.landing_root, w))
+        if not endpoints:
+            report["windows"][w] = {"status": "empty"}
+            continue
+        cycle = run_incremental_cycle(
+            spark,
+            endpoints,
+            args.staging_root,
+            control_root=args.control_root,
+            min_tables_with_data=args.min_tables,
+        )
+        report["windows"][w] = cycle
+        if cycle["status"] != "success":
+            report["status"] = "partial"
+    return report
+
+
 def cmd_quality(args: argparse.Namespace) -> dict:
     import os
 
@@ -230,6 +271,15 @@ def main(argv: list[str] | None = None) -> int:
     p_cycle.add_argument("--registry", default=None)
     p_cycle.add_argument("--min-tables", type=int, default=5)
     p_cycle.set_defaults(func=cmd_cycle)
+
+    p_bf = sub.add_parser(
+        "backfill", help="historical backfill: one cycle per window directory"
+    )
+    p_bf.add_argument("--landing-root", required=True)
+    p_bf.add_argument("--staging-root", required=True)
+    p_bf.add_argument("--control-root", default=None)
+    p_bf.add_argument("--min-tables", type=int, default=5)
+    p_bf.set_defaults(func=cmd_backfill)
 
     p_q = sub.add_parser("quality", help="quality gate over staging tables")
     p_q.add_argument("--staging-root", required=True)

@@ -103,3 +103,39 @@ def test_cli_cycle_failed_gate_exits_nonzero(landing, tmp_path, capsys):
     assert report["status"] == "success"          # loads succeeded
     assert not report["quality"]["passed"]        # but the gate failed
     assert rc == 1                                # and the exit says so
+
+
+def test_cli_backfill_windows_sequential_and_idempotent(landing, tmp_path, capsys):
+    """Window layout <root>/<window>/<endpoint>; windows run in name
+    order; replaying the whole backfill adds nothing (PK-safe loads)."""
+    import shutil
+
+    root = tmp_path / "bf_landing"
+    # window 1 = the fixture landing; window 2 = one more tiktok order
+    shutil.copytree(landing, root / "2024-01")
+    w2 = root / "2024-02" / "tiktok_shop_orders"
+    w2.mkdir(parents=True)
+    with open(w2 / "b.json", "w") as f:
+        f.write(json.dumps({
+            "order_id": "O9", "order_status": "COMPLETED",
+            "create_time": 1700900000, "line_items": [],
+        }) + "\n")
+    staging = str(tmp_path / "bf_staging")
+    rc = main([
+        "backfill", "--landing-root", str(root), "--staging-root", staging,
+        "--min-tables", "1",
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and report["status"] == "success"
+    assert list(report["windows"]) == ["2024-01", "2024-02"]
+    assert report["windows"]["2024-01"]["endpoints"]["tiktok_shop_orders"]["records"] == 3
+    assert report["windows"]["2024-02"]["endpoints"]["tiktok_shop_orders"]["records"] == 1
+
+    rc2 = main([
+        "backfill", "--landing-root", str(root), "--staging-root", staging,
+        "--min-tables", "1",
+    ])
+    replay = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 0
+    assert replay["windows"]["2024-01"]["endpoints"]["tiktok_shop_orders"]["records"] == 0
+    assert replay["windows"]["2024-02"]["endpoints"]["tiktok_shop_orders"]["records"] == 0
