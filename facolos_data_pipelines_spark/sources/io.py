@@ -284,6 +284,94 @@ def write_csv(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("header", "true").csv(path)
 
 
+def write_xlsx(df: DataFrame, path: str, sheet: str = "Sheet1",
+               max_rows: int = 100_000) -> int:
+    """S14 — single-sheet .xlsx export via stdlib zipfile (xlsx is a
+    zip of XML parts; no Excel library needed). The reference exports
+    flattened orders to xlsx for MANUAL inspection
+    (docs/tiktok_shop_api_fixed.ipynb cell 25, RequestsAPI_MISA_CRM
+    cell 18) — a driver-side, human-scale artifact by nature, so this
+    deliberately collects (capped at ``max_rows``; exceeding the cap
+    raises rather than silently truncating a hand-check file). All
+    values land as inline strings (NULL → empty cell), which is what a
+    hand-check needs; typed analytics exports stay parquet/CSV.
+    Returns the number of data rows written."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    head = df.limit(max_rows + 1).collect()
+    if len(head) > max_rows:
+        raise ValueError(
+            f"write_xlsx: result exceeds max_rows={max_rows}; xlsx is for "
+            "human-scale inspection — export parquet/CSV instead, or raise "
+            "the cap explicitly"
+        )
+    cols = df.columns
+
+    def row_xml(r: int, values: list) -> str:
+        cells = []
+        for v in values:
+            if v is None:
+                cells.append("<c t=\"inlineStr\"><is><t/></is></c>")
+            else:
+                cells.append(
+                    f"<c t=\"inlineStr\"><is><t xml:space=\"preserve\">"
+                    f"{escape(str(v))}</t></is></c>"
+                )
+        return f"<row r=\"{r}\">" + "".join(cells) + "</row>"
+
+    rows_xml = [row_xml(1, cols)] + [
+        row_xml(i + 2, [row[c] for c in cols]) for i, row in enumerate(head)
+    ]
+    sheet_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        + "".join(rows_xml)
+        + "</sheetData></worksheet>"
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-'
+        'package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'relationships"><Relationship Id="rId1" Type="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/'
+        'main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+        f'relationships"><sheets><sheet name="{escape(sheet)}" sheetId="1" '
+        'r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'relationships"><Relationship Id="rId1" Type="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+    return len(head)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -262,3 +262,40 @@ def test_upsert_parquet_delta_merge_dispatch(spark, tmp_path):
     )
     out = {r["pk"]: r["val"] for r in spark.read.format("delta").load(path).collect()}
     assert out == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_write_xlsx_stdlib_roundtrip(spark, tmp_path):
+    """S14 xlsx export: valid OOXML package readable with stdlib zip +
+    ElementTree — header row, escaped values, NULL -> empty cell,
+    max_rows cap raises instead of truncating."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from facolos_data_pipelines_spark.sources.io import write_xlsx
+
+    df = spark.createDataFrame(
+        [(1, "a<b&c", 2.5), (2, None, 3.0)], ["id", "name", "val"]
+    )
+    path = str(tmp_path / "export.xlsx")
+    n = write_xlsx(df.orderBy("id"), path)
+    assert n == 2
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        assert {"[Content_Types].xml", "xl/workbook.xml",
+                "xl/worksheets/sheet1.xml"} <= names
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    root = ET.fromstring(sheet)
+    rows = root.findall(".//m:row", ns)
+    assert len(rows) == 3  # header + 2 data rows
+    texts = [
+        [(t.text or "") for t in row.findall(".//m:t", ns)] for row in rows
+    ]
+    assert texts[0] == ["id", "name", "val"]
+    assert texts[1] == ["1", "a<b&c", "2.5"]
+    assert texts[2] == ["2", "", "3.0"]  # NULL -> empty cell
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_rows"):
+        write_xlsx(df, str(tmp_path / "too_big.xlsx"), max_rows=1)
