@@ -249,6 +249,25 @@ def cmd_quality(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_export(args: argparse.Namespace) -> dict:
+    """Hand-check export (S14): one staging table to CSV or xlsx — the
+    reference notebooks' manual-inspection artifacts."""
+    import os
+
+    from .sources.io import write_csv, write_xlsx
+
+    spark = _build_spark("facolos-cli-export")
+    table_path = os.path.join(args.staging_root, args.table)
+    df = spark.read.parquet(table_path)
+    if args.fmt == "csv":
+        write_csv(df, args.out)
+        n = df.count()
+    else:
+        n = write_xlsx(df, args.out, max_rows=args.max_rows)
+    return {"table": args.table, "format": args.fmt, "rows": n,
+            "out": args.out, "status": "success"}
+
+
 def cmd_bootstrap(args: argparse.Namespace) -> dict:
     from .catalog.bootstrap import bootstrap_catalog
 
@@ -285,6 +304,15 @@ def main(argv: list[str] | None = None) -> int:
     p_q.add_argument("--staging-root", required=True)
     p_q.add_argument("--min-tables", type=int, default=5)
     p_q.set_defaults(func=cmd_quality)
+
+    p_e = sub.add_parser("export", help="export a staging table to CSV/xlsx")
+    p_e.add_argument("--staging-root", required=True)
+    p_e.add_argument("--table", required=True)
+    p_e.add_argument("--out", required=True)
+    p_e.add_argument("--format", dest="fmt", choices=["csv", "xlsx"],
+                     default="csv")
+    p_e.add_argument("--max-rows", type=int, default=100_000)
+    p_e.set_defaults(func=cmd_export)
 
     p_b = sub.add_parser("bootstrap", help="create catalog databases/control tables")
     p_b.add_argument("--staging-root", default=None)

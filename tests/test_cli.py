@@ -139,3 +139,24 @@ def test_cli_backfill_windows_sequential_and_idempotent(landing, tmp_path, capsy
     assert rc2 == 0
     assert replay["windows"]["2024-01"]["endpoints"]["tiktok_shop_orders"]["records"] == 0
     assert replay["windows"]["2024-02"]["endpoints"]["tiktok_shop_orders"]["records"] == 0
+
+
+def test_cli_export_xlsx(landing, tmp_path, capsys):
+    staging = str(tmp_path / "staging")
+    main([
+        "cycle", "--landing-root", landing, "--staging-root", staging,
+        "--min-tables", "1",
+    ])
+    capsys.readouterr()
+    out = str(tmp_path / "orders.xlsx")
+    rc = main([
+        "export", "--staging-root", staging,
+        "--table", "tiktok_shop_order_detail", "--out", out,
+        "--format", "xlsx",
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and report["rows"] == 3
+    import zipfile
+
+    with zipfile.ZipFile(out) as z:
+        assert "xl/worksheets/sheet1.xml" in z.namelist()
