@@ -232,3 +232,75 @@ def test_line_dedup_rejects_nonpositive_corpus_docs(spark):
     freq = dedup.line_frequencies(docs)
     with pytest.raises(ValueError, match="corpus_docs=0"):
         dedup.line_dedup(docs, min_docs=0.5, frequencies=freq, corpus_docs=0)
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_LINE = st.text(
+    alphabet=st.sampled_from("ab x"), min_size=0, max_size=6
+).map(str.strip)
+_DOC = st.lists(_LINE, min_size=0, max_size=5).map("\n".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=6))
+def test_line_dedup_conserves_lines_and_identity(spark, docs_texts):
+    docs = spark.createDataFrame(
+        list(enumerate(docs_texts)), ["doc_id", "text"]
+    )
+    out = dedup.line_dedup(docs, min_docs=2).collect()
+    # every document keeps its row; kept + dropped == split line count
+    assert len(out) == len(docs_texts)
+    for r in out:
+        total = len(docs_texts[r["doc_id"]].split("\n"))
+        assert r["n_lines_kept"] + r["n_lines_dropped"] == total
+    # a threshold no corpus line can reach makes the op the identity
+    ident = dedup.line_dedup(docs, min_docs=len(docs_texts) + 1).collect()
+    for r in ident:
+        assert r["clean_text"] == docs_texts[r["doc_id"]]
+        assert r["n_lines_dropped"] == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcd", min_size=1, max_size=6),
+             min_size=1, max_size=5),
+    st.lists(st.text(alphabet="abcd", min_size=1, max_size=6),
+             min_size=1, max_size=5),
+)
+def test_fuzzy_join_pairs_satisfy_contract(spark, lefts, rights):
+    left = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(lefts)], ["l_id", "l_name"]
+    )
+    right = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(rights)], ["r_id", "r_name"]
+    )
+    out = fuzzy_join(left, right, "l_name", "r_name",
+                     max_distance=1, block_prefix=1).collect()
+
+    def dist(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    found = {(r["l_id"], r["r_id"]) for r in out}
+    for r in out:
+        a, b = lefts[r["l_id"]], rights[r["r_id"]]
+        assert r["_distance"] == dist(a, b) <= 1
+        assert a[:1].lower() == b[:1].lower()
+    # completeness within the block: every same-block pair at distance
+    # <= 1 must be found (the band never prunes a true match)
+    for i, a in enumerate(lefts):
+        for j, b in enumerate(rights):
+            if a[:1].lower() == b[:1].lower() and dist(a, b) <= 1:
+                assert (i, j) in found
