@@ -37,9 +37,16 @@ def fuzzy_join(
     max_distance: int = 2,
     block_prefix: int = 4,
     block_on: tuple[Column, Column] | None = None,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs whose edit distance is within ``max_distance``,
     blocked on a shared cheap key.
+
+    ``max_block_size`` drops RIGHT-side blocks larger than the cap
+    before the join — the same hot-bucket guard as the LSH family
+    (everyone named "Nguyen" lands in one block and makes the join
+    quadratic there). Capped blocks lose recall, loudly by contract:
+    choose a more selective ``block_on`` instead when that matters.
 
     Default blocking key: lowercased first ``block_prefix`` characters
     of the match column (pass ``block_on=(left_expr, right_expr)`` to
@@ -78,6 +85,15 @@ def fuzzy_join(
         lkey, rkey = block_on
     l = left.withColumn("_bk", lkey)
     r = right.withColumn("_bk_r", rkey)
+    if max_block_size is not None:
+        if max_block_size < 1:
+            raise ValueError("fuzzy_join: max_block_size must be >= 1")
+        sizes = r.groupBy("_bk_r").agg(F.count("*").alias("_bsz"))
+        r = (
+            r.join(sizes, "_bk_r")
+            .filter(F.col("_bsz") <= max_block_size)
+            .drop("_bsz")
+        )
     dist = F.levenshtein(F.col(left_text), F.col(right_text))
     length_band = (
         F.abs(F.length(left_text) - F.length(right_text)) <= max_distance

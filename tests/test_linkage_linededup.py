@@ -304,3 +304,20 @@ def test_fuzzy_join_pairs_satisfy_contract(spark, lefts, rights):
         for j, b in enumerate(rights):
             if a[:1].lower() == b[:1].lower() and dist(a, b) <= 1:
                 assert (i, j) in found
+
+
+def test_fuzzy_join_max_block_size_caps_hot_blocks(spark):
+    left = spark.createDataFrame([(1, "aaa"), (2, "zzz")], ["l_id", "l_name"])
+    right = spark.createDataFrame(
+        [(i, "aa" + c) for i, c in enumerate("abcd")]  # 4-row hot 'a' block
+        + [(9, "zzz")],
+        ["r_id", "r_name"],
+    )
+    capped = fuzzy_join(
+        left, right, "l_name", "r_name", max_distance=1, block_prefix=1,
+        max_block_size=3,
+    ).collect()
+    # the oversized 'a' block is dropped entirely; the small one survives
+    assert {(r["l_id"], r["r_id"]) for r in capped} == {(2, 9)}
+    with pytest.raises(ValueError, match="max_block_size"):
+        fuzzy_join(left, right, "l_name", "r_name", max_block_size=0)
