@@ -189,7 +189,11 @@ def cmd_backfill(args: argparse.Namespace) -> dict:
 
     Windows run sequentially in name order; PK-safe loads make
     re-running a window idempotent (the reference's MERGE semantics).
-    The report nests one cycle report per window."""
+    The report nests one cycle report per window; the quality gate that
+    decides the EXIT CODE runs once over the full staging root AFTER
+    all windows (the reference verifies at the end of the backfill,
+    §3.2 Phase 3 — an early window gating on a partially-landed
+    catalog would be noise, not signal)."""
     import os
 
     from .pipelines.runner import run_incremental_cycle
@@ -218,6 +222,25 @@ def cmd_backfill(args: argparse.Namespace) -> dict:
         report["windows"][w] = cycle
         if cycle["status"] != "success":
             report["status"] = "partial"
+    # final verification over everything landed (reference Phase 3);
+    # this top-level gate is what drives the exit code
+    landed = sorted(
+        d
+        for d in os.listdir(args.staging_root)
+        if os.path.isdir(os.path.join(args.staging_root, d))
+    ) if os.path.isdir(args.staging_root) else []
+    with_data = 0
+    total = 0
+    for t in landed:
+        n = spark.read.parquet(os.path.join(args.staging_root, t)).count()
+        total += n
+        with_data += 1 if n > 0 else 0
+    report["quality"] = {
+        "tables_with_data": with_data,
+        "total_tables": len(landed),
+        "total_records": total,
+        "passed": with_data >= args.min_tables,
+    }
     return report
 
 
@@ -260,8 +283,15 @@ def cmd_export(args: argparse.Namespace) -> dict:
     table_path = os.path.join(args.staging_root, args.table)
     df = spark.read.parquet(table_path)
     if args.fmt == "csv":
-        write_csv(df, args.out)
+        # same hand-check cap semantics as xlsx: raise, never truncate
         n = df.count()
+        if n > args.max_rows:
+            raise SystemExit(
+                f"export: {args.table} has {n} rows > --max-rows "
+                f"{args.max_rows}; hand-check exports are capped — raise "
+                "the cap explicitly or filter first"
+            )
+        write_csv(df, args.out)
     else:
         n = write_xlsx(df, args.out, max_rows=args.max_rows)
     return {"table": args.table, "format": args.fmt, "rows": n,

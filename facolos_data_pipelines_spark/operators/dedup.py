@@ -398,13 +398,10 @@ def lsh_candidate_pairs(
     Σ size² self-join into Σ min(size, cap)².
     """
     if max_bucket_size is not None:
-        sizes = buckets.groupBy("band_id", "band_hash").agg(
-            F.count("*").alias("_bsz")
-        )
-        buckets = (
-            buckets.join(sizes, ["band_id", "band_hash"])
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
+        from .skew import drop_oversized_groups
+
+        buckets = drop_oversized_groups(
+            buckets, ["band_id", "band_hash"], max_bucket_size
         )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -1038,12 +1035,9 @@ def embedding_near_dup_pairs(
         scaled, vec_col, id_col, num_planes, num_bands, dim, id_col
     ).localCheckpoint(eager=True)
     if max_bucket_size is not None:
-        sizes = sigs.groupBy("band", "sig").agg(F.count("*").alias("_bsz"))
-        sigs = (
-            sigs.join(sizes, ["band", "sig"])
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+        from .skew import drop_oversized_groups
+
+        sigs = drop_oversized_groups(sigs, ["band", "sig"], max_bucket_size)
     a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
     cand = (

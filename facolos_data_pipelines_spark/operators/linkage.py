@@ -68,7 +68,7 @@ def fuzzy_join(
             f"fuzzy_join: overlapping column names {sorted(overlap)}; "
             "alias/rename one side first"
         )
-    internal = {"_bk", "_bk_r", "_distance"}
+    internal = {"_bk", "_bk_r", "_distance", "_gsz"}
     clash = internal & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(
@@ -88,12 +88,9 @@ def fuzzy_join(
     if max_block_size is not None:
         if max_block_size < 1:
             raise ValueError("fuzzy_join: max_block_size must be >= 1")
-        sizes = r.groupBy("_bk_r").agg(F.count("*").alias("_bsz"))
-        r = (
-            r.join(sizes, "_bk_r")
-            .filter(F.col("_bsz") <= max_block_size)
-            .drop("_bsz")
-        )
+        from .skew import drop_oversized_groups
+
+        r = drop_oversized_groups(r, ["_bk_r"], max_block_size)
     dist = F.levenshtein(F.col(left_text), F.col(right_text))
     length_band = (
         F.abs(F.length(left_text) - F.length(right_text)) <= max_distance
@@ -117,11 +114,14 @@ def best_fuzzy_match(
     max_distance: int = 2,
     block_prefix: int = 4,
     block_on: tuple[Column, Column] | None = None,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Top-1 linkage: each left row's single best candidate (lowest
     edit distance; ties broken by ascending right id for determinism).
     One extra window shuffle on the left id over the fuzzy_join
-    candidates — candidates only, never the corpus."""
+    candidates — candidates only, never the corpus. All blocking
+    parameters (including the hot-block cap) pass through to
+    :func:`fuzzy_join`."""
     pairs = fuzzy_join(
         left.select(left_id, left_text),
         right.select(right_id, right_text),
@@ -130,6 +130,7 @@ def best_fuzzy_match(
         max_distance,
         block_prefix,
         block_on,
+        max_block_size,
     )
     w = Window.partitionBy(left_id).orderBy(
         F.col("_distance").asc(), F.col(right_id).asc()

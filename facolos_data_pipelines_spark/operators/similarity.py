@@ -500,12 +500,9 @@ def knn_join_lsh(
         # landing on sig=0) would make the candidate join quadratic —
         # cap on the corpus side, same guard as embedding_near_dup_pairs
         # / lsh_candidate_pairs.
-        sizes = cs.groupBy("band", "sig").agg(F.count("*").alias("_bsz"))
-        cs = (
-            cs.join(sizes, ["band", "sig"])
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+        from .skew import drop_oversized_groups
+
+        cs = drop_oversized_groups(cs, ["band", "sig"], max_bucket_size)
     cand = qs.join(cs, ["band", "sig"]).select("query_id", "neighbor_id").dropDuplicates()
     qv = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
     cv = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"))

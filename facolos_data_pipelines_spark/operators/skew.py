@@ -95,6 +95,26 @@ def cap_group_size(
     )
 
 
+def drop_oversized_groups(
+    df: DataFrame, keys: list[str], max_rows: int
+) -> DataFrame:
+    """Drop every group larger than ``max_rows`` ENTIRELY — the
+    hot-bucket guard shared by the LSH blocking family and fuzzy_join
+    (a viral-boilerplate bucket or an everyone-named-Nguyen block
+    would make the bucket-local self-join quadratic). Distinct from
+    :func:`cap_group_size`, which truncates groups but keeps them:
+    dropping loses the whole block's recall loudly-by-contract, which
+    is the right default for blocking keys (a truncated block would
+    silently match SOME of the hot key's rows and look complete).
+    One count aggregation + one key-local join."""
+    sizes = df.groupBy(*keys).agg(F.count("*").alias("_gsz"))
+    return (
+        df.join(sizes, keys)
+        .filter(F.col("_gsz") <= max_rows)
+        .drop("_gsz")
+    )
+
+
 def zorder_key(
     cols: list[str | Column],
     bits: int = 16,

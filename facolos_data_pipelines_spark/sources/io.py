@@ -296,8 +296,16 @@ def write_xlsx(df: DataFrame, path: str, sheet: str = "Sheet1",
     values land as inline strings (NULL → empty cell), which is what a
     hand-check needs; typed analytics exports stay parquet/CSV.
     Returns the number of data rows written."""
+    import re
     import zipfile
-    from xml.sax.saxutils import escape
+    from xml.sax.saxutils import escape, quoteattr
+
+    # XML 1.0 forbids most control characters even escaped; a scraped
+    # text field containing \x03 would otherwise corrupt the sheet.
+    _ctrl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+    def _xml_text(v) -> str:
+        return escape(_ctrl.sub("", str(v)))
 
     head = df.limit(max_rows + 1).collect()
     if len(head) > max_rows:
@@ -316,7 +324,7 @@ def write_xlsx(df: DataFrame, path: str, sheet: str = "Sheet1",
             else:
                 cells.append(
                     f"<c t=\"inlineStr\"><is><t xml:space=\"preserve\">"
-                    f"{escape(str(v))}</t></is></c>"
+                    f"{_xml_text(v)}</t></is></c>"
                 )
         return f"<row r=\"{r}\">" + "".join(cells) + "</row>"
 
@@ -353,8 +361,8 @@ def write_xlsx(df: DataFrame, path: str, sheet: str = "Sheet1",
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/'
         'main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
-        f'relationships"><sheets><sheet name="{escape(sheet)}" sheetId="1" '
-        'r:id="rId1"/></sheets></workbook>'
+        f'relationships"><sheets><sheet name={quoteattr(_ctrl.sub("", sheet))} '
+        'sheetId="1" r:id="rId1"/></sheets></workbook>'
     )
     wb_rels = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'

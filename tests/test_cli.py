@@ -160,3 +160,19 @@ def test_cli_export_xlsx(landing, tmp_path, capsys):
 
     with zipfile.ZipFile(out) as z:
         assert "xl/worksheets/sheet1.xml" in z.namelist()
+
+
+def test_cli_backfill_final_gate_drives_exit_code(landing, tmp_path, capsys):
+    import shutil
+
+    root = tmp_path / "bf2"
+    shutil.copytree(landing, root / "w1")
+    staging = str(tmp_path / "bf2_staging")
+    rc = main([
+        "backfill", "--landing-root", str(root), "--staging-root", staging,
+        "--min-tables", "5",  # only 2 tables land -> final gate fails
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["status"] == "success"      # loads all succeeded
+    assert not report["quality"]["passed"]    # final gate failed
+    assert rc == 1

@@ -299,3 +299,25 @@ def test_write_xlsx_stdlib_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="max_rows"):
         write_xlsx(df, str(tmp_path / "too_big.xlsx"), max_rows=1)
+
+
+def test_write_xlsx_strips_control_chars_and_quotes_sheet(spark, tmp_path):
+    """XML 1.0 forbids most control chars even escaped; a scraped field
+    containing \\x03 or a quoted sheet name must not corrupt the file."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from facolos_data_pipelines_spark.sources.io import write_xlsx
+
+    df = spark.createDataFrame([(1, "bad\x03ctrl\x1fchars")], ["id", "name"])
+    path = str(tmp_path / "ctrl.xlsx")
+    write_xlsx(df, path, sheet='Q1 "draft"')
+    with zipfile.ZipFile(path) as z:
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+        wb = z.read("xl/workbook.xml").decode()
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    texts = [t.text for t in ET.fromstring(sheet).findall(".//m:t", ns)]
+    assert "badctrlchars" in texts  # control chars stripped, XML valid
+    wb_ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    name = ET.fromstring(wb).find(".//m:sheet", wb_ns).get("name")
+    assert name == 'Q1 "draft"'
