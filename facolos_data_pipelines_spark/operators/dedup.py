@@ -962,6 +962,7 @@ def embedding_near_dup_pairs(
     num_bands: int = 4,
     dim: int | None = None,
     max_bucket_size: int | None = None,
+    signature_impl: str = "expr",
 ) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold, blocked by
     banded random-hyperplane LSH — the DEFAULT and the 100 TB path.
@@ -1032,7 +1033,8 @@ def embedding_near_dup_pairs(
     # The checkpointed rows are only (id, band, sig) — id-width, never
     # vectors.
     sigs = banded_signatures(
-        scaled, vec_col, id_col, num_planes, num_bands, dim, id_col
+        scaled, vec_col, id_col, num_planes, num_bands, dim, id_col,
+        impl=signature_impl,
     ).localCheckpoint(eager=True)
     if max_bucket_size is not None:
         from .skew import drop_oversized_groups

@@ -709,3 +709,37 @@ def test_repetition_stats_flags_repeated_content(spark):
     assert out[3]["dup_line_frac"] == pytest.approx(0.0)
     assert out[3]["top_bigram_frac"] == pytest.approx(1 / 6)  # all unique bigrams
     assert out[4]["dup_line_frac"] is None and out[4]["top_bigram_frac"] is None
+
+
+def test_arrow_signatures_match_expr_and_near_dups_agree(spark, sf_dir):
+    """The Arrow/numpy signature impl must bucket identically to the
+    certified expression impl on real data (sign flips need |dot|
+    within float ulp of 0 — vanishingly rare off adversarial inputs),
+    and the blocked near-dup result must be identical end-to-end."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    expr_sigs = sorted(
+        map(tuple, similarity.banded_signatures(
+            emb, "embedding", "vec_id", 6, 4, 64, "id").collect())
+    )
+    arrow_sigs = sorted(
+        map(tuple, similarity.banded_signatures(
+            emb, "embedding", "vec_id", 6, 4, 64, "id", impl="arrow").collect())
+    )
+    assert expr_sigs == arrow_sigs
+
+    base = sorted(map(tuple, dedup.embedding_near_dup_pairs(
+        emb, threshold=0.4, dim=64).collect()))
+    fast = sorted(map(tuple, dedup.embedding_near_dup_pairs(
+        emb, threshold=0.4, dim=64, signature_impl="arrow").collect()))
+    assert [p[:2] for p in base] == [p[:2] for p in fast]
+
+    with pytest.raises(ValueError, match="impl='nope'"):
+        similarity.banded_signatures(emb, "embedding", "vec_id", impl="nope")
+
+
+def test_arrow_signatures_loud_on_width_mismatch(spark):
+    emb = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
+    with pytest.raises(Exception, match="vector width 2"):
+        similarity.banded_signatures(
+            emb, "embedding", "vec_id", impl="arrow"
+        ).collect()
