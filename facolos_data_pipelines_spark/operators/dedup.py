@@ -1065,13 +1065,17 @@ def embedding_dedup(
     num_bands: int = 4,
     dim: int | None = None,
     transitive: bool = False,
+    signature_impl: str = "expr",
 ) -> DataFrame:
     """Drop the higher id of every near-duplicate embedding pair (or,
     with ``transitive=True``, keep one vector per single-link
     component). Banded-LSH blocked by default; ``num_planes=0`` opts
-    into exact all-pairs for small frames."""
+    into exact all-pairs for small frames. ``signature_impl`` passes
+    through to the blocking stage (``'arrow'`` = the numpy-matmul
+    scale path, see banded_signatures)."""
     pairs = embedding_near_dup_pairs(
-        df, vec_col, id_col, threshold, num_planes, num_bands, dim
+        df, vec_col, id_col, threshold, num_planes, num_bands, dim,
+        signature_impl=signature_impl,
     )
     return _drop_pair_losers(df, pairs, id_col, transitive)
 
