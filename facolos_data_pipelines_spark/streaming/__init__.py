@@ -1,5 +1,6 @@
 from .pipeline import (
     dedup_stream,
+    near_dup_filter_sink,
     merge_upsert_sink,
     read_parquet_stream,
     run_available_now,
@@ -11,6 +12,7 @@ from .pipeline import (
 
 __all__ = [
     "dedup_stream",
+    "near_dup_filter_sink",
     "merge_upsert_sink",
     "read_parquet_stream",
     "run_available_now",

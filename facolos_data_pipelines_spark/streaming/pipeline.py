@@ -259,3 +259,73 @@ def merge_upsert_sink(
     )
     q.awaitTermination()
     return q
+
+
+def near_dup_filter_sink(
+    docs_sink_path: str,
+    bucket_store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    family: str = "multiply_add",
+):
+    """foreachBatch factory: streaming corpus ingestion with near-dup
+    dedup against everything already ingested. Per micro-batch:
+
+    1. WITHIN-batch near-dedup with the full verified MinHash pipeline
+       (dedup.minhash_dedup — texts are at hand, so candidates get the
+       exact Jaccard check);
+    2. CROSS-batch dedup against the persisted band-bucket store: a doc
+       sharing ANY (band_id, band_hash) bucket with prior ingests is
+       dropped. This decision is bucket-level — the LSH collision
+       probability curve IS the dedup criterion (~0.5 crossover at
+       Jaccard 0.6 for 32x8) — because verifying would require keeping
+       every historical text online; keep a text/shingle store and
+       verify in a second join if your corpus needs exactness;
+    3. survivors append to ``docs_sink_path``; their buckets append to
+       ``bucket_store_path`` (band_id, band_hash, doc_id — id kept for
+       lineage/debugging).
+
+    REPLAY-IDEMPOTENT by construction: a redelivered micro-batch finds
+    its own buckets already in the store and drops every doc, so the
+    sink never duplicates — the property foreachBatch sinks must
+    provide under at-least-once delivery. State is one parquet table of
+    id-width bucket rows, O(docs x bands), never text.
+    """
+    from ..operators.dedup import minhash_dedup, minhash_lsh_buckets
+    from ..sources.io import table_exists
+
+    def filter_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.head(1):
+            return
+        survivors = minhash_dedup(
+            batch_df, text_col, id_col, num_hashes, bands, shingle_n,
+            threshold, family=family,
+        ).localCheckpoint(eager=True)
+        buckets = minhash_lsh_buckets(
+            survivors, text_col, id_col, num_hashes, bands, shingle_n, family
+        )
+        if table_exists(spark, bucket_store_path):
+            store = spark.read.parquet(bucket_store_path).select(
+                "band_id", "band_hash"
+            ).dropDuplicates()
+            hit_ids = (
+                buckets.join(store, ["band_id", "band_hash"], "left_semi")
+                .select(id_col)
+                .dropDuplicates()
+            )
+            survivors = survivors.join(hit_ids, id_col, "left_anti")
+            buckets = minhash_lsh_buckets(
+                survivors, text_col, id_col, num_hashes, bands, shingle_n, family
+            )
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(docs_sink_path)
+        buckets.select("band_id", "band_hash", id_col).write.mode(
+            "append"
+        ).parquet(bucket_store_path)
+
+    return filter_batch

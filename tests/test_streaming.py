@@ -428,3 +428,59 @@ def test_streaming_line_frequency_state_matches_batch(spark, tmp_root):
     # the shared banner (3 of 4 docs) is gone, uniques survive
     cleaned = {r[0]: r[1] for r in direct}
     assert cleaned[0] == "alpha" and cleaned[3] == "delta only"
+
+
+def test_streaming_near_dup_filter_across_batches(spark, tmp_root):
+    """Cross-batch streaming near-dedup: batch 2's near-duplicate of a
+    batch-1 doc is dropped via the persisted bucket store, novel docs
+    land, and replaying the WHOLE source adds nothing (foreachBatch
+    replay idempotence under at-least-once delivery)."""
+    from pyspark.sql import types as T
+
+    from facolos_data_pipelines_spark.streaming import near_dup_filter_sink
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    src = f"{tmp_root}/nd_src"
+    sink = f"{tmp_root}/nd_sink"
+    store = f"{tmp_root}/nd_buckets"
+    ckpt = f"{tmp_root}/nd_ckpt"
+    fold = near_dup_filter_sink(sink, store)
+
+    def run_cycle():
+        q = (
+            spark.readStream.schema(doc_schema)
+            .parquet(src)
+            .writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, base)], doc_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_cycle()
+    assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == {1}
+
+    # batch 2: a near-dup (one word appended) + a genuinely novel doc
+    spark.createDataFrame(
+        [(2, base + " nu"), (3, "totally different words about spark engines here")],
+        doc_schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_cycle()
+    landed = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert landed == {1, 3}, f"near-dup must be dropped, novel kept: {landed}"
+
+    # replay everything from a fresh checkpoint: nothing new lands
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run_cycle()
+    assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == {1, 3}
