@@ -1901,6 +1901,69 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-dedup (Abbas et al. 2023): nearest-centroid
+    assignment partitions the corpus, cosine pairs are searched within
+    clusters only, and the higher id of each pair >= 0.3 drops. Fixed
+    centroids (the 8 lowest vec_ids) make the whole plan — assignment
+    argmin, per-cluster pair search, loser anti-join — deterministic
+    and DuckDB-checkable; production uses ivf_train's codebook (see
+    operators.dedup.semantic_dedup)."""
+    from facolos_data_pipelines_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("centroid")
+    )
+    return semantic_dedup(emb, cents, threshold=0.3).select("vec_id", "label")
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication report (Lee et al. 2022): maximal
+    word-position spans covered by 5-grams shared across >= 2 docs —
+    gaps-and-islands over the positioned shingle explode; two bounded
+    shuffles, no self-join (see operators.dedup.duplicate_gram_spans)."""
+    from facolos_data_pipelines_spark.operators.dedup import duplicate_gram_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = duplicate_gram_spans(docs, n=5)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_dup_grams",
+    )
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination: the benchmark's distinct
+    2-grams compress to a 2^20-bit bitmap tested with codegen bit
+    probes in the corpus scan; the surviving sliver is exact-confirmed,
+    so the result is IDENTICAL to the exact operator — which is what
+    the oracle asserts (see operators.text.decontaminate_bloom)."""
+    from facolos_data_pipelines_spark.operators.text import decontaminate_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return decontaminate_bloom(docs, bench, n=2)
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage gate over a corpus with planted cross-split
+    duplicates (every doc_id % 10 == 0 doc re-enters under id+1000000):
+    held-out docs whose normalized-content md5 also appears in the
+    train split, with the smallest colliding train id as witness (see
+    operators.sampling.split_leakage_check)."""
+    from facolos_data_pipelines_spark.operators.sampling import split_leakage_check
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    base = docs.unionByName(copies)
+    return split_leakage_check(base, portable_hash=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the driver's correctness gate checks
     # the FIRST 50 entries only, so the window ROTATES each round. The
@@ -1913,7 +1976,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full 105-query run is committed as CORRECTNESS_local_r4.json
     # (scripts/check_oracle.py).
     return {
-        # -- round-4 additions (new this round, never driver-checked) --
+        # -- round-5 additions (new this round, never driver-checked) --
+        "semantic_dedup": q_semantic_dedup,
+        "duplicate_spans": q_duplicate_spans,
+        "decontaminate_bloom": q_decontaminate_bloom,
+        "split_leakage": q_split_leakage,
+        # -- round-4 additions (never driver-checked) --
         "fuzzy_match": q_fuzzy_match,
         "line_dedup": q_line_dedup,
         "supplier_wait": q_supplier_wait,
@@ -2326,6 +2394,150 @@ def oracle_sql() -> dict[str, str]:
         "sqrt(list_sum(list_transform(q, x -> x * x))))"
     )
     return {
+        "semantic_dedup": r"""
+            -- dedup.semantic_dedup twin (SemDeDup): argmin nearest-
+            -- centroid assignment with (dist, cluster_id) tie-break,
+            -- within-cluster normalized-dot pairs >= 0.3 in index
+            -- order, drop each pair's higher id (non-transitive)
+            WITH c AS (
+                SELECT vec_id AS cluster_id, embedding AS centroid
+                FROM embeddings WHERE vec_id < 8
+            ), d AS (
+                SELECT e.vec_id, c.cluster_id,
+                       list_sum(list_transform(range(1, 65),
+                           i -> (e.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE)
+                              * (e.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE))) AS dist
+                FROM embeddings e CROSS JOIN c
+            ), a AS (
+                SELECT vec_id, cluster_id FROM d
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cluster_id) = 1
+            ), e AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> x::DOUBLE * (1.0 / sqrt(list_sum(
+                               list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))))
+                           AS sv
+                FROM embeddings
+                WHERE list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)) > 0
+            ), p AS (
+                SELECT ab.vec_id AS id_b
+                FROM a aa
+                JOIN a ab ON aa.cluster_id = ab.cluster_id AND aa.vec_id < ab.vec_id
+                JOIN e ea ON ea.vec_id = aa.vec_id
+                JOIN e eb ON eb.vec_id = ab.vec_id
+                WHERE list_sum(list_transform(range(1, 65),
+                          i -> ea.sv[i] * eb.sv[i])) >= 0.3
+            )
+            SELECT vec_id, label FROM embeddings
+            WHERE vec_id NOT IN (SELECT id_b FROM p)
+        """,
+        "duplicate_spans": r"""
+            -- dedup.duplicate_gram_spans twin (Lee et al. spans):
+            -- positioned 5-gram explode with the whole-doc short-doc
+            -- fallback, grams in >= 2 distinct docs, gaps-and-islands
+            -- merge (break when the position gap exceeds n), span end
+            -- capped at the doc's last word
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), t AS (
+                SELECT doc_id, words, len(words) AS nw FROM w WHERE len(words) > 0
+            ), g0 AS (
+                SELECT doc_id, nw, words,
+                       unnest(range(1, greatest(nw - 4, 1) + 1)) AS i
+                FROM t
+            ), g AS (
+                SELECT doc_id, nw, CAST(i - 1 AS BIGINT) AS pos,
+                       array_to_string(list_slice(words, i, i + 4), ' ') AS sh
+                FROM g0
+            ), dup AS (
+                SELECT sh FROM g GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+            ), m AS (
+                SELECT g.doc_id, g.pos, g.nw FROM g JOIN dup USING (sh)
+            ), i1 AS (
+                SELECT doc_id, pos, nw,
+                       CASE WHEN pos - lag(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos) > 5
+                            THEN 1 ELSE 0 END AS brk
+                FROM m
+            ), i2 AS (
+                SELECT doc_id, pos, nw,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM i1
+            )
+            SELECT doc_id, MIN(pos) AS span_start,
+                   LEAST(MAX(pos) + 4, MAX(nw) - 1) AS span_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+            FROM i2 GROUP BY doc_id, island
+        """,
+        "decontaminate_bloom": r"""
+            -- text.decontaminate_bloom twin: the Bloom prefilter is
+            -- exactness-preserving under exact_confirm (no false
+            -- negatives), so the oracle is the EXACT decontamination
+            -- (distinct 2-grams, benchmark slice doc_id % 37 == 0) —
+            -- a hash match certifies the bloom path loses nothing
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    list_filter([array_to_string(list_slice(words, i, i + 1), ' ')
+                                 for i in range(1, greatest(len(words) - 1, 1) + 1)],
+                                x -> x <> ''))) AS sh
+                FROM w
+            ), bench AS (
+                SELECT DISTINCT sh FROM g WHERE doc_id % 37 = 0
+            ), hits AS (
+                SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+                FROM g JOIN bench USING (sh)
+                GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n_overlap, 0) AS n_overlap,
+                   COALESCE(h.n_overlap, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "split_leakage": r"""
+            -- sampling.split_leakage_check twin: md5 hash-split (same
+            -- 32-bit fraction contract as dataset_split), planted
+            -- duplicates of doc_id % 10 == 0 under id + 1000000,
+            -- held-out docs joined to the train side's per-content-md5
+            -- (min id, count) aggregate
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id % 10 = 0
+            ), h8 AS (
+                SELECT doc_id, text,
+                       md5('split:' || CAST(doc_id AS VARCHAR)) AS h
+                FROM base
+            ), f AS (
+                SELECT doc_id, text, ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) * 1) / 4294967296.0 AS frac
+                FROM h8
+            ), s AS (
+                SELECT doc_id,
+                       CASE WHEN frac < 0.9 THEN 'train'
+                            WHEN frac < 0.9500000000000001 THEN 'val'
+                            ELSE 'test' END AS split,
+                       md5(array_to_string(
+                           list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                       x -> x <> ''), ' ')) AS ch
+                FROM f
+            ), train AS (
+                SELECT ch, MIN(doc_id) AS train_dup_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_train_dups
+                FROM s WHERE split = 'train' GROUP BY ch
+            )
+            SELECT s.doc_id, s.split, t.train_dup_id, t.n_train_dups
+            FROM s JOIN train t USING (ch)
+            WHERE s.split <> 'train'
+        """,
         "unigram_scores": r"""
             -- mirrors text.unigram_logprob_scores: same tokenizer as
             -- the text family, additive smoothing 0.5, natural log

@@ -1288,3 +1288,213 @@ def line_dedup(
             .alias("n_lines_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-then-dedup over embeddings)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style near-dup pairs: assign every vector to its
+    nearest centroid, then compare cosines ONLY within each cluster
+    (Abbas et al. 2023, "SemDeDup" — k-means partitions the corpus so
+    the quadratic pair search runs per-cluster, never corpus-wide).
+
+    Complements :func:`embedding_near_dup_pairs`: hyperplane-LSH blocks
+    by random projections (recall is probabilistic per pair), while
+    SemDeDup blocks by data-derived clusters (recall is exact for
+    pairs that land in the same cell, and the cells align with the
+    corpus's own density structure). Use LSH when no trained centroids
+    exist; use this when a k-means codebook is already part of the
+    pipeline (e.g. the IVF index's).
+
+    Plan: nearest-centroid assignment is one narrow codegen pass
+    (centroid literals — see similarity.assign_nearest_centroid);
+    vectors L2-normalize once per row; the self-join is equi on
+    ``cluster_id`` so each cluster's pairs compute bucket-locally after
+    ONE shuffle on the cluster key. Cost is sum(|cluster|^2), bounded
+    by ``max_cluster_size`` (oversized cells dropped with a warning —
+    at 100 TB raise k instead so cells stay ~corpus/k). Zero-norm
+    vectors have no cosine and are excluded up front.
+    """
+    from .similarity import assign_nearest_centroid
+    from .skew import drop_oversized_groups
+
+    assigned = assign_nearest_centroid(df, centroids, id_col, vec_col).select(
+        id_col, "cluster_id"
+    )
+    norm_sq = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    inv_norm = 1.0 / F.sqrt(F.col("_nsq"))
+    scaled = (
+        df.select(F.col(id_col), F.col(vec_col), norm_sq.alias("_nsq"))
+        .filter(F.col("_nsq") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * inv_norm).alias("_sv"),
+        )
+        .join(assigned, id_col)
+    )
+    if max_cluster_size is not None:
+        scaled = drop_oversized_groups(scaled, ["cluster_id"], max_cluster_size)
+    a = scaled.select(
+        F.col("cluster_id"), F.col(id_col).alias("id_a"), F.col("_sv").alias("va")
+    )
+    b = scaled.select(
+        F.col("cluster_id"), F.col(id_col).alias("id_b"), F.col("_sv").alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cluster_id", "id_a", "id_b", dot.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    k: int = 16,
+    transitive: bool = False,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """Keep one vector per semantic near-dup group: SemDeDup pair
+    search (see :func:`semantic_dedup_pairs`) then drop the higher id
+    of each pair — or one survivor per single-link component with
+    ``transitive=True``. When no ``centroids`` frame is supplied, a
+    codebook is trained in-line via similarity.ivf_train (the
+    distributed k-means above its row threshold)."""
+    if centroids is None:
+        from .similarity import ivf_train
+
+        codebook = ivf_train(df, k=k, vec_col=vec_col)
+        centroids = df.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(codebook)],
+            "cluster_id int, centroid array<double>",
+        )
+    pairs = semantic_dedup_pairs(
+        df, centroids, vec_col, id_col, threshold, max_cluster_size
+    )
+    return _drop_pair_losers(df, pairs, id_col, transitive)
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplication (Lee et al. 2022 — duplicated spans)
+# ---------------------------------------------------------------------------
+
+def duplicate_gram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal duplicated-substring spans per document: every maximal
+    run of word positions covered by ``n``-word grams that appear in at
+    least ``min_docs`` distinct documents (the span-level view of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022 — which removes duplicated *substrings*, not whole
+    documents; a suffix array finds exact maximal matches, this n-gram
+    formulation finds every duplicated run of >= n words, the same
+    operating point at a join-friendly cost).
+
+    Returns (id, span_start, span_end, n_dup_grams): word-index bounds
+    (inclusive, 0-based over the normalized word sequence) and how many
+    duplicated grams the span merges. Documents shorter than ``n``
+    words participate as a single whole-document gram (the shared
+    shingle fallback), with the span end capped at their last word.
+
+    Plan: posexplode words + lead window builds positioned grams (one
+    shuffle on id, codegen — the exploded_shingles path); gram
+    frequency is one groupBy on the gram string with a distinct-doc
+    count (map-side partial agg); marked positions shuffle back to
+    their document for the gaps-and-islands merge (second id shuffle,
+    reusing the first's partitioning). Two shuffles total, both on
+    bounded keys; no self-join, so viral boilerplate grams cost their
+    posting list ONCE (linear), unlike pair enumeration.
+    """
+    w = df.select(
+        F.col(id_col), F.posexplode(normalized_words(text_col)).alias("_pos", "_w")
+    )
+    doc_win = Window.partitionBy(id_col)
+    order_win = Window.partitionBy(id_col).orderBy("_pos")
+    leads = [F.lead("_w", j).over(order_win).alias(f"_w{j}") for j in range(1, n)]
+    grams = (
+        w.select(id_col, "_pos", "_w", *leads)
+        .withColumn("_nw", F.max("_pos").over(doc_win) + 1)
+        .filter(F.col(f"_w{n - 1}").isNotNull() | (F.col("_pos") == 0))
+        .select(
+            id_col,
+            "_pos",
+            "_nw",
+            F.concat_ws(" ", "_w", *[f"_w{j}" for j in range(1, n)]).alias("_sh"),
+        )
+    )
+    dup = (
+        grams.groupBy("_sh")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_sh")
+    )
+    marked = grams.join(dup, "_sh").select(id_col, "_pos", "_nw")
+    gap = F.col("_pos") - F.lag("_pos").over(order_win)
+    islands = marked.withColumn(
+        "_brk", F.when(gap > n, 1).otherwise(0)
+    ).withColumn("_island", F.sum("_brk").over(order_win))
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            F.least(F.max("_pos") + n - 1, F.max("_nw") - 1).alias("span_end"),
+            F.count("*").cast("long").alias("n_dup_grams"),
+        )
+        .drop("_island")
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    max_coverage: float = 0.5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Drop documents whose duplicated-span coverage exceeds
+    ``max_coverage`` of their words — the document-level action on
+    :func:`duplicate_gram_spans` (Lee et al. remove the spans
+    themselves; for pre-training curation the common batch policy is
+    to drop documents that are mostly duplicated material and keep the
+    rest intact, preserving document coherence).
+
+    Adds nothing to the span plan but one per-doc span-length sum and
+    an id anti-join; word counts ride along from the span stage.
+    """
+    spans = duplicate_gram_spans(df, text_col, id_col, n, min_docs)
+    words = df.select(
+        F.col(id_col), F.size(normalized_words(text_col)).alias("_nw")
+    ).filter(F.col("_nw") > 0)
+    coverage = (
+        spans.groupBy(id_col)
+        .agg(F.sum(F.col("span_end") - F.col("span_start") + 1).alias("_covered"))
+        .join(words, id_col)
+        .filter(F.col("_covered") / F.col("_nw") > max_coverage)
+        .select(id_col)
+    )
+    return df.join(coverage, id_col, "left_anti")

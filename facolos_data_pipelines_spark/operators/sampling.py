@@ -281,3 +281,54 @@ def weighted_sample(
         .limit(k)
         .drop("_wkey")
     )
+
+
+def split_leakage_check(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+    train_split: str = "train",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Train/eval leakage gate: after a :func:`hash_split` assignment,
+    find every held-out document whose normalized content hash also
+    appears in the training split (an exact-duplicate straddling the
+    split boundary — the leakage that makes eval numbers lie; run a
+    content-level dedup BEFORE splitting and this returns empty).
+
+    Returns one row per leaking held-out document:
+    (id, split, train_dup_id, n_train_dups) where ``train_dup_id`` is
+    the smallest colliding train id (deterministic witness) and
+    ``n_train_dups`` the collision count.
+
+    Plan: split assignment and the content hash are narrow codegen
+    (md5/xxhash64 over the normalized word join — the fingerprint
+    operators' normalization, so formatting noise does not hide
+    leaks); the only wide op is one equi-join on the hash between the
+    eval slice and the train side's hash aggregate — at 100 TB both
+    sides carry (hash, id) only, and the train side pre-aggregates to
+    one row per distinct hash before the join. ``portable_hash=True``
+    switches xxhash64 -> md5 hex for cross-engine-checkable output
+    (4x wider shuffle keys; keep the default in production).
+    """
+    from .dedup import normalized_words
+
+    hash_fn = F.md5 if portable_hash else F.xxhash64
+    normalized = F.array_join(normalized_words(F.col(text_col)), " ")
+    assigned = hash_split(df, id_col, splits, salt).select(
+        F.col(id_col), F.col("split"), hash_fn(normalized).alias("_h")
+    )
+    train = (
+        assigned.filter(F.col("split") == train_split)
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias("train_dup_id"),
+            F.count("*").cast("long").alias("n_train_dups"),
+        )
+    )
+    held_out = assigned.filter(F.col("split") != train_split)
+    return held_out.join(train, "_h").select(
+        id_col, "split", "train_dup_id", "n_train_dups"
+    )

@@ -426,6 +426,136 @@ def decontaminate(
     )
 
 
+def bloom_bitmap(
+    grams: DataFrame,
+    col: str = "_g",
+    m_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> list[int]:
+    """Build a Bloom filter over a string column as a dense bitmap
+    (list of ``m_bits/64`` int64 words), entirely with JVM aggregates:
+    each value sets ``num_hashes`` bits at ``pmod(xxhash64(seed, v),
+    m_bits)``; words are OR-merged map-side (bit_or partial agg), so
+    one shuffle of at most ``m_bits/64`` rows reaches the driver.
+
+    The driver fetch is bounded by the FILTER size (m_bits/64 longs —
+    128 KiB for the 2^20-bit default), never by the data: this is the
+    same bounded hop a broadcast build makes. Sizing: for n distinct
+    values and k hashes, false-positive rate ~ (1 - e^(-kn/m))^k;
+    the default (2^20 bits, k=3) holds ~1e-3 at n=100k values.
+    """
+    if m_bits % 64 != 0:
+        raise ValueError("bloom_bitmap: m_bits must be a multiple of 64")
+    n_words = m_bits // 64
+    rows = []
+    for i in range(num_hashes):
+        pos = F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(m_bits))
+        rows.append(
+            grams.select(
+                (pos / 64).cast("int").alias("_word"),
+                # call_function: shiftleft's Python wrapper only takes a
+                # literal shift amount, but the SQL function shifts by a
+                # column just fine
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+                ).alias("_bit"),
+            )
+        )
+    union = rows[0]
+    for r in rows[1:]:
+        union = union.unionByName(r)
+    sparse = union.groupBy("_word").agg(F.bit_or("_bit").alias("_bits")).collect()
+    bitmap = [0] * n_words
+    for r in sparse:
+        bitmap[r["_word"]] = r["_bits"]
+    return bitmap
+
+
+def bloom_might_contain(
+    bitmap_col: Column, value: Column, m_bits: int, num_hashes: int
+) -> Column:
+    """Membership test against a :func:`bloom_bitmap` carried as an
+    array<long> column — AND over the ``num_hashes`` bit probes, all
+    whole-stage codegen (element_at + bitwise ops, no UDF)."""
+    cond = None
+    for i in range(num_hashes):
+        pos = F.pmod(F.xxhash64(F.lit(i), value), F.lit(m_bits))
+        word = F.element_at(bitmap_col, (pos / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        probe = word.bitwiseAND(bit) != 0
+        cond = probe if cond is None else cond & probe
+    return cond
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_overlap: int = 1,
+    m_bits: int = 1 << 20,
+    num_hashes: int = 3,
+    exact_confirm: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination with a Bloom prefilter — the scale
+    path of :func:`decontaminate` for when the corpus gram stream is
+    enormous: the benchmark's distinct n-grams compress into an
+    ``m_bits`` Bloom bitmap (one bounded driver hop, see
+    :func:`bloom_bitmap`) that rides to every task as a single
+    broadcast row, and each corpus gram is tested with pure codegen
+    bit probes — so the overwhelming non-contaminated majority is
+    discarded IN the scan projection, before any join or shuffle.
+
+    With ``exact_confirm=True`` (default) the surviving ~fp-rate
+    sliver of grams is confirmed against the exact benchmark gram set,
+    making the result IDENTICAL to :func:`decontaminate` (the Bloom
+    filter has no false negatives, so prefiltering loses nothing) at a
+    fraction of its join input. ``exact_confirm=False`` skips the
+    confirm join entirely — zero benchmark-side work at query time —
+    and accepts the documented false-positive rate as extra (safe-
+    direction) contamination flags.
+
+    Same output contract as :func:`decontaminate`:
+    (id, n_overlap, contaminated).
+    """
+    from .dedup import exploded_shingles
+
+    if id_col not in benchmark.columns:
+        benchmark = benchmark.withColumn(id_col, F.monotonically_increasing_id())
+    bench_grams = (
+        exploded_shingles(benchmark, text_col, id_col, n, distinct=False)
+        .select(F.col("_sh").alias("_g"))
+        .distinct()
+    )
+    bitmap = bloom_bitmap(bench_grams, "_g", m_bits, num_hashes)
+    spark = docs.sparkSession
+    bm = spark.createDataFrame([(bitmap,)], "_bm array<long>")
+    doc_grams = (
+        exploded_shingles(docs, text_col, id_col, n, distinct=True)
+        .select(F.col(id_col), F.col("_sh").alias("_g"))
+        .crossJoin(F.broadcast(bm))
+        .filter(bloom_might_contain(F.col("_bm"), F.col("_g"), m_bits, num_hashes))
+        .drop("_bm")
+    )
+    if exact_confirm:
+        doc_grams = doc_grams.join(F.broadcast(bench_grams), "_g", "left_semi")
+    hits = doc_grams.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
 def top_ngrams(
     docs: DataFrame,
     n: int = 2,
