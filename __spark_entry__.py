@@ -1969,12 +1969,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 entries only, so the window ROTATES each round. The
     # r1-r3 windows certified the 50 entries from daily_sales_summary
     # through sample_per_group (see CORRECTNESS_r0{1,2,3}.json); this
-    # round leads with the 9 queries ADDED this round, then the 4 whose
-    # definitions changed, then the 46 the earlier windows never
-    # reached — of which the last 9 (repeat_buyers onward) fall past
-    # the 50-entry cutoff and rely on the committed local artifact. The
-    # full 105-query run is committed as CORRECTNESS_local_r4.json
-    # (scripts/check_oracle.py).
+    # round leads with the 4 round-5 curation queries, then the round-4
+    # additions and changes, then entries the earlier windows never
+    # reached — whatever falls past the 50-entry cutoff relies on the
+    # committed local artifact. The full 109-query run is committed as
+    # CORRECTNESS_local_r5.json (scripts/check_oracle.py --json).
     return {
         # -- round-5 additions (new this round, never driver-checked) --
         "semantic_dedup": q_semantic_dedup,

@@ -138,6 +138,11 @@ HEADLINE = [
     "key_skew",
     "unigram_scores",
     "dup_components",
+    # round-5 additions: curation (SemDeDup, spans, bloom, leakage)
+    "semantic_dedup",
+    "duplicate_spans",
+    "decontaminate_bloom",
+    "split_leakage",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is
