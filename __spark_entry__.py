@@ -1964,6 +1964,17 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage_check(base, portable_hash=True)
 
 
+def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring REMOVAL (Lee et al. 2022's actual action):
+    delete all but the min-id document's occurrence of every cross-doc
+    5-word run and rebuild the normalized text, keeping the rest of
+    each document intact (see operators.dedup.strip_duplicate_spans)."""
+    from facolos_data_pipelines_spark.operators.dedup import strip_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return strip_duplicate_spans(docs, n=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the driver's correctness gate checks
     # the FIRST 50 entries only, so the window ROTATES each round. The
@@ -1978,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 additions (new this round, never driver-checked) --
         "semantic_dedup": q_semantic_dedup,
         "duplicate_spans": q_duplicate_spans,
+        "strip_dup_spans": q_strip_dup_spans,
         "decontaminate_bloom": q_decontaminate_bloom,
         "split_leakage": q_split_leakage,
         # -- round-4 additions (never driver-checked) --
@@ -2471,6 +2483,59 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(MAX(pos) + 4, MAX(nw) - 1) AS span_end,
                    CAST(COUNT(*) AS BIGINT) AS n_dup_grams
             FROM i2 GROUP BY doc_id, island
+        """,
+        "strip_dup_spans": r"""
+            -- dedup.strip_duplicate_spans twin: positioned 5-grams
+            -- with the short-doc fallback, grams in >= 2 docs with a
+            -- min-id owner who keeps the occurrence, covered positions
+            -- unioned per doc, text rebuilt from surviving words
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), t AS (
+                SELECT doc_id, words, len(words) AS nw FROM w WHERE len(words) > 0
+            ), wp0 AS (
+                SELECT doc_id, nw, words, unnest(range(1, nw + 1)) AS i FROM t
+            ), wp AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, words[i] AS word
+                FROM wp0
+            ), g0 AS (
+                SELECT doc_id, nw, words,
+                       unnest(range(1, greatest(nw - 4, 1) + 1)) AS i
+                FROM t
+            ), g AS (
+                SELECT doc_id, nw, CAST(i - 1 AS BIGINT) AS pos,
+                       array_to_string(list_slice(words, i, i + 4), ' ') AS sh
+                FROM g0
+            ), dup AS (
+                SELECT sh, MIN(doc_id) AS owner
+                FROM g GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+            ), m AS (
+                SELECT g.doc_id, g.pos, g.nw
+                FROM g JOIN dup ON g.sh = dup.sh AND g.doc_id <> dup.owner
+            ), cov AS (
+                SELECT DISTINCT doc_id, CAST(cp AS BIGINT) AS pos
+                FROM (SELECT doc_id,
+                             unnest(range(pos, least(pos + 4, nw - 1) + 1)) AS cp
+                      FROM m)
+            ), kept AS (
+                SELECT wp.doc_id, wp.pos, wp.word
+                FROM wp LEFT JOIN cov
+                  ON wp.doc_id = cov.doc_id AND wp.pos = cov.pos
+                WHERE cov.doc_id IS NULL
+            ), reb AS (
+                SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+                       CAST(COUNT(*) AS BIGINT) AS n_words_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   COALESCE(reb.clean_text, '') AS clean_text,
+                   COALESCE(reb.n_words_kept, 0) AS n_words_kept,
+                   CAST(t.nw AS BIGINT) - COALESCE(reb.n_words_kept, 0)
+                       AS n_words_removed
+            FROM t LEFT JOIN reb USING (doc_id)
         """,
         "decontaminate_bloom": r"""
             -- text.decontaminate_bloom twin: the Bloom prefilter is

@@ -141,6 +141,7 @@ HEADLINE = [
     # round-5 additions: curation (SemDeDup, spans, bloom, leakage)
     "semantic_dedup",
     "duplicate_spans",
+    "strip_dup_spans",
     "decontaminate_bloom",
     "split_leakage",
 ]

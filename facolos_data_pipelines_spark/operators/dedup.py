@@ -1498,3 +1498,101 @@ def substring_dedup(
         .select(id_col)
     )
     return df.join(coverage, id_col, "left_anti")
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    min_docs: int = 2,
+    keep_first_doc: bool = True,
+) -> DataFrame:
+    """Remove duplicated substrings and rebuild the text — the actual
+    removal action of Lee et al. 2022 ("deduplicating training data":
+    delete all but one occurrence of each duplicated span, leaving the
+    rest of the document intact), where :func:`duplicate_gram_spans`
+    only reports and :func:`substring_dedup` drops whole documents.
+
+    A word position is removed when some duplicated ``n``-gram covers
+    it; with ``keep_first_doc=True`` (default) the document with the
+    SMALLEST id containing a given gram keeps its occurrence — the
+    "all but one" policy, with the deterministic min-id owner playing
+    the survivor role the pair-dedup family gives to the min id.
+    ``keep_first_doc=False`` removes every occurrence everywhere (the
+    boilerplate-scrub policy: ads, headers, license blocks).
+
+    Returns (id, clean_text, n_words_kept, n_words_removed) over the
+    NORMALIZED word sequence (lowercased, punctuation stripped — the
+    same canonical form every dedup operator here hashes; original
+    formatting inside kept regions is not preserved).
+
+    Plan: the gram stage is the duplicate_gram_spans explode (one id
+    shuffle); ownership is the same gram-frequency aggregate extended
+    with ``min(id)`` (no extra shuffle); covered positions explode from
+    marked grams and dedup per (id, pos); the rebuild is one per-doc
+    sort-and-join aggregate reusing the id partitioning. No self-join
+    anywhere — boilerplate grams stay linear in their posting lists.
+    """
+    w = df.select(
+        F.col(id_col), F.posexplode(normalized_words(text_col)).alias("_pos", "_w")
+    )
+    doc_win = Window.partitionBy(id_col)
+    order_win = Window.partitionBy(id_col).orderBy("_pos")
+    leads = [F.lead("_w", j).over(order_win).alias(f"_w{j}") for j in range(1, n)]
+    grams = (
+        w.select(id_col, "_pos", "_w", *leads)
+        .withColumn("_nw", F.max("_pos").over(doc_win) + 1)
+        .filter(F.col(f"_w{n - 1}").isNotNull() | (F.col("_pos") == 0))
+        .select(
+            id_col,
+            "_pos",
+            "_nw",
+            F.concat_ws(" ", "_w", *[f"_w{j}" for j in range(1, n)]).alias("_sh"),
+        )
+    )
+    dup = (
+        grams.groupBy("_sh")
+        .agg(
+            F.countDistinct(id_col).alias("_nd"),
+            F.min(id_col).alias("_owner"),
+        )
+        .filter(F.col("_nd") >= min_docs)
+        .select("_sh", "_owner")
+    )
+    marked = grams.join(dup, "_sh")
+    if keep_first_doc:
+        marked = marked.filter(F.col(id_col) != F.col("_owner"))
+    covered = (
+        marked.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("_pos"),
+                    F.least(F.col("_pos") + n - 1, F.col("_nw") - 1),
+                )
+            ).alias("_pos"),
+        )
+        .dropDuplicates([id_col, "_pos"])
+    )
+    kept = w.join(covered, [id_col, "_pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_w"))),
+                lambda s: s["_w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_words_kept"),
+    )
+    totals = w.groupBy(id_col).agg(F.count("*").cast("long").alias("_n_total"))
+    # left join from totals: a fully-duplicated document still gets a row
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_words_kept", F.lit(0).cast("long")).alias("n_words_kept"),
+        (F.col("_n_total") - F.coalesce("n_words_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_words_removed"),
+    )

@@ -243,3 +243,58 @@ def test_split_leakage_normalization_catches_formatting_noise(spark):
     # the even ids share normalized content regardless of case/punct
     assert all(r["doc_id"] % 2 == 0 for r in leaks)
     assert len(leaks) > 0
+
+
+# ---------------------------------------------------------------------------
+# Span stripping (Lee et al. removal action)
+# ---------------------------------------------------------------------------
+
+def test_strip_duplicate_spans_keeps_first_doc_occurrence(spark):
+    from facolos_data_pipelines_spark.operators.dedup import strip_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} unique tail"),
+            (2, f"front words {shared}"),
+            (3, "nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(docs, n=5).collect()}
+    # doc 1 is the min-id owner: keeps the span
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon unique tail"
+    assert out[1]["n_words_removed"] == 0
+    # doc 2 loses exactly the 5 shared words
+    assert out[2]["clean_text"] == "front words"
+    assert out[2]["n_words_removed"] == 5
+    assert out[3]["n_words_removed"] == 0
+
+
+def test_strip_duplicate_spans_scrub_everywhere(spark):
+    from facolos_data_pipelines_spark.operators.dedup import strip_duplicate_spans
+
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [(1, shared), (2, f"{shared} extra")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           strip_duplicate_spans(docs, n=5, keep_first_doc=False).collect()}
+    # fully-duplicated doc 1 strips to empty but still gets a row
+    assert out[1]["clean_text"] == ""
+    assert out[1]["n_words_kept"] == 0
+    assert out[2]["clean_text"] == "extra"
+
+
+def test_strip_duplicate_spans_word_counts_are_consistent(spark, sf_dir):
+    from facolos_data_pipelines_spark.operators.dedup import strip_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = strip_duplicate_spans(docs, n=5)
+    bad = out.filter(
+        (F.col("n_words_kept") < 0)
+        | (F.col("n_words_removed") < 0)
+        | (F.size(F.split(F.col("clean_text"), " ")) > F.col("n_words_kept") + 1)
+    )
+    assert bad.count() == 0
