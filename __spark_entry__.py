@@ -1964,6 +1964,136 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage_check(base, portable_hash=True)
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure predicate-pushdown aggregate — date range,
+    discount band, quantity cap, all reaching the parquet scan
+    (PushedFilters), then one map-side-combined sum. The canonical
+    'filters must reach the scan' probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")) + 1e-6, 2
+            ).alias("revenue_delta")
+        )
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (scalar-max subquery over a derived view): the
+    supplier(s) whose Q1-1996 revenue equals the maximum. Spark plans
+    the max as a 1-row broadcast joined back; revenue is rounded on
+    both sides so summation-order ulp drift cannot split the tie."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (IN-subquery over a grouped HAVING, decorrelated
+    as join): orders whose total line quantity exceeds 250, with the
+    customer joined in. The big-side aggregate runs FIRST so the join
+    input is already reduced to qualifying keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity") + 1e-9, 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunction of conjunctive brand/size/quantity
+    bands): the OR of three multi-column predicates evaluated after one
+    part-lineitem equi-join — common attributes (quantity caps, size
+    floor) are still pushdown-eligible, the disjunct residue filters
+    post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(5, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(15, 45)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2
+        ).alias("revenue")
+    )
+
+
+def q_cold_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (scalar-average subquery + NOT EXISTS):
+    above-average-balance customers with no order since 1999, counted
+    per market segment. The global average is a 1-row broadcast; the
+    no-recent-orders test is a left-anti join against the distinct
+    recent-customer keys."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal") + 1e-9, 4).alias("_ab")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_ab")
+    )
+    recent = (
+        orders.filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+        .dropDuplicates()
+    )
+    cold = rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+    return cold.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(F.sum("c_acctbal") + 1e-6, 2).alias("total_acctbal"),
+    )
+
+
 def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-substring REMOVAL (Lee et al. 2022's actual action):
     delete all but the min-id document's occurrence of every cross-doc
@@ -1992,6 +2122,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_dup_spans": q_strip_dup_spans,
         "decontaminate_bloom": q_decontaminate_bloom,
         "split_leakage": q_split_leakage,
+        "forecast_revenue": q_forecast_revenue,
+        "top_supplier": q_top_supplier,
+        "large_orders": q_large_orders,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "cold_customers": q_cold_customers,
         # -- round-4 additions (never driver-checked) --
         "fuzzy_match": q_fuzzy_match,
         "line_dedup": q_line_dedup,
@@ -2483,6 +2618,76 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(MAX(pos) + 4, MAX(nw) - 1) AS span_end,
                    CAST(COUNT(*) AS BIGINT) AS n_dup_grams
             FROM i2 GROUP BY doc_id, island
+        """,
+        "forecast_revenue": r"""
+            -- Q6-shaped twin: same date/discount/quantity bands
+            SELECT ROUND(SUM(l_extendedprice * l_discount) + 1e-6, 2)
+                       AS revenue_delta
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.05
+              AND l_quantity < 24
+        """,
+        "top_supplier": r"""
+            -- Q15-shaped twin: revenue view, scalar max, tie-safe via
+            -- the same 2-dp rounding as the Spark side
+            WITH rev AS (
+                SELECT l_suppkey,
+                       ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        """,
+        "large_orders": r"""
+            -- Q18-shaped twin: grouped HAVING feeding the join
+            WITH big AS (
+                SELECT l_orderkey,
+                       ROUND(SUM(l_quantity) + 1e-9, 2) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING ROUND(SUM(l_quantity) + 1e-9, 2) > 250
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   sum_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "disjunctive_revenue": r"""
+            -- Q19-shaped twin: OR of three brand/size/quantity bands
+            SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                       AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 5 AND 35)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 40)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 15 AND 45)
+        """,
+        "cold_customers": r"""
+            -- Q22-shaped twin: scalar avg + NOT EXISTS per segment
+            WITH ab AS (
+                SELECT ROUND(AVG(c_acctbal) + 1e-9, 4) AS v
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   ROUND(SUM(c_acctbal) + 1e-6, 2) AS total_acctbal
+            FROM customer, ab
+            WHERE c_acctbal > ab.v
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01'
+              )
+            GROUP BY c_mktsegment
         """,
         "strip_dup_spans": r"""
             -- dedup.strip_duplicate_spans twin: positioned 5-grams

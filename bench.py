@@ -144,6 +144,12 @@ HEADLINE = [
     "strip_dup_spans",
     "decontaminate_bloom",
     "split_leakage",
+    # round-5 additions: remaining TPC-H plan shapes
+    "forecast_revenue",
+    "top_supplier",
+    "large_orders",
+    "disjunctive_revenue",
+    "cold_customers",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is

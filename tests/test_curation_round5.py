@@ -298,3 +298,58 @@ def test_strip_duplicate_spans_word_counts_are_consistent(spark, sf_dir):
         | (F.size(F.split(F.col("clean_text"), " ")) > F.col("n_words_kept") + 1)
     )
     assert bad.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Cross-operator invariants
+# ---------------------------------------------------------------------------
+
+def test_span_report_coverage_equals_scrub_removal(spark, sf_dir):
+    """duplicate_gram_spans' merged islands cover EXACTLY the word
+    positions strip_duplicate_spans(keep_first_doc=False) removes: the
+    per-doc sum of span lengths equals n_words_removed. Ties the two
+    formulations (report vs rebuild) to one contract."""
+    from facolos_data_pipelines_spark.operators.dedup import (
+        duplicate_gram_spans,
+        strip_duplicate_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = (
+        duplicate_gram_spans(docs, n=5)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("span_end") - F.col("span_start") + 1).alias("covered"))
+    )
+    removed = strip_duplicate_spans(docs, n=5, keep_first_doc=False).select(
+        "doc_id", "n_words_removed"
+    )
+    joined = removed.join(spans, "doc_id", "left").withColumn(
+        "covered", F.coalesce("covered", F.lit(0))
+    )
+    mismatches = joined.filter(F.col("covered") != F.col("n_words_removed")).count()
+    assert mismatches == 0
+
+
+def test_semantic_dedup_pairs_subset_of_exact_allpairs(spark, sf_dir):
+    """Cluster blocking can only LOSE pairs (recall trade), never
+    invent them: every SemDeDup pair is in the exact all-pairs set at
+    the same threshold, with the same cosine."""
+    from facolos_data_pipelines_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("centroid")
+    )
+    sem = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(emb, cents, threshold=0.3).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.3, num_planes=0).collect()
+    }
+    assert sem <= exact
+    assert len(sem) > 0
