@@ -2094,6 +2094,154 @@ def q_cold_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bidirectional nation-pair volume): revenue
+    shipped between NATION_1 and NATION_2 in either direction, by
+    supplier nation, customer nation, and ship year. Both nation dims
+    broadcast twice under different aliases; the disjunctive pair
+    filter runs after the joins (its columns come from both sides),
+    while the ship-date band pushes to the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") <= "1996-12-31")
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): the canonical 5-way
+    part-filtered profit rollup by supplier nation and order year. The
+    schema has no partsupp table, so supply cost is derived from the
+    part dim (10% of retail price per unit) — the PLAN is Q9's: a
+    LIKE-filtered part dim broadcast into the fact, supplier+nation
+    broadcast, orders joined for the year, one grouped sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount) + 1e-6, 2).alias("sum_profit"))
+    )
+
+
+def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    returns ('R' lineitems) on Q4-1995 orders, per customer with the
+    nation joined in, top 20. The order-date band prunes orders before
+    the fact join; top-k compiles to TakeOrderedAndProject (per-
+    partition heaps, no global sort); c_custkey tie-break keeps the
+    cutoff deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .join(li.filter(F.col("l_returnflag") == "R"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_priority_shipclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional CASE tallies per category): 1996
+    shipments classed by line status, counting critical-priority
+    (1-URGENT / 2-HIGH) vs other orders. The schema has no l_shipmode
+    column, so l_linestatus plays the category role — the plan is
+    Q12's: one fact-orders join, CASE folded into two map-side sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (conditional-share scalar): percentage of
+    March-1996 revenue from PROMO-type parts. Part dim broadcast, one
+    CASE'd global aggregate; the share divides the two sums in a
+    single reduced row (no second pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev)
+                + 1e-9,
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
 def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-substring REMOVAL (Lee et al. 2022's actual action):
     delete all but the min-id document's occurrence of every cross-doc
@@ -2127,6 +2275,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "disjunctive_revenue": q_disjunctive_revenue,
         "cold_customers": q_cold_customers,
+        "nation_trade": q_nation_trade,
+        "nation_profit": q_nation_profit,
+        "returned_top_customers": q_returned_top_customers,
+        "priority_shipclass": q_priority_shipclass,
+        "promo_revenue": q_promo_revenue,
         # -- round-4 additions (never driver-checked) --
         "fuzzy_match": q_fuzzy_match,
         "line_dedup": q_line_dedup,
@@ -2688,6 +2841,85 @@ def oracle_sql() -> dict[str, str]:
                     AND o_orderdate >= TIMESTAMP '1999-01-01'
               )
             GROUP BY c_mktsegment
+        """,
+        "nation_trade": r"""
+            -- Q7-shaped twin: bidirectional NATION_1/NATION_2 volume
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                       AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <= TIMESTAMP '1996-12-31'
+              AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "nation_profit": r"""
+            -- Q9-shaped twin: LIKE-filtered part profit by supplier
+            -- nation and order year (cost = 10% of retail per unit)
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)
+                             - p_retailprice * l_quantity * 0.1) + 1e-6, 2)
+                       AS sum_profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2
+        """,
+        "returned_top_customers": r"""
+            -- Q10-shaped twin: Q4-1995 return-flag revenue, top 20
+            -- customers, custkey tie-break pins the cutoff
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                       AS revenue
+            FROM orders
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+              AND o_orderdate <  TIMESTAMP '1996-01-01'
+              AND l_returnflag = 'R'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "priority_shipclass": r"""
+            -- Q12-shaped twin: CASE tallies of critical vs other
+            -- priorities per line status, 1996 ship window
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "promo_revenue": r"""
+            -- Q14-shaped twin: PROMO share of March-1996 revenue
+            SELECT ROUND(100.0
+                         * SUM(CASE WHEN p_type = 'PROMO'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0.0 END)
+                         / SUM(l_extendedprice * (1 - l_discount))
+                         + 1e-9, 4) AS promo_pct
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
         """,
         "strip_dup_spans": r"""
             -- dedup.strip_duplicate_spans twin: positioned 5-grams
