@@ -2242,6 +2242,66 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters via Misra-Gries candidates + exact
+    verify (operators.skew.frequent_items): every word holding >= 0.5%
+    of the corpus's word mass, with exact counts. Only per-partition
+    sketch survivors ever shuffle — the full-vocabulary groupBy twin
+    is what the oracle runs, and the outputs must be EQUAL (the
+    candidate pass is a guaranteed superset, the verify pass is
+    exact)."""
+    from facolos_data_pipelines_spark.operators.dedup import normalized_words
+    from facolos_data_pipelines_spark.operators.skew import frequent_items
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(normalized_words("text")).alias("word"))
+    return frequent_items(words, "word", min_share=0.005)
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule (operators.sampling.curriculum_order):
+    8 exact-quantile difficulty tiers on document length, md5-fraction
+    order inside each tier — deterministic easy-to-hard replay with no
+    global sort (1-row boundary broadcast + narrow comparisons)."""
+    from facolos_data_pipelines_spark.operators.sampling import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.length("text").cast("double").alias("score")
+    )
+    out = curriculum_order(scored, "score", "doc_id", num_buckets=8)
+    return out.select("doc_id", "bucket", "order_key")
+
+
+def _curriculum_oracle_sql() -> str:
+    """curriculum_order twin: quantile_cont boundaries (interpolation
+    parity proven by column_profile), strict > binning, md5 32-bit
+    fraction rebuilt digit-by-digit (same idiom as _split_oracle_sql)."""
+    value = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1) * {16 ** (7 - d)}"
+        for d in range(8)
+    )
+    qs = ", ".join(str(i / 8) for i in range(1, 8))
+    return rf"""
+            WITH s AS (
+                SELECT doc_id, CAST(length(text) AS DOUBLE) AS score
+                FROM documents
+            ), b AS (
+                SELECT quantile_cont(score, [{qs}]) AS bs FROM s
+            ), h8 AS (
+                SELECT doc_id,
+                       md5('curriculum:' || CAST(doc_id AS VARCHAR)) AS h
+                FROM s
+            )
+            SELECT s.doc_id,
+                   CAST(len(list_filter(b.bs, x -> s.score > x)) AS INT)
+                       AS bucket,
+                   ROUND(({value}) / 4294967296.0 + 1e-12, 8) AS order_key
+            FROM s, b
+            JOIN h8 ON s.doc_id = h8.doc_id
+        """
+
+
 def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-substring REMOVAL (Lee et al. 2022's actual action):
     delete all but the min-id document's occurrence of every cross-doc
@@ -2280,6 +2340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_top_customers": q_returned_top_customers,
         "priority_shipclass": q_priority_shipclass,
         "promo_revenue": q_promo_revenue,
+        "frequent_items": q_frequent_items,
+        "curriculum_order": q_curriculum_order,
         # -- round-4 additions (never driver-checked) --
         "fuzzy_match": q_fuzzy_match,
         "line_dedup": q_line_dedup,
@@ -2908,6 +2970,24 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1997-01-01'
             GROUP BY 1
         """,
+        "frequent_items": r"""
+            -- skew.frequent_items twin: the full-vocabulary GROUP BY /
+            -- HAVING answer the sketch-then-verify plan must equal
+            WITH w AS (
+                SELECT unnest(list_filter(
+                           string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                           x -> x <> '')) AS word
+                FROM documents
+            ), t AS (SELECT COUNT(*) AS total FROM w)
+            SELECT word,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(COUNT(*) / (SELECT total FROM t) + 1e-9, 6)
+                       AS row_share
+            FROM w
+            GROUP BY word
+            HAVING COUNT(*) >= 0.005 * (SELECT total FROM t)
+        """,
+        "curriculum_order": _curriculum_oracle_sql(),
         "promo_revenue": r"""
             -- Q14-shaped twin: PROMO share of March-1996 revenue
             SELECT ROUND(100.0

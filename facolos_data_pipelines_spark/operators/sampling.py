@@ -145,6 +145,64 @@ def filter_by_score_quantile(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    num_buckets: int = 10,
+    approx: bool = False,
+    salt: str = "curriculum",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Curriculum ordering for training: bin the corpus into
+    ``num_buckets`` difficulty tiers by exact score quantiles and give
+    every row a deterministic position — ascending ``bucket`` (0 =
+    easiest), hash-shuffled ``order_key`` within the bucket. Consuming
+    the output sorted by (bucket, order_key) replays easy-to-hard with
+    i.i.d. order inside each tier, and the schedule is reproducible
+    run-to-run and engine-to-engine (order_key is the md5 fraction
+    shared with hash_split — THE portability contract).
+
+    The scale story is the point: a naive global
+    ``row_number() OVER (ORDER BY score)`` funnels 100 TB through ONE
+    window partition. Here the only full-data cost is a 1-row quantile
+    aggregate broadcast back over the corpus (two scans, zero wide
+    shuffles — same shape as filter_by_score_quantile); the bucket
+    assignment is a narrow codegen comparison against B-1 boundary
+    literals. Writers that need physically ordered shards follow with
+    ``repartitionByRange(num_buckets, "bucket", "order_key")`` +
+    ``sortWithinPartitions`` — Spark's range exchange samples
+    boundaries, so files come out globally ordered without any
+    single-reducer sort. ``approx=True`` swaps the exact interpolated
+    percentile for the mergeable KLL sketch at 100 TB; ties on a
+    boundary fall to the LOWER bucket in either engine (strict ``>``
+    against each boundary).
+    """
+    if num_buckets < 2:
+        raise ValueError("curriculum_order: num_buckets must be >= 2")
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    fn = (
+        F.percentile_approx(score_col, qs, accuracy)
+        if approx
+        else F.percentile(score_col, qs)
+    )
+    bounds = df.agg(fn.alias("_bs"))
+    bucket = F.aggregate(
+        F.col("_bs"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(score_col) > b, 1).otherwise(0),
+    )
+    return (
+        df.join(F.broadcast(bounds))
+        .select(
+            "*",
+            bucket.cast("int").alias("bucket"),
+            F.round(_hash_fraction(id_col, salt) + 1e-12, 8).alias("order_key"),
+        )
+        .drop("_bs")
+    )
+
+
 def mix_to_weights(
     df: DataFrame,
     group_col: str,

@@ -219,3 +219,85 @@ def key_skew_profile(
         .orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
         .limit(top_n)
     )
+
+
+def frequent_items(
+    df: DataFrame,
+    col: str,
+    min_share: float = 0.01,
+    counters_factor: int = 2,
+) -> DataFrame:
+    """EXACT heavy hitters without a full-cardinality shuffle: every
+    value of ``col`` whose row share is >= ``min_share``, with its
+    exact count and share.
+
+    :func:`key_skew_profile` (and text.top_ngrams) shuffle one row per
+    DISTINCT key — correct, but at 100 TB a column like "every 5-gram
+    of the crawl" has more distinct keys than rows fit in any shuffle.
+    This is the classic two-pass sketch-then-verify alternative:
+
+    1. CANDIDATES — each partition folds its rows through a
+       Misra-Gries summary (``k = counters_factor * ceil(1/min_share)``
+       counters, batch-decrement variant: merge a batch's value_counts,
+       then subtract the (k+1)-th largest count from all and drop the
+       non-positive). MG guarantees any value with partition-local
+       share >= 1/(k+1) survives; a value with GLOBAL share >=
+       min_share has local share >= min_share in at least one
+       partition (weighted pigeonhole), so the union of per-partition
+       candidates is a guaranteed SUPERSET of the true heavy hitters
+       — never a miss. At most k * num_partitions candidate rows ever
+       shuffle.
+    2. VERIFY — exact counts for candidates only: the candidate set
+       broadcasts into a semi-join filter, one groupBy over the
+       surviving rows (map-side partial), and the global total folds
+       back as a 1-row broadcast. False candidates die on the exact
+       ``count >= min_share * total`` test; survivors carry EXACT
+       counts, so the output equals the full-shuffle GROUP BY /
+       HAVING answer while shuffling only candidate keys.
+
+    NULLs are excluded (a null "value" is a data-quality finding, not
+    a frequent item — count them with quality.table_stats).
+    """
+    import math
+
+    import pandas as pd
+
+    if not (0 < min_share <= 1):
+        raise ValueError("frequent_items: min_share must be in (0, 1]")
+    k = counters_factor * math.ceil(1.0 / min_share)
+    val_type = dict(df.dtypes)[col]
+
+    def mg_partition(batches):
+        counters: "pd.Series | None" = None
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()
+            if vc.empty:
+                continue
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        if counters is not None and len(counters):
+            yield pd.DataFrame({col: counters.index})
+
+    candidates = (
+        df.select(col)
+        .mapInPandas(mg_partition, f"{col} {val_type}")
+        .dropDuplicates()
+    )
+    total = df.select(col).filter(F.col(col).isNotNull()).agg(
+        F.count("*").cast("long").alias("_total")
+    )
+    return (
+        df.join(F.broadcast(candidates), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_rows") >= F.lit(float(min_share)) * F.col("_total"))
+        .select(
+            col,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total") + 1e-9, 6).alias("row_share"),
+        )
+    )

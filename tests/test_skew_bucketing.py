@@ -152,3 +152,70 @@ def test_ivf_cell_layout_prunes_partitions(spark, tmp_path):
     assert "DataFilters: []" in scan_line
     # probed subset is exactly the rows assigned to those cells
     assert probed.count() == assigned.filter(F.col("_cell").isin([0, 1])).count()
+
+
+def test_frequent_items_equals_full_groupby(spark):
+    """The sketch-then-verify plan must EQUAL the full-shuffle GROUP BY /
+    HAVING answer — including under adversarial partitioning (many small
+    partitions, minimal counter budget) where a weaker sketch would drop
+    a true heavy hitter, and with NULLs present (excluded by contract)."""
+    import pyspark.sql.functions as F
+
+    from facolos_data_pipelines_spark.operators.skew import frequent_items
+
+    # skewed synthetic: 'hot' 40%, 'warm' 15%, tail of 45 singletons + nulls
+    rows = (
+        [("hot",)] * 400 + [("warm",)] * 150 + [(f"t{i}",) for i in range(445)]
+        + [(None,)] * 5
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(13)
+    got = {
+        (r["v"], r["n_rows"], r["row_share"])
+        for r in frequent_items(df, "v", min_share=0.1, counters_factor=1).collect()
+    }
+    exact = (
+        df.filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    total = exact.agg(F.sum("n_rows")).collect()[0][0]
+    want = {
+        (r["v"], r["n_rows"], round(r["n_rows"] / total + 1e-9, 6))
+        for r in exact.collect()
+        if r["n_rows"] >= 0.1 * total
+    }
+    assert got == want and {v for v, *_ in got} == {"hot", "warm"}
+
+    with pytest.raises(ValueError, match="min_share"):
+        frequent_items(df, "v", min_share=0.0)
+
+
+def test_curriculum_order_buckets_and_determinism(spark):
+    """Buckets are quantile-balanced and ascending in score; order_key is
+    the md5 fraction (reproducible run-to-run); approx path bins the
+    same rows within sketch tolerance; num_buckets<2 rejected."""
+    from facolos_data_pipelines_spark.operators.sampling import curriculum_order
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).cast("double").alias("score")
+    )
+    out = curriculum_order(df, "score", "doc_id", num_buckets=4).cache()
+    sizes = {r["bucket"]: r["cnt"] for r in
+             out.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()}
+    assert set(sizes) == {0, 1, 2, 3}
+    assert all(abs(c - 250) <= 30 for c in sizes.values())
+    # monotone: every score in bucket b+1 >= every score in bucket b
+    stats = out.groupBy("bucket").agg(
+        F.min("score").alias("lo"), F.max("score").alias("hi")
+    ).orderBy("bucket").collect()
+    for a, b in zip(stats, stats[1:]):
+        assert b["lo"] >= a["hi"] - 1e-9
+    # deterministic
+    again = curriculum_order(df, "score", "doc_id", num_buckets=4)
+    assert out.select("doc_id", "bucket", "order_key").subtract(
+        again.select("doc_id", "bucket", "order_key")
+    ).count() == 0
+    out.unpersist()
+
+    with pytest.raises(ValueError, match="num_buckets"):
+        curriculum_order(df, "score", "doc_id", num_buckets=1)
