@@ -2321,8 +2321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round leads with the 4 round-5 curation queries, then the round-4
     # additions and changes, then entries the earlier windows never
     # reached — whatever falls past the 50-entry cutoff relies on the
-    # committed local artifact. The full 109-query run is committed as
-    # CORRECTNESS_local_r5.json (scripts/check_oracle.py --json).
+    # committed local artifact. The full 122-query run is committed as
+    # CORRECTNESS_local_r6.json (scripts/check_oracle.py --json).
     return {
         # -- round-5 additions (new this round, never driver-checked) --
         "semantic_dedup": q_semantic_dedup,
