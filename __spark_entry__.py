@@ -2242,6 +2242,44 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested semi-join chain + correlated threshold):
+    suppliers who over-shipped some 'red' part — per (part, supplier)
+    shipped quantity exceeding 3x that part's per-supplier average. The
+    plan is Q20's: a LIKE-filtered part dim broadcast into the fact,
+    a grouped aggregate re-aggregated for the correlated per-part
+    threshold, and the surviving supplier keys semi-joined back into
+    the supplier dim (no partsupp table in this schema; shipped
+    quantity plays availqty's role). Averages are rounded on both
+    sides so summation-order ulp drift cannot flip the comparison."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.sum("l_quantity") + 1e-9, 2).alias("qty"))
+    )
+    per_part = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.round(F.avg("qty") + 1e-9, 4).alias("avg_qty")
+    )
+    excess = (
+        shipped.join(per_part, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("qty") > 3.0 * F.col("avg_qty"))
+        .select("l_suppkey")
+        .dropDuplicates()
+    )
+    return (
+        sup.join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus heavy hitters via Misra-Gries candidates + exact
     verify (operators.skew.frequent_items): every word holding >= 0.5%
@@ -2342,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "frequent_items": q_frequent_items,
         "curriculum_order": q_curriculum_order,
+        "excess_suppliers": q_excess_suppliers,
         # -- round-4 additions (never driver-checked) --
         "fuzzy_match": q_fuzzy_match,
         "line_dedup": q_line_dedup,
@@ -2969,6 +3008,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1997-01-01'
             GROUP BY 1
+        """,
+        "excess_suppliers": r"""
+            -- Q20-shaped twin: over-shippers of 'red' parts via the
+            -- same grouped aggregate + correlated per-part average
+            WITH shipped AS (
+                SELECT l_partkey, l_suppkey,
+                       ROUND(SUM(l_quantity) + 1e-9, 2) AS qty
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE '%red%'
+                GROUP BY 1, 2
+            ), per_part AS (
+                SELECT l_partkey AS t_partkey,
+                       ROUND(AVG(qty) + 1e-9, 4) AS avg_qty
+                FROM shipped GROUP BY 1
+            )
+            SELECT DISTINCT s_suppkey, s_name
+            FROM supplier
+            JOIN shipped ON s_suppkey = l_suppkey
+            JOIN per_part ON l_partkey = t_partkey
+            WHERE qty > 3.0 * avg_qty
+            ORDER BY s_suppkey
         """,
         "frequent_items": r"""
             -- skew.frequent_items twin: the full-vocabulary GROUP BY /
