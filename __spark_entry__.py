@@ -2242,6 +2242,65 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of order value, 1995 cohort vs 1996+
+    cohort (quality.checks.population_stability_index): base-decile
+    binning, epsilon-floored per-bin (p_curr - p_base) * ln ratio. The
+    shape-drift monitor snapshot_drift's mean/null flags can't see."""
+    from facolos_data_pipelines_spark.quality.checks import (
+        population_stability_index,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderdate") < "1996-01-01")
+    curr = orders.filter(F.col("o_orderdate") >= "1996-01-01")
+    return population_stability_index(base, curr, "o_totalprice", num_bins=10)
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing at tau=0.5
+    (operators.sampling.temperature_mix): target weights derived
+    in-plan as count^tau, tail sources boosted, rows kept by the
+    portable md5 fraction — the multilingual sampling recipe."""
+    from facolos_data_pipelines_spark.operators.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mix(docs, "lang", temperature=0.5).select(
+        "doc_id", "lang"
+    )
+
+
+def _temperature_mix_oracle_sql() -> str:
+    """temperature_mix twin: pow-derived weights, binding scale T,
+    8-decimal keep fractions, md5 32-bit fraction digit idiom."""
+    value = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1) * {16 ** (7 - d)}"
+        for d in range(8)
+    )
+    return rf"""
+            WITH c AS (
+                SELECT lang, CAST(COUNT(*) AS DOUBLE) AS cnt,
+                       pow(CAST(COUNT(*) AS DOUBLE), 0.5) AS pw
+                FROM documents WHERE lang IS NOT NULL GROUP BY 1
+            ), z AS (SELECT SUM(pw) AS zt FROM c),
+            w AS (SELECT lang, cnt, pw / (SELECT zt FROM z) AS wgt FROM c),
+            t AS (SELECT MIN(cnt / wgt) AS tv FROM w),
+            thr AS (
+                SELECT lang,
+                       ROUND(LEAST(1.0, (SELECT tv FROM t) * wgt / cnt)
+                             + 1e-12, 8) AS keep
+                FROM w
+            ), h8 AS (
+                SELECT doc_id, d.lang,
+                       md5('tmix:' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents d
+            )
+            SELECT doc_id, h8.lang
+            FROM h8 JOIN thr ON h8.lang = thr.lang
+            WHERE ({value}) / 4294967296.0 < keep
+        """
+
+
 def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (nested semi-join chain + correlated threshold):
     suppliers who over-shipped some 'red' part — per (part, supplier)
@@ -2381,6 +2440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_items": q_frequent_items,
         "curriculum_order": q_curriculum_order,
         "excess_suppliers": q_excess_suppliers,
+        "psi_drift": q_psi_drift,
+        "temperature_mix": q_temperature_mix,
         # -- round-4 additions (never driver-checked) --
         "fuzzy_match": q_fuzzy_match,
         "line_dedup": q_line_dedup,
@@ -3009,6 +3070,55 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1997-01-01'
             GROUP BY 1
         """,
+        "psi_drift": r"""
+            -- checks.population_stability_index twin: base-decile
+            -- bins, strict-> bucketing, epsilon-floored PSI terms
+            WITH base AS (
+                SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+                WHERE o_orderdate < TIMESTAMP '1996-01-01'
+                  AND o_totalprice IS NOT NULL
+            ), curr AS (
+                SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_totalprice IS NOT NULL
+            ), b AS (
+                SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                         0.6, 0.7, 0.8, 0.9]) AS bs
+                FROM base
+            ), nb AS (
+                SELECT CAST(len(list_filter(b.bs, x -> base.v > x)) AS INT)
+                           AS bin,
+                       COUNT(*) AS n_base
+                FROM base, b GROUP BY 1
+            ), nc AS (
+                SELECT CAST(len(list_filter(b.bs, x -> curr.v > x)) AS INT)
+                           AS bin,
+                       COUNT(*) AS n_curr
+                FROM curr, b GROUP BY 1
+            ), bins AS (
+                SELECT CAST(unnest(range(10)) AS INT) AS bin
+            ), j AS (
+                SELECT bins.bin,
+                       COALESCE(n_base, 0) AS n_base,
+                       COALESCE(n_curr, 0) AS n_curr
+                FROM bins LEFT JOIN nb USING (bin) LEFT JOIN nc USING (bin)
+            ), t AS (
+                SELECT SUM(n_base) AS tb, SUM(n_curr) AS tc FROM j
+            )
+            SELECT bin,
+                   CAST(n_base AS BIGINT) AS n_base,
+                   CAST(n_curr AS BIGINT) AS n_curr,
+                   ROUND(GREATEST(n_base / tb, 1e-4) + 1e-12, 6) AS p_base,
+                   ROUND(GREATEST(n_curr / tc, 1e-4) + 1e-12, 6) AS p_curr,
+                   ROUND((GREATEST(n_curr / tc, 1e-4)
+                          - GREATEST(n_base / tb, 1e-4))
+                         * ln(GREATEST(n_curr / tc, 1e-4)
+                              / GREATEST(n_base / tb, 1e-4)) + 1e-12, 6)
+                       AS psi_term
+            FROM j, t
+            ORDER BY bin
+        """,
+        "temperature_mix": _temperature_mix_oracle_sql(),
         "excess_suppliers": r"""
             -- Q20-shaped twin: over-shippers of 'red' parts via the
             -- same grouped aggregate + correlated per-part average

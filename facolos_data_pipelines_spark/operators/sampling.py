@@ -298,6 +298,64 @@ def mix_to_weights(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    temperature: float = 0.7,
+    id_col: str = "doc_id",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling: derive the target weights
+    FROM the corpus itself as ``w_g ∝ count_g^temperature`` and
+    downsample to them — the standard multilingual/multi-domain recipe
+    (temperature 1 keeps natural proportions, 0 equalizes groups,
+    the usual 0.6-0.8 boosts the tail without drowning the head).
+
+    Composes :func:`mix_to_weights`'s machinery with the weights
+    computed IN-PLAN instead of passed in: per-group counts (one
+    map-side-combined aggregation), the pow-sum normalizer and the
+    binding scale ``T = min_g(count_g / w_g)`` as 1-row broadcasts,
+    per-group keep fractions ``min(1, T * w_g / count_g)`` broadcast
+    back over the corpus, rows kept by the portable md5 id-fraction
+    (the ``hash_split`` contract — deterministic and
+    engine-reproducible). The keep fraction is rounded to 8 decimals
+    before the comparison so a libm pow() ulp cannot flip a row
+    between engines. One corpus scan + tiny-agg passes; no driver
+    collect, no group-cardinality assumptions.
+    """
+    if temperature < 0:
+        raise ValueError("temperature_mix: temperature must be >= 0")
+    clash = {"_cnt", "_pw", "_zt", "_t", "_g", "_thr"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"temperature_mix: input columns {sorted(clash)} collide with "
+            "internal working columns; rename them first"
+        )
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count("*").cast("double").alias("_cnt"))
+        .withColumn("_pw", F.pow(F.col("_cnt"), F.lit(float(temperature))))
+    )
+    z = counts.agg(F.sum("_pw").alias("_zt"))
+    weighted = counts.join(F.broadcast(z)).select(
+        group_col, "_cnt", (F.col("_pw") / F.col("_zt")).alias("_w")
+    )
+    t_total = weighted.agg(F.min(F.col("_cnt") / F.col("_w")).alias("_t"))
+    thresholds = weighted.join(F.broadcast(t_total)).select(
+        F.col(group_col).alias("_g"),
+        F.round(
+            F.least(F.lit(1.0), F.col("_t") * F.col("_w") / F.col("_cnt")) + 1e-12, 8
+        ).alias("_thr"),
+    )
+    frac = _hash_fraction(id_col, salt)
+    return (
+        df.join(F.broadcast(thresholds), df[group_col] == F.col("_g"))
+        .filter(frac < F.col("_thr"))
+        .drop("_g", "_thr")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

@@ -338,3 +338,89 @@ def referential_check(
         totals.crossJoin(orphans.agg(F.count("*").cast("long").alias("n_orphans")))
         .withColumn("ref_ok", F.col("n_orphans") == 0)
     )
+
+
+def population_stability_index(
+    df_base: DataFrame,
+    df_curr: DataFrame,
+    col: str,
+    num_bins: int = 10,
+    approx: bool = False,
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index per bin between two snapshots of a
+    numeric column — the standard "has this feature's distribution
+    moved" monitor (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted;
+    complements :func:`snapshot_drift`, which only flags mean/null
+    shifts and so misses shape changes with a preserved mean).
+
+    Bin edges are the BASE snapshot's ``num_bins``-quantiles (the
+    convention: score the current population against the reference's
+    binning), computed as one 1-row aggregate broadcast over both
+    frames — ``approx=True`` swaps the exact interpolated percentile
+    for the mergeable KLL sketch at scale. Bucketing is the same
+    strict-``>`` boundary count as sampling.curriculum_order, a narrow
+    codegen pass; each side then reduces to at most ``num_bins``
+    grouped counts, a right-outer-safe join on bin id, and the PSI
+    term ``(p_curr - p_base) * ln(p_curr / p_base)`` with an
+    ``epsilon`` floor so an empty bin contributes a large-but-finite
+    term instead of infinity. Total PSI = ``sum(psi_term)``. NULLs are
+    excluded from both sides (they carry no position in the
+    distribution; track them with snapshot_drift's null_frac).
+    """
+    if num_bins < 2:
+        raise ValueError("population_stability_index: num_bins must be >= 2")
+    qs = [i / num_bins for i in range(1, num_bins)]
+    score = F.col(col).cast("double")
+    base_vals = df_base.select(score.alias("_v")).filter(F.col("_v").isNotNull())
+    curr_vals = df_curr.select(score.alias("_v")).filter(F.col("_v").isNotNull())
+    fn = (
+        F.percentile_approx("_v", qs, 10000) if approx else F.percentile("_v", qs)
+    )
+    bounds = base_vals.agg(fn.alias("_bs"))
+    bucket = F.aggregate(
+        F.col("_bs"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("_v") > b, 1).otherwise(0),
+    ).cast("int")
+
+    def binned(vals: DataFrame, tag: str) -> DataFrame:
+        return (
+            vals.join(F.broadcast(bounds))
+            .select(bucket.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias(f"n_{tag}"))
+        )
+
+    bins = df_base.sparkSession.range(num_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    joined = (
+        bins.join(binned(base_vals, "base"), "bin", "left")
+        .join(binned(curr_vals, "curr"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_curr", F.lit(0)).alias("n_curr"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("n_base").cast("long").alias("_tb"),
+        F.sum("n_curr").cast("long").alias("_tc"),
+    )
+    p_base = F.greatest(F.col("n_base") / F.col("_tb"), F.lit(epsilon))
+    p_curr = F.greatest(F.col("n_curr") / F.col("_tc"), F.lit(epsilon))
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_base",
+            "n_curr",
+            F.round(p_base + 1e-12, 6).alias("p_base"),
+            F.round(p_curr + 1e-12, 6).alias("p_curr"),
+            F.round((p_curr - p_base) * F.log(p_curr / p_base) + 1e-12, 6).alias(
+                "psi_term"
+            ),
+        )
+        .orderBy("bin")
+    )

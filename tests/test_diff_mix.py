@@ -241,3 +241,67 @@ def test_mix_to_weights_rejects_internal_column_clash(spark):
     df = spark.createDataFrame([(1, "a", 0.5)], ["doc_id", "source", "_w"])
     with pytest.raises(ValueError, match="internal working columns"):
         mix_to_weights(df, "source", {"a": 1.0})
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    """tau=1 keeps everything (natural proportions are already the
+    target); tau=0 equalizes group masses (each group ends near the
+    smallest group's count); tau between flattens monotonically. The
+    kept set is deterministic and NULL groups are dropped."""
+    import pyspark.sql.functions as F
+
+    from facolos_data_pipelines_spark.operators.sampling import temperature_mix
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(i + 1000, "mid") for i in range(300)]
+        + [(i + 2000, "small") for i in range(100)]
+        + [(3000, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+
+    def counts(tau):
+        out = temperature_mix(df, "grp", temperature=tau, id_col="doc_id")
+        return {r["grp"]: r["n"] for r in
+                out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+
+    c1 = counts(1.0)
+    assert c1 == {"big": 900, "mid": 300, "small": 100}  # natural = no-op
+    c0 = counts(0.0)
+    assert c0["small"] == 100  # binding group keeps everything
+    assert abs(c0["big"] - 100) <= 25 and abs(c0["mid"] - 100) <= 25
+    ch = counts(0.5)
+    assert c0["big"] <= ch["big"] <= c1["big"]  # monotone in tau
+    # deterministic replay
+    a = {r["doc_id"] for r in temperature_mix(df, "grp", 0.5, "doc_id").collect()}
+    b = {r["doc_id"] for r in temperature_mix(df, "grp", 0.5, "doc_id").collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_mix(df, "grp", temperature=-0.1)
+
+
+def test_population_stability_index(spark):
+    """Identical snapshots give PSI ~= 0 in every bin; a location shift
+    concentrates current mass in the top bins and yields a large total
+    PSI; empty bins hit the epsilon floor instead of infinity."""
+    import pyspark.sql.functions as F
+
+    from facolos_data_pipelines_spark.quality.checks import (
+        population_stability_index,
+    )
+
+    base = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = population_stability_index(base, base, "v", num_bins=5).collect()
+    assert [r["bin"] for r in same] == [0, 1, 2, 3, 4]
+    assert all(abs(r["psi_term"]) < 1e-6 for r in same)
+    assert sum(r["n_base"] for r in same) == 1000
+
+    shifted = base.select((F.col("v") + 80).alias("v"))
+    drift = population_stability_index(base, shifted, "v", num_bins=5).collect()
+    total = sum(r["psi_term"] for r in drift)
+    assert total > 0.25  # "significant shift" on the standard scale
+    floored = [r for r in drift if r["n_curr"] == 0]
+    assert floored and all(r["p_curr"] == 0.0001 for r in floored)
+
+    with pytest.raises(ValueError, match="num_bins"):
+        population_stability_index(base, base, "v", num_bins=1)
