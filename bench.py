@@ -150,6 +150,18 @@ HEADLINE = [
     "large_orders",
     "disjunctive_revenue",
     "cold_customers",
+    # round-6 additions: the rest of the expressible TPC-H sweep plus
+    # heavy hitters, curriculum, drift, and temperature mixing
+    "nation_trade",
+    "nation_profit",
+    "returned_top_customers",
+    "priority_shipclass",
+    "promo_revenue",
+    "excess_suppliers",
+    "frequent_items",
+    "curriculum_order",
+    "psi_drift",
+    "temperature_mix",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is

@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_dedup
-from ..operators.sampling import filter_by_score_quantile, mix_to_weights
+from ..operators.sampling import (
+    curriculum_order,
+    filter_by_score_quantile,
+    mix_to_weights,
+    temperature_mix,
+)
 from ..operators.text import decontaminate, fingerprint, quality_score
 
 
@@ -51,6 +56,8 @@ def curate_corpus(
     dedup_threshold: float = 0.8,
     mix_col: str | None = None,
     mix_weights: dict[str, float] | None = None,
+    mix_temperature: float | None = None,
+    curriculum_buckets: int | None = None,
     output_path: str | None = None,
 ) -> CurationResult:
     """Run the full curation flow; returns surviving docs (id, text,
@@ -62,13 +69,24 @@ def curate_corpus(
     ``mix_col``/``mix_weights`` add a final mixture-downsampling stage
     (``sampling.mix_to_weights``) AFTER dedup — mixing last, so target
     proportions are measured over unique clean docs, not duplicates.
-    With ``output_path`` the survivors are also written as parquet.
+    ``mix_temperature`` is the weight-free alternative (targets derived
+    in-plan as count^tau, ``sampling.temperature_mix``); give one or
+    the other, not both. ``curriculum_buckets`` appends a curriculum
+    stage: survivors are re-scored and stamped with
+    ``sampling.curriculum_order``'s (bucket, order_key) so the written
+    corpus replays easy-to-hard. With ``output_path`` the survivors are
+    also written as parquet.
     """
-    if (mix_col is None) != (not mix_weights):
+    if mix_weights and mix_temperature is not None:
         raise ValueError(
-            "curate_corpus: mix_col and mix_weights must be given together "
-            f"(got mix_col={mix_col!r}, mix_weights={mix_weights!r}) — "
-            "a half-specified mixture would silently skip downsampling"
+            "curate_corpus: give mix_weights OR mix_temperature, not both"
+        )
+    if (mix_col is None) != (not mix_weights and mix_temperature is None):
+        raise ValueError(
+            "curate_corpus: mix_col must be given together with exactly one "
+            f"of mix_weights / mix_temperature (got mix_col={mix_col!r}, "
+            f"mix_weights={mix_weights!r}, mix_temperature={mix_temperature!r}) "
+            "— a half-specified mixture would silently skip downsampling"
         )
 
     stages: list[tuple[str, int, int]] = []
@@ -98,16 +116,26 @@ def curate_corpus(
     n3 = deduped.count()
     stages.append(("near_dedup", n2, n3))
 
-    if mix_col is not None and mix_weights:
-        deduped = mix_to_weights(
-            deduped, mix_col, mix_weights, id_col=id_col
-        ).localCheckpoint(eager=True)
+    if mix_col is not None:
+        if mix_weights:
+            deduped = mix_to_weights(deduped, mix_col, mix_weights, id_col=id_col)
+        else:
+            deduped = temperature_mix(
+                deduped, mix_col, mix_temperature, id_col=id_col
+            )
+        deduped = deduped.localCheckpoint(eager=True)
         n4 = deduped.count()
         stages.append(("mixture", n3, n4))
     else:
         n4 = n3
 
     survivors = fingerprint(deduped, text_col=text_col, id_col=id_col)
+    if curriculum_buckets is not None:
+        rescored = quality_score(survivors, text_col)
+        survivors = curriculum_order(
+            rescored, "quality_score", id_col, num_buckets=curriculum_buckets
+        ).drop("quality_score")
+        stages.append(("curriculum", n4, n4))
     if output_path is not None:
         survivors.write.mode("overwrite").parquet(output_path)
     stages.append(("fingerprint", n4, n4))

@@ -2,6 +2,7 @@ from .checks import (
     column_profile,
     flatten_invariants,
     multi_table_summary,
+    population_stability_index,
     quality_gate,
     table_stats,
     validate_post_load,
@@ -20,6 +21,7 @@ from .monitor import (
 __all__ = [
     "table_stats",
     "column_profile",
+    "population_stability_index",
     "multi_table_summary",
     "flatten_invariants",
     "validate_pre_load",

@@ -248,3 +248,35 @@ def test_curate_corpus_with_mixture_stage(spark, sf_dir):
     assert {r["lang"] for r in res.survivors.select("lang").distinct().collect()} <= {
         "en", "es", "de"
     }
+
+
+def test_curate_corpus_temperature_and_curriculum(spark, sf_dir):
+    """Temperature mixing is the weight-free mixture arm, and the
+    curriculum stage stamps (bucket, order_key) on survivors without
+    changing the row count; conflicting mixture specs are rejected."""
+    from facolos_data_pipelines_spark.pipelines import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = curate_corpus(
+        spark,
+        docs,
+        mix_col="lang",
+        mix_temperature=0.5,
+        curriculum_buckets=4,
+    )
+    m = {r["stage"]: (r["rows_in"], r["rows_out"]) for r in res.metrics.collect()}
+    assert "mixture" in m and "curriculum" in m
+    assert 0 < m["mixture"][1] <= m["mixture"][0]
+    surv = res.survivors
+    assert {"bucket", "order_key"} <= set(surv.columns)
+    assert surv.count() == m["mixture"][1]
+    buckets = {r["bucket"] for r in surv.select("bucket").distinct().collect()}
+    assert buckets <= {0, 1, 2, 3} and len(buckets) >= 2
+
+    with pytest.raises(ValueError, match="not both"):
+        curate_corpus(
+            spark, docs, mix_col="lang",
+            mix_weights={"en": 1.0}, mix_temperature=0.5,
+        )
+    with pytest.raises(ValueError, match="half-specified|exactly one"):
+        curate_corpus(spark, docs, mix_col="lang")
