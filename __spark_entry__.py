@@ -2242,6 +2242,23 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 hard-rule cleanup (operators.text.c4_clean) over a multi-line
+    corpus synthesized deterministically from documents (the flat
+    synthetic docs carry no newlines, so ' table ' becomes a sentence
+    boundary via plain replace — portable to any engine): line-level
+    terminal-punct / min-words / code-tell deletions, doc-level
+    min-lines gate, text rebuilt from survivors."""
+    from facolos_data_pipelines_spark.operators.text import c4_clean
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" table "), F.lit(".\ntable "))
+    )
+    return c4_clean(docs, min_words_per_line=3, min_lines=2).select(
+        "doc_id", "text", "n_lines_orig", "n_lines_kept"
+    )
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of order value, 1995 cohort vs 1996+
     cohort (quality.checks.population_stability_index): base-decile
@@ -2442,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_suppliers": q_excess_suppliers,
         "psi_drift": q_psi_drift,
         "temperature_mix": q_temperature_mix,
+        "c4_clean": q_c4_clean,
         # -- round-4 additions (never driver-checked) --
         "fuzzy_match": q_fuzzy_match,
         "line_dedup": q_line_dedup,
@@ -3069,6 +3087,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1997-01-01'
             GROUP BY 1
+        """,
+        "c4_clean": r"""
+            -- text.c4_clean twin: same synthesized line corpus, same
+            -- line rules (>=3 words, terminal punct, no code tells),
+            -- same doc gates, text rebuilt from kept lines
+            WITH d AS (
+                SELECT doc_id,
+                       replace(text, ' table ', '.' || chr(10) || 'table ')
+                           AS t
+                FROM documents
+            ), l AS (
+                SELECT doc_id, t,
+                       list_filter(
+                           list_transform(string_split(t, chr(10)),
+                                          x -> trim(x)),
+                           x -> x <> '') AS lines
+                FROM d
+            ), k AS (
+                SELECT doc_id, t, lines,
+                       list_filter(lines, x ->
+                           len(list_filter(string_split_regex(x, '[ \t]+'),
+                                           w -> w <> '')) >= 3
+                           AND regexp_matches(x, '[.!?"]$')
+                           AND NOT contains(lower(x), 'javascript')
+                           AND NOT contains(x, '{')
+                           AND NOT contains(x, '}')) AS keptl
+                FROM l
+            )
+            SELECT doc_id,
+                   array_to_string(keptl, chr(10)) AS text,
+                   CAST(len(lines) AS INT) AS n_lines_orig,
+                   CAST(len(keptl) AS INT) AS n_lines_kept
+            FROM k
+            WHERE len(keptl) >= 2
+              AND NOT contains(lower(t), 'lorem ipsum')
         """,
         "psi_drift": r"""
             -- checks.population_stability_index twin: base-decile

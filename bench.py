@@ -162,6 +162,7 @@ HEADLINE = [
     "curriculum_order",
     "psi_drift",
     "temperature_mix",
+    "c4_clean",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is

@@ -780,3 +780,71 @@ def unigram_logprob_scores(
             F.round(F.col("_avg_lp") + 1e-9, 4).alias("avg_logprob"),
         )
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_lines: int = 2,
+    require_terminal_punct: bool = True,
+) -> DataFrame:
+    """C4-style hard cleanup rules (Raffel et al. 2020 §2.2) — the
+    line-level and document-level DELETION pass that runs before the
+    soft scoring of :func:`quality_score`:
+
+    line rules (a line survives iff ALL hold):
+      - at least ``min_words_per_line`` whitespace words;
+      - ends in terminal punctuation (``. ! ? "``) when
+        ``require_terminal_punct`` (C4's "terminal punctuation mark");
+      - does not contain "javascript" (case-insensitive) or a curly
+        brace (the code/boilerplate tells).
+    document rules:
+      - at least ``min_lines`` surviving lines;
+      - no "lorem ipsum" anywhere (case-insensitive).
+
+    Output: surviving docs with ``text`` REBUILT from the kept lines
+    (newline-joined) plus ``n_lines_kept`` / ``n_lines_orig``. The
+    whole pass is per-row array work — split, filter, rejoin — inside
+    whole-stage codegen: zero shuffles, zero Python, embarrassingly
+    parallel at any corpus size. Regexes stay in the RE2-portable
+    subset (character classes and anchors only), so an external engine
+    reproduces every keep/drop decision bit-for-bit.
+    """
+    if min_words_per_line < 1:
+        raise ValueError("c4_clean: min_words_per_line must be >= 1")
+    if min_lines < 1:
+        raise ValueError("c4_clean: min_lines must be >= 1")
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+    def line_ok(l):
+        n_words = F.size(F.filter(F.split(l, r"[ \t]+"), lambda w: w != ""))
+        ok = n_words >= F.lit(min_words_per_line)
+        if require_terminal_punct:
+            ok = ok & l.rlike(r'[.!?"]$')
+        return (
+            ok
+            & ~F.lower(l).contains("javascript")
+            & ~l.contains("{")
+            & ~l.contains("}")
+        )
+
+    kept = F.filter(lines, line_ok)
+    out = df.select(
+        "*",
+        F.size(lines).alias("n_lines_orig"),
+        F.size(kept).alias("n_lines_kept"),
+        F.array_join(kept, "\n").alias("_clean_text"),
+    )
+    return (
+        out.filter(
+            (F.col("n_lines_kept") >= min_lines)
+            & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+        )
+        .withColumn(text_col, F.col("_clean_text"))
+        .drop("_clean_text")
+    )

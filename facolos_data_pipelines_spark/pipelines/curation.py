@@ -36,7 +36,7 @@ from ..operators.sampling import (
     mix_to_weights,
     temperature_mix,
 )
-from ..operators.text import decontaminate, fingerprint, quality_score
+from ..operators.text import c4_clean, decontaminate, fingerprint, quality_score
 
 
 @dataclass
@@ -58,6 +58,7 @@ def curate_corpus(
     mix_weights: dict[str, float] | None = None,
     mix_temperature: float | None = None,
     curriculum_buckets: int | None = None,
+    c4_rules: bool = False,
     output_path: str | None = None,
 ) -> CurationResult:
     """Run the full curation flow; returns surviving docs (id, text,
@@ -74,8 +75,11 @@ def curate_corpus(
     the other, not both. ``curriculum_buckets`` appends a curriculum
     stage: survivors are re-scored and stamped with
     ``sampling.curriculum_order``'s (bucket, order_key) so the written
-    corpus replays easy-to-hard. With ``output_path`` the survivors are
-    also written as parquet.
+    corpus replays easy-to-hard. ``c4_rules=True`` prepends the hard
+    C4 line/doc deletion pass (``text.c4_clean``) BEFORE scoring —
+    cheapest-reducer-first ordering, since the hard rules are pure
+    narrow codegen. With ``output_path`` the survivors are also
+    written as parquet.
     """
     if mix_weights and mix_temperature is not None:
         raise ValueError(
@@ -90,6 +94,14 @@ def curate_corpus(
         )
 
     stages: list[tuple[str, int, int]] = []
+
+    if c4_rules:
+        n_raw = docs.count()
+        docs = c4_clean(docs, text_col=text_col, id_col=id_col).drop(
+            "n_lines_orig", "n_lines_kept"
+        )
+        docs = docs.localCheckpoint(eager=True)
+        stages.append(("c4_rules", n_raw, docs.count()))
 
     n0 = docs.count()
     scored = quality_score(docs, text_col).localCheckpoint(eager=True)

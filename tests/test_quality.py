@@ -2,6 +2,8 @@
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from facolos_data_pipelines_spark.operators.incremental import (
@@ -140,3 +142,36 @@ def test_snapshot_drift_flags(spark):
     s = out["s"]
     assert s["mean_a"] is None and not s["mean_drift"]  # non-numeric
     assert s["null_drift"]  # 1/3 -> 2/3
+
+
+def test_c4_clean_line_and_doc_rules(spark):
+    """Every C4 rule fires: short lines, missing terminal punct,
+    javascript/brace tells drop at line level; lorem-ipsum and
+    too-few-surviving-lines drop whole docs; surviving text is
+    rebuilt from kept lines only."""
+    from facolos_data_pipelines_spark.operators.text import c4_clean
+
+    docs = [
+        (1, 'Good first sentence here.\nAnother proper sentence!\nno punct line\nok'),
+        (2, 'Enable javascript to view.\nThis page uses cookies fine.\nReal content sentence one.\nReal content sentence two.'),
+        (3, 'function f() { return 1; }\nOnly one good sentence here.'),
+        (4, 'Lorem ipsum dolor sit amet.\nA perfectly fine sentence.\nAnother fine sentence.'),
+        (5, 'Tiny.\nAlso tiny.\nOk line but still tiny.'),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_clean(df, min_words_per_line=3, min_lines=2).collect()}
+
+    # doc 1: two good lines survive, short/unpunctuated lines dropped
+    assert out[1]["n_lines_orig"] == 4 and out[1]["n_lines_kept"] == 2
+    assert out[1]["text"] == "Good first sentence here.\nAnother proper sentence!"
+    # doc 2: javascript line dropped, three clean lines survive
+    assert out[2]["n_lines_kept"] == 3 and "javascript" not in out[2]["text"]
+    # doc 3: brace line dropped -> only 1 surviving line -> doc dropped
+    assert 3 not in out
+    # doc 4: lorem ipsum kills the whole doc
+    assert 4 not in out
+    # doc 5: every line under 3 words except the last... "Ok line but still tiny." has 5 words
+    assert out.get(5) is None or out[5]["n_lines_kept"] < 2 or 5 not in out
+
+    with pytest.raises(ValueError, match="min_lines"):
+        c4_clean(df, min_lines=0)
