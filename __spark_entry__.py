@@ -2242,6 +2242,32 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011;
+    operators.similarity.pq_train/pq_encode/pq_topk): vectors encoded
+    as 8 subspace codes against a codebook, top-10 by asymmetric
+    lookup-table distance to vec 0. A FIXED codebook — the subvector
+    slices of the 16 lowest vec_ids — makes encode + ADC exact
+    arithmetic DuckDB can mirror; production trains per-subspace
+    k-means via pq_train."""
+    from facolos_data_pipelines_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb_rows = sorted(
+        emb.filter(F.col("vec_id") < 16).collect(), key=lambda r: r["vec_id"]
+    )
+    codebooks = [
+        [[float(x) for x in r["embedding"][j * 8 : (j + 1) * 8]] for r in cb_rows]
+        for j in range(8)
+    ]
+    query = [float(x) for x in cb_rows[0]["embedding"]]
+    codes = pq_encode(emb, codebooks)
+    return pq_topk(codes, codebooks, query, k=10)
+
+
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 hard-rule cleanup (operators.text.c4_clean) over a multi-line
     corpus synthesized deterministically from documents (the flat
@@ -2460,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "temperature_mix": q_temperature_mix,
         "c4_clean": q_c4_clean,
+        "pq_topk": q_pq_topk,
         # -- round-4 additions (never driver-checked) --
         "fuzzy_match": q_fuzzy_match,
         "line_dedup": q_line_dedup,
@@ -3087,6 +3114,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1997-01-01'
             GROUP BY 1
+        """,
+        "pq_topk": r"""
+            -- similarity.pq_encode/pq_topk twin: same fixed codebook
+            -- (subvector slices of vec_id < 16), same slice-argmin
+            -- encode with (dist, code) tie-break, same ADC lookup sum
+            WITH cb AS (
+                SELECT vec_id AS code, embedding AS cv
+                FROM embeddings WHERE vec_id < 16
+            ), sub AS (
+                SELECT CAST(unnest(range(8)) AS INT) AS j
+            ), enc0 AS (
+                SELECT e.vec_id, s.j, c.code,
+                       list_sum(list_transform(range(1, 9),
+                           i -> (e.embedding[s.j*8 + i]::DOUBLE
+                                 - c.cv[s.j*8 + i]::DOUBLE)
+                                * (e.embedding[s.j*8 + i]::DOUBLE
+                                   - c.cv[s.j*8 + i]::DOUBLE))) AS dist
+                FROM embeddings e, sub s, cb c
+            ), enc AS (
+                SELECT vec_id, j, code FROM (
+                    SELECT vec_id, j, code,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY vec_id, j
+                               ORDER BY dist, code) AS rn
+                    FROM enc0)
+                WHERE rn = 1
+            ), q AS (
+                SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+            ), lut AS (
+                SELECT s.j, c.code,
+                       list_sum(list_transform(range(1, 9),
+                           i -> (q.qv[s.j*8 + i]::DOUBLE
+                                 - c.cv[s.j*8 + i]::DOUBLE)
+                                * (q.qv[s.j*8 + i]::DOUBLE
+                                   - c.cv[s.j*8 + i]::DOUBLE))) AS d
+                FROM sub s, cb c, q
+            )
+            SELECT enc.vec_id, ROUND(SUM(lut.d) + 1e-9, 4) AS approx_dist
+            FROM enc JOIN lut ON enc.j = lut.j AND enc.code = lut.code
+            GROUP BY 1
+            ORDER BY approx_dist, vec_id
+            LIMIT 10
         """,
         "c4_clean": r"""
             -- text.c4_clean twin: same synthesized line corpus, same

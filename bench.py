@@ -163,6 +163,7 @@ HEADLINE = [
     "psi_drift",
     "temperature_mix",
     "c4_clean",
+    "pq_topk",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is

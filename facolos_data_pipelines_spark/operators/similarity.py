@@ -697,3 +697,181 @@ def assign_nearest_centroid(
         best["cid"].alias(centroid_id_col),
         best["dist"].alias("sq_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011 — "Product Quantization for
+# Nearest Neighbor Search"): compress vectors to m small codes, answer
+# top-k with an asymmetric-distance lookup table. THE standard way to
+# hold a billion-vector index in memory — a 64-dim float vector (256 B)
+# becomes m=8 one-byte codes.
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_l2(data, k: int, iterations: int, seed: int):
+    """Seeded Lloyd's iterations under squared-L2 on a numpy array."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    C = data[rng.choice(len(data), size=min(k, len(data)), replace=False)].copy()
+    for _ in range(iterations):
+        d = ((data[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        labels = d.argmin(axis=1)
+        for j in range(len(C)):
+            members = data[labels == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def pq_train(
+    df: DataFrame,
+    num_subspaces: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float = 0.1,
+    iterations: int = 5,
+    seed: int = 42,
+    max_rows: int = 100_000,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split the vector into ``num_subspaces``
+    contiguous slices and run an independent squared-L2 k-means per
+    slice on one bounded sample (same ``max_rows`` driver-safety cap
+    as :func:`ivf_train_lite`; production swaps in MLlib KMeans per
+    subspace). Returns ``codebooks[j][c]`` = centroid c of subspace j.
+    Deterministic via seed. The vector width must divide evenly into
+    ``num_subspaces``."""
+    import numpy as np
+
+    sample = np.stack(
+        [
+            r[0]
+            for r in df.select(vec_col)
+            .sample(fraction=sample_fraction, seed=seed)
+            .limit(max_rows)
+            .collect()
+        ]
+    ).astype(np.float64)
+    dim = sample.shape[1]
+    if dim % num_subspaces:
+        raise ValueError(
+            f"pq_train: dim {dim} not divisible by num_subspaces {num_subspaces}"
+        )
+    dsub = dim // num_subspaces
+    return [
+        [
+            [float(x) for x in c]
+            for c in _kmeans_l2(
+                sample[:, j * dsub : (j + 1) * dsub], k, iterations, seed + j
+            )
+        ]
+        for j in range(num_subspaces)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as ``codes[j]`` = nearest codebook-j
+    centroid of its j-th slice (squared L2, lower code wins ties via
+    the same array_min struct ordering as assign_nearest_centroid).
+
+    The codebooks inline as plan literals (m x k tiny vectors — the
+    same bounded-literal reasoning as assign_nearest_centroid), so the
+    whole encode is ONE narrow codegen projection: per row,
+    ``num_subspaces`` slice-argmin folds. Zero shuffles, zero Python —
+    at 100 TB this is a single pass that REPLACES the vector column
+    with codes at a ~32x memory reduction, which is the entire point:
+    the downstream index fits where the raw vectors never would."""
+    m = len(codebooks)
+    if not m:
+        raise ValueError("pq_encode: empty codebooks")
+    dsub = len(codebooks[0][0])
+    vec = F.col(vec_col)
+
+    def subspace_code(sub, cb):
+        # closure keeps `sub` out of the transform lambda's signature
+        # (a second lambda arg would be treated as the element index)
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(ci).alias("code"),
+                    F.array(*[F.lit(float(x)) for x in cvec]).alias("v"),
+                )
+                for ci, cvec in enumerate(cb)
+            ]
+        )
+        dists = F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        c["v"],
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                c["code"].alias("code"),
+            ),
+        )
+        return F.array_min(dists)["code"]
+
+    codes = [
+        subspace_code(F.slice(vec, j * dsub + 1, dsub), cb)
+        for j, cb in enumerate(codebooks)
+    ]
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    dist_col: str = "approx_dist",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query is sliced
+    once driver-side into an m x k lookup table of exact
+    slice-to-centroid squared distances (tiny — it never touches the
+    cluster), and each row's approximate distance is the sum of m
+    array-literal lookups indexed by its codes. Pure codegen
+    arithmetic per row, then TakeOrderedAndProject (per-partition
+    k-heaps, no global sort; rounded distance + id tie-break keeps the
+    cutoff deterministic). This is the scan shape that serves
+    billion-vector ANN from RAM: O(m) adds per candidate instead of
+    O(dim) multiplies against a vector that no longer exists."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(query) != m * dsub:
+        raise ValueError(
+            f"pq_topk: query width {len(query)} != {m}x{dsub} codebook geometry"
+        )
+    luts = []
+    for j, cb in enumerate(codebooks):
+        qj = [float(x) for x in query[j * dsub : (j + 1) * dsub]]
+        lut = []
+        for cvec in cb:
+            d = 0.0
+            for a, b in zip(qj, cvec):
+                d += (a - b) * (a - b)
+            lut.append(d)
+        luts.append(lut)
+    dist = None
+    for j, lut in enumerate(luts):
+        term = F.element_at(
+            F.array(*[F.lit(d) for d in lut]), F.col("codes")[j] + 1
+        )
+        dist = term if dist is None else dist + term
+    return (
+        codes.select(
+            F.col(id_col), F.round(dist + 1e-9, 4).alias(dist_col)
+        )
+        .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+        .limit(k)
+    )

