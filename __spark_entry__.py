@@ -2268,6 +2268,32 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, codebooks, query, k=10)
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators.similarity.encode_ivfpq/topk_ivfpq — the
+    FAISS IVFPQ architecture): coarse-assign to 4 cells, PQ-encode the
+    residual, probe the 2 cells nearest vec 0 and rank by per-cell ADC
+    tables. Fixed coarse centroids (vec_id < 4) and codebook
+    (vec_id < 16 slices) make the whole index + probe exact arithmetic
+    the DuckDB oracle certifies; production trains both codebooks."""
+    from facolos_data_pipelines_spark.operators.similarity import (
+        encode_ivfpq,
+        topk_ivfpq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = sorted(
+        emb.filter(F.col("vec_id") < 16).collect(), key=lambda r: r["vec_id"]
+    )
+    coarse = [[float(x) for x in r["embedding"]] for r in rows[:4]]
+    codebooks = [
+        [[float(x) for x in r["embedding"][j * 8 : (j + 1) * 8]] for r in rows]
+        for j in range(8)
+    ]
+    query = [float(x) for x in rows[0]["embedding"]]
+    index = encode_ivfpq(emb, coarse, codebooks)
+    return topk_ivfpq(index, coarse, codebooks, query, k=10, n_probe=2)
+
+
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 hard-rule cleanup (operators.text.c4_clean) over a multi-line
     corpus synthesized deterministically from documents (the flat
@@ -2487,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "c4_clean": q_c4_clean,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         # -- round-4 additions (never driver-checked) --
         "fuzzy_match": q_fuzzy_match,
         "line_dedup": q_line_dedup,
@@ -3114,6 +3141,81 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1997-01-01'
             GROUP BY 1
+        """,
+        "ivfpq_topk": r"""
+            -- similarity.encode_ivfpq/topk_ivfpq twin: coarse argmin
+            -- (vec_id < 4), residual PQ encode against the vec_id < 16
+            -- slice codebook, 2-cell probe, per-cell ADC sum
+            WITH coarse AS (
+                SELECT vec_id AS cell, embedding AS cv
+                FROM embeddings WHERE vec_id < 4
+            ), cb AS (
+                SELECT vec_id AS code, embedding AS bv
+                FROM embeddings WHERE vec_id < 16
+            ), sub AS (
+                SELECT CAST(unnest(range(8)) AS INT) AS j
+            ), assign0 AS (
+                SELECT e.vec_id, c.cell,
+                       list_sum(list_transform(range(1, 65),
+                           i -> (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)
+                                * (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)))
+                           AS dist
+                FROM embeddings e, coarse c
+            ), assigned AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cell) AS rn
+                    FROM assign0) WHERE rn = 1
+            ), enc0 AS (
+                SELECT e.vec_id, a.cell, s.j, b.code,
+                       list_sum(list_transform(range(1, 9),
+                           i -> ((e.embedding[s.j*8 + i]::DOUBLE
+                                  - c.cv[s.j*8 + i]::DOUBLE)
+                                 - b.bv[s.j*8 + i]::DOUBLE)
+                                * ((e.embedding[s.j*8 + i]::DOUBLE
+                                    - c.cv[s.j*8 + i]::DOUBLE)
+                                   - b.bv[s.j*8 + i]::DOUBLE))) AS dist
+                FROM embeddings e
+                JOIN assigned a ON e.vec_id = a.vec_id
+                JOIN coarse c ON a.cell = c.cell, sub s, cb b
+            ), enc AS (
+                SELECT vec_id, cell, j, code FROM (
+                    SELECT vec_id, cell, j, code,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                              ORDER BY dist, code) AS rn
+                    FROM enc0) WHERE rn = 1
+            ), q AS (
+                SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+            ), probes AS (
+                SELECT cell FROM (
+                    SELECT c.cell,
+                           list_sum(list_transform(range(1, 65),
+                               i -> (q.qv[i]::DOUBLE - c.cv[i]::DOUBLE)
+                                    * (q.qv[i]::DOUBLE - c.cv[i]::DOUBLE)))
+                               AS dist
+                    FROM coarse c, q)
+                ORDER BY dist, cell LIMIT 2
+            ), lut AS (
+                SELECT c.cell, s.j, b.code,
+                       list_sum(list_transform(range(1, 9),
+                           i -> ((q.qv[s.j*8 + i]::DOUBLE
+                                  - c.cv[s.j*8 + i]::DOUBLE)
+                                 - b.bv[s.j*8 + i]::DOUBLE)
+                                * ((q.qv[s.j*8 + i]::DOUBLE
+                                    - c.cv[s.j*8 + i]::DOUBLE)
+                                   - b.bv[s.j*8 + i]::DOUBLE))) AS d
+                FROM coarse c, sub s, cb b, q
+                WHERE c.cell IN (SELECT cell FROM probes)
+            )
+            SELECT enc.vec_id, ROUND(SUM(lut.d) + 1e-9, 4) AS approx_dist
+            FROM enc
+            JOIN lut ON enc.cell = lut.cell AND enc.j = lut.j
+                    AND enc.code = lut.code
+            WHERE enc.cell IN (SELECT cell FROM probes)
+            GROUP BY 1
+            ORDER BY approx_dist, vec_id
+            LIMIT 10
         """,
         "pq_topk": r"""
             -- similarity.pq_encode/pq_topk twin: same fixed codebook

@@ -164,6 +164,7 @@ HEADLINE = [
     "temperature_mix",
     "c4_clean",
     "pq_topk",
+    "ivfpq_topk",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is

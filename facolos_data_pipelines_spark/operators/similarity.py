@@ -875,3 +875,99 @@ def pq_topk(
         .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def encode_ivfpq(
+    df: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ index build (the FAISS IVFPQ layout): assign each vector
+    to its nearest coarse centroid, subtract that centroid, and
+    PQ-encode the RESIDUAL — residuals are smaller and more isotropic
+    than raw vectors, so the same codebook budget quantizes them with
+    far less error (Jégou et al. 2011 §IV). Output: (id, _cell, codes).
+
+    One narrow codegen pass end to end: the coarse assignment is the
+    literal-centroid argmin of assign_nearest_centroid, the residual is
+    a zip_with against the SAME literals (resolved per row from the
+    assigned cell — a transform over the centroid array indexed by
+    cell id), and the PQ slice-argmins run on the residual column.
+    Zero shuffles; written `partitionBy('_cell')`, the probe filter
+    below becomes partition pruning."""
+    cents = [[float(x) for x in c] for c in coarse_centroids]
+    assigned = assign_nearest_centroid(
+        df.select(F.col(id_col), F.col(vec_col)),
+        df.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cluster_id int, centroid array<double>",
+        ),
+        id_col,
+        vec_col,
+    ).select(id_col, F.col("cluster_id").alias("_cell"))
+    cent_arr = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in cents]
+    )
+    with_res = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(assigned, id_col)
+        .select(
+            F.col(id_col),
+            F.col("_cell"),
+            F.zip_with(
+                F.col(vec_col),
+                F.element_at(cent_arr, F.col("_cell") + 1),
+                lambda a, b: a.cast("double") - b,
+            ).alias("_residual"),
+        )
+    )
+    return pq_encode(with_res, codebooks, "_residual", id_col).join(
+        with_res.select(id_col, "_cell"), id_col
+    )
+
+
+def topk_ivfpq(
+    index: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    dist_col: str = "approx_dist",
+) -> DataFrame:
+    """IVF-PQ query: probe the ``n_probe`` cells whose coarse centroid
+    is nearest the query (squared L2), build ONE per-cell ADC lookup
+    table from the query's residual against that cell's centroid
+    (driver-side, m x k x n_probe floats — never touches the cluster),
+    and scan only the probed cells' codes. This is the architecture
+    that serves billion-vector ANN: the cell filter prunes
+    ~(1 - n_probe/n_cells) of the corpus BEFORE any distance math (on
+    a `_cell`-partitioned layout it is partition pruning), and each
+    surviving row costs m array lookups. Rounded distance + id
+    tie-break keeps the top-k cutoff deterministic."""
+    import numpy as np
+
+    C = np.asarray(coarse_centroids, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((C - q) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2)[:n_probe]]
+    per_cell = []
+    for cell in probes:
+        resid = [float(x) for x in (q - C[cell])]
+        per_cell.append(
+            pq_topk(
+                index.filter(F.col("_cell") == cell),
+                codebooks,
+                resid,
+                k,
+                id_col,
+                dist_col,
+            )
+        )
+    out = per_cell[0]
+    for p in per_cell[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(F.col(dist_col).asc(), F.col(id_col).asc()).limit(k)

@@ -832,3 +832,40 @@ def test_pq_roundtrip_recall_and_geometry(spark, sf_dir):
         pq_encode(emb, [])
     with pytest.raises(ValueError, match="divisible"):
         pq_train(emb, num_subspaces=7, sample_fraction=1.0)
+
+
+def test_ivfpq_index_and_probe(spark, sf_dir):
+    """IVF-PQ: the index stores (id, _cell, codes) with residual-coded
+    PQ; probing n cells returns the query's own vector first and only
+    ids from probed cells; widening n_probe can only improve (or keep)
+    the approximate top-k distance at any rank."""
+    from facolos_data_pipelines_spark.operators.similarity import (
+        encode_ivfpq,
+        ivf_train_lite,
+        pq_train,
+        topk_ivfpq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    coarse = ivf_train_lite(emb, k=4, sample_fraction=1.0)
+    cbs = pq_train(emb, num_subspaces=8, k=16, sample_fraction=1.0)
+
+    index = encode_ivfpq(emb, coarse, cbs)
+    assert set(index.columns) == {"vec_id", "codes", "_cell"}
+    assert index.count() == emb.count()
+    cells = {r["_cell"] for r in index.select("_cell").distinct().collect()}
+    assert cells <= set(range(4)) and len(cells) >= 2
+
+    row = emb.first()
+    q = [float(x) for x in row["embedding"]]
+    top1 = topk_ivfpq(index, coarse, cbs, q, k=5, n_probe=1).collect()
+    assert top1[0]["vec_id"] == row["vec_id"]  # self found in its own cell
+    # all hits come from the single probed cell
+    probed_ids = {r["vec_id"] for r in top1}
+    cell_of = {r["vec_id"]: r["_cell"] for r in index.collect()}
+    assert len({cell_of[i] for i in probed_ids}) == 1
+
+    top_all = topk_ivfpq(index, coarse, cbs, q, k=5, n_probe=4).collect()
+    # monotone: probing every cell can only tighten the k-th distance
+    assert top_all[-1]["approx_dist"] <= top1[-1]["approx_dist"] + 1e-9
+    assert top_all[0]["vec_id"] == row["vec_id"]
