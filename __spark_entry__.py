@@ -2479,6 +2479,122 @@ def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicate_spans(docs, n=5)
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated scalar-MIN subquery + region-
+    restricted supplier chain): for every STANDARD part in a size band,
+    the cheapest EUROPE supplier by average unit price. The schema has
+    no partsupp, so the (part, supplier) average lineitem unit price
+    plays ps_supplycost's role. Spark replaces the correlated MIN with
+    ONE window pass over the aggregated cost table (row_number over
+    (unit_cost, s_suppkey) — the suppkey tie-break makes the winner
+    deterministic so cross-engine ulp drift cannot flip it); the DuckDB
+    oracle keeps Q2's literal correlated-subquery text. Supplier,
+    nation, and region dims all broadcast; the only shuffle is the
+    (part, supplier) aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    cost = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "nation")
+        .agg(
+            F.round(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")) + 1e-9, 4
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_cost", "s_suppkey")
+    return (
+        cost.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal",
+            "nation", "unit_cost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey")
+        .limit(100)
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (grouped aggregate HAVING > global-scalar
+    threshold): per-part revenue from NATION_3 suppliers that exceeds
+    0.1% of that whole market. The global total is a 1-row broadcast
+    cross-joined into the grouped aggregate — the classic
+    scalar-subquery-in-HAVING plan with no second scan of the fact
+    (both aggregates reuse one shuffled intermediate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 3)
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2
+            ).alias("part_value")
+        )
+    )
+    total = per_part.agg(F.round(F.sum("part_value") + 1e-6, 2).alias("_tv"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > 0.001 * F.col("_tv"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (NOT-IN anti-join + grouped COUNT DISTINCT):
+    how many distinct suppliers ship each (brand, type, size) combo,
+    excluding one brand, the PROMO type, and any supplier in arrears
+    (negative balance — the complaints list's role). The NOT IN
+    compiles to a broadcast left-anti join on the tiny excluded-key
+    set; COUNT DISTINCT expands to the standard two-phase distinct
+    aggregate on the one fact shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("_x_suppkey"))
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("_x_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the driver's correctness gate checks
     # the FIRST 50 entries only, so the window ROTATES each round. The
@@ -2509,6 +2625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_items": q_frequent_items,
         "curriculum_order": q_curriculum_order,
         "excess_suppliers": q_excess_suppliers,
+        "min_cost_supplier": q_min_cost_supplier,
+        "important_parts": q_important_parts,
+        "supplier_variety": q_supplier_variety,
         "psi_drift": q_psi_drift,
         "temperature_mix": q_temperature_mix,
         "c4_clean": q_c4_clean,
@@ -3364,6 +3483,69 @@ def oracle_sql() -> dict[str, str]:
             JOIN per_part ON l_partkey = t_partkey
             WHERE qty > 3.0 * avg_qty
             ORDER BY s_suppkey
+        """,
+        "min_cost_supplier": r"""
+            -- Q2-shaped twin: literal correlated scalar-MIN subquery
+            -- (the Spark side uses one window pass instead); suppkey
+            -- tie-break keeps the winner deterministic
+            WITH cost AS (
+                SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal,
+                       n_name AS nation,
+                       ROUND(AVG(l_extendedprice / l_quantity) + 1e-9, 4)
+                           AS unit_cost
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+                  AND r_name = 'EUROPE'
+                GROUP BY 1, 2, 3, 4, 5, 6
+            ), m AS (
+                SELECT * FROM cost c
+                WHERE unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2
+                                   WHERE c2.p_partkey = c.p_partkey)
+            )
+            SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal,
+                   nation, unit_cost
+            FROM m
+            WHERE s_suppkey = (SELECT MIN(m2.s_suppkey) FROM m m2
+                               WHERE m2.p_partkey = m.p_partkey)
+            ORDER BY s_acctbal DESC, p_partkey
+            LIMIT 100
+        """,
+        "important_parts": r"""
+            -- Q11-shaped twin: HAVING > scalar-subquery threshold
+            WITH per_part AS (
+                SELECT l_partkey,
+                       ROUND(SUM(l_extendedprice * (1 - l_discount))
+                             + 1e-6, 2) AS part_value
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                WHERE s_nationkey = 3
+                GROUP BY 1
+            )
+            SELECT l_partkey, part_value
+            FROM per_part
+            WHERE part_value > 0.001 * (SELECT ROUND(SUM(part_value)
+                                                     + 1e-6, 2)
+                                        FROM per_part)
+            ORDER BY part_value DESC, l_partkey
+        """,
+        "supplier_variety": r"""
+            -- Q16-shaped twin: NOT IN excluded-supplier subquery +
+            -- grouped COUNT DISTINCT
+            SELECT p_brand, p_type, p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
         """,
         "frequent_items": r"""
             -- skew.frequent_items twin: the full-vocabulary GROUP BY /
