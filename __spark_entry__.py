@@ -2479,6 +2479,43 @@ def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicate_spans(docs, n=5)
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority near-dedup survivors
+    (dedup.keep_best_per_cluster): exact 3-gram Jaccard pairs ->
+    single-link components -> keep the LONGEST member of each cluster
+    (n_chars desc, id tie-break) instead of the min id — the
+    FineWeb-style keep policy where dedup upgrades the corpus. The
+    DuckDB twin recomputes the same pair set, closes it with a
+    recursive CTE, and applies the same window."""
+    from facolos_data_pipelines_spark.operators.dedup import (
+        connected_components,
+        keep_best_per_cluster,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    out = keep_best_per_cluster(docs, comps, score_col="n_chars")
+    return out.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absolute token-budget mixture cut
+    (sampling.token_budget_sample): four sources cut to exact token
+    budgets (600/800/400/1000), the rest dropped — md5-fraction deal
+    order, per-source running token sum, keep until the budget is
+    crossed. The proportion twins (mix_corpus, temperature_mix) pick
+    ROW shares; this enforces the token recipe."""
+    from facolos_data_pipelines_spark.operators.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = token_budget_sample(
+        docs, {"src1": 600, "src3": 800, "src5": 400, "src7": 1000}
+    )
+    return out.select("doc_id", "source", "n_tokens")
+
+
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (correlated scalar-MIN subquery + region-
     restricted supplier chain): for every STANDARD part in a size band,
@@ -2626,6 +2663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum_order,
         "excess_suppliers": q_excess_suppliers,
         "min_cost_supplier": q_min_cost_supplier,
+        "dedup_keep_best": q_dedup_keep_best,
+        "token_budget_mix": q_token_budget_mix,
         "important_parts": q_important_parts,
         "supplier_variety": q_supplier_variety,
         "psi_drift": q_psi_drift,
@@ -2877,6 +2916,43 @@ def _pack_oracle_sql() -> str:
             SELECT doc_id, shard,
                    CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id, n_tokens
             FROM c
+        """
+
+
+def _token_budget_oracle_sql() -> str:
+    """token_budget_sample twin: 32-bit md5 fraction (salt 'budget'),
+    whitespace token count (the pack_documents contract), per-source
+    (frac, id)-ordered running sum, keep while the sum BEFORE the row
+    is under the budget."""
+    value = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1) * {16 ** (7 - d)}"
+        for d in range(8)
+    )
+    budgets = {"src1": 600, "src3": 800, "src5": 400, "src7": 1000}
+    vals = ", ".join(
+        f"('{k}', CAST({v} AS DOUBLE))" for k, v in budgets.items()
+    )
+    return rf"""
+            WITH b(source, budget) AS (VALUES {vals}),
+            h8 AS (
+                SELECT doc_id, source,
+                       md5('budget:' || CAST(doc_id AS VARCHAR)) AS h,
+                       CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                            x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), f AS (
+                SELECT doc_id, source, n_tokens,
+                       ({value}) / 4294967296.0 AS frac
+                FROM h8
+            ), c AS (
+                SELECT f.doc_id, f.source, f.n_tokens, b.budget,
+                       COALESCE(SUM(f.n_tokens) OVER (
+                           PARTITION BY f.source ORDER BY f.frac, f.doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cum_before
+                FROM f JOIN b ON f.source = b.source
+            )
+            SELECT doc_id, source, n_tokens FROM c WHERE cum_before < budget
         """
 
 
@@ -3483,6 +3559,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN per_part ON l_partkey = t_partkey
             WHERE qty > 3.0 * avg_qty
             ORDER BY s_suppkey
+        """,
+        "token_budget_mix": _token_budget_oracle_sql(),
+        "dedup_keep_best": r"""
+            -- keep_best_per_cluster twin: the certified ngram-jaccard
+            -- pair CTEs + recursive closure + longest-member window
+            WITH RECURSIVE w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    list_filter([array_to_string(list_slice(words, i, i + 2), ' ')
+                                 for i in range(1, greatest(len(words) - 2, 1) + 1)],
+                                x -> x <> ''))) AS sh
+                FROM w
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+            ), shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pr AS (
+                SELECT id_a, id_b FROM shared
+                JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b
+                WHERE c / (sa.n + sb.n - c) >= 0.8
+            ), und AS (
+                SELECT id_a AS u, id_b AS v FROM pr
+                UNION ALL
+                SELECT id_b, id_a FROM pr
+            ), reach(a, b) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM und)
+                UNION
+                SELECT r.a, ed.v FROM reach r JOIN und ed ON r.b = ed.u
+            ), comp AS (
+                SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a
+            ), lab AS (
+                SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+                       COALESCE(c2.component, d.doc_id) AS cmp
+                FROM documents d LEFT JOIN comp c2 ON d.doc_id = c2.node
+            ), r AS (
+                SELECT doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY cmp
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM lab
+            )
+            SELECT doc_id, n_chars FROM r WHERE rn = 1
         """,
         "min_cost_supplier": r"""
             -- Q2-shaped twin: literal correlated scalar-MIN subquery

@@ -677,6 +677,52 @@ def _drop_pair_losers(
     return df.join(losers, id_col, "left_anti")
 
 
+def keep_best_per_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Quality-priority survivor selection for duplicate clusters:
+    keep the best-scoring member of every cluster instead of the
+    lowest id. The min-id keep policy (`_drop_pair_losers`) is
+    arbitrary; curation pipelines (FineWeb-style) keep the member
+    with the best quality signal — longest, highest LM score, best
+    heuristic composite — so near-dedup upgrades the corpus instead
+    of sampling it blindly.
+
+    ``clusters`` is the (node, component) frame
+    :func:`connected_components` produces; docs absent from it are
+    singleton survivors. Ties on ``score_col`` break on the lower id,
+    so the selection is total and deterministic. ``descending=False``
+    keeps the LOWEST score (e.g. perplexity, where smaller is better).
+
+    Scale: one join on id (the cluster frame is near-dup nodes only —
+    tiny next to the corpus, broadcast-eligible) + one window whose
+    partition is a duplicate CLUSTER, never the corpus; singletons
+    pass through the same window with partition size 1.
+    """
+    if "_comp" in df.columns or "_rn" in df.columns:
+        raise ValueError(
+            "keep_best_per_cluster: input has internal column names "
+            "('_comp'/'_rn'); rename them first"
+        )
+    lab = clusters.select(F.col("node").alias(id_col), "component")
+    order = [
+        F.col(score_col).desc() if descending else F.col(score_col).asc(),
+        F.col(id_col).asc(),
+    ]
+    w = Window.partitionBy("_comp").orderBy(*order)
+    return (
+        df.join(lab, id_col, "left")
+        .withColumn("_comp", F.coalesce(F.col("component"), F.col(id_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_comp", "_rn", "component")
+    )
+
+
 def ngram_jaccard_dedup(
     df: DataFrame,
     text_col: str = "text",

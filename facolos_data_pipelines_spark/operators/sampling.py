@@ -399,6 +399,97 @@ def weighted_sample(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, float],
+    source_col: str = "source",
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+    prefilter_margin: float | None = None,
+) -> DataFrame:
+    """Deterministic per-source TOKEN-BUDGET selection: deal each
+    source's docs into md5-fraction order and keep the shortest prefix
+    whose token count reaches that source's budget (the doc that
+    crosses the boundary is kept, so the budget is met, never
+    undershot while supply lasts). This is how a training mixture is
+    cut to an exact token recipe — `mix_to_weights`/`temperature_mix`
+    choose PROPORTIONS by row, this enforces ABSOLUTE token counts.
+
+    Sources absent from ``budgets`` are dropped. Token counts come
+    from ``token_col`` if given, else the whitespace count of
+    ``text_col`` (the `pack_documents` contract). Selection is a
+    running sum over (md5 fraction, id) per source — reproducible
+    across runs, engines, and cluster sizes (the hash_split
+    determinism contract).
+
+    Scale: ONE shuffle, partitioned by source; the window's partition
+    is a source, so a giant source makes a hot partition. For that
+    case ``prefilter_margin`` (e.g. 2.0) adds a cheap first pass —
+    per-source token totals (a broadcast-size aggregate), then only
+    rows with fraction <= margin * budget/total enter the window, so
+    the sequential scan touches ~margin * budget worth of docs instead
+    of the whole source. The margin covers sampling variance in how
+    much token mass lands below the cutoff; 2x is ample for any
+    source with >~100 docs (token mass below fraction f concentrates
+    sharply around f * total). Both phases are deterministic, so the
+    prefiltered plan selects the SAME rows as the exact one whenever
+    the margin holds (unit-tested).
+    """
+    if not budgets:
+        raise ValueError("token_budget_sample: budgets must be non-empty")
+    if any(v <= 0 for v in budgets.values()):
+        raise ValueError("token_budget_sample: budgets must be positive")
+    reserved = {"_tok", "_frac", "_budget", "_cum_before", "_tot"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"token_budget_sample: input columns {sorted(clash)} collide with "
+            "internal names; rename them first"
+        )
+    from .text import token_count_whitespace
+
+    tokens = (
+        F.col(token_col) if token_col else token_count_whitespace(text_col)
+    ).cast("long")
+    budget_map = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    base = (
+        df.withColumn("_tok", tokens)
+        .withColumn("_frac", _hash_fraction(id_col, salt))
+        .withColumn("_budget", budget_map[F.col(source_col)].cast("double"))
+        .filter(F.col("_budget").isNotNull())
+    )
+    if prefilter_margin is not None:
+        if prefilter_margin < 1.0:
+            raise ValueError("token_budget_sample: prefilter_margin must be >= 1")
+        totals = base.groupBy(source_col).agg(F.sum("_tok").alias("_tot"))
+        base = (
+            base.join(F.broadcast(totals), source_col)
+            .filter(
+                F.col("_frac")
+                <= F.least(
+                    F.lit(1.0),
+                    F.lit(prefilter_margin) * F.col("_budget") / F.col("_tot"),
+                )
+            )
+            .drop("_tot")
+        )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("_frac", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn("_cum_before", F.coalesce(F.sum("_tok").over(w), F.lit(0)))
+        .filter(F.col("_cum_before") < F.col("_budget"))
+        .withColumnRenamed("_tok", "n_tokens")
+        .drop("_frac", "_budget", "_cum_before")
+    )
+
+
 def split_leakage_check(
     df: DataFrame,
     text_col: str = "text",

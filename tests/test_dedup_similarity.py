@@ -869,3 +869,44 @@ def test_ivfpq_index_and_probe(spark, sf_dir):
     # monotone: probing every cell can only tighten the k-th distance
     assert top_all[-1]["approx_dist"] <= top1[-1]["approx_dist"] + 1e-9
     assert top_all[0]["vec_id"] == row["vec_id"]
+
+
+def test_keep_best_per_cluster_prefers_score_over_min_id(spark):
+    """Cluster {1,2,3}: doc 2 has the best score and survives even
+    though 1 is the min id; docs outside the cluster frame are
+    singleton survivors."""
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (4, 1.0), (5, 2.0)],
+        ["doc_id", "score"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], ["node", "component"]
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup.keep_best_per_cluster(docs, clusters, "score").collect()
+    }
+    assert kept == {2, 4, 5}
+
+
+def test_keep_best_per_cluster_tiebreak_and_ascending(spark):
+    docs = spark.createDataFrame(
+        [(1, 3.0), (2, 3.0), (3, 8.0)], ["doc_id", "score"]
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], ["node", "component"]
+    )
+    # score tie between 1 and 2 at the top? 3 wins outright (8.0);
+    # with descending=False the tied minimum 3.0 breaks to the lower id
+    best = dedup.keep_best_per_cluster(docs, clusters, "score").collect()
+    assert [r["doc_id"] for r in best] == [3]
+    worst = dedup.keep_best_per_cluster(
+        docs, clusters, "score", descending=False
+    ).collect()
+    assert [r["doc_id"] for r in worst] == [1]
+    # output keeps the input schema only (no cluster internals)
+    assert set(best[0].asDict()) == {"doc_id", "score"}
+
+    clash = docs.withColumn("_comp", docs["score"])
+    with pytest.raises(ValueError, match="_comp"):
+        dedup.keep_best_per_cluster(clash, clusters, "score")

@@ -305,3 +305,63 @@ def test_population_stability_index(spark):
 
     with pytest.raises(ValueError, match="num_bins"):
         population_stability_index(base, base, "v", num_bins=1)
+
+
+def test_token_budget_sample_meets_budget_without_undershoot(spark):
+    """Docs of 10 tokens each, budget 35: the doc crossing the
+    boundary is kept, so the kept mass is >= 35 and dropping the last
+    kept doc would undershoot."""
+    from facolos_data_pipelines_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 9 + "tok", "a") for i in range(20)]
+        + [(100 + i, "x y z", "b") for i in range(3)]
+        + [(200, "dropped source", "c")],
+        ["doc_id", "text", "source"],
+    )
+    out = token_budget_sample(docs, {"a": 35, "b": 1000}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    got_a = sum(r["n_tokens"] for r in by_src["a"])
+    assert got_a >= 35 and got_a - 10 < 35  # crossing doc kept, no more
+    # budget beyond supply keeps the whole source; unlisted sources drop
+    assert len(by_src["b"]) == 3 and "c" not in by_src
+    assert set(out[0].asDict()) == {"doc_id", "text", "source", "n_tokens"}
+
+
+def test_token_budget_sample_prefilter_matches_exact(spark):
+    from facolos_data_pipelines_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 7)), f"s{i % 3}") for i in range(60)],
+        ["doc_id", "text", "source"],
+    )
+    budgets = {"s0": 40, "s1": 25, "s2": 60}
+    exact = {
+        r["doc_id"] for r in token_budget_sample(docs, budgets).collect()
+    }
+    pre = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            docs, budgets, prefilter_margin=2.0
+        ).collect()
+    }
+    assert exact == pre and exact
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        token_budget_sample(docs, {})
+    with _pytest.raises(ValueError, match="positive"):
+        token_budget_sample(docs, {"s0": 0})
+    with _pytest.raises(ValueError, match="margin"):
+        token_budget_sample(docs, budgets, prefilter_margin=0.5)
+    with _pytest.raises(ValueError, match="collide"):
+        token_budget_sample(
+            docs.withColumn("_tok", F.lit(1)), budgets
+        )
