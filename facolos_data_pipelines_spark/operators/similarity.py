@@ -774,10 +774,13 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Encode every vector as ``codes[j]`` = nearest codebook-j
     centroid of its j-th slice (squared L2, lower code wins ties via
     the same array_min struct ordering as assign_nearest_centroid).
+    ``keep`` names extra input columns carried through unchanged
+    (encode_ivfpq threads its cell id this way instead of re-joining).
 
     The codebooks inline as plan literals (m x k tiny vectors — the
     same bounded-literal reasoning as assign_nearest_centroid), so the
@@ -825,7 +828,8 @@ def pq_encode(
         subspace_code(F.slice(vec, j * dsub + 1, dsub), cb)
         for j, cb in enumerate(codebooks)
     ]
-    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+    carried = [F.col(c) for c in (keep or [])]
+    return df.select(F.col(id_col), *carried, F.array(*codes).alias("codes"))
 
 
 def pq_topk(
@@ -891,41 +895,60 @@ def encode_ivfpq(
     far less error (Jégou et al. 2011 §IV). Output: (id, _cell, codes).
 
     One narrow codegen pass end to end: the coarse assignment is the
-    literal-centroid argmin of assign_nearest_centroid, the residual is
-    a zip_with against the SAME literals (resolved per row from the
-    assigned cell — a transform over the centroid array indexed by
-    cell id), and the PQ slice-argmins run on the residual column.
-    Zero shuffles; written `partitionBy('_cell')`, the probe filter
-    below becomes partition pruning."""
+    SAME literal-centroid argmin expression assign_nearest_centroid
+    builds (inlined here so no join is needed), the residual is a
+    zip_with against the same literals resolved per row from the
+    assigned cell, and the PQ slice-argmins run on the residual
+    column with the cell id threaded through ``pq_encode(keep=...)``.
+    Zero shuffles, zero joins; written `partitionBy('_cell')`, the
+    probe filter below becomes partition pruning."""
     cents = [[float(x) for x in c] for c in coarse_centroids]
-    assigned = assign_nearest_centroid(
-        df.select(F.col(id_col), F.col(vec_col)),
-        df.sparkSession.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
-            "cluster_id int, centroid array<double>",
-        ),
-        id_col,
-        vec_col,
-    ).select(id_col, F.col("cluster_id").alias("_cell"))
-    cent_arr = F.array(
-        *[F.array(*[F.lit(x) for x in c]) for c in cents]
-    )
-    with_res = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .join(assigned, id_col)
-        .select(
-            F.col(id_col),
-            F.col("_cell"),
-            F.zip_with(
-                F.col(vec_col),
-                F.element_at(cent_arr, F.col("_cell") + 1),
-                lambda a, b: a.cast("double") - b,
-            ).alias("_residual"),
+    if not cents:
+        raise ValueError("encode_ivfpq: empty coarse centroids")
+    if len(cents) > MAX_LITERAL_CENTROIDS:
+        raise ValueError(
+            f"encode_ivfpq: {len(cents)} coarse centroids exceeds the "
+            f"literal-plan bound ({MAX_LITERAL_CENTROIDS})"
         )
+    vec = F.col(vec_col)
+    cent_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(x) for x in c]).alias("v"),
+            )
+            for i, c in enumerate(cents)
+        ]
     )
-    return pq_encode(with_res, codebooks, "_residual", id_col).join(
-        with_res.select(id_col, "_cell"), id_col
+    dists = F.transform(
+        cent_structs,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    c["v"],
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
     )
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    assigned = df.select(
+        F.col(id_col), vec.alias("_v"), F.array_min(dists)["cid"].alias("_cell")
+    )
+    with_res = assigned.select(
+        F.col(id_col),
+        F.col("_cell"),
+        F.zip_with(
+            F.col("_v"),
+            F.element_at(cent_arr, F.col("_cell") + 1),
+            lambda a, b: a.cast("double") - b,
+        ).alias("_residual"),
+    )
+    return pq_encode(with_res, codebooks, "_residual", id_col, keep=["_cell"])
 
 
 def topk_ivfpq(
