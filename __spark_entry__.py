@@ -2516,6 +2516,24 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_tokens")
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination
+    (similarity.semantic_decontaminate): treat the 20 lowest vec_ids
+    as the held-out benchmark, drop every remaining vector with
+    cosine >= 0.3 to any of them — the paraphrase-robust twin of the
+    n-gram decontaminate/decontaminate_bloom pair. Exact path: the
+    test set broadcasts, one codegen cross-score pass, anti-join."""
+    from facolos_data_pipelines_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") < 20)
+    train = emb.filter(F.col("vec_id") >= 20)
+    out = semantic_decontaminate(train, test, threshold=0.3)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"))
+
+
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (correlated scalar-MIN subquery + region-
     restricted supplier chain): for every STANDARD part in a size band,
@@ -2664,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_suppliers": q_excess_suppliers,
         "min_cost_supplier": q_min_cost_supplier,
         "dedup_keep_best": q_dedup_keep_best,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "token_budget_mix": q_token_budget_mix,
         "important_parts": q_important_parts,
         "supplier_variety": q_supplier_variety,
@@ -3561,6 +3580,31 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY s_suppkey
         """,
         "token_budget_mix": _token_budget_oracle_sql(),
+        "semantic_decontaminate": r"""
+            -- similarity.semantic_decontaminate twin: cosine =
+            -- index-ordered dot / (norm_a * norm_b), the SAME float
+            -- sequence cosine_similarity's zip_with/aggregate folds
+            -- produce; train rows too close to any test vector drop
+            WITH n AS (
+                SELECT vec_id, embedding,
+                       sqrt(list_sum(list_transform(embedding,
+                            y -> y::DOUBLE * y::DOUBLE))) AS nrm
+                FROM embeddings
+            ), t AS (
+                SELECT * FROM n WHERE vec_id < 20
+            ), tr AS (
+                SELECT * FROM n WHERE vec_id >= 20
+            ), hits AS (
+                SELECT DISTINCT tr.vec_id
+                FROM tr JOIN t
+                  ON tr.nrm * t.nrm > 0
+                 AND list_sum(list_transform(range(1, 65),
+                         i -> tr.embedding[i]::DOUBLE * t.embedding[i]::DOUBLE))
+                     / (tr.nrm * t.nrm) >= 0.3
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id FROM tr
+            WHERE vec_id NOT IN (SELECT vec_id FROM hits)
+        """,
         "dedup_keep_best": r"""
             -- keep_best_per_cluster twin: the certified ngram-jaccard
             -- pair CTEs + recursive closure + longest-member window

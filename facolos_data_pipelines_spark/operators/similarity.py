@@ -629,6 +629,77 @@ def knn_join_lsh(
     )
 
 
+def semantic_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    threshold: float = 0.9,
+    train_vec: str = "embedding",
+    train_id: str = "vec_id",
+    test_vec: str = "embedding",
+    test_id: str = "vec_id",
+    blocked: bool = False,
+    num_planes: int = 6,
+    num_bands: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination: drop every train row whose
+    cosine to ANY test vector is >= ``threshold`` — the SEMANTIC twin
+    of ``text.decontaminate`` (n-gram overlap) and
+    ``text.decontaminate_bloom``. N-gram matching misses paraphrased
+    test leakage; this catches it wherever the embedding space puts
+    paraphrases near their source.
+
+    Exact path (default): broadcast the test set (benchmark suites
+    are thousands of rows — broadcast-size by construction),
+    cross-score each train vector against it JVM-side, anti-join the
+    distinct offenders. Cost |train| x |test| codegen dot products in
+    ONE pass with no shuffle of the train side beyond the anti-join.
+
+    ``blocked=True`` is the large-test-set path: banded hyperplane
+    signatures (``banded_signatures``, shared seeded planes) on both
+    sides, (train, test) rows colliding in any band become candidate
+    PAIRS, and only those pairs are exactly verified — the same
+    candidate-only discipline as ``embedding_near_dup_pairs``; the
+    test set is never broadcast or cross-joined. Recall follows the
+    LSH band/plane geometry, so keep the exact path wherever the test
+    set broadcasts.
+
+    Zero-norm vectors (cosine undefined -> NULL) are never flagged;
+    they survive on the train side and never match on the test side.
+    """
+    from .dedup import cosine_similarity
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("semantic_decontaminate: threshold must be in (0, 1]")
+    if blocked:
+        tr_sig = banded_signatures(
+            train, train_vec, train_id, num_planes, num_bands, dim, out_id="_tid"
+        )
+        te_sig = banded_signatures(
+            test, test_vec, test_id, num_planes, num_bands, dim, out_id="_qid"
+        )
+        cand = tr_sig.join(te_sig, ["band", "sig"]).select("_tid", "_qid").dropDuplicates()
+        tv = train.select(F.col(train_id).alias("_tid"), F.col(train_vec).alias("_v"))
+        qv = test.select(F.col(test_id).alias("_qid"), F.col(test_vec).alias("_tv"))
+        hits = (
+            cand.join(tv, "_tid")
+            .join(qv, "_qid")
+            .filter(cosine_similarity(F.col("_v"), F.col("_tv")) >= threshold)
+            .select(F.col("_tid").alias(train_id))
+            .dropDuplicates()
+        )
+    else:
+        t = test.select(F.col(test_vec).alias("_tv"))
+        hits = (
+            train.select(F.col(train_id), F.col(train_vec).alias("_v"))
+            .crossJoin(F.broadcast(t))
+            .filter(cosine_similarity(F.col("_v"), F.col("_tv")) >= threshold)
+            .select(train_id)
+            .dropDuplicates()
+        )
+    return train.join(hits, train_id, "left_anti")
+
+
 MAX_LITERAL_CENTROIDS = 256
 
 

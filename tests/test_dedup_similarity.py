@@ -910,3 +910,39 @@ def test_keep_best_per_cluster_tiebreak_and_ascending(spark):
     clash = docs.withColumn("_comp", docs["score"])
     with pytest.raises(ValueError, match="_comp"):
         dedup.keep_best_per_cluster(clash, clusters, "score")
+
+
+def test_semantic_decontaminate_exact_and_blocked(spark):
+    """Train vectors identical to a test vector are dropped on both
+    paths (identical vectors always share every LSH band, so the
+    blocked path's recall is exact for them); zero-norm rows survive;
+    bad thresholds raise."""
+    test = spark.createDataFrame(
+        [(1000, [1.0] * 8 + [0.0] * 56)], ["vec_id", "embedding"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [1.0] * 8 + [0.0] * 56),        # exact leak -> dropped
+            (2, [-1.0] * 8 + [0.0] * 56),       # opposite -> kept
+            (3, [0.0] * 64),                     # zero norm -> kept
+            (4, [0.0] * 8 + [1.0] * 8 + [0.0] * 48),  # orthogonal -> kept
+        ],
+        ["vec_id", "embedding"],
+    )
+    exact = {
+        r["vec_id"]
+        for r in similarity.semantic_decontaminate(
+            train, test, threshold=0.9
+        ).collect()
+    }
+    assert exact == {2, 3, 4}
+    blocked = {
+        r["vec_id"]
+        for r in similarity.semantic_decontaminate(
+            train, test, threshold=0.9, blocked=True, dim=64
+        ).collect()
+    }
+    assert 1 not in blocked and {2, 3}.issubset(blocked)
+
+    with pytest.raises(ValueError, match="threshold"):
+        similarity.semantic_decontaminate(train, test, threshold=0.0)
