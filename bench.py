@@ -165,6 +165,14 @@ HEADLINE = [
     "c4_clean",
     "pq_topk",
     "ivfpq_topk",
+    # round-7 additions: last TPC-H shapes (Q2/Q11/Q16), quality-keep
+    # dedup, token-budget mixing, semantic decontamination
+    "min_cost_supplier",
+    "important_parts",
+    "supplier_variety",
+    "dedup_keep_best",
+    "token_budget_mix",
+    "semantic_decontaminate",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is
