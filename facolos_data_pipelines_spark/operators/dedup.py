@@ -560,9 +560,14 @@ def minhash_dedup(
     transitive: bool = False,
     max_bucket_size: int | None = None,
     family: str = "multiply_add",
+    score_col: str | None = None,
+    descending: bool = True,
 ) -> DataFrame:
     """End-to-end MinHash near-dedup: LSH buckets -> candidate pairs ->
-    Jaccard verify -> drop duplicates, keeping the lowest id.
+    Jaccard verify -> drop duplicates, keeping the lowest id — or,
+    with ``score_col``, the BEST-scoring member of each single-link
+    cluster (:func:`keep_best_per_cluster`; implies transitive
+    resolution).
     ``max_bucket_size`` caps pathological LSH buckets (see
     :func:`lsh_candidate_pairs`). ``family`` pins the MinHash hash
     family (:data:`MINHASH_FAMILIES`); since this operator both
@@ -591,7 +596,10 @@ def minhash_dedup(
     try:
         pairs = lsh_candidate_pairs(buckets, id_col, max_bucket_size)
         dups = verified_near_dup_pairs(df, pairs, text_col, id_col, shingle_n, threshold)
-        return _drop_pair_losers(df, dups, id_col, transitive, eager=True)
+        return _drop_pair_losers(
+            df, dups, id_col, transitive, eager=True,
+            score_col=score_col, descending=descending,
+        )
     finally:
         buckets.unpersist()
 
@@ -655,14 +663,30 @@ def ngram_jaccard_pairs(
 
 
 def _drop_pair_losers(
-    df: DataFrame, pairs: DataFrame, id_col: str, transitive: bool, eager: bool = False
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    transitive: bool,
+    eager: bool = False,
+    score_col: str | None = None,
+    descending: bool = True,
 ) -> DataFrame:
     """Shared pair-resolution: one-sweep (drop every id_b) or exact
     single-link components keeping the min id per component.
 
+    ``score_col`` switches the survivor rule from min-id to
+    best-score (:func:`keep_best_per_cluster`): components are always
+    resolved (the policy needs whole clusters, so ``transitive`` is
+    implied) and the best-scoring member of each survives.
+
     ``eager`` checkpoints the (tiny) loser-id set immediately — required
     when ``pairs`` hangs off a persisted frame the caller will unpersist
-    before the returned plan executes (minhash_dedup's bucket cache)."""
+    before the returned plan executes (minhash_dedup's bucket cache).
+    The score path's component labels are already eagerly checkpointed
+    inside connected_components, so it is safe under the same caveat."""
+    if score_col is not None:
+        comps = connected_components(pairs)
+        return keep_best_per_cluster(df, comps, score_col, id_col, descending)
     if transitive:
         comps = connected_components(pairs)
         losers = (
@@ -731,18 +755,23 @@ def ngram_jaccard_dedup(
     threshold: float = 0.8,
     transitive: bool = False,
     max_posting_size: int | None = 10_000,
+    score_col: str | None = None,
+    descending: bool = True,
 ) -> DataFrame:
     """Exact Jaccard near-dedup: drop the higher id of each pair >=
     threshold (or, with ``transitive=True``, keep one doc per
-    single-link component). The exact twin of :func:`minhash_dedup`
-    (which trades exactness for bucket-local comparisons).
-    ``max_posting_size`` bounds viral-shingle blowup (see
-    :func:`ngram_jaccard_pairs`); ``None`` restores unconditional
-    exactness."""
+    single-link component; with ``score_col``, the best-scoring
+    member of each component survives instead of the min id). The
+    exact twin of :func:`minhash_dedup` (which trades exactness for
+    bucket-local comparisons). ``max_posting_size`` bounds
+    viral-shingle blowup (see :func:`ngram_jaccard_pairs`); ``None``
+    restores unconditional exactness."""
     pairs = ngram_jaccard_pairs(
         df, text_col, id_col, shingle_n, threshold, max_posting_size
     )
-    return _drop_pair_losers(df, pairs, id_col, transitive)
+    return _drop_pair_losers(
+        df, pairs, id_col, transitive, score_col=score_col, descending=descending
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -845,12 +874,16 @@ def simhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    score_col: str | None = None,
+    descending: bool = True,
 ) -> DataFrame:
     """SimHash near-dedup with banded blocking.
 
     Pigeonhole: two 64-bit fingerprints within hamming distance k share
     at least one of k+1 16-bit blocks exactly — block on each quarter,
     compare within blocks only, drop the higher id of close pairs.
+    ``score_col`` switches to the best-scoring-member keep policy over
+    single-link clusters (:func:`keep_best_per_cluster`).
     """
     fp = simhash_fingerprints(df, text_col, id_col)
     blocks = fp.select(
@@ -873,17 +906,20 @@ def simhash_dedup(
     # No persist needed: both self-join sides hang off the same
     # group-by exchange, which Spark reuses (ReusedExchange).
     a, b = blocks.alias("a"), blocks.alias("b")
-    dups = (
-        a.join(
-            b,
-            (F.col("a.q") == F.col("b.q"))
-            & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    close = a.join(
+        b,
+        (F.col("a.q") == F.col("b.q"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).filter(hamming_distance(F.col("a._fp"), F.col("b._fp")) <= max_hamming)
+    if score_col is not None:
+        pairs = close.select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        ).dropDuplicates()
+        return _drop_pair_losers(
+            df, pairs, id_col, False, score_col=score_col, descending=descending
         )
-        .filter(hamming_distance(F.col("a._fp"), F.col("b._fp")) <= max_hamming)
-        .select(F.col(f"b.{id_col}").alias(id_col))
-        .dropDuplicates()
-    )
+    dups = close.select(F.col(f"b.{id_col}").alias(id_col)).dropDuplicates()
     return df.join(dups, id_col, "left_anti")
 
 
@@ -934,9 +970,12 @@ def simhash_dedup_md5(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    score_col: str | None = None,
+    descending: bool = True,
 ) -> DataFrame:
     """Portable SimHash near-dedup over the 60-bit md5 fingerprints —
-    the oracle-checkable twin of :func:`simhash_dedup`.
+    the oracle-checkable twin of :func:`simhash_dedup` (including the
+    ``score_col`` best-member keep policy).
 
     Pigeonhole blocking on the fingerprint's four 15-bit blocks: two
     60-bit fingerprints within hamming distance 3 must share at least
@@ -961,17 +1000,20 @@ def simhash_dedup_md5(
         ).alias("b"),
     ).select(id_col, "_fp", F.col("b.q").alias("q"), F.col("b.blk").alias("blk"))
     a, b = blocks.alias("a"), blocks.alias("b")
-    dups = (
-        a.join(
-            b,
-            (F.col("a.q") == F.col("b.q"))
-            & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    close = a.join(
+        b,
+        (F.col("a.q") == F.col("b.q"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).filter(hamming_distance(F.col("a._fp"), F.col("b._fp")) <= max_hamming)
+    if score_col is not None:
+        pairs = close.select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        ).dropDuplicates()
+        return _drop_pair_losers(
+            df, pairs, id_col, False, score_col=score_col, descending=descending
         )
-        .filter(hamming_distance(F.col("a._fp"), F.col("b._fp")) <= max_hamming)
-        .select(F.col(f"b.{id_col}").alias(id_col))
-        .dropDuplicates()
-    )
+    dups = close.select(F.col(f"b.{id_col}").alias(id_col)).dropDuplicates()
     return df.join(dups, id_col, "left_anti")
 
 
@@ -1190,9 +1232,12 @@ def embedding_dedup(
     dim: int | None = None,
     transitive: bool = False,
     signature_impl: str = "expr",
+    score_col: str | None = None,
+    descending: bool = True,
 ) -> DataFrame:
     """Drop the higher id of every near-duplicate embedding pair (or,
     with ``transitive=True``, keep one vector per single-link
+    component; with ``score_col``, the best-scoring member of each
     component). Banded-LSH blocked by default; ``num_planes=0`` opts
     into exact all-pairs for small frames. ``signature_impl`` passes
     through to the blocking stage (``'arrow'`` = the numpy-matmul
@@ -1201,7 +1246,9 @@ def embedding_dedup(
         df, vec_col, id_col, threshold, num_planes, num_bands, dim,
         signature_impl=signature_impl,
     )
-    return _drop_pair_losers(df, pairs, id_col, transitive)
+    return _drop_pair_losers(
+        df, pairs, id_col, transitive, score_col=score_col, descending=descending
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1545,11 +1592,15 @@ def semantic_dedup(
     transitive: bool = False,
     max_cluster_size: int | None = None,
     pair_impl: str = "gemm",
+    score_col: str | None = None,
+    descending: bool = True,
 ) -> DataFrame:
     """Keep one vector per semantic near-dup group: SemDeDup pair
     search (see :func:`semantic_dedup_pairs`) then drop the higher id
     of each pair — or one survivor per single-link component with
-    ``transitive=True``. When no ``centroids`` frame is supplied, a
+    ``transitive=True``, or the best-``score_col`` member per
+    component (the SemDeDup paper keeps the member farthest from the
+    centroid; pass that distance as the score). When no ``centroids`` frame is supplied, a
     codebook is trained in-line via similarity.ivf_train (the
     distributed k-means above its row threshold)."""
     if centroids is None:
@@ -1563,7 +1614,9 @@ def semantic_dedup(
     pairs = semantic_dedup_pairs(
         df, centroids, vec_col, id_col, threshold, max_cluster_size, pair_impl
     )
-    return _drop_pair_losers(df, pairs, id_col, transitive)
+    return _drop_pair_losers(
+        df, pairs, id_col, transitive, score_col=score_col, descending=descending
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -946,3 +946,49 @@ def test_semantic_decontaminate_exact_and_blocked(spark):
 
     with pytest.raises(ValueError, match="threshold"):
         similarity.semantic_decontaminate(train, test, threshold=0.0)
+
+
+def test_keep_policy_threads_through_dedup_family(spark):
+    """score_col on the dedup entry points switches the survivor from
+    the min id to the best score, with the same cluster structure:
+    three near-identical docs (one word differs) where the BEST copy
+    has the highest id."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today ok", 5.0),
+            (2, "the quick brown fox jumps over the lazy dog today no", 7.0),
+            (3, "the quick brown fox jumps over the lazy dog today yes", 9.0),
+            (4, "completely different text about spark shuffles and joins", 1.0),
+        ],
+        ["doc_id", "text", "quality"],
+    )
+    minid = {r["doc_id"] for r in dedup.minhash_dedup(docs, threshold=0.5).collect()}
+    assert minid == {1, 4}
+    best = {
+        r["doc_id"]
+        for r in dedup.minhash_dedup(
+            docs, threshold=0.5, score_col="quality"
+        ).collect()
+    }
+    assert best == {3, 4}
+    # simhash needs closer copies at hamming<=3: identical texts
+    same = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", 5.0),
+            (2, "the quick brown fox jumps over the lazy dog", 9.0),
+            (4, "completely different text about spark shuffles", 1.0),
+        ],
+        ["doc_id", "text", "quality"],
+    )
+    best_sim = {
+        r["doc_id"]
+        for r in dedup.simhash_dedup(same, score_col="quality").collect()
+    }
+    assert best_sim == {2, 4}
+    best_ng = {
+        r["doc_id"]
+        for r in dedup.ngram_jaccard_dedup(
+            docs, threshold=0.5, score_col="quality"
+        ).collect()
+    }
+    assert best_ng == {3, 4}
