@@ -2294,6 +2294,55 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivfpq(index, coarse, codebooks, query, k=10, n_probe=2)
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality gate (similarity.ann_recall_at_k): recall@10
+    of the certified IVF-PQ probe (2 of 4 cells, residual ADC) against
+    the exact squared-L2 top-10 for the same query vector. The number
+    a pipeline checks before trusting the approximate path — and the
+    DuckDB twin recomputes BOTH lists and the same recall row.
+
+    The measured recall here is LOW by design and that is the point:
+    the oracle-fixed codebook is untrained (vec_id slices, not
+    k-means) and the synthetic embeddings are isotropic — near-uniform
+    pairwise distances, the worst case for a 4-cell quantizer. A gate
+    that reports 0.1 on a bad index/corpus pairing is doing its job;
+    production indexes train via pq_train/ivf_train and re-gate."""
+    from facolos_data_pipelines_spark.operators.similarity import (
+        ann_recall_at_k,
+        encode_ivfpq,
+        topk_ivfpq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = sorted(
+        emb.filter(F.col("vec_id") < 16).collect(), key=lambda r: r["vec_id"]
+    )
+    coarse = [[float(x) for x in r["embedding"]] for r in rows[:4]]
+    codebooks = [
+        [[float(x) for x in r["embedding"][j * 8 : (j + 1) * 8]] for r in rows]
+        for j in range(8)
+    ]
+    query = [float(x) for x in rows[0]["embedding"]]
+    index = encode_ivfpq(emb, coarse, codebooks)
+    approx = topk_ivfpq(index, coarse, codebooks, query, k=10, n_probe=2)
+    qarr = F.array(*[F.lit(x) for x in query])
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            qarr,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        emb.select("vec_id", dist.alias("_d"))
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    return ann_recall_at_k(approx, exact)
+
+
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 hard-rule cleanup (operators.text.c4_clean) over a multi-line
     corpus synthesized deterministically from documents (the flat
@@ -2691,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "ann_recall": q_ann_recall,
         # -- round-4 additions (never driver-checked) --
         "fuzzy_match": q_fuzzy_match,
         "line_dedup": q_line_dedup,
@@ -3133,6 +3183,80 @@ def _snapshot_drift_sql() -> str:
         """
 
 
+_IVFPQ_SQL = r"""
+            WITH coarse AS (
+                SELECT vec_id AS cell, embedding AS cv
+                FROM embeddings WHERE vec_id < 4
+            ), cb AS (
+                SELECT vec_id AS code, embedding AS bv
+                FROM embeddings WHERE vec_id < 16
+            ), sub AS (
+                SELECT CAST(unnest(range(8)) AS INT) AS j
+            ), assign0 AS (
+                SELECT e.vec_id, c.cell,
+                       list_sum(list_transform(range(1, 65),
+                           i -> (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)
+                                * (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)))
+                           AS dist
+                FROM embeddings e, coarse c
+            ), assigned AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cell) AS rn
+                    FROM assign0) WHERE rn = 1
+            ), enc0 AS (
+                SELECT e.vec_id, a.cell, s.j, b.code,
+                       list_sum(list_transform(range(1, 9),
+                           i -> ((e.embedding[s.j*8 + i]::DOUBLE
+                                  - c.cv[s.j*8 + i]::DOUBLE)
+                                 - b.bv[s.j*8 + i]::DOUBLE)
+                                * ((e.embedding[s.j*8 + i]::DOUBLE
+                                    - c.cv[s.j*8 + i]::DOUBLE)
+                                   - b.bv[s.j*8 + i]::DOUBLE))) AS dist
+                FROM embeddings e
+                JOIN assigned a ON e.vec_id = a.vec_id
+                JOIN coarse c ON a.cell = c.cell, sub s, cb b
+            ), enc AS (
+                SELECT vec_id, cell, j, code FROM (
+                    SELECT vec_id, cell, j, code,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                              ORDER BY dist, code) AS rn
+                    FROM enc0) WHERE rn = 1
+            ), q AS (
+                SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+            ), probes AS (
+                SELECT cell FROM (
+                    SELECT c.cell,
+                           list_sum(list_transform(range(1, 65),
+                               i -> (q.qv[i]::DOUBLE - c.cv[i]::DOUBLE)
+                                    * (q.qv[i]::DOUBLE - c.cv[i]::DOUBLE)))
+                               AS dist
+                    FROM coarse c, q)
+                ORDER BY dist, cell LIMIT 2
+            ), lut AS (
+                SELECT c.cell, s.j, b.code,
+                       list_sum(list_transform(range(1, 9),
+                           i -> ((q.qv[s.j*8 + i]::DOUBLE
+                                  - c.cv[s.j*8 + i]::DOUBLE)
+                                 - b.bv[s.j*8 + i]::DOUBLE)
+                                * ((q.qv[s.j*8 + i]::DOUBLE
+                                    - c.cv[s.j*8 + i]::DOUBLE)
+                                   - b.bv[s.j*8 + i]::DOUBLE))) AS d
+                FROM coarse c, sub s, cb b, q
+                WHERE c.cell IN (SELECT cell FROM probes)
+            )
+            SELECT enc.vec_id, ROUND(SUM(lut.d) + 1e-9, 4) AS approx_dist
+            FROM enc
+            JOIN lut ON enc.cell = lut.cell AND enc.j = lut.j
+                    AND enc.code = lut.code
+            WHERE enc.cell IN (SELECT cell FROM probes)
+            GROUP BY 1
+            ORDER BY approx_dist, vec_id
+            LIMIT 10
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     vec = _vec_sql()
     cos = (
@@ -3356,80 +3480,28 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1997-01-01'
             GROUP BY 1
         """,
-        "ivfpq_topk": r"""
-            -- similarity.encode_ivfpq/topk_ivfpq twin: coarse argmin
-            -- (vec_id < 4), residual PQ encode against the vec_id < 16
-            -- slice codebook, 2-cell probe, per-cell ADC sum
-            WITH coarse AS (
-                SELECT vec_id AS cell, embedding AS cv
-                FROM embeddings WHERE vec_id < 4
-            ), cb AS (
-                SELECT vec_id AS code, embedding AS bv
-                FROM embeddings WHERE vec_id < 16
-            ), sub AS (
-                SELECT CAST(unnest(range(8)) AS INT) AS j
-            ), assign0 AS (
-                SELECT e.vec_id, c.cell,
-                       list_sum(list_transform(range(1, 65),
-                           i -> (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)
-                                * (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)))
-                           AS dist
-                FROM embeddings e, coarse c
-            ), assigned AS (
-                SELECT vec_id, cell FROM (
-                    SELECT vec_id, cell,
-                           ROW_NUMBER() OVER (PARTITION BY vec_id
-                                              ORDER BY dist, cell) AS rn
-                    FROM assign0) WHERE rn = 1
-            ), enc0 AS (
-                SELECT e.vec_id, a.cell, s.j, b.code,
-                       list_sum(list_transform(range(1, 9),
-                           i -> ((e.embedding[s.j*8 + i]::DOUBLE
-                                  - c.cv[s.j*8 + i]::DOUBLE)
-                                 - b.bv[s.j*8 + i]::DOUBLE)
-                                * ((e.embedding[s.j*8 + i]::DOUBLE
-                                    - c.cv[s.j*8 + i]::DOUBLE)
-                                   - b.bv[s.j*8 + i]::DOUBLE))) AS dist
-                FROM embeddings e
-                JOIN assigned a ON e.vec_id = a.vec_id
-                JOIN coarse c ON a.cell = c.cell, sub s, cb b
-            ), enc AS (
-                SELECT vec_id, cell, j, code FROM (
-                    SELECT vec_id, cell, j, code,
-                           ROW_NUMBER() OVER (PARTITION BY vec_id, j
-                                              ORDER BY dist, code) AS rn
-                    FROM enc0) WHERE rn = 1
-            ), q AS (
+        "ivfpq_topk": _IVFPQ_SQL,
+        "ann_recall": rf"""
+            -- similarity.ann_recall_at_k twin: the certified IVF-PQ
+            -- probe list (nested CTE, verbatim) left-joined to the
+            -- exact squared-L2 top-10 for the same query vector
+            WITH approx AS (SELECT * FROM ({_IVFPQ_SQL})),
+            q AS (
                 SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
-            ), probes AS (
-                SELECT cell FROM (
-                    SELECT c.cell,
+            ), exact AS (
+                SELECT vec_id FROM (
+                    SELECT e.vec_id,
                            list_sum(list_transform(range(1, 65),
-                               i -> (q.qv[i]::DOUBLE - c.cv[i]::DOUBLE)
-                                    * (q.qv[i]::DOUBLE - c.cv[i]::DOUBLE)))
+                               i -> (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)
+                                    * (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)))
                                AS dist
-                    FROM coarse c, q)
-                ORDER BY dist, cell LIMIT 2
-            ), lut AS (
-                SELECT c.cell, s.j, b.code,
-                       list_sum(list_transform(range(1, 9),
-                           i -> ((q.qv[s.j*8 + i]::DOUBLE
-                                  - c.cv[s.j*8 + i]::DOUBLE)
-                                 - b.bv[s.j*8 + i]::DOUBLE)
-                                * ((q.qv[s.j*8 + i]::DOUBLE
-                                    - c.cv[s.j*8 + i]::DOUBLE)
-                                   - b.bv[s.j*8 + i]::DOUBLE))) AS d
-                FROM coarse c, sub s, cb b, q
-                WHERE c.cell IN (SELECT cell FROM probes)
+                    FROM embeddings e, q)
+                ORDER BY dist, vec_id LIMIT 10
             )
-            SELECT enc.vec_id, ROUND(SUM(lut.d) + 1e-9, 4) AS approx_dist
-            FROM enc
-            JOIN lut ON enc.cell = lut.cell AND enc.j = lut.j
-                    AND enc.code = lut.code
-            WHERE enc.cell IN (SELECT cell FROM probes)
-            GROUP BY 1
-            ORDER BY approx_dist, vec_id
-            LIMIT 10
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+                   CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+                   ROUND(COUNT(a.vec_id) / COUNT(*) + 1e-9, 4) AS recall
+            FROM exact e LEFT JOIN approx a ON e.vec_id = a.vec_id
         """,
         "pq_topk": r"""
             -- similarity.pq_encode/pq_topk twin: same fixed codebook

@@ -173,6 +173,7 @@ HEADLINE = [
     "dedup_keep_best",
     "token_budget_mix",
     "semantic_decontaminate",
+    "ann_recall",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is

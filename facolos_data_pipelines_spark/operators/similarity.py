@@ -629,6 +629,28 @@ def knn_join_lsh(
     )
 
 
+def ann_recall_at_k(
+    approx: DataFrame, exact: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Index-quality gate: recall of an ANN candidate list against the
+    exact answer — ``|approx ∩ exact| / |exact|`` plus the raw counts,
+    one output row. This is how an IVF/PQ/LSH index earns its place in
+    a pipeline: measure recall@k on a query sample BEFORE trusting the
+    approximate path at corpus scale, and re-measure when the corpus
+    drifts from the codebook's training distribution.
+
+    Both inputs are top-k lists (k rows each), so the join and
+    aggregate are driver-trivial at any corpus size — the cost lives
+    in producing the lists, not comparing them."""
+    a = approx.select(F.col(id_col).alias("_aid")).dropDuplicates()
+    e = exact.select(F.col(id_col).alias("_eid")).dropDuplicates()
+    return e.join(a, e["_eid"] == a["_aid"], "left").agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.count("_aid").cast("long").alias("n_hit"),
+        F.round(F.count("_aid") / F.count("*") + 1e-9, 4).alias("recall"),
+    )
+
+
 def semantic_decontaminate(
     train: DataFrame,
     test: DataFrame,

@@ -992,3 +992,13 @@ def test_keep_policy_threads_through_dedup_family(spark):
         ).collect()
     }
     assert best_ng == {3, 4}
+
+
+def test_ann_recall_at_k_counts_overlap(spark):
+    approx = spark.createDataFrame([(i,) for i in (1, 2, 3, 99)], ["vec_id"])
+    exact = spark.createDataFrame([(i,) for i in (1, 2, 4, 5)], ["vec_id"])
+    row = similarity.ann_recall_at_k(approx, exact).collect()[0]
+    assert (row["n_exact"], row["n_hit"], row["recall"]) == (4, 2, 0.5)
+    # perfect index -> recall 1.0
+    row = similarity.ann_recall_at_k(exact, exact).collect()[0]
+    assert row["recall"] == 1.0
