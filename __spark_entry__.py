@@ -1901,6 +1901,31 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size HISTOGRAM over the certified
+    embedding-LSH pair set: single-link components, then how many
+    clusters exist at each size — the report that says whether a
+    corpus's duplication is long-tail (mostly pairs, safe to dedup
+    blindly) or dominated by mega-clusters (boilerplate — inspect
+    before deleting). Components include only docs that paired, so
+    every cluster has size >= 2; the id-only aggregate costs two tiny
+    shuffles after the pair search."""
+    from facolos_data_pipelines_spark.operators.dedup import (
+        connected_components,
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4)
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    sizes = comps.groupBy("component").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").cast("long").alias("cluster_size"))
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup cluster-then-dedup (Abbas et al. 2023): nearest-centroid
     assignment partitions the corpus, cosine pairs are searched within
@@ -2741,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "ann_recall": q_ann_recall,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
         # -- round-4 additions (never driver-checked) --
         "fuzzy_match": q_fuzzy_match,
         "line_dedup": q_line_dedup,
@@ -3180,6 +3206,55 @@ def _snapshot_drift_sql() -> str:
                 SELECT {prof}
                 FROM orders WHERE o_orderdate >= DATE '1996-01-01'
             ){" UNION ALL ".join(branches)}
+        """
+
+
+def _dup_components_sql() -> str:
+    """dup_components twin body — reused nested by dup_cluster_sizes."""
+    return f"""
+            -- the certified embedding_near_dups pair CTEs + a recursive
+            -- transitive closure; component = min reachable node
+            WITH RECURSIVE e AS (
+                SELECT vec_id, embedding,
+                       list_transform(embedding,
+                           x -> x::DOUBLE * (1.0 / sqrt(list_sum(
+                               list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))))
+                           AS sv
+                FROM embeddings
+                WHERE list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)) > 0
+            ), p(band, bitval, plane) AS (
+                VALUES {_hyperplane_values_sql(6, 4, 64)}
+            ), s AS (
+                SELECT e.vec_id, p.band,
+                       SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+                                   i -> e.embedding[i]::DOUBLE * p.plane[i])) > 0
+                                THEN p.bitval ELSE 0 END) AS sig
+                FROM e CROSS JOIN p
+                GROUP BY e.vec_id, p.band
+            ), c AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM s a JOIN s b
+                  ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+            ), pr AS (
+                SELECT id_a, id_b FROM (
+                    SELECT c.id_a, c.id_b,
+                           list_sum(list_transform(range(1, 65),
+                               i -> ea.sv[i] * eb.sv[i])) AS d
+                    FROM c
+                    JOIN e ea ON ea.vec_id = c.id_a
+                    JOIN e eb ON eb.vec_id = c.id_b
+                ) WHERE d >= 0.4
+            ), und AS (
+                SELECT id_a AS u, id_b AS v FROM pr
+                UNION ALL
+                SELECT id_b, id_a FROM pr
+            ), reach(a, b) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM und)
+                UNION
+                SELECT r.a, ed.v FROM reach r JOIN und ed ON r.b = ed.u
+            )
+            SELECT CAST(a AS BIGINT) AS node, CAST(MIN(b) AS BIGINT) AS component
+            FROM reach GROUP BY a
         """
 
 
@@ -3961,50 +4036,18 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents) docs
             LEFT JOIN d USING (doc_id)
         """,
-        "dup_components": f"""
-            -- the certified embedding_near_dups pair CTEs + a recursive
-            -- transitive closure; component = min reachable node
-            WITH RECURSIVE e AS (
-                SELECT vec_id, embedding,
-                       list_transform(embedding,
-                           x -> x::DOUBLE * (1.0 / sqrt(list_sum(
-                               list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))))
-                           AS sv
-                FROM embeddings
-                WHERE list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)) > 0
-            ), p(band, bitval, plane) AS (
-                VALUES {_hyperplane_values_sql(6, 4, 64)}
-            ), s AS (
-                SELECT e.vec_id, p.band,
-                       SUM(CASE WHEN list_sum(list_transform(range(1, 65),
-                                   i -> e.embedding[i]::DOUBLE * p.plane[i])) > 0
-                                THEN p.bitval ELSE 0 END) AS sig
-                FROM e CROSS JOIN p
-                GROUP BY e.vec_id, p.band
-            ), c AS (
-                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                FROM s a JOIN s b
-                  ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
-            ), pr AS (
-                SELECT id_a, id_b FROM (
-                    SELECT c.id_a, c.id_b,
-                           list_sum(list_transform(range(1, 65),
-                               i -> ea.sv[i] * eb.sv[i])) AS d
-                    FROM c
-                    JOIN e ea ON ea.vec_id = c.id_a
-                    JOIN e eb ON eb.vec_id = c.id_b
-                ) WHERE d >= 0.4
-            ), und AS (
-                SELECT id_a AS u, id_b AS v FROM pr
-                UNION ALL
-                SELECT id_b, id_a FROM pr
-            ), reach(a, b) AS (
-                SELECT u, u FROM (SELECT DISTINCT u FROM und)
-                UNION
-                SELECT r.a, ed.v FROM reach r JOIN und ed ON r.b = ed.u
+        "dup_components": _dup_components_sql(),
+        "dup_cluster_sizes": rf"""
+            -- cluster-size histogram over the certified dup_components
+            -- closure (nested verbatim); singleton docs never pair, so
+            -- every cluster here has size >= 2
+            WITH comp AS (SELECT * FROM ({_dup_components_sql()})),
+            s AS (
+                SELECT component, COUNT(*) AS sz FROM comp GROUP BY 1
             )
-            SELECT CAST(a AS BIGINT) AS node, CAST(MIN(b) AS BIGINT) AS component
-            FROM reach GROUP BY a
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM s GROUP BY 1 ORDER BY 1
         """,
         "expectations": """
             -- mirrors quality.expectations.expect: one conditional

@@ -174,6 +174,7 @@ HEADLINE = [
     "token_budget_mix",
     "semantic_decontaminate",
     "ann_recall",
+    "dup_cluster_sizes",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is
