@@ -451,11 +451,65 @@ def verified_near_dup_pairs(
     )
 
 
+def _components_driver(pairs: DataFrame) -> DataFrame:
+    """Driver-side union-find over a SMALL edge list (the caller has
+    already checkpointed ``pairs``, so this Arrow collect re-reads the
+    materialization, never the pair search): path-compressed min-root
+    merge, labels parallelized back. Exactly the
+    (node, component=min reachable id) contract of the distributed
+    loop."""
+    from pyspark.sql import types as T
+
+    id_type = pairs.schema["id_a"].dataType
+    pdf = pairs.toPandas()
+    rows = zip(pdf["id_a"].tolist(), pdf["id_b"].tolist())
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root so the final label is the min id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    data = [(n, find(n)) for n in parent]
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("component", id_type)]
+    )
+    return pairs.sparkSession.createDataFrame(data, schema)
+
+
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20, on_nonconverged: str = "warn"
+    pairs: DataFrame,
+    max_iter: int = 20,
+    on_nonconverged: str = "warn",
+    driver_threshold: int | None = 5_000_000,
 ) -> DataFrame:
     """Single-link components over an edge list (id_a, id_b) → rows
     (node, component) where component = min id reachable from node.
+
+    Size-dispatched: the incoming pair plan is eagerly checkpointed
+    ONCE (the pair search — LSH buckets, posting lists, GEMM — is the
+    expensive part and must never run twice), then counted — free on
+    the materialization. Within ``driver_threshold`` pairs (~80 MB of
+    ids at the default 5M, trivial for any driver) an Arrow collect +
+    driver union-find resolves the labels in seconds and parallelizes
+    them back; near-dup edge sets are tiny relative to the corpus,
+    and the distributed loop's ~8 Spark jobs per round dwarf that
+    cost (measured 2x even at 3.7M pairs). Beyond the threshold — or
+    with ``driver_threshold=None/0`` — the distributed
+    O(log diameter) loop below consumes the same checkpoint. Both
+    paths produce identical labels, which is why the oracle-certified
+    queries stay green under either dispatch.
 
     Each round does (1) min-label propagation — every node takes the
     minimum label across its edges — then (2) a pointer-doubling
@@ -485,6 +539,9 @@ def connected_components(
         raise ValueError(
             f"on_nonconverged={on_nonconverged!r}; expected 'warn' or 'raise'"
         )
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    if driver_threshold and pairs.count() <= driver_threshold:
+        return _components_driver(pairs)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

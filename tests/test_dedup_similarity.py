@@ -188,7 +188,9 @@ def test_connected_components_long_chain_converges(spark):
     )
     comps = {
         r["node"]: r["component"]
-        for r in dedup.connected_components(pairs, max_iter=10).collect()
+        for r in dedup.connected_components(
+            pairs, max_iter=10, driver_threshold=0
+        ).collect()
     }
     assert comps == {i: 0 for i in range(n)}
 
@@ -204,7 +206,9 @@ def test_connected_components_partial_labels_with_warning(spark):
     )
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        labels = dedup.connected_components(pairs, max_iter=1).collect()
+        labels = dedup.connected_components(
+            pairs, max_iter=1, driver_threshold=0
+        ).collect()
     assert any("did not fully converge" in str(w.message) for w in caught)
     comps = {r["node"]: r["component"] for r in labels}
     # labels only ever decrease within the true component
@@ -1002,3 +1006,23 @@ def test_ann_recall_at_k_counts_overlap(spark):
     # perfect index -> recall 1.0
     row = similarity.ann_recall_at_k(exact, exact).collect()[0]
     assert row["recall"] == 1.0
+
+
+def test_connected_components_driver_dispatch_matches_distributed(spark):
+    """Both dispatch arms of connected_components must produce the
+    SAME labels: a ragged graph (chain + triangle + isolated pair)
+    resolved by the driver union-find and by the distributed loop."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    via_driver = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    via_loop = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs, driver_threshold=0).collect()
+    }
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert via_driver == expected and via_loop == expected
