@@ -845,7 +845,9 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from facolos_data_pipelines_spark.quality.checks import column_profile
 
     orders = _t(spark, sf_dir, "orders")
-    return column_profile(orders, ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    return column_profile(
+        orders, ["o_orderkey", "o_totalprice", "o_orderstatus"], exact_distinct=True
+    )
 
 
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2368,6 +2370,82 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_at_k(approx, exact)
 
 
+def q_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED-index counterpart of `ann_recall`: prove the
+    IVF-PQ path is USEFUL (recall@10 >= 0.8), not merely certified at
+    the low recall the untrained/isotropic worst case reports.
+
+    Clusterable data is derived deterministically from the embeddings
+    table — a mixture of 8 well-separated blobs: vector = 10·e_c +
+    0.5·embedding where c = vec_id % 8 picks the one-hot-ish center
+    (10.0 at dims where d % 8 == c) and the isotropic synthetic
+    embedding supplies the within-cluster noise. The coarse quantizer
+    trains via similarity.ivf_train (k=8) and the subspace codebooks
+    via pq_train on THAT data, so the index actually fits the corpus
+    distribution; the query probes 2 of 8 cells, ADC-retrieves 4x k
+    candidates, and exact-reranks them (the IVFADC-with-refinement
+    pipeline shape — `rerank_with`), which must recover >= 8 of the
+    exact top-10 for a query drawn from one blob.
+
+    Bounded oracle (the approx_distinct pattern): the measured recall
+    depends on trained floats no other engine reproduces, so the
+    Spark row is (n_exact, recall >= 0.8) and the oracle row is the
+    static (10, TRUE) — the value hash matches iff the trained index
+    clears the gate."""
+    from facolos_data_pipelines_spark.operators.similarity import (
+        ann_recall_at_k,
+        encode_ivfpq,
+        ivf_train,
+        pq_train,
+        topk_ivfpq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    blob = F.pmod(F.col("vec_id"), F.lit(8))
+    vec = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double") * 0.5
+        + F.when(F.pmod(i, F.lit(8)) == blob, F.lit(10.0)).otherwise(F.lit(0.0)),
+    )
+    clustered = emb.select("vec_id", vec.alias("embedding"))
+    coarse = ivf_train(clustered, k=8)
+    codebooks = pq_train(
+        clustered, num_subspaces=32, k=16, sample_fraction=1.0, iterations=5
+    )
+    query = [
+        float(x)
+        for x in clustered.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    index = encode_ivfpq(clustered, coarse, codebooks)
+    approx = topk_ivfpq(
+        index,
+        coarse,
+        codebooks,
+        query,
+        k=10,
+        n_probe=2,
+        rerank_with=clustered,
+        rerank_factor=4,
+    )
+    qarr = F.array(*[F.lit(x) for x in query])
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), qarr, lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        clustered.select("vec_id", dist.alias("_d"))
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    rec = ann_recall_at_k(approx, exact)
+    return rec.select(
+        "n_exact", (F.col("recall") >= F.lit(0.8)).alias("meets_gate")
+    )
+
+
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 hard-rule cleanup (operators.text.c4_clean) over a multi-line
     corpus synthesized deterministically from documents (the flat
@@ -2727,70 +2805,13 @@ def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the driver's correctness gate checks
     # the FIRST 50 entries only, so the window ROTATES each round. The
-    # r1-r3 windows certified the 50 entries from daily_sales_summary
-    # through sample_per_group (see CORRECTNESS_r0{1,2,3}.json); this
-    # round leads with the 4 round-5 curation queries, then the round-4
-    # additions and changes, then entries the earlier windows never
-    # reached — whatever falls past the 50-entry cutoff relies on the
-    # committed local artifact. The full 122-query run is committed as
-    # CORRECTNESS_local_r6.json (scripts/check_oracle.py --json).
+    # r1-r4 windows certified 100 distinct names; this round leads with
+    # the 36 names no driver window has reached yet (VERDICT r4 item 2),
+    # then the round-5 additions, then everything already certified.
+    # The full-surface run is committed as CORRECTNESS_local_r*.json
+    # (scripts/check_oracle.py --json).
     return {
-        # -- round-5 additions (new this round, never driver-checked) --
-        "semantic_dedup": q_semantic_dedup,
-        "duplicate_spans": q_duplicate_spans,
-        "strip_dup_spans": q_strip_dup_spans,
-        "decontaminate_bloom": q_decontaminate_bloom,
-        "split_leakage": q_split_leakage,
-        "forecast_revenue": q_forecast_revenue,
-        "top_supplier": q_top_supplier,
-        "large_orders": q_large_orders,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "cold_customers": q_cold_customers,
-        "nation_trade": q_nation_trade,
-        "nation_profit": q_nation_profit,
-        "returned_top_customers": q_returned_top_customers,
-        "priority_shipclass": q_priority_shipclass,
-        "promo_revenue": q_promo_revenue,
-        "frequent_items": q_frequent_items,
-        "curriculum_order": q_curriculum_order,
-        "excess_suppliers": q_excess_suppliers,
-        "min_cost_supplier": q_min_cost_supplier,
-        "dedup_keep_best": q_dedup_keep_best,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "token_budget_mix": q_token_budget_mix,
-        "important_parts": q_important_parts,
-        "supplier_variety": q_supplier_variety,
-        "psi_drift": q_psi_drift,
-        "temperature_mix": q_temperature_mix,
-        "c4_clean": q_c4_clean,
-        "pq_topk": q_pq_topk,
-        "ivfpq_topk": q_ivfpq_topk,
-        "ann_recall": q_ann_recall,
-        "dup_cluster_sizes": q_dup_cluster_sizes,
-        # -- round-4 additions (never driver-checked) --
-        "fuzzy_match": q_fuzzy_match,
-        "line_dedup": q_line_dedup,
-        "supplier_wait": q_supplier_wait,
-        "market_share": q_market_share,
-        "anomaly_zscore": q_anomaly_zscore,
-        "expectations": q_expectations,
-        "key_skew": q_key_skew,
-        "unigram_scores": q_unigram_scores,
-        "dup_components": q_dup_components,
-        # -- round-4 window: changed this round or flagship (4) --
-        "approx_distinct": q_approx_distinct,  # bounded oracle (new r4)
-        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,  # capped postings (r4)
-        "daily_sales_summary": q_daily_sales_summary,
-        "tumbling_window": q_tumbling_window,
-        # -- round-4 window: previously unchecked (46; the last 9 fall
-        # past the driver's 50-entry cutoff and rely on the committed
-        # local artifact, as every entry below also does) --
-        "column_profile": q_column_profile,
-        "repetition_stats": q_repetition_stats,
-        "knn_join": q_knn_join,
-        "knn_join_lsh": q_knn_join_lsh,
-        "minhash_dedup_portable": q_minhash_dedup_portable,
-        "simhash_dedup_portable": q_simhash_dedup_portable,
+        # -- never driver-checked before round 5 (36) --
         "sessionization": q_sessionization,
         "asof_join_events": q_asof_join_events,
         "asof_join_forward": q_asof_join_forward,
@@ -2827,11 +2848,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_asof_lookup": q_scd2_asof_lookup,
         "dup_rate_by_source": q_dup_rate_by_source,
         "incremental_distinct": q_incremental_distinct,  # bounded oracle (new r4)
+        # -- round-5 additions (inside the 50-entry window) --
+        "ann_recall_trained": q_ann_recall_trained,  # bounded oracle (new r5)
+        # -- previously certified (driver r1-r4 windows) --
+        "semantic_dedup": q_semantic_dedup,
+        "duplicate_spans": q_duplicate_spans,
+        "strip_dup_spans": q_strip_dup_spans,
+        "decontaminate_bloom": q_decontaminate_bloom,
+        "split_leakage": q_split_leakage,
+        "forecast_revenue": q_forecast_revenue,
+        "top_supplier": q_top_supplier,
+        "large_orders": q_large_orders,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "cold_customers": q_cold_customers,
+        "nation_trade": q_nation_trade,
+        "nation_profit": q_nation_profit,
+        "returned_top_customers": q_returned_top_customers,
+        "priority_shipclass": q_priority_shipclass,
+        "promo_revenue": q_promo_revenue,
+        "frequent_items": q_frequent_items,
+        "curriculum_order": q_curriculum_order,
+        "excess_suppliers": q_excess_suppliers,
+        "min_cost_supplier": q_min_cost_supplier,
+        "dedup_keep_best": q_dedup_keep_best,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "token_budget_mix": q_token_budget_mix,
+        "important_parts": q_important_parts,
+        "supplier_variety": q_supplier_variety,
+        "psi_drift": q_psi_drift,
+        "temperature_mix": q_temperature_mix,
+        "c4_clean": q_c4_clean,
+        "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "ann_recall": q_ann_recall,
+        "dup_cluster_sizes": q_dup_cluster_sizes,  # -- round-4 additions (never driver-checked) --
+        "fuzzy_match": q_fuzzy_match,
+        "line_dedup": q_line_dedup,
+        "supplier_wait": q_supplier_wait,
+        "market_share": q_market_share,
+        "anomaly_zscore": q_anomaly_zscore,
+        "expectations": q_expectations,
+        "key_skew": q_key_skew,
+        "unigram_scores": q_unigram_scores,
+        "dup_components": q_dup_components,  # -- round-4 window: changed this round or flagship (4) --
+        "approx_distinct": q_approx_distinct,  # bounded oracle (new r4)
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,  # capped postings (r4)
+        "daily_sales_summary": q_daily_sales_summary,
+        "tumbling_window": q_tumbling_window,  # -- round-4 window: previously unchecked (46; the last 9 fall
+        "column_profile": q_column_profile,
+        "repetition_stats": q_repetition_stats,
+        "knn_join": q_knn_join,
+        "knn_join_lsh": q_knn_join_lsh,
+        "minhash_dedup_portable": q_minhash_dedup_portable,
+        "simhash_dedup_portable": q_simhash_dedup_portable,
         "multimodal_features": q_multimodal_features,  # rows-only
         "minhash_dedup": q_minhash_dedup,  # rows-only
         "simhash_dedup": q_simhash_dedup,  # rows-only
         "ivf_topk": q_ivf_topk,  # rows-only
-        # -- certified in the r1-r3 windows (46) --
         "table_stats": q_table_stats,
         "conditional_agg": q_conditional_agg,
         "multi_table_summary": q_multi_table_summary,
@@ -2879,7 +2952,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "sample_per_group": q_sample_per_group,
     }
-
 
 def _vec_sql() -> str:
     return "[" + ", ".join(f"{x!r}" for x in QUERY_VEC) + "]"
@@ -3556,6 +3628,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "ivfpq_topk": _IVFPQ_SQL,
+        "ann_recall_trained": """
+            -- bounded oracle (the approx_distinct pattern): the
+            -- trained-index gate's recall depends on k-means floats no
+            -- other engine reproduces, so the oracle pins the
+            -- CONTRACT — 10 exact neighbors, recall@10 >= 0.8 — and
+            -- the value hash matches iff Spark's trained IVF-PQ
+            -- actually clears it on the clusterable corpus.
+            SELECT CAST(10 AS BIGINT) AS n_exact, TRUE AS meets_gate
+        """,
         "ann_recall": rf"""
             -- similarity.ann_recall_at_k twin: the certified IVF-PQ
             -- probe list (nested CTE, verbatim) left-joined to the

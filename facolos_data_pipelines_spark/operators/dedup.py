@@ -455,7 +455,8 @@ def _components_driver(pairs: DataFrame) -> DataFrame:
     """Driver-side union-find over a SMALL edge list (the caller has
     already checkpointed ``pairs``, so this Arrow collect re-reads the
     materialization, never the pair search): path-compressed min-root
-    merge, labels parallelized back. Exactly the
+    merge, labels returned through a single Arrow-backed
+    ``createDataFrame(pandas)`` (no per-row Python tuples). Exactly the
     (node, component=min reachable id) contract of the distributed
     loop."""
     from pyspark.sql import types as T
@@ -481,11 +482,15 @@ def _components_driver(pairs: DataFrame) -> DataFrame:
             # union by MIN root so the final label is the min id
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    data = [(n, find(n)) for n in parent]
+    import pandas as pd
+
+    labels_pdf = pd.DataFrame(
+        {"node": list(parent), "component": [find(n) for n in parent]}
+    )
     schema = T.StructType(
         [T.StructField("node", id_type), T.StructField("component", id_type)]
     )
-    return pairs.sparkSession.createDataFrame(data, schema)
+    return pairs.sparkSession.createDataFrame(labels_pdf, schema)
 
 
 def connected_components(
@@ -540,7 +545,21 @@ def connected_components(
             f"on_nonconverged={on_nonconverged!r}; expected 'warn' or 'raise'"
         )
     pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
-    if driver_threshold and pairs.count() <= driver_threshold:
+    # The "~80 MB at 5M pairs" driver-dispatch sizing only holds for
+    # fixed-width integral ids. With string ids (supported everywhere in
+    # the dedup family) each pandas cell is a Python object (~60+ bytes
+    # before the id text itself), so the same row count can cost GBs of
+    # driver heap. Scale the effective threshold down for non-integral
+    # id types rather than silently OOMing a default driver.
+    from pyspark.sql import types as T
+
+    id_type = pairs.schema["id_a"].dataType
+    effective_threshold = driver_threshold or 0
+    if effective_threshold and not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        effective_threshold = min(effective_threshold, 1_000_000)
+    if effective_threshold and pairs.count() <= effective_threshold:
         return _components_driver(pairs)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -784,12 +803,17 @@ def keep_best_per_cluster(
     partition is a duplicate CLUSTER, never the corpus; singletons
     pass through the same window with partition size 1.
     """
-    if "_comp" in df.columns or "_rn" in df.columns:
+    if "_comp" in df.columns or "_rn" in df.columns or "_kb_comp" in df.columns:
         raise ValueError(
             "keep_best_per_cluster: input has internal column names "
-            "('_comp'/'_rn'); rename them first"
+            "('_comp'/'_rn'/'_kb_comp'); rename them first"
         )
-    lab = clusters.select(F.col("node").alias(id_col), "component")
+    # The cluster frame's label lands under an internal alias so an
+    # existing 'component' column on df (common after a prior
+    # components pass) never produces an ambiguous reference.
+    lab = clusters.select(
+        F.col("node").alias(id_col), F.col("component").alias("_kb_comp")
+    )
     order = [
         F.col(score_col).desc() if descending else F.col(score_col).asc(),
         F.col(id_col).asc(),
@@ -797,10 +821,10 @@ def keep_best_per_cluster(
     w = Window.partitionBy("_comp").orderBy(*order)
     return (
         df.join(lab, id_col, "left")
-        .withColumn("_comp", F.coalesce(F.col("component"), F.col(id_col)))
+        .withColumn("_comp", F.coalesce(F.col("_kb_comp"), F.col(id_col)))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_comp", "_rn", "component")
+        .drop("_comp", "_rn", "_kb_comp")
     )
 
 
@@ -1645,12 +1669,13 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
-    k: int = 16,
+    k: int | None = None,
     transitive: bool = False,
-    max_cluster_size: int | None = None,
+    max_cluster_size: int | None = 100_000,
     pair_impl: str = "gemm",
     score_col: str | None = None,
     descending: bool = True,
+    target_cluster_size: int = 1024,
 ) -> DataFrame:
     """Keep one vector per semantic near-dup group: SemDeDup pair
     search (see :func:`semantic_dedup_pairs`) then drop the higher id
@@ -1659,10 +1684,30 @@ def semantic_dedup(
     component (the SemDeDup paper keeps the member farthest from the
     centroid; pass that distance as the score). When no ``centroids`` frame is supplied, a
     codebook is trained in-line via similarity.ivf_train (the
-    distributed k-means above its row threshold)."""
+    distributed k-means above its row threshold).
+
+    Two guards keep the per-cluster pair search (cost
+    sum(|cluster|^2)) from going quadratic as the corpus grows:
+
+    - ``k=None`` (default) sizes the trained codebook to the corpus —
+      k = clamp(ceil(n / target_cluster_size), 8, 65536) — so average
+      cluster size stays ~``target_cluster_size`` regardless of scale
+      (a FIXED k means cluster size grows with the corpus and the
+      search degrades toward all-pairs; SCALE.md §6a measured exactly
+      that at sf1 with k=8). An explicit ``k`` overrides.
+    - ``max_cluster_size`` now DEFAULTS to 100k: a cell that a lagging
+      or skewed codebook lets grow past it is dropped with a warning
+      (conservative direction — its members all survive dedup) instead
+      of silently costing |cell|^2. ``None`` removes the cap.
+    """
     if centroids is None:
+        from math import ceil
+
         from .similarity import ivf_train
 
+        if k is None:
+            n = df.count()
+            k = max(8, min(65_536, ceil(n / max(1, target_cluster_size))))
         codebook = ivf_train(df, k=k, vec_col=vec_col)
         centroids = df.sparkSession.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(codebook)],

@@ -353,6 +353,37 @@ def ivf_assign(
     return df.mapInPandas(assign, out_schema)
 
 
+def _bounded_vec_sample(
+    df: DataFrame,
+    vec_col: str,
+    sample_fraction: float,
+    seed: int,
+    max_rows: int,
+    caller: str,
+):
+    """Collect a null-filtered, hard-capped vector sample as a float64
+    matrix, raising a clear ValueError instead of an opaque np.stack
+    crash when the sample comes back empty (tiny df x small fraction,
+    or an all-null vector column)."""
+    import numpy as np
+
+    rows = [
+        r[0]
+        for r in df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .sample(fraction=sample_fraction, seed=seed)
+        .limit(max_rows)
+        .collect()
+    ]
+    if not rows:
+        raise ValueError(
+            f"{caller}: sampled zero non-null vectors "
+            f"(sample_fraction={sample_fraction}); raise sample_fraction "
+            "or check that the vector column is populated"
+        )
+    return np.stack(rows).astype(np.float64)
+
+
 def ivf_train_lite(
     df: DataFrame,
     k: int = 16,
@@ -373,15 +404,9 @@ def ivf_train_lite(
     coarse codebook."""
     import numpy as np
 
-    sample = np.stack(
-        [
-            r[0]
-            for r in df.select(vec_col)
-            .sample(fraction=sample_fraction, seed=seed)
-            .limit(max_rows)
-            .collect()
-        ]
-    ).astype(np.float64)
+    sample = _bounded_vec_sample(
+        df, vec_col, sample_fraction, seed, max_rows, "ivf_train_lite"
+    )
     rng = np.random.default_rng(seed)
     C = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
     for _ in range(iterations):
@@ -644,10 +669,16 @@ def ann_recall_at_k(
     in producing the lists, not comparing them."""
     a = approx.select(F.col(id_col).alias("_aid")).dropDuplicates()
     e = exact.select(F.col(id_col).alias("_eid")).dropDuplicates()
+    # An empty exact list must surface as recall=0.0, not a NULL that a
+    # `recall >= x` gate would silently misread.
     return e.join(a, e["_eid"] == a["_aid"], "left").agg(
         F.count("*").cast("long").alias("n_exact"),
         F.count("_aid").cast("long").alias("n_hit"),
-        F.round(F.count("_aid") / F.count("*") + 1e-9, 4).alias("recall"),
+        F.when(
+            F.count("*") > 0, F.round(F.count("_aid") / F.count("*") + 1e-9, 4)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
     )
 
 
@@ -834,17 +865,9 @@ def pq_train(
     subspace). Returns ``codebooks[j][c]`` = centroid c of subspace j.
     Deterministic via seed. The vector width must divide evenly into
     ``num_subspaces``."""
-    import numpy as np
-
-    sample = np.stack(
-        [
-            r[0]
-            for r in df.select(vec_col)
-            .sample(fraction=sample_fraction, seed=seed)
-            .limit(max_rows)
-            .collect()
-        ]
-    ).astype(np.float64)
+    sample = _bounded_vec_sample(
+        df, vec_col, sample_fraction, seed, max_rows, "pq_train"
+    )
     dim = sample.shape[1]
     if dim % num_subspaces:
         raise ValueError(
@@ -1053,6 +1076,9 @@ def topk_ivfpq(
     n_probe: int = 2,
     id_col: str = "vec_id",
     dist_col: str = "approx_dist",
+    rerank_with: DataFrame | None = None,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-PQ query: probe the ``n_probe`` cells whose coarse centroid
     is nearest the query (squared L2), build ONE per-cell ADC lookup
@@ -1063,13 +1089,27 @@ def topk_ivfpq(
     ~(1 - n_probe/n_cells) of the corpus BEFORE any distance math (on
     a `_cell`-partitioned layout it is partition pruning), and each
     surviving row costs m array lookups. Rounded distance + id
-    tie-break keeps the top-k cutoff deterministic."""
+    tie-break keeps the top-k cutoff deterministic.
+
+    ``rerank_with`` adds the IVFADC-with-refinement stage (Jégou et
+    al.): ADC retrieves ``rerank_factor * k`` candidates, then their
+    EXACT squared-L2 distances re-rank them from the given
+    (id, vector) frame and the true top-k of the candidate set comes
+    back in ``dist_col``. The refinement join touches only
+    ``rerank_factor * k`` ids (a left-semi lookup against the vector
+    table — broadcast-trivial), so it adds recall without giving back
+    the PQ scan's pruning; this is how a production pipeline turns a
+    coarse 16-centroid-per-subspace codebook into >=0.9 recall@k."""
     import numpy as np
 
     C = np.asarray(coarse_centroids, dtype=np.float64)
     q = np.asarray(query, dtype=np.float64)
     d2 = ((C - q) ** 2).sum(axis=1)
-    probes = [int(i) for i in np.argsort(d2)[:n_probe]]
+    # Stable sort so equidistant coarse centroids tie-break on cell id,
+    # matching the oracle's ORDER BY (dist, cell) — plain argsort is
+    # unstable and could probe different cells across runs/engines.
+    probes = [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
+    k_retrieve = k if rerank_with is None else max(k, rerank_factor * k)
     per_cell = []
     for cell in probes:
         resid = [float(x) for x in (q - C[cell])]
@@ -1078,7 +1118,7 @@ def topk_ivfpq(
                 index.filter(F.col("_cell") == cell),
                 codebooks,
                 resid,
-                k,
+                k_retrieve,
                 id_col,
                 dist_col,
             )
@@ -1086,4 +1126,26 @@ def topk_ivfpq(
     out = per_cell[0]
     for p in per_cell[1:]:
         out = out.unionByName(p)
-    return out.orderBy(F.col(dist_col).asc(), F.col(id_col).asc()).limit(k)
+    if rerank_with is None:
+        return out.orderBy(F.col(dist_col).asc(), F.col(id_col).asc()).limit(k)
+    cands = (
+        out.orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+        .limit(k_retrieve)
+        .select(id_col)
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    exact_d = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            qarr,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        rerank_with.join(F.broadcast(cands), id_col, "left_semi")
+        .select(F.col(id_col), F.round(exact_d + 1e-9, 4).alias(dist_col))
+        .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+        .limit(k)
+    )

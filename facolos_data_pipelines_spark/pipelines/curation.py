@@ -60,6 +60,7 @@ def curate_corpus(
     curriculum_buckets: int | None = None,
     c4_rules: bool = False,
     output_path: str | None = None,
+    keep: str = "best",
 ) -> CurationResult:
     """Run the full curation flow; returns surviving docs (id, text,
     fingerprint) and a per-stage metrics frame (stage, rows_in,
@@ -80,7 +81,16 @@ def curate_corpus(
     cheapest-reducer-first ordering, since the hard rules are pure
     narrow codegen. With ``output_path`` the survivors are also
     written as parquet.
+
+    ``keep`` picks the near-dedup survivor policy: ``'best'``
+    (default) keeps the HIGHEST-quality-score member of each
+    duplicate cluster (full single-link resolution via
+    ``keep_best_per_cluster``, min-id deterministic tiebreak) —
+    near-dedup should upgrade the corpus, not sample it blindly;
+    ``'min_id'`` restores the plain lowest-id single-sweep policy.
     """
+    if keep not in ("best", "min_id"):
+        raise ValueError(f"curate_corpus: keep={keep!r}; expected 'best' or 'min_id'")
     if mix_weights and mix_temperature is not None:
         raise ValueError(
             "curate_corpus: give mix_weights OR mix_temperature, not both"
@@ -107,7 +117,12 @@ def curate_corpus(
     scored = quality_score(docs, text_col).localCheckpoint(eager=True)
     kept = filter_by_score_quantile(
         scored, "quality_score", q=quality_quantile, approx=True
-    ).drop("quality_score")
+    )
+    # keep='best' threads the quality score through to the dedup stage
+    # so the survivor of each duplicate cluster is the best-scoring
+    # member, not an arbitrary id.
+    if keep != "best":
+        kept = kept.drop("quality_score")
     kept = kept.localCheckpoint(eager=True)
     n1 = kept.count()
     stages.append(("quality_filter", n0, n1))
@@ -122,8 +137,15 @@ def curate_corpus(
         n2 = n1
     stages.append(("decontaminate", n1, n2))
 
-    deduped = minhash_dedup(kept, text_col=text_col, id_col=id_col,
-                            threshold=dedup_threshold)
+    deduped = minhash_dedup(
+        kept,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=dedup_threshold,
+        score_col="quality_score" if keep == "best" else None,
+    )
+    if keep == "best":
+        deduped = deduped.drop("quality_score")
     deduped = deduped.localCheckpoint(eager=True)
     n3 = deduped.count()
     stages.append(("near_dedup", n2, n3))

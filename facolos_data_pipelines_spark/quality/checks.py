@@ -40,7 +40,7 @@ def table_stats(
 def column_profile(
     df: DataFrame,
     columns: list[str] | None = None,
-    exact_distinct: bool = True,
+    exact_distinct: bool = False,
 ) -> DataFrame:
     """Per-column data profile: one row per column with
     (column_name, n_rows, n_null, n_distinct, min_value, max_value,
@@ -52,9 +52,12 @@ def column_profile(
     (every per-column stat is an aliased aggregate in a single
     ``agg``, map-side partials included); the single result row is
     reshaped to k rows with an array-of-structs explode — no joins, no
-    extra scans. At 100 TB set ``exact_distinct=False``:
+    extra scans. ``exact_distinct`` defaults to **False**:
     COUNT(DISTINCT) is the only stat here that needs a full shuffle of
-    values, and the HLL approximation avoids it.
+    values, and for the profiling use case the HLL approximation
+    (~2% error) is the safe out-of-the-box choice at 100 TB. Pass
+    ``exact_distinct=True`` when an exact cardinality matters (the
+    oracle-certified `column_profile` query pins it exact).
     """
     from pyspark.sql.types import NumericType
 

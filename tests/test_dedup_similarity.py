@@ -1026,3 +1026,83 @@ def test_connected_components_driver_dispatch_matches_distributed(spark):
     }
     expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     assert via_driver == expected and via_loop == expected
+
+
+def test_topk_ivfpq_rerank_refinement(spark, sf_dir):
+    """IVFADC-with-refinement: exact rerank of the widened ADC
+    candidate list returns true distances (matches a brute-force
+    top-k over the probed cells' members for the candidate set) and
+    can only improve recall vs the pure-ADC list."""
+    from facolos_data_pipelines_spark.operators.similarity import (
+        ann_recall_at_k,
+        encode_ivfpq,
+        ivf_train_lite,
+        pq_train,
+        topk_ivfpq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    coarse = ivf_train_lite(emb, k=4, sample_fraction=1.0)
+    cbs = pq_train(emb, num_subspaces=8, k=16, sample_fraction=1.0)
+    index = encode_ivfpq(emb, coarse, cbs)
+    row = emb.first()
+    q = [float(x) for x in row["embedding"]]
+
+    plain = topk_ivfpq(index, coarse, cbs, q, k=5, n_probe=4)
+    reranked = topk_ivfpq(
+        index, coarse, cbs, q, k=5, n_probe=4, rerank_with=emb, rerank_factor=4
+    )
+    got = reranked.collect()
+    assert len(got) == 5 and got[0]["vec_id"] == row["vec_id"]
+    # reranked distances are the EXACT squared L2 (self distance ~0)
+    assert got[0]["approx_dist"] <= 1e-6
+    # distances are sorted and strictly meaningful (ADC's are approximate)
+    dists = [r["approx_dist"] for r in got]
+    assert dists == sorted(dists)
+
+    # recall vs the global exact top-5 never drops when reranking
+    qarr = F.array(*[F.lit(x) for x in q])
+    d = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            qarr,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        emb.select("vec_id", d.alias("_d"))
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+    r_plain = ann_recall_at_k(plain, exact).first()["recall"]
+    r_rerank = ann_recall_at_k(reranked, exact).first()["recall"]
+    assert r_rerank >= r_plain
+
+
+def test_ann_recall_at_k_empty_exact_is_zero(spark):
+    from facolos_data_pipelines_spark.operators.similarity import ann_recall_at_k
+
+    approx = spark.createDataFrame([(1,), (2,)], ["vec_id"])
+    exact = approx.filter(F.col("vec_id") < 0)
+    row = ann_recall_at_k(approx, exact).first()
+    assert row["n_exact"] == 0 and row["recall"] == 0.0
+
+
+def test_ann_recall_trained_gate_passes(spark):
+    """The trained IVF-PQ + rerank path reaches useful recall
+    (>= 0.8) on clusterable data — the entry-query contract."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["ann_recall_trained"](spark, "/root/testdata/sf0.001")
+    row = df.first()
+    assert row["n_exact"] == 10 and bool(row["meets_gate"])
+
+
+def test_pq_train_empty_sample_raises(spark):
+    from facolos_data_pipelines_spark.operators.similarity import pq_train
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="zero non-null"):
+        pq_train(empty, sample_fraction=0.5)

@@ -280,3 +280,51 @@ def test_curate_corpus_temperature_and_curriculum(spark, sf_dir):
         )
     with pytest.raises(ValueError, match="half-specified|exactly one"):
         curate_corpus(spark, docs, mix_col="lang")
+
+
+def test_curate_corpus_keep_best_survivor_policy(spark):
+    """keep='best' (the default) keeps the HIGHEST-quality-score member
+    of each near-dup cluster; keep='min_id' restores the lowest-id
+    policy; the quality_score work column never leaks into survivors."""
+    from facolos_data_pipelines_spark.pipelines import curate_corpus
+    from facolos_data_pipelines_spark.operators.text import quality_score
+
+    base = " ".join(
+        "the quick brown fox jumps over a lazy dog while many people watch "
+        "from the old stone bridge and children play near the quiet river "
+        "as morning light slowly fills every corner of this small town with "
+        "warm colors and the baker opens early to sell fresh bread".split()
+    )
+    rows = [
+        # cluster: doc 1 is the min id; doc 2 appends distinct NEW
+        # stopwords -> strictly higher length, diversity, and stopword
+        # sub-scores, same shingles otherwise (Jaccard ~0.87, above the
+        # 0.8 threshold)
+        (1, base, "en"),
+        (2, base + " in it is that for was on", "en"),
+        # singletons
+        (3, "completely different text about spacecraft navigation and "
+            "orbital mechanics with its own vocabulary entirely", "en"),
+        (4, "a second unrelated document describing deep sea creatures "
+            "and the biology of hydrothermal vent ecosystems", "en"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    scores = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_score(docs).select("doc_id", "quality_score").collect()
+    }
+    assert scores[2] > scores[1]  # precondition for the policy check
+
+    res_best = curate_corpus(spark, docs, quality_quantile=0.0)
+    surv_best = {r["doc_id"] for r in res_best.survivors.select("doc_id").collect()}
+    assert surv_best == {2, 3, 4}  # best-scoring member survives the cluster
+    assert "quality_score" not in res_best.survivors.columns
+
+    res_min = curate_corpus(spark, docs, quality_quantile=0.0, keep="min_id")
+    surv_min = {r["doc_id"] for r in res_min.survivors.select("doc_id").collect()}
+    assert surv_min == {1, 3, 4}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep="):
+        curate_corpus(spark, docs, keep="bogus")

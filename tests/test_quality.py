@@ -107,7 +107,9 @@ def test_column_profile_numeric_and_string(spark):
         [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, None), (4, None, "a")],
         ["k", "v", "s"],
     )
-    out = {r["column_name"]: r for r in column_profile(df).collect()}
+    out = {
+        r["column_name"]: r for r in column_profile(df, exact_distinct=True).collect()
+    }
     assert out["k"]["n_rows"] == 4 and out["k"]["n_null"] == 0
     assert out["k"]["n_distinct"] == 4
     assert out["k"]["min_value"] == 1.0 and out["k"]["max_value"] == 4.0
@@ -116,10 +118,8 @@ def test_column_profile_numeric_and_string(spark):
     # string column: distinct/null real, numeric stats NULL
     assert out["s"]["n_distinct"] == 2 and out["s"]["n_null"] == 1
     assert out["s"]["min_value"] is None and out["s"]["p25"] is None
-    # approx mode still returns a sane distinct count
-    approx = {
-        r["column_name"]: r for r in column_profile(df, exact_distinct=False).collect()
-    }
+    # approx mode (the default) still returns a sane distinct count
+    approx = {r["column_name"]: r for r in column_profile(df).collect()}
     assert approx["k"]["n_distinct"] >= 3
 
 
