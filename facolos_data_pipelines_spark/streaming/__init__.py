@@ -1,4 +1,5 @@
 from .pipeline import (
+    compact_bucket_store,
     dedup_stream,
     near_dup_filter_sink,
     merge_upsert_sink,
@@ -11,6 +12,7 @@ from .pipeline import (
 )
 
 __all__ = [
+    "compact_bucket_store",
     "dedup_stream",
     "near_dup_filter_sink",
     "merge_upsert_sink",

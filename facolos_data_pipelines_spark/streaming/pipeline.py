@@ -271,6 +271,7 @@ def near_dup_filter_sink(
     shingle_n: int = 3,
     threshold: float = 0.8,
     family: str = "multiply_add",
+    store_partitions: int = 16,
 ):
     """foreachBatch factory: streaming corpus ingestion with near-dup
     dedup against everything already ingested. Per micro-batch:
@@ -294,6 +295,19 @@ def near_dup_filter_sink(
     sink never duplicates — the property foreachBatch sinks must
     provide under at-least-once delivery. State is one parquet table of
     id-width bucket rows, O(docs x bands), never text.
+
+    SCALE SHAPE (long-running streams): the store is written
+    PARTITIONED by ``bucket_pmod = pmod(band_hash, store_partitions)``
+    and probed by broadcasting the micro-batch's buckets (small — one
+    batch x bands rows) against the store scan: an inner broadcast-hash
+    join, so the per-batch cost is a MAP-ONLY scan of the store with
+    zero store-side shuffle (the previous shape dropDuplicates-shuffled
+    the entire store every batch). Duplicate bucket rows in the store
+    are harmless to the probe (hit ids are deduped batch-side), so
+    appends never need a read-modify-write; ``compact_bucket_store``
+    dedups and re-files each partition at maintenance time, keeping the
+    per-partition file count and the scan input bounded.
+    ``store_partitions=0`` keeps the legacy unpartitioned layout.
     """
     from ..operators.dedup import minhash_dedup, minhash_lsh_buckets
     from ..sources.io import table_exists
@@ -306,26 +320,136 @@ def near_dup_filter_sink(
             batch_df, text_col, id_col, num_hashes, bands, shingle_n,
             threshold, family=family,
         ).localCheckpoint(eager=True)
-        buckets = minhash_lsh_buckets(
-            survivors, text_col, id_col, num_hashes, bands, shingle_n, family
+
+        def with_pmod(b: DataFrame) -> DataFrame:
+            if store_partitions:
+                return b.withColumn(
+                    "bucket_pmod", F.pmod(F.col("band_hash"), F.lit(store_partitions))
+                )
+            return b
+
+        buckets = with_pmod(
+            minhash_lsh_buckets(
+                survivors, text_col, id_col, num_hashes, bands, shingle_n, family
+            )
         )
         if table_exists(spark, bucket_store_path):
-            store = spark.read.parquet(bucket_store_path).select(
-                "band_id", "band_hash"
-            ).dropDuplicates()
+            store = spark.read.parquet(bucket_store_path)
+            probe_keys = (
+                ["bucket_pmod", "band_id", "band_hash"]
+                if store_partitions and "bucket_pmod" in store.columns
+                else ["band_id", "band_hash"]
+            )
+            # Broadcast the (small) batch side; the store is scanned
+            # map-side only — no store shuffle, and the partition-column
+            # equi-join key lets dynamic partition pruning skip store
+            # partitions the batch doesn't touch.
             hit_ids = (
-                buckets.join(store, ["band_id", "band_hash"], "left_semi")
-                .select(id_col)
+                store.join(
+                    F.broadcast(
+                        buckets.select(
+                            *probe_keys, F.col(id_col).alias("_probe_id")
+                        )
+                    ),
+                    probe_keys,
+                )
+                .select(F.col("_probe_id").alias(id_col))
                 .dropDuplicates()
             )
             survivors = survivors.join(hit_ids, id_col, "left_anti")
-            buckets = minhash_lsh_buckets(
-                survivors, text_col, id_col, num_hashes, bands, shingle_n, family
+            buckets = with_pmod(
+                minhash_lsh_buckets(
+                    survivors, text_col, id_col, num_hashes, bands, shingle_n, family
+                )
             )
         survivors = survivors.localCheckpoint(eager=True)
         survivors.write.mode("append").parquet(docs_sink_path)
-        buckets.select("band_id", "band_hash", id_col).write.mode(
-            "append"
-        ).parquet(bucket_store_path)
+        out = buckets.select(
+            *(["bucket_pmod"] if store_partitions else []),
+            "band_id",
+            "band_hash",
+            id_col,
+        )
+        writer = out.write.mode("append")
+        if store_partitions:
+            writer = writer.partitionBy("bucket_pmod")
+        writer.parquet(bucket_store_path)
 
     return filter_batch
+
+
+def compact_bucket_store(
+    spark: SparkSession,
+    bucket_store_path: str,
+    id_col: str = "doc_id",
+    target_file_mb: int = 128,
+) -> dict[str, int]:
+    """Maintenance compaction for ``near_dup_filter_sink``'s band-bucket
+    store: dedup bucket rows (one row per (band_id, band_hash) bucket,
+    min-id owner kept for lineage) and rewrite with bounded file counts,
+    preserving the ``bucket_pmod`` partition layout when present.
+
+    Run this between micro-batch cycles (single-writer contract and
+    local-path rename swap, same as ``compact_parquet``) on whatever
+    cadence keeps the per-partition file count bounded — the probe join
+    is correct with duplicates and small files, just slower; compaction
+    restores the O(distinct buckets) scan in ONE pass (dedup + re-file
+    in the same job, no second rewrite). Returns ``{"files_before",
+    "files_after", "rows_before", "rows_after"}``.
+    """
+    import glob
+    import os
+    import shutil
+
+    if "://" in bucket_store_path:
+        raise ValueError(
+            "compact_bucket_store handles local paths only; use the table "
+            "format's compaction on remote filesystems"
+        )
+    path = bucket_store_path.rstrip("/")
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    if not files:
+        raise ValueError(f"compact_bucket_store: no parquet files under {path!r}")
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))  # ceil
+
+    store = spark.read.parquet(path)
+    rows_before = store.count()
+    partitioned = "bucket_pmod" in store.columns
+    part_cols = ["bucket_pmod"] if partitioned else []
+    deduped = store.groupBy(*part_cols, "band_id", "band_hash").agg(
+        F.min(id_col).alias(id_col)
+    )
+    if partitioned:
+        # one output file per store partition (buckets are id-width;
+        # a partition of a 100 TB store is still modest parquet)
+        deduped = deduped.repartition("bucket_pmod")
+    else:
+        deduped = deduped.repartition(int(n_out))
+    tmp = path + "._compact_tmp"
+    old = path + "._compact_old"
+    for stale in (tmp, old):
+        shutil.rmtree(stale, ignore_errors=True)
+    writer = deduped.write.mode("overwrite")
+    if partitioned:
+        writer = writer.partitionBy("bucket_pmod")
+    writer.parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+    }

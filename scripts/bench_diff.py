@@ -3,13 +3,18 @@
 Accepts either raw ``bench.py`` output lines or the driver's
 ``BENCH_r{N}.json`` wrapper (with a ``parsed`` key). Usage:
 
-    python scripts/bench_diff.py OLD.json NEW.json [threshold]
+    python scripts/bench_diff.py OLD.json NEW.json [threshold] [--report PATH]
 
 Prints queries slower than ``threshold``x (default 1.5) and the
 total-wall delta; exits 1 when any common query regresses past the
 threshold — keeping in mind the documented 2-3x shared-JVM swing, so
 treat single-run artifacts as a screen, not a verdict (bench.py's
 median-of-3 exists for exactly this reason).
+
+``--report PATH`` additionally writes a markdown diff report (full
+per-query table, regressions flagged) — the per-round committed
+artifact the round workflow keeps (BENCH_DIFF.md): run the sf0.1 bench,
+diff against the prior round's committed BENCH_DETAIL.json, commit both.
 """
 
 from __future__ import annotations
@@ -28,11 +33,56 @@ def load(path: str) -> dict:
     return data
 
 
+def write_report(
+    path: str,
+    old: dict,
+    new: dict,
+    threshold: float,
+    common: list,
+    added: list,
+    removed: list,
+    regressions: list,
+) -> None:
+    flagged = {q for _, q, _, _ in regressions}
+    lines = [
+        "# BENCH DIFF",
+        "",
+        f"old total: {old.get('value')} s ({len(old['queries'])} queries) | "
+        f"new total: {new.get('value')} s ({len(new['queries'])} queries) | "
+        f"threshold: {threshold}x",
+        "",
+        f"common {len(common)} | added {len(added)} | removed {len(removed)} | "
+        f"**regressions past threshold: {len(regressions)}**",
+        "",
+        "| query | old s | new s | ratio | |",
+        "|---|---|---|---|---|",
+    ]
+    for q in common:
+        a, b = old["queries"][q], new["queries"][q]
+        ratio = b / a if a > 0 else float("inf")
+        flag = "REGRESSION" if q in flagged else ""
+        lines.append(f"| {q} | {a} | {b} | {ratio:.2f}x | {flag} |")
+    for q in added:
+        lines.append(f"| {q} | — | {new['queries'][q]} | new | |")
+    for q in removed:
+        lines.append(f"| {q} | {old['queries'][q]} | — | removed | |")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def main() -> int:
-    if len(sys.argv) < 3:
-        raise SystemExit("usage: bench_diff.py OLD.json NEW.json [threshold]")
-    old, new = load(sys.argv[1]), load(sys.argv[2])
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    argv = list(sys.argv[1:])
+    report_path = None
+    if "--report" in argv:
+        i = argv.index("--report")
+        report_path = argv[i + 1]
+        del argv[i : i + 2]
+    if len(argv) < 2:
+        raise SystemExit(
+            "usage: bench_diff.py OLD.json NEW.json [threshold] [--report PATH]"
+        )
+    old, new = load(argv[0]), load(argv[1])
+    threshold = float(argv[2]) if len(argv) > 2 else 1.5
     common = sorted(set(old["queries"]) & set(new["queries"]))
     added = sorted(set(new["queries"]) - set(old["queries"]))
     removed = sorted(set(old["queries"]) - set(new["queries"]))
@@ -51,6 +101,11 @@ def main() -> int:
         print(f"  new {q}: {new['queries'][q]} s")
     if removed:
         print(f"  removed: {', '.join(removed)}")
+    if report_path:
+        write_report(
+            report_path, old, new, threshold, common, added, removed, regressions
+        )
+        print(f"  report written: {report_path}")
     return 1 if regressions else 0
 
 

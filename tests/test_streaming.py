@@ -484,3 +484,115 @@ def test_streaming_near_dup_filter_across_batches(spark, tmp_root):
     shutil.rmtree(ckpt)
     run_cycle()
     assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == {1, 3}
+
+
+def test_near_dup_sink_partitioned_store_many_batches(spark, tmp_root):
+    """Long-running-stream shape of the bucket store: 20 micro-batches
+    against a bucket_pmod-partitioned store, then compaction. Checks:
+    (a) dedup results are identical to the unpartitioned legacy layout,
+    (b) the store lands partitioned by pmod(band_hash, N) so per-batch
+    probes scan bounded per-partition inputs, and (c) compact_bucket_store
+    collapses the one-file-per-batch accumulation to one file per
+    partition with bucket rows deduped — the growth-control the sink
+    needs under continuous ingestion."""
+    import glob
+    import os
+
+    from pyspark.sql import types as T
+
+    from facolos_data_pipelines_spark.streaming import (
+        compact_bucket_store,
+        near_dup_filter_sink,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    words = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    ).split()
+
+    def doc_text(i: int) -> str:
+        # 12-word docs; every 4th batch replays batch i-1's doc with one
+        # appended word (a near-dup the store must catch cross-batch)
+        base = " ".join(words[(i + j) % len(words)] for j in range(12))
+        return base
+
+    n_parts = 4
+    batches = []
+    for b in range(20):
+        if b % 4 == 3:
+            batches.append([(100 + b, doc_text(b - 1) + " extraword")])
+        else:
+            batches.append([(100 + b, doc_text(b))])
+
+    def run(sink, store, ckpt, store_partitions):
+        fold = near_dup_filter_sink(
+            sink, store, store_partitions=store_partitions
+        )
+        for i, rows in enumerate(batches):
+            fold(spark.createDataFrame(rows, doc_schema), i)
+        return {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+
+    part_ids = run(
+        f"{tmp_root}/p_sink", f"{tmp_root}/p_store", f"{tmp_root}/p_ckpt", n_parts
+    )
+    legacy_ids = run(
+        f"{tmp_root}/l_sink", f"{tmp_root}/l_store", f"{tmp_root}/l_ckpt", 0
+    )
+    assert part_ids == legacy_ids, (part_ids, legacy_ids)
+    # the every-4th-batch near-dups were dropped
+    dropped = {100 + b for b in range(20) if b % 4 == 3}
+    assert part_ids.isdisjoint(dropped)
+
+    store_path = f"{tmp_root}/p_store"
+    part_dirs = sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(store_path, "bucket_pmod=*"))
+    )
+    assert part_dirs and all(d.startswith("bucket_pmod=") for d in part_dirs)
+    files_per_part_before = {
+        d: len(glob.glob(os.path.join(store_path, d, "*.parquet")))
+        for d in part_dirs
+    }
+    # 20 appends -> many files per partition; compaction must bound it
+    assert max(files_per_part_before.values()) > 1
+    before = spark.read.parquet(store_path)
+    buckets_before = {
+        tuple(r) for r in before.select("band_id", "band_hash").collect()
+    }
+
+    stats = compact_bucket_store(spark, store_path)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows_after"] <= stats["rows_before"]
+    files_per_part_after = {
+        d: len(glob.glob(os.path.join(store_path, d, "*.parquet")))
+        for d in glob.glob(os.path.join(store_path, "bucket_pmod=*"))
+    }
+    files_per_part_after = {
+        os.path.basename(d): n for d, n in files_per_part_after.items()
+    }
+    assert max(files_per_part_after.values()) == 1
+    after = spark.read.parquet(store_path)
+    # bucket set unchanged, rows unique per (band_id, band_hash)
+    assert {
+        tuple(r) for r in after.select("band_id", "band_hash").collect()
+    } == buckets_before
+    assert (
+        after.groupBy("band_id", "band_hash").count().filter("count > 1").count()
+        == 0
+    )
+
+    # the compacted store still filters: replay every batch, nothing lands
+    fold = near_dup_filter_sink(
+        f"{tmp_root}/p_sink", store_path, store_partitions=n_parts
+    )
+    for i, rows in enumerate(batches):
+        fold(spark.createDataFrame(rows, doc_schema), 100 + i)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(f"{tmp_root}/p_sink").collect()
+    } == part_ids
