@@ -1903,6 +1903,31 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split (sampling.leakage_safe_split)
+    over the certified embedding-LSH pair set: every member of a
+    duplicate component is keyed by the component label (min reachable
+    id), singletons by their own id, then assigned through the md5
+    hash_split contract — so near-duplicates can never straddle the
+    train/eval boundary. The DuckDB twin recomputes the same pairs +
+    recursive-CTE closure and the same digit-rebuilt md5 bucket."""
+    from facolos_data_pipelines_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from facolos_data_pipelines_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4)
+    out = leakage_safe_split(
+        emb.select("vec_id"), pairs, id_col="vec_id"
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"), F.col("split")
+    )
+
+
 def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size HISTOGRAM over the certified
     embedding-LSH pair set: single-link components, then how many
@@ -2850,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_distinct": q_incremental_distinct,  # bounded oracle (new r4)
         # -- round-5 additions (inside the 50-entry window) --
         "ann_recall_trained": q_ann_recall_trained,  # bounded oracle (new r5)
+        "leakage_safe_split": q_leakage_safe_split,  # new r5
         # -- previously certified (driver r1-r4 windows) --
         "semantic_dedup": q_semantic_dedup,
         "duplicate_spans": q_duplicate_spans,
@@ -4118,6 +4144,33 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN d USING (doc_id)
         """,
         "dup_components": _dup_components_sql(),
+        "leakage_safe_split": rf"""
+            -- leakage-safe split: the certified dup_components closure
+            -- (nested verbatim) labels each paired doc; singletons key
+            -- by their own id; md5('split:' || label) digit-rebuilt to
+            -- the same 32-bit fraction and cumulative boundaries the
+            -- Spark hash_split contract uses
+            WITH comp AS (SELECT * FROM ({_dup_components_sql()})),
+            g AS (
+                SELECT e.vec_id,
+                       COALESCE(c.component, e.vec_id) AS grp
+                FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+            ), h8 AS (
+                SELECT vec_id,
+                       md5('split:' || CAST(grp AS VARCHAR)) AS h
+                FROM g
+            ), f AS (
+                SELECT vec_id,
+                       ({" + ".join(f"(strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1) * {16 ** (7 - d)}" for d in range(8))})
+                           / 4294967296.0 AS frac
+                FROM h8
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CASE WHEN frac < {0.9!r} THEN 'train'
+                        WHEN frac < {0.9 + 0.05!r} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM f
+        """,
         "dup_cluster_sizes": rf"""
             -- cluster-size histogram over the certified dup_components
             -- closure (nested verbatim); singleton docs never pair, so

@@ -177,6 +177,8 @@ HEADLINE = [
     "dup_cluster_sizes",
     # round-8 addition: trained IVF-PQ + exact rerank recall gate
     "ann_recall_trained",
+    # round-9 addition: near-dup-component-keyed train/val/test split
+    "leakage_safe_split",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is

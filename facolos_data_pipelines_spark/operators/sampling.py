@@ -539,3 +539,56 @@ def split_leakage_check(
     return held_out.join(train, "_h").select(
         id_col, "split", "train_dup_id", "n_train_dups"
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    keep_group: bool = False,
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: every member of a
+    near-duplicate component lands in the SAME split, so eval can
+    never see a near-copy of a training document.
+
+    :func:`split_leakage_check` DETECTS straddling duplicates after
+    the fact; this PREVENTS them by construction: the split key is the
+    duplicate-component label (min reachable id via
+    dedup.connected_components over ``pairs`` — any certified pair
+    source: MinHash-LSH, SimHash, n-gram Jaccard, embedding-LSH), with
+    docs appearing in no pair keyed by their own id. The label is then
+    hashed with the SAME md5 contract as :func:`hash_split`, so the
+    assignment is deterministic across runs and engines and expected
+    split fractions hold at component granularity (clusters are
+    indivisible — with heavy boilerplate, measure realized fractions
+    and rebalance weights if needed).
+
+    100 TB shape: the component closure is the dedup family's
+    size-dispatched CC (driver union-find under the pair threshold,
+    distributed O(log diameter) min-label rounds above); the label
+    join back to the corpus is id-width; the split expression is pure
+    codegen. One wide join beyond the pair search itself.
+    """
+    from .dedup import connected_components
+
+    comp = connected_components(
+        pairs.select(F.col(pair_cols[0]).alias("id_a"),
+                     F.col(pair_cols[1]).alias("id_b"))
+    ).select(
+        F.col("node").alias(id_col), F.col("component").alias("_leak_comp")
+    )
+    group = F.coalesce(F.col("_leak_comp"), F.col(id_col)).alias("_leak_group")
+    assigned = hash_split(
+        df.join(comp, id_col, "left").withColumn("_leak_group", group),
+        id_col="_leak_group",
+        splits=splits,
+        salt=salt,
+        out_col=out_col,
+    ).drop("_leak_comp")
+    if keep_group:
+        return assigned
+    return assigned.drop("_leak_group")

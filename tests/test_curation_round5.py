@@ -353,3 +353,65 @@ def test_semantic_dedup_pairs_subset_of_exact_allpairs(spark, sf_dir):
     }
     assert sem <= exact
     assert len(sem) > 0
+
+
+def test_leakage_safe_split_components_cotravel(spark):
+    """leakage_safe_split: every member of a near-dup component gets the
+    SAME split; docs in no pair fall back to their own id and match the
+    plain hash_split assignment; deterministic across calls."""
+    from facolos_data_pipelines_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # two components: {0,1,2,3} (a chain) and {10,11}; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(docs, pairs, keep_group=True)
+    rows = {r["doc_id"]: (r["split"], r["_leak_group"]) for r in out.collect()}
+    assert len(rows) == 40
+    # co-travel: one split per component, keyed by the min member id
+    assert {rows[i] for i in (0, 1, 2, 3)} == {rows[0]} and rows[0][1] == 0
+    assert {rows[i] for i in (10, 11)} == {rows[10]} and rows[10][1] == 10
+    # singletons: own id as group, identical to plain hash_split
+    plain = {
+        r["doc_id"]: r["split"] for r in hash_split(docs).collect()
+    }
+    for i in range(40):
+        if i not in (0, 1, 2, 3, 10, 11):
+            assert rows[i] == (plain[i], i)
+    # deterministic
+    again = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, pairs).collect()
+    }
+    assert again == {k: v[0] for k, v in rows.items()}
+
+
+def test_leakage_safe_split_kills_split_leakage(spark):
+    """Composition check: near-dup pairs that straddle splits under
+    plain hash_split cannot straddle under leakage_safe_split — the
+    whole point of the operator."""
+    from facolos_data_pipelines_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    # exact duplicate texts => same-component docs with ids spread out
+    docs = spark.createDataFrame(
+        [(i, f"unique text {i}") for i in range(100)]
+        + [(100 + i, f"unique text {i}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(i, 100 + i) for i in range(100)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(docs, pairs, splits={"train": 0.5, "val": 0.5})
+    by_id = {r["doc_id"]: r["split"] for r in out.collect()}
+    straddles = [i for i in range(100) if by_id[i] != by_id[100 + i]]
+    assert straddles == []
+    # both splits are actually populated (50/50 over 100 components)
+    assert {"train", "val"} == set(by_id.values())
