@@ -1928,6 +1928,47 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed published quality model for the certified scoring query:
+#: trained by quality_model.train_quality_classifier on the sf0.01
+#: documents table against text.quality_score median labels, weights
+#: rounded to 4 decimals; the three features the synthetic corpus
+#: could not separate (punct/upper/digit ratios came back 0.0) carry
+#: small fixed penalties instead so the certified expression exercises
+#: EVERY feature term. The model is a frozen artifact — the query
+#: certifies the inference computation, not the weights' quality.
+QUALITY_MODEL_REF = {
+    "intercept": 0.2934,
+    "weights": {
+        "f_len": -2.2222,
+        "f_avg_word_len": 0.2459,
+        "f_punct_ratio": -1.5,
+        "f_upper_ratio": -0.5,
+        "f_digit_ratio": -0.75,
+        "f_distinct_ratio": -9.2608,
+        "f_stopword_ratio": 70.946,
+    },
+}
+
+
+def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (quality_model.score_quality_model):
+    sigmoid(w . features + b) with the frozen QUALITY_MODEL_REF weights
+    inlined as literals — the expression-only inference path that runs
+    a trained classifier over 100 TB with no ML runtime. The DuckDB
+    twin recomputes every feature and the sigmoid op-for-op."""
+    from facolos_data_pipelines_spark.operators.quality_model import (
+        score_quality_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = score_quality_model(docs, QUALITY_MODEL_REF, threshold=0.5)
+    return out.select(
+        "doc_id",
+        F.round(F.col("model_score") + 1e-8, 4).alias("model_score"),
+        F.col("keep"),
+    )
+
+
 def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size HISTOGRAM over the certified
     embedding-LSH pair set: single-link components, then how many
@@ -2876,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 additions (inside the 50-entry window) --
         "ann_recall_trained": q_ann_recall_trained,  # bounded oracle (new r5)
         "leakage_safe_split": q_leakage_safe_split,  # new r5
+        "quality_model_score": q_quality_model_score,  # new r5
         # -- previously certified (driver r1-r4 windows) --
         "semantic_dedup": q_semantic_dedup,
         "duplicate_spans": q_duplicate_spans,
@@ -2981,6 +3023,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _vec_sql() -> str:
     return "[" + ", ".join(f"{x!r}" for x in QUERY_VEC) + "]"
+
+
+def _quality_model_sql() -> str:
+    """quality_model_score twin: every feature expression of
+    quality_model._feature_exprs mirrored op-for-op, then the sigmoid
+    over the frozen QUALITY_MODEL_REF literals accumulated in the SAME
+    feature order the Spark scorer uses."""
+    w = QUALITY_MODEL_REF["weights"]
+    z = f"{QUALITY_MODEL_REF['intercept']!r}"
+    order = [
+        ("f_len", "least(len(words) / 100.0, 1.0)"),
+        (
+            "f_avg_word_len",
+            "COALESCE(list_sum(list_transform(words, x -> length(x))), 0) / greatest(len(words), 1)",
+        ),
+        (
+            "f_punct_ratio",
+            r"len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) / greatest(length(text), 1)",
+        ),
+        (
+            "f_upper_ratio",
+            "len(regexp_extract_all(text, '[A-Z]')) / greatest(length(text), 1)",
+        ),
+        (
+            "f_digit_ratio",
+            "len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1)",
+        ),
+        (
+            "f_distinct_ratio",
+            "len(list_distinct(words)) / greatest(len(words), 1)",
+        ),
+        (
+            "f_stopword_ratio",
+            "len(list_filter(words, x -> list_contains([{sw}], x)))"
+            " / greatest(len(words), 1)",
+        ),
+    ]
+    for name, expr in order:
+        expr = expr.replace("{sw}", _stopwords_en_sql())
+        z = f"({z} + {w[name]!r} * ({expr}))"
+    return rf"""
+            -- frozen-literal logistic quality model: features and
+            -- sigmoid mirrored op-for-op (COALESCE(list_sum, 0) covers
+            -- DuckDB's NULL sum over an empty word list where Spark's
+            -- aggregate() starts from 0)
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '[^\p{{L}}\p{{N}}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       1.0 / (1.0 + exp(-({z}))) AS raw_score
+                FROM w
+            )
+            SELECT doc_id,
+                   ROUND(raw_score + 1e-8, 4) AS model_score,
+                   raw_score >= 0.5 AS keep
+            FROM s
+        """
 
 
 def _sq(w: str) -> str:
@@ -4144,6 +4246,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN d USING (doc_id)
         """,
         "dup_components": _dup_components_sql(),
+        "quality_model_score": _quality_model_sql(),
         "leakage_safe_split": rf"""
             -- leakage-safe split: the certified dup_components closure
             -- (nested verbatim) labels each paired doc; singletons key

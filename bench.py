@@ -177,8 +177,10 @@ HEADLINE = [
     "dup_cluster_sizes",
     # round-8 addition: trained IVF-PQ + exact rerank recall gate
     "ann_recall_trained",
-    # round-9 addition: near-dup-component-keyed train/val/test split
+    # round-9 additions: near-dup-component-keyed train/val/test split,
+    # frozen-literal logistic quality-model scoring
     "leakage_safe_split",
+    "quality_model_score",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is

@@ -6,6 +6,7 @@ from . import (
     linkage,
     merge,
     multimodal,
+    quality_model,
     sampling,
     similarity,
     skew,
@@ -20,6 +21,7 @@ __all__ = [
     "linkage",
     "merge",
     "multimodal",
+    "quality_model",
     "sampling",
     "similarity",
     "skew",
