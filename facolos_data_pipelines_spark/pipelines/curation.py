@@ -61,6 +61,7 @@ def curate_corpus(
     c4_rules: bool = False,
     output_path: str | None = None,
     keep: str = "best",
+    quality_model: dict | None = None,
 ) -> CurationResult:
     """Run the full curation flow; returns surviving docs (id, text,
     fingerprint) and a per-stage metrics frame (stage, rows_in,
@@ -88,6 +89,15 @@ def curate_corpus(
     ``keep_best_per_cluster``, min-id deterministic tiebreak) —
     near-dedup should upgrade the corpus, not sample it blindly;
     ``'min_id'`` restores the plain lowest-id single-sweep policy.
+
+    ``quality_model`` swaps the scoring backend: pass a trained model
+    dict from ``quality_model.train_quality_classifier`` and the
+    quality stage scores with ``score_quality_model``'s
+    expression-only inference (sigmoid over codegen features — same
+    cost shape as the heuristic) instead of ``text.quality_score``;
+    the score keeps the ``quality_score`` column name so the quantile
+    filter, ``keep='best'`` survivor policy, and curriculum stage are
+    backend-agnostic.
     """
     if keep not in ("best", "min_id"):
         raise ValueError(f"curate_corpus: keep={keep!r}; expected 'best' or 'min_id'")
@@ -114,7 +124,14 @@ def curate_corpus(
         stages.append(("c4_rules", n_raw, docs.count()))
 
     n0 = docs.count()
-    scored = quality_score(docs, text_col).localCheckpoint(eager=True)
+    if quality_model is not None:
+        from ..operators.quality_model import score_quality_model
+
+        scored = score_quality_model(
+            docs, quality_model, text_col=text_col, score_col="quality_score"
+        ).localCheckpoint(eager=True)
+    else:
+        scored = quality_score(docs, text_col).localCheckpoint(eager=True)
     kept = filter_by_score_quantile(
         scored, "quality_score", q=quality_quantile, approx=True
     )
@@ -165,7 +182,15 @@ def curate_corpus(
 
     survivors = fingerprint(deduped, text_col=text_col, id_col=id_col)
     if curriculum_buckets is not None:
-        rescored = quality_score(survivors, text_col)
+        if quality_model is not None:
+            from ..operators.quality_model import score_quality_model
+
+            rescored = score_quality_model(
+                survivors, quality_model, text_col=text_col,
+                score_col="quality_score",
+            )
+        else:
+            rescored = quality_score(survivors, text_col)
         survivors = curriculum_order(
             rescored, "quality_score", id_col, num_buckets=curriculum_buckets
         ).drop("quality_score")

@@ -328,3 +328,47 @@ def test_curate_corpus_keep_best_survivor_policy(spark):
 
     with _pytest.raises(ValueError, match="keep="):
         curate_corpus(spark, docs, keep="bogus")
+
+
+def test_curate_corpus_with_quality_model_backend(spark):
+    """curate_corpus(quality_model=...) scores the quality stage with
+    the distilled expression model instead of the heuristic: the
+    bottom-quantile drop follows MODEL scores, and keep='best'
+    survivor selection uses the model score too."""
+    from facolos_data_pipelines_spark.operators.quality_model import (
+        train_quality_classifier,
+    )
+    from facolos_data_pipelines_spark.pipelines.curation import curate_corpus
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "through the quiet field while the sun is high above the hills"
+    )
+    junk = "@@## $$%% 1234 !!! ### 999 *** ((( ))) 777 &&& ^^^ %%% 000"
+    rows = (
+        [(i, prose + f" take {i}") for i in range(10)]
+        + [(100 + i, junk + f" {i}") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    labeled = docs.withColumn("label", (F.col("doc_id") < 100).cast("int"))
+    model = train_quality_classifier(labeled, "label")
+
+    res = curate_corpus(spark, docs, quality_quantile=0.5, dedup_threshold=0.99)
+    surv = {r["doc_id"] for r in res.survivors.select("doc_id").collect()}
+    # q=0.75: percentile_approx returns an actual observation, so the
+    # threshold lands inside the prose score cluster (junk scores ~0
+    # would survive a >= comparison against their own value at q=0.5)
+    res_m = curate_corpus(
+        spark, docs, quality_quantile=0.75, dedup_threshold=0.99,
+        quality_model=model,
+    )
+    surv_m = {r["doc_id"] for r in res_m.survivors.select("doc_id").collect()}
+    # the model backend keeps ONLY prose (perfectly separable); junk ids gone
+    assert all(i < 100 for i in surv_m), surv_m
+    assert len(surv_m) > 0
+    # metrics frame still reports the stage under the same name
+    stages = {r["stage"] for r in res_m.metrics.collect()}
+    assert "quality_filter" in stages
+    # both backends produce a survivors frame without the score column
+    assert "quality_score" not in res_m.survivors.columns
+    assert surv  # heuristic path still works alongside
