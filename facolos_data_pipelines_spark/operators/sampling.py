@@ -222,17 +222,23 @@ def mix_to_weights(
     hash-approximate (binomial around the target), which is what
     mixture sampling needs; exact-k per group is ``sample_per_group``.
 
-    Everything stays IN-PLAN: per-group counts (one map-side-combined
-    aggregation over at most |weights| groups), the scalar T (1-row
-    aggregate), and the per-group thresholds all flow through broadcast
-    joins — no driver collect, so the operator is one corpus scan + one
-    tiny-agg pass at any scale. Rows whose group has no weight are
-    dropped. Raises if a weighted group is absent (T would be 0 and the
-    whole output silently empty — loud beats empty); the error fetch is
-    capped at 10 example groups, so even a million-entry ``weights``
-    dict never drives a large driver collect. The weights themselves
-    travel as a broadcast frame (never ``isin``/``create_map``
-    literals, which would bloat the plan at high weight cardinality).
+    Cost shape: per-group counts are one map-side-combined aggregation
+    that reduces the corpus to at most |weights| rows, which are
+    COLLECTED — bounded by the size of the ``weights`` dict the caller
+    already holds on the driver, so this is symmetric with the input,
+    not a corpus-sized collect. T, the absent-group guard, and the
+    per-group thresholds are then plain Python over that tiny list,
+    and the thresholds travel back as one broadcast frame (never
+    ``isin``/``create_map`` literals, which would bloat the plan at
+    high weight cardinality). Two jobs total — the counts aggregation
+    and the filtered corpus scan — at any scale. (An earlier in-plan
+    variant checkpointed the counts frame to dodge re-running the
+    aggregation per consumer; that cost a third job plus checkpoint
+    I/O and was measured 3.5x slower at bench scale for zero
+    scale benefit.) Rows whose group has no weight are dropped.
+    Raises if a weighted group is absent (T would be 0 and the whole
+    output silently empty — loud beats empty), listing up to 10
+    examples.
     """
     if not weights:
         raise ValueError("mix_to_weights: weights must be non-empty")
@@ -254,45 +260,36 @@ def mix_to_weights(
             [(g, float(w)) for g, w in weights.items()], ["_wg", "_w"]
         )
     )
-    counts = (
-        df.join(wdf, df[group_col] == F.col("_wg"))
-        .groupBy(group_col)
-        .agg(
-            F.count("*").cast("double").alias("_cnt"),
-            F.first("_w").alias("_w"),
-        )
-    )
-    # Materialize the <=|weights|-row counts frame once: the guard, T,
-    # and the threshold join would otherwise each re-run the corpus
-    # aggregation (the double-plan-execution trap io.upsert_parquet
-    # dodges the same way).
-    counts = counts.localCheckpoint(eager=True)
-    n_present = counts.count()
-    if n_present < len(weights):
-        sample = [
-            r["_wg"]
-            for r in wdf.join(
-                counts, F.col("_wg") == counts[group_col], "left_anti"
-            )
-            .select("_wg")
-            .limit(10)
+    counts = {
+        r["_g"]: r["_cnt"]
+        for r in (
+            df.join(wdf, df[group_col] == F.col("_wg"))
+            .groupBy(F.col(group_col).alias("_g"))
+            .agg(F.count("*").cast("double").alias("_cnt"))
             .collect()
-        ]
-        n_missing = len(weights) - n_present
-        more = f" (+{n_missing - len(sample)} more)" if n_missing > len(sample) else ""
+        )
+    }
+    missing = sorted(g for g in weights if g not in counts)
+    if missing:
+        more = f" (+{len(missing) - 10} more)" if len(missing) > 10 else ""
         raise ValueError(
-            f"mix_to_weights: no rows for {n_missing} weighted group(s), "
-            f"e.g. {sorted(sample)}{more}; remove them from weights or fix "
+            f"mix_to_weights: no rows for {len(missing)} weighted group(s), "
+            f"e.g. {missing[:10]}{more}; remove them from weights or fix "
             "the input"
         )
-    t_total = counts.agg(F.min(F.col("_cnt") / F.col("_w")).alias("_t"))
-    thresholds = counts.join(F.broadcast(t_total)).select(
-        F.col(group_col).alias("_g"),
-        F.least(F.lit(1.0), F.col("_t") * F.col("_w") / F.col("_cnt")).alias("_thr"),
+    t = min(counts[g] / w for g, w in weights.items())
+    thresholds = F.broadcast(
+        spark.createDataFrame(
+            [
+                (g, min(1.0, t * w / counts[g]))
+                for g, w in weights.items()
+            ],
+            ["_g", "_thr"],
+        )
     )
     frac = _hash_fraction(id_col, salt)
     return (
-        df.join(F.broadcast(thresholds), df[group_col] == F.col("_g"))
+        df.join(thresholds, df[group_col] == F.col("_g"))
         .filter(frac < F.col("_thr"))
         .drop("_g", "_thr")
     )
