@@ -181,6 +181,9 @@ HEADLINE = [
     # frozen-literal logistic quality-model scoring
     "leakage_safe_split",
     "quality_model_score",
+    # column_profile's default-path twin (approx distinct; the pinned
+    # exact query keeps its own row for the oracle)
+    "column_profile_approx",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is
