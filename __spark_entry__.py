@@ -1979,6 +1979,17 @@ QUALITY_MODEL_REF = {
 }
 
 
+#: Frozen PCA basis for the certified projection query: trained by
+#: similarity.pca_train on the sf0.01 embeddings (top 4 of 64
+#: components, deterministic sign convention), rounded to 6 decimals
+#: so both engines compute from identical literals. Synthetic
+#: embeddings are isotropic, so explained variance is flat (~2.7%
+#: per component) - the query certifies the projection COMPUTATION
+#: (fold order, centering algebra), the same contract as
+#: QUALITY_MODEL_REF.
+PCA_MODEL_REF = {"mean": [0.002165, -0.004548, 0.00393, -0.004793, 0.009943, 0.007773, -0.018231, 0.009217, -0.002427, -0.000618, 0.006436, 0.003354, -0.002659, 0.002054, -0.000215, 0.00591, 0.003334, 0.005826, -0.000461, 0.001232, -0.003839, 0.002302, 0.004168, -0.008055, -0.001891, 0.012808, -0.001597, 0.010626, -0.001153, 0.00039, 0.005605, -0.005793, 0.008335, -0.006675, 0.005156, 0.001177, -0.005335, -0.001594, -0.000967, -0.001141, -0.001744, -0.011834, 0.000314, -0.000563, -0.011521, 0.003833, -0.000598, 0.00589, -0.00375, -0.010264, 0.009377, -0.001482, 0.00777, -0.003918, 0.00471, -0.003577, 0.004774, -0.00247, -0.004845, -0.008721, -0.000281, 0.005004, -0.001159, -0.013266], "components": [[-0.209639, -0.120573, 0.036548, 0.01182, 0.07567, 0.013215, 0.090584, 0.286619, 0.049547, 0.414057, 0.065305, 0.182079, 0.065132, -0.036532, 0.171149, -0.18535, 0.08899, -0.157027, -0.030137, 0.032179, 0.061213, -0.110688, -0.083475, -0.055437, 0.01955, 0.199125, -0.037517, 0.149508, -0.17288, -0.006123, -0.058716, 0.062038, 0.296539, 0.106165, -0.032042, 0.104144, 0.044539, 0.061464, 0.013007, 0.021771, -0.116679, 0.005525, -0.240837, 0.095708, -0.028308, -0.225127, 0.008732, -0.079038, -0.083681, -0.118451, 0.120459, 0.072483, -0.017186, 0.081604, -0.015031, -0.066765, -0.055651, -0.051376, 0.060196, -0.091139, 0.121987, 0.05065, -0.218211, -0.102014], [-0.003837, -0.05443, -0.012568, -0.088134, 0.174858, 0.025214, 0.074947, -0.069981, 0.077448, 0.030696, 0.105758, -0.017883, 0.012976, 0.133697, 0.014559, 0.041392, 0.148411, 0.36031, -0.054189, -0.050765, 0.032543, 0.035391, 0.065335, -0.309123, -0.257682, -0.239066, -0.020638, -0.000223, -0.086286, -0.174533, -0.024068, -0.217545, 0.029464, 0.061539, 0.033753, 0.07922, 0.059467, 0.036498, 0.182107, 0.046674, 9e-06, 0.046987, -0.062767, -0.17919, 0.172686, -0.188835, -0.046946, 0.145779, 0.112924, -0.113281, -0.157431, -0.081975, 0.01298, -0.016092, 0.238035, 0.023384, -0.30282, 0.016383, 0.135434, -0.121586, -0.08367, 0.084839, -0.000443, -0.078616], [-0.148044, -0.085124, -0.063947, -0.000458, -0.204375, -0.043742, 0.117755, -0.284498, 0.044402, 0.023717, -0.05118, 0.035702, -0.06018, -0.034551, 0.00945, -0.234546, 0.171374, -0.084928, 0.116047, 0.077328, 0.013132, 0.175308, -0.100648, 0.053375, 0.092557, 0.100084, 0.090637, -0.134142, 0.010278, -0.105405, -0.12286, 0.090912, 0.048252, -0.180661, -0.02977, -0.102163, 0.139078, -0.212552, -0.063457, -0.103929, 0.18948, 0.19011, -0.125856, -0.208933, 0.165866, 0.052836, 0.042798, 0.01802, -0.06832, -0.051276, -0.129498, -0.106455, 0.2278, -0.153295, -0.179152, -0.00192, -0.005381, 0.109725, 0.182795, -0.052685, -0.069558, 0.288431, -0.090081, -0.075531], [0.068087, 0.062692, 0.008781, 0.172527, -0.257961, 0.107129, -0.023209, 0.177543, -0.11522, 0.136202, 0.007641, 0.20195, -0.060775, -0.140219, -0.093114, 0.049308, 0.096825, 0.071424, -0.009319, -0.203168, -0.225473, 0.157659, -0.011856, 0.073232, 0.027471, -0.119083, 0.116454, -0.003835, 0.128924, -0.104523, 0.152117, 0.200575, -0.081413, -0.017677, -0.116503, 0.31619, -0.116719, -0.148434, -0.010252, -0.048289, -0.014508, -0.000179, -0.085653, -0.017435, -0.075734, -0.041521, -0.01362, 0.369404, -0.108511, -0.153446, 0.066472, -0.019778, 0.00933, 0.005401, -0.021918, 0.101473, -0.17091, 0.09293, -0.17072, -0.073918, -0.19206, -0.096219, -0.084046, 0.026297]]}
+
+
 def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring (quality_model.score_quality_model):
     sigmoid(w . features + b) with the frozen QUALITY_MODEL_REF weights
@@ -1995,6 +2006,26 @@ def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(F.col("model_score") + 1e-8, 4).alias("model_score"),
         F.col("keep"),
+    )
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection (similarity.pca_project) with the frozen
+    PCA_MODEL_REF basis inlined as literals: per output dimension one
+    dot_literal fold minus the precomputed mean-offset - the
+    expression-only dimensionality-reduction step an ANN pipeline runs
+    before IVF/PQ indexing. The DuckDB twin recomputes each component
+    with the same fold and centering algebra."""
+    from facolos_data_pipelines_spark.operators.similarity import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pca_project(emb, PCA_MODEL_REF)
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.element_at(F.col("pca"), i + 1) + 1e-8, 4).alias(f"pc{i + 1}")
+            for i in range(4)
+        ],
     )
 
 
@@ -2948,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,  # new r5
         "quality_model_score": q_quality_model_score,  # new r5
         "column_profile_approx": q_column_profile_approx,  # new r5
+        "pca_project": q_pca_project,  # new r5
         # -- previously certified (driver r1-r4 windows) --
         "semantic_dedup": q_semantic_dedup,
         "duplicate_spans": q_duplicate_spans,
@@ -3053,6 +3085,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _vec_sql() -> str:
     return "[" + ", ".join(f"{x!r}" for x in QUERY_VEC) + "]"
+
+
+def _pca_oracle_sql() -> str:
+    """pca_project twin: per component list_sum(embedding[i] * c[i])
+    minus the precomputed mean.component offset, literals identical to
+    PCA_MODEL_REF."""
+    cols = []
+    for j, comp in enumerate(PCA_MODEL_REF["components"]):
+        off = sum(m * c for m, c in zip(PCA_MODEL_REF["mean"], comp))
+        lit = "[" + ", ".join(repr(x) for x in comp) + "]"
+        cols.append(
+            f"ROUND(list_sum(list_transform(range(1, 65), "
+            f"i -> embedding[i]::DOUBLE * ({lit})[i])) - ({off!r}) + 1e-8, 4) "
+            f"AS pc{j + 1}"
+        )
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
 
 
 def _quality_model_sql() -> str:
@@ -4277,6 +4325,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dup_components": _dup_components_sql(),
         "quality_model_score": _quality_model_sql(),
+        "pca_project": _pca_oracle_sql(),
         "leakage_safe_split": rf"""
             -- leakage-safe split: the certified dup_components closure
             -- (nested verbatim) labels each paired doc; singletons key

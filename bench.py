@@ -184,6 +184,8 @@ HEADLINE = [
     # column_profile's default-path twin (approx distinct; the pinned
     # exact query keeps its own row for the oracle)
     "column_profile_approx",
+    # PCA dimensionality reduction (expression-only projection)
+    "pca_project",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is

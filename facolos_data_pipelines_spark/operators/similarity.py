@@ -885,6 +885,91 @@ def pq_train(
     ]
 
 
+def pca_train(
+    df: DataFrame,
+    n_components: int,
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    seed: int = 7,
+    max_rows: int = 200_000,
+    center: bool = True,
+) -> dict:
+    """Train a PCA dimensionality reduction on a BOUNDED vector sample
+    (same driver-safety cap as :func:`ivf_train_lite`/:func:`pq_train`)
+    and return it as plain floats: ``{"mean": [...], "components":
+    [[...], ...], "explained_variance_ratio": [...]}`` — ready for
+    :func:`pca_project`'s expression-only inference, persistable as
+    JSON (the quality_model contract: training never scales with the
+    corpus, inference never needs a runtime).
+
+    The usual pre-ANN step: reducing 768d -> 64-128d cuts IVF/PQ/LSH
+    signature cost ~linearly in dim while keeping neighbor structure.
+    numpy SVD on the sample; components carry a deterministic sign
+    convention (largest-|coefficient| entry positive) so re-training on
+    the same sample reproduces the same matrix bit-for-bit.
+    """
+    import numpy as np
+
+    sample = _bounded_vec_sample(
+        df, vec_col, sample_fraction, seed, max_rows, "pca_train"
+    )
+    dim = sample.shape[1]
+    if not 1 <= n_components <= dim:
+        raise ValueError(
+            f"pca_train: n_components={n_components} outside [1, dim={dim}]"
+        )
+    mean = sample.mean(axis=0) if center else np.zeros(dim)
+    _, s, vt = np.linalg.svd(sample - mean, full_matrices=False)
+    comps = vt[:n_components]
+    # sign convention: flip each component so its largest-|x| entry > 0
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    var = s**2
+    evr = var / var.sum() if var.sum() > 0 else var
+    return {
+        "mean": [float(x) for x in mean],
+        "components": [[float(x) for x in c] for c in comps],
+        "explained_variance_ratio": [float(x) for x in evr[:n_components]],
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto a trained PCA basis as PURE COLUMN
+    EXPRESSIONS: per output dimension one :func:`dot_literal` fold of
+    the raw vector against the component, minus the precomputed
+    ``mean . component`` offset (algebraically identical to centering
+    first, but the centering never touches the data — one narrow
+    codegen projection, no UDF, no shuffle, the plan shape that runs
+    over 100 TB). Output is ``array<double>`` of ``n_components``.
+
+    For very wide (dim x components) products where the expression tree
+    gets large, batch through the Arrow scorer instead (the
+    :func:`topk_bruteforce_pandas` pattern); at the typical reduction
+    shapes (<=1024 in, <=128 out) the expression form stays inside
+    codegen limits.
+    """
+    comps = model["components"]
+    mean = model.get("mean") or [0.0] * len(comps[0])
+    offsets = [
+        float(sum(m * c for m, c in zip(mean, comp))) for comp in comps
+    ]
+    vec = F.col(vec_col)
+    proj = F.array(
+        *[
+            dot_literal(vec, comp) - F.lit(off)
+            for comp, off in zip(comps, offsets)
+        ]
+    )
+    return df.withColumn(out_col, proj)
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],

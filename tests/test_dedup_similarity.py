@@ -1106,3 +1106,67 @@ def test_pq_train_empty_sample_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="zero non-null"):
         pq_train(empty, sample_fraction=0.5)
+
+
+def test_pca_train_properties_and_projection_parity(spark):
+    """pca_train: orthonormal components, descending explained
+    variance; pca_project's expression fold matches the numpy
+    projection <=1e-9 (the no-runtime inference contract)."""
+    import numpy as np
+
+    from facolos_data_pipelines_spark.operators.similarity import (
+        pca_project,
+        pca_train,
+    )
+
+    rng = np.random.RandomState(11)
+    # anisotropic: variance concentrated in 3 of 16 dims
+    base = rng.randn(300, 16) * np.array([10, 6, 3] + [0.3] * 13)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    model = pca_train(df, n_components=4, vec_col="embedding")
+    C = np.array(model["components"])
+    assert C.shape == (4, 16)
+    assert np.allclose(C @ C.T, np.eye(4), atol=1e-8)  # orthonormal
+    evr = model["explained_variance_ratio"]
+    assert all(a >= b - 1e-12 for a, b in zip(evr, evr[1:]))  # descending
+    assert sum(evr) <= 1.0 + 1e-9
+    assert evr[0] > 0.5  # dominant synthetic axis found
+
+    got = {
+        r["vec_id"]: np.array(r["pca"])
+        for r in pca_project(df, model).select("vec_id", "pca").collect()
+    }
+    want = (base - np.array(model["mean"])) @ C.T
+    worst = max(
+        float(np.abs(got[i] - want[i]).max()) for i in range(300)
+    )
+    assert worst <= 1e-9, worst
+
+    # determinism: retraining on the same data reproduces the matrix
+    again = pca_train(df, n_components=4, vec_col="embedding")
+    assert again["components"] == model["components"]
+
+
+def test_pca_project_plan_is_narrow_and_guards_fire(spark):
+    import pytest as _pytest
+
+    from facolos_data_pipelines_spark.operators.similarity import (
+        pca_project,
+        pca_train,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0, 0.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    model = pca_train(df, n_components=2)
+    plan = pca_project(df, model)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+    with _pytest.raises(ValueError, match="n_components"):
+        pca_train(df, n_components=9)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="zero non-null"):
+        pca_train(empty, n_components=2)
