@@ -2029,6 +2029,63 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic of order value, 1995 cohort vs
+    1996+ cohort (quality.checks.ks_two_sample) — the binning-free
+    shape-drift test beside psi_drift's decile PSI. The ECDF running
+    sum is a distributed prefix sum (range partitions + per-partition
+    window + driver exclusive-scan of one subtotal row per partition),
+    never a single-task global window; the DuckDB twin is the plain
+    SUM() OVER (ORDER BY v) formulation."""
+    from facolos_data_pipelines_spark.quality.checks import ks_two_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderdate") < "1996-01-01")
+    curr = orders.filter(F.col("o_orderdate") >= "1996-01-01")
+    return ks_two_sample(base, curr, "o_totalprice")
+
+
+def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category chi-squared drift terms of order priority, 1995
+    cohort vs 1996+ cohort (quality.checks.chi2_categorical): expected
+    = current total allocated by base proportions (epsilon-floored),
+    term = (obs - exp)^2 / exp — the categorical complement to the
+    numeric PSI/KS monitors."""
+    from facolos_data_pipelines_spark.quality.checks import chi2_categorical
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderdate") < "1996-01-01")
+    curr = orders.filter(F.col("o_orderdate") >= "1996-01-01")
+    return chi2_categorical(base, curr, "o_orderpriority")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for the query {spark, merge, window}
+    (operators.text.bm25_topk): normalized_words tokenization (the
+    tfidf_top_terms contract), Lucene-default k1=1.2 / b=0.75,
+    explode filtered to the query's terms before the tf shuffle, df
+    and (N, avgdl) as broadcast rows, TakeOrderedAndProject top-k."""
+    from facolos_data_pipelines_spark.operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "merge", "window"], k=10)
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance z-scores over the embeddings table
+    (similarity.embedding_outliers): one pass of dim parallel means ->
+    literal centroid -> codegen distance fold -> 1-row z-scale
+    broadcast. The outlier flag compares the ROUNDED z so the boolean
+    is engine-reproducible; the DuckDB twin recomputes the same two
+    aggregate hops with the same rounding."""
+    from facolos_data_pipelines_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb)
+
+
 def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size HISTOGRAM over the certified
     embedding-LSH pair set: single-link components, then how many
@@ -2986,6 +3043,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_model_score": q_quality_model_score,  # new r5
         "column_profile_approx": q_column_profile_approx,  # new r5
         "pca_project": q_pca_project,  # new r5
+        "ks_drift": q_ks_drift,  # new r5
+        "chi2_drift": q_chi2_drift,  # new r5
+        "bm25_search": q_bm25_search,  # new r5
+        "embedding_outliers": q_embedding_outliers,  # new r5
         # -- previously certified (driver r1-r4 windows) --
         "semantic_dedup": q_semantic_dedup,
         "duplicate_spans": q_duplicate_spans,
@@ -4332,6 +4393,148 @@ def oracle_sql() -> dict[str, str]:
         "dup_components": _dup_components_sql(),
         "quality_model_score": _quality_model_sql(),
         "pca_project": _pca_oracle_sql(),
+        "ks_drift": r"""
+            -- checks.ks_two_sample twin: the Spark side's distributed
+            -- prefix sum IS the plain windowed cumulative sum below;
+            -- argmax tiebreak on smallest value, same rounding nudge
+            WITH base AS (
+                SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+                WHERE o_orderdate < TIMESTAMP '1996-01-01'
+                  AND o_totalprice IS NOT NULL
+            ), curr AS (
+                SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_totalprice IS NOT NULL
+            ), counts AS (
+                SELECT v, SUM(b) AS nb, SUM(c) AS nc FROM (
+                    SELECT v, 1 AS b, 0 AS c FROM base
+                    UNION ALL
+                    SELECT v, 0 AS b, 1 AS c FROM curr
+                ) GROUP BY v
+            ), tot AS (
+                SELECT CAST(SUM(nb) AS DOUBLE) AS tb,
+                       CAST(SUM(nc) AS DOUBLE) AS tc FROM counts
+            ), cum AS (
+                SELECT v,
+                       SUM(nb) OVER (ORDER BY v) AS cb,
+                       SUM(nc) OVER (ORDER BY v) AS cc
+                FROM counts
+            ), gaps AS (
+                SELECT v, ROUND(ABS(cb / tb - cc / tc) + 1e-9, 6) AS d
+                FROM cum, tot
+            )
+            SELECT d AS ks_stat, v AS at_value,
+                   (SELECT CAST(tb AS BIGINT) FROM tot) AS n_base,
+                   (SELECT CAST(tc AS BIGINT) FROM tot) AS n_curr
+            FROM gaps ORDER BY d DESC, v ASC LIMIT 1
+        """,
+        "chi2_drift": r"""
+            -- checks.chi2_categorical twin: expected = current total
+            -- at base proportions (epsilon-floored), squared term by
+            -- self-multiplication (portable, no pow)
+            WITH base AS (
+                SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '__null__')
+                           AS category
+                FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+            ), curr AS (
+                SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '__null__')
+                           AS category
+                FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            ), nb AS (
+                SELECT category, COUNT(*) AS n_base FROM base GROUP BY 1
+            ), nc AS (
+                SELECT category, COUNT(*) AS n_curr FROM curr GROUP BY 1
+            ), j AS (
+                SELECT category,
+                       COALESCE(n_base, 0) AS n_base,
+                       COALESCE(n_curr, 0) AS n_curr
+                FROM nb FULL OUTER JOIN nc USING (category)
+            ), t AS (
+                SELECT CAST(SUM(n_base) AS DOUBLE) AS tb,
+                       CAST(SUM(n_curr) AS DOUBLE) AS tc FROM j
+            )
+            SELECT category,
+                   CAST(n_base AS BIGINT) AS n_base,
+                   CAST(n_curr AS BIGINT) AS n_curr,
+                   ROUND(tc * GREATEST(n_base / tb, 1e-4) + 1e-9, 6)
+                       AS expected,
+                   ROUND((n_curr - tc * GREATEST(n_base / tb, 1e-4))
+                         * (n_curr - tc * GREATEST(n_base / tb, 1e-4))
+                         / (tc * GREATEST(n_base / tb, 1e-4)) + 1e-9, 6)
+                       AS chi2_term
+            FROM j, t ORDER BY category
+        """,
+        "embedding_outliers": r"""
+            -- similarity.embedding_outliers twin: per-dim means via a
+            -- dims cross join (the Spark side computes the same 64
+            -- means in one agg pass), ordered distance fold, z on the
+            -- 1-row scale, outlier flag on the ROUNDED z
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings
+            ), c AS (
+                SELECT list(m ORDER BY i) AS centroid FROM (
+                    SELECT i, AVG(v[i]) AS m
+                    FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+                    GROUP BY i
+                )
+            ), d AS (
+                SELECT vec_id,
+                       sqrt(list_sum(list_transform(range(1, 65),
+                           i -> (v[i] - centroid[i]) * (v[i] - centroid[i]))))
+                           AS dist
+                FROM e, c
+            ), s AS (
+                SELECT AVG(dist) AS mu, STDDEV_SAMP(dist) AS sigma FROM d
+            )
+            SELECT vec_id,
+                   ROUND(dist + 1e-8, 4) AS dist,
+                   ROUND(CASE WHEN sigma > 0 THEN (dist - mu) / sigma
+                              ELSE 0.0 END + 1e-8, 4) AS z,
+                   ROUND(CASE WHEN sigma > 0 THEN (dist - mu) / sigma
+                              ELSE 0.0 END + 1e-8, 4) > 3.0 AS is_outlier
+            FROM d, s
+        """,
+        "bm25_search": r"""
+            -- text.bm25_topk twin: same normalized_words tokenization
+            -- as the tfidf twin, Okapi idf ln(1 + (N-df+.5)/(df+.5)),
+            -- k1=1.2 b=0.75 folded to the same literal arithmetic
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                                      '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), d AS (
+                SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl, words
+                FROM w
+            ), stats AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                       AVG(dl) AS avgdl
+                FROM d
+            ), t AS (
+                SELECT doc_id, dl, unnest(words) AS term FROM d
+            ), tf AS (
+                SELECT doc_id, term,
+                       CAST(COUNT(*) AS DOUBLE) AS tf,
+                       ANY_VALUE(dl) AS dl
+                FROM t WHERE term IN ('merge', 'spark', 'window')
+                GROUP BY doc_id, term
+            ), dfq AS (
+                SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+                FROM tf GROUP BY term
+            )
+            SELECT doc_id,
+                   ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                             * (tf * 2.2
+                                / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))
+                         + 1e-9, 6) AS bm25,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+            FROM tf JOIN dfq USING (term) CROSS JOIN stats
+            GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+        """,
         "leakage_safe_split": rf"""
             -- leakage-safe split: the certified dup_components closure
             -- (nested verbatim) labels each paired doc; singletons key

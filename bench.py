@@ -186,6 +186,13 @@ HEADLINE = [
     "column_profile_approx",
     # PCA dimensionality reduction (expression-only projection)
     "pca_project",
+    # drift monitors (binning-free KS, categorical chi-squared) and
+    # lexical BM25 retrieval
+    "ks_drift",
+    "chi2_drift",
+    "bm25_search",
+    # embedding-space outlier gate (centroid-distance z-scores)
+    "embedding_outliers",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is

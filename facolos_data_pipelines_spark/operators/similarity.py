@@ -1234,3 +1234,79 @@ def topk_ivfpq(
         .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    z_threshold: float = 3.0,
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-vector centroid-distance z-scores — the embedding-space
+    quality gate that catches corrupt rows (zeroed vectors, wrong
+    preprocessing, truncated decodes) BEFORE they poison ANN indexes
+    and semantic dedup: such rows land far from the data manifold, so
+    their distance to the corpus centroid is a distribution outlier.
+
+    Returns every row as (id, ``dist`` to centroid, ``z`` score,
+    ``is_outlier``) — selection stays with the caller (filter, audit
+    sample, or route to re-embedding). ``is_outlier`` compares the
+    ROUNDED z to ``z_threshold``, so the flag is reproducible across
+    engines: the unrounded z carries ~1e-12 of summation-order noise
+    (see below) and a raw ``>`` at the threshold could flip between
+    runs; after round-to-4 the comparison is exact.
+
+    Cost shape at 100 TB: the centroid is ONE map-side-combined
+    aggregate pass computing all ``dim`` per-dimension means together
+    (no posexplode — that would shuffle n*dim rows for a dim-row
+    answer); it collects as a single row bounded by ``dim`` and
+    returns as literals, so the distance is a pure codegen fold
+    (ordered per-vector summation — deterministic). The z-scale
+    (mean/stddev of distance) is a second 1-row broadcast. Two scans
+    total, nothing driver-side scales with the corpus. Cross-row
+    float reductions (means, stddev) accumulate in partition order,
+    hence the documented ~1e-12 noise the rounding absorbs —
+    identical convention to the money-sum oracles. A zero-spread
+    distance distribution (all vectors identical) yields z = 0
+    everywhere, not a division by zero.
+    """
+    d = dim or 64
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    width_ok = F.size(F.col(vec_col)) == d
+    guard = F.raise_error(
+        F.concat(
+            F.lit("embedding_outliers: vector width "),
+            F.size(F.col(vec_col)).cast("string"),
+            F.lit(f" != dim {d}; pass the embedding's real dimension"),
+        )
+    ).cast("double")
+    vecs = df.select(
+        F.col(id_col),
+        F.when(width_ok, vec).otherwise(F.array(guard)).alias("_v"),
+    )
+    centroid_row = vecs.agg(
+        *[F.avg(F.element_at("_v", i + 1)).alias(f"_m{i}") for i in range(d)]
+    ).collect()[0]
+    centroid = F.array(*[F.lit(float(centroid_row[i])) for i in range(d)])
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("_v"), centroid, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    dists = vecs.select(F.col(id_col), dist.alias("_dist"))
+    scale = dists.agg(
+        F.avg("_dist").alias("_mu"), F.stddev_samp("_dist").alias("_sigma")
+    )
+    z = F.when(
+        F.col("_sigma") > 0, (F.col("_dist") - F.col("_mu")) / F.col("_sigma")
+    ).otherwise(F.lit(0.0))
+    z_rounded = F.round(z + 1e-8, 4)
+    return dists.crossJoin(F.broadcast(scale)).select(
+        F.col(id_col),
+        F.round(F.col("_dist") + 1e-8, 4).alias("dist"),
+        z_rounded.alias("z"),
+        (z_rounded > z_threshold).alias("is_outlier"),
+    )

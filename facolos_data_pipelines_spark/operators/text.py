@@ -848,3 +848,87 @@ def c4_clean(
         .withColumn(text_col, F.col("_clean_text"))
         .drop("_clean_text")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k documents by BM25 (Robertson/Sparck Jones, the Okapi
+    formulation Lucene defaults to) for a bag of query terms — the
+    lexical-retrieval primitive a curation pipeline uses to pull
+    topical slices out of a corpus (and the usual hybrid partner to
+    the embedding top-k in operators.similarity).
+
+    score(d) = sum over query terms t of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)),
+    with tf the raw count of t in d, dl the doc's token count, avgdl
+    the corpus mean. Tokenization is :func:`normalized_words` — the
+    same contract as tfidf_top_terms, so lexical and TF-IDF views of
+    one corpus agree on terms.
+
+    Plan shape, in corpus-scale order: dl is a per-row ``size()``
+    expression (no shuffle); the explode is filtered to the query's
+    terms BEFORE the (doc, term) tf aggregation, so the shuffle
+    carries only rows mentioning a query term — |query| is a literal
+    handful, the filter is an in-set codegen test, and everything
+    else prunes at the scan. df-per-term and (N, avgdl) reduce to at
+    most |query|+1 broadcast rows. The final top-k is
+    TakeOrderedAndProject (score desc, id asc — deterministic), never
+    a global sort. Rounded to ``round_digits`` with the half-ulp
+    nudge so external engines rank identically. Docs matching no
+    query term score 0 and are not returned (pure selection, k rows
+    max, never a corpus-sized result).
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    if k < 1:
+        raise ValueError("bm25_topk: k must be >= 1")
+    terms = sorted({t.lower() for t in query_terms})
+    _require_unique_ids(docs, id_col, "bm25_topk")
+    words = docs.select(
+        F.col(id_col), normalized_words(text_col).alias("_words")
+    ).withColumn("_dl", F.size("_words").cast("double"))
+    stats = words.agg(
+        F.count("*").cast("double").alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    tf = (
+        words.select(F.col(id_col), "_dl", F.explode("_words").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(
+            F.count("*").cast("double").alias("_tf"),
+            F.first("_dl").alias("_dl"),
+        )
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").cast("double").alias("_df"))
+    idf = F.log(
+        1.0 + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    term_score = idf * (
+        F.col("_tf")
+        * (k1 + 1.0)
+        / (
+            F.col("_tf")
+            + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(term_score) + 1e-9, round_digits).alias("bm25"),
+            F.count("*").cast("long").alias("n_terms_matched"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,5 +1,7 @@
 from .checks import (
+    chi2_categorical,
     column_profile,
+    ks_two_sample,
     flatten_invariants,
     multi_table_summary,
     population_stability_index,
@@ -20,6 +22,8 @@ from .monitor import (
 
 __all__ = [
     "table_stats",
+    "ks_two_sample",
+    "chi2_categorical",
     "column_profile",
     "population_stability_index",
     "multi_table_summary",

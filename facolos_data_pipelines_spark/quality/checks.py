@@ -427,3 +427,188 @@ def population_stability_index(
         )
         .orderBy("bin")
     )
+
+
+def ks_two_sample(
+    df_base: DataFrame,
+    df_curr: DataFrame,
+    col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between two
+    snapshots of a numeric column — the nonparametric companion to
+    :func:`population_stability_index`: PSI needs a binning choice and
+    saturates on its epsilon floor; KS is binning-free (the max ECDF
+    gap over every observed value) and comes with classical critical
+    values (reject same-distribution at alpha=0.05 when
+    D > 1.358 * sqrt((n+m)/(n*m))).
+
+    Returns ONE row: ``ks_stat`` (rounded to 6), ``at_value`` (the
+    smallest value attaining the max gap — deterministic tiebreak),
+    ``n_base``, ``n_curr``.
+
+    The global ECDF needs a running sum in value order, and the naive
+    ``Window.orderBy(col)`` with no partition key collapses the whole
+    frame into ONE task — the classic Spark scale trap. Instead this
+    is a textbook distributed prefix sum: (1) reduce both sides to
+    per-distinct-value counts (one map-side-combined shuffle — the
+    working set is distinct values, not rows); (2) range-repartition
+    by value and take within-partition cumulative sums (Window keyed
+    by ``spark_partition_id`` — every task sorts only its slice);
+    (3) collect ONE subtotal row per partition (bounded by
+    ``num_partitions``, never by data), exclusive-scan them on the
+    driver, and broadcast the offsets back. The counts frame is
+    localCheckpoint-ed after the range partitioning so the window pass
+    and the subtotal pass see identical partition ids (range boundary
+    sampling is not otherwise guaranteed stable across re-execution).
+    The final argmax is TakeOrderedAndProject — no global sort
+    materializes. NULLs are excluded (no position in a distribution);
+    an empty side raises (D against nothing is undefined — loud beats
+    a NULL a gate would misread).
+    """
+    from pyspark.sql import Window
+
+    spark = df_base.sparkSession
+    base = df_base.select(F.col(col).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    curr = df_curr.select(F.col(col).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    tagged = base.select(
+        "_v", F.lit(1).alias("_b"), F.lit(0).alias("_c")
+    ).unionByName(curr.select("_v", F.lit(0).alias("_b"), F.lit(1).alias("_c")))
+    counts = tagged.groupBy("_v").agg(
+        F.sum("_b").cast("long").alias("_nb"),
+        F.sum("_c").cast("long").alias("_nc"),
+    )
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    parts = (
+        counts.repartitionByRange(n_parts, "_v")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    subtotals = sorted(
+        parts.groupBy("_pid")
+        .agg(F.sum("_nb").alias("_sb"), F.sum("_nc").alias("_sc"))
+        .collect(),
+        key=lambda r: r["_pid"],
+    )
+    off_b = off_c = 0
+    offsets = []
+    for r in subtotals:
+        offsets.append((r["_pid"], off_b, off_c))
+        off_b += r["_sb"]
+        off_c += r["_sc"]
+    n_base, n_curr = off_b, off_c
+    if n_base == 0 or n_curr == 0:
+        raise ValueError(
+            f"ks_two_sample: empty {'base' if n_base == 0 else 'curr'} side "
+            f"for column {col!r} (n_base={n_base}, n_curr={n_curr}); the KS "
+            "statistic is undefined against an empty sample"
+        )
+    odf = F.broadcast(
+        spark.createDataFrame(offsets, "_pid int, _ob long, _oc long")
+    )
+    w = Window.partitionBy("_pid").orderBy("_v")
+    gaps = (
+        parts.withColumn("_cb", F.sum("_nb").over(w))
+        .withColumn("_cc", F.sum("_nc").over(w))
+        .join(odf, "_pid")
+        .select(
+            "_v",
+            # 1e-9 nudge before rounding: same half-ulp idiom as the
+            # money-sum oracles so external engines agree bit-for-bit
+            F.round(
+                F.abs(
+                    (F.col("_cb") + F.col("_ob")) / F.lit(float(n_base))
+                    - (F.col("_cc") + F.col("_oc")) / F.lit(float(n_curr))
+                )
+                + 1e-9,
+                6,
+            ).alias("_d"),
+        )
+    )
+    return (
+        gaps.orderBy(F.col("_d").desc(), F.col("_v").asc())
+        .limit(1)
+        .select(
+            F.col("_d").alias("ks_stat"),
+            F.col("_v").alias("at_value"),
+            F.lit(n_base).cast("long").alias("n_base"),
+            F.lit(n_curr).cast("long").alias("n_curr"),
+        )
+    )
+
+
+def chi2_categorical(
+    df_base: DataFrame,
+    df_curr: DataFrame,
+    col: str,
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """Per-category chi-squared drift terms between two snapshots of a
+    categorical column — the discrete complement to
+    :func:`population_stability_index` (which bins numerics):
+    ``expected`` is the current total allocated by the BASE category
+    proportions, and ``chi2_term = (n_curr - expected)^2 / expected``;
+    ``sum(chi2_term)`` is the classical test statistic with
+    ``n_categories - 1`` degrees of freedom.
+
+    Categories seen in only one snapshot still get a row (full outer
+    join on category, zero-filled): a category newly appearing is
+    exactly the drift a monitor must not drop. Its base proportion is
+    floored at ``epsilon`` (same convention as PSI's empty-bin floor)
+    so the term is large-but-finite instead of a division by zero.
+    NULL categories are kept as a real category (labelled in-band by
+    COALESCE to the sentinel '__null__'): a surging null rate IS
+    distribution drift for a categorical, unlike a numeric's ECDF
+    where NULL has no position.
+
+    Cost shape: each side reduces to one grouped count (map-side
+    combined) whose cardinality is the category count, a broadcast-safe
+    full outer join, and a 1-row totals broadcast — the same two-scan
+    shape as PSI, no corpus-sized state anywhere.
+    """
+    cat = lambda d: d.select(  # noqa: E731
+        F.coalesce(F.col(col).cast("string"), F.lit("__null__")).alias("category")
+    )
+    nb = cat(df_base).groupBy("category").agg(
+        F.count("*").cast("long").alias("n_base")
+    )
+    nc = cat(df_curr).groupBy("category").agg(
+        F.count("*").cast("long").alias("n_curr")
+    )
+    joined = (
+        nb.join(nc, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_curr", F.lit(0)).alias("n_curr"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("n_base").cast("double").alias("_tb"),
+        F.sum("n_curr").cast("double").alias("_tc"),
+    )
+    p_base = F.greatest(F.col("n_base") / F.col("_tb"), F.lit(epsilon))
+    expected = F.col("_tc") * p_base
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "category",
+            "n_base",
+            "n_curr",
+            F.round(expected + 1e-9, 6).alias("expected"),
+            # squared by self-multiplication, not pow(): bit-identical
+            # across engines, pow(x, 2.0) is not guaranteed to be
+            F.round(
+                (F.col("n_curr") - expected)
+                * (F.col("n_curr") - expected)
+                / expected
+                + 1e-9,
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("category")
+    )
