@@ -2086,6 +2086,67 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_outliers(emb)
 
 
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) daily value series densified to each
+    key's full day span with forward fill
+    (operators.timeseries.gap_fill) — the regular-grid prerequisite
+    for any rolling feature. ~60% of the spine days are holes in the
+    testdata, so the fill path is genuinely exercised. n_rows=0 marks
+    filled rows; the DuckDB twin is generate_series +
+    last_value IGNORE NULLS."""
+    from facolos_data_pipelines_spark.operators.timeseries import gap_fill
+
+    events = _t(spark, sf_dir, "events")
+    out = gap_fill(
+        events,
+        ["user_id", "event_type"],
+        "ts",
+        ["value"],
+        freq="day",
+        agg="sum",
+        fill="ffill",
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("bucket").cast("date").alias("day"),
+        "n_rows",
+        F.round(F.col("value") + 1e-8, 4).alias("value"),
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-entropy quality signal
+    (operators.text.char_entropy): zero-shuffle, zero-Python
+    higher-order-function histogram + entropy fold per row. The DuckDB
+    twin builds the identical list_distinct/list_filter pipeline;
+    summation-order float noise is absorbed by the shared round-4
+    convention."""
+    from facolos_data_pipelines_spark.operators.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy(docs)
+
+
+def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal
+    (operators.text.compression_ratio): one Arrow pass, C-speed
+    deflate per doc, no shuffle. No DuckDB oracle — compressed BYTE
+    length is a zlib-build artifact, not a cross-engine contract
+    (rows-only check); the entropy twin carries the hash-checked
+    oracle for this quality dimension."""
+    from facolos_data_pipelines_spark.operators.text import compression_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    out = compression_ratio(docs)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        F.round(F.col("ratio") + 1e-8, 4).alias("ratio"),
+    )
+
+
 def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size HISTOGRAM over the certified
     embedding-LSH pair set: single-link components, then how many
@@ -3047,6 +3108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_drift": q_chi2_drift,  # new r5
         "bm25_search": q_bm25_search,  # new r5
         "embedding_outliers": q_embedding_outliers,  # new r5
+        "gap_fill_daily": q_gap_fill_daily,  # new r5
+        "char_entropy": q_char_entropy,  # new r5
+        "compression_signal": q_compression_signal,  # new r5 (rows-only)
         # -- previously certified (driver r1-r4 windows) --
         "semantic_dedup": q_semantic_dedup,
         "duplicate_spans": q_duplicate_spans,
@@ -4534,6 +4598,69 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dfq USING (term) CROSS JOIN stats
             GROUP BY doc_id
             ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+        """,
+        "gap_fill_daily": r"""
+            -- timeseries.gap_fill twin: per-key [min,max] day spine via
+            -- generate_series, LEFT JOIN the aggregated series, forward
+            -- fill with last_value IGNORE NULLS; n_rows=0 marks holes
+            WITH series AS (
+                SELECT user_id, event_type,
+                       date_trunc('day', ts) AS bucket,
+                       COUNT(*) AS n_rows, SUM(value) AS value
+                FROM events WHERE ts IS NOT NULL
+                GROUP BY 1, 2, 3
+            ), span AS (
+                SELECT user_id, event_type,
+                       MIN(bucket) AS mn, MAX(bucket) AS mx
+                FROM series GROUP BY 1, 2
+            ), spine AS (
+                SELECT user_id, event_type,
+                       unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+                           AS bucket
+                FROM span
+            ), j AS (
+                SELECT s.user_id, s.event_type, s.bucket,
+                       COALESCE(se.n_rows, 0) AS n_rows, se.value
+                FROM spine s
+                LEFT JOIN series se USING (user_id, event_type, bucket)
+            )
+            SELECT user_id, event_type,
+                   CAST(bucket AS DATE) AS day,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   ROUND(COALESCE(value,
+                       last_value(value IGNORE NULLS) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY bucket)) + 1e-8, 4) AS value
+            FROM j ORDER BY user_id, event_type, day
+        """,
+        "char_entropy": r"""
+            -- text.char_entropy twin: identical higher-order pipeline
+            -- (truncate -> split to chars -> distinct -> count-per-char
+            -- -> -sum p log2 p); round-4 absorbs fold-order float noise
+            WITH c AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split(
+                               substr(COALESCE(text, ''), 1, 20000), ''),
+                           x -> x <> '') AS chars
+                FROM documents
+            ), h AS (
+                SELECT doc_id, chars, len(chars) AS n,
+                       list_distinct(chars) AS dchars
+                FROM c
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_chars,
+                   CAST(len(dchars) AS BIGINT) AS n_distinct_chars,
+                   CASE WHEN n > 0 THEN ROUND(
+                       -list_sum(list_transform(dchars, c ->
+                           (len(list_filter(chars, x -> x = c))
+                                / CAST(n AS DOUBLE))
+                           * log2(len(list_filter(chars, x -> x = c))
+                                / CAST(n AS DOUBLE))))
+                       + 1e-9, 4)
+                   ELSE 0.0 END AS entropy
+            FROM h ORDER BY doc_id
         """,
         "leakage_safe_split": rf"""
             -- leakage-safe split: the certified dup_components closure

@@ -193,6 +193,11 @@ HEADLINE = [
     "bm25_search",
     # embedding-space outlier gate (centroid-distance z-scores)
     "embedding_outliers",
+    # time-series regularization (date-spine densify + forward fill)
+    "gap_fill_daily",
+    # entropy / compression text-quality signals
+    "char_entropy",
+    "compression_signal",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is

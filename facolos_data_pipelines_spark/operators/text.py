@@ -932,3 +932,112 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 20_000,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution, in
+    bits — the cheap randomness probe that separates natural prose
+    (English ~4.1 bits/char over its alphabet) from the two junk tails
+    a pre-training corpus filter must catch: degenerate repetition
+    (entropy → 0: padding runs, boilerplate loops) and high-entropy
+    noise (base64 blobs, minified bundles, random keys → 5.5+ bits).
+    The compression-twin signal is :func:`compression_ratio`; entropy
+    is the engine-portable one (pure expressions, oracle-checkable),
+    compression the byte-exact one.
+
+    Returns (id, ``n_chars``, ``n_distinct_chars``, ``entropy``).
+    Entropy = -sum over distinct chars c of p(c) * log2 p(c), computed
+    over the first ``max_chars`` characters (a quality signal does not
+    need the whole 10 MB document; truncation bounds the per-row cost
+    and the oracle twin truncates identically). Empty/NULL text scores
+    entropy 0 with n_chars 0.
+
+    100 TB shape: ZERO shuffles and zero Python — the histogram is
+    built per row with higher-order functions (distinct chars ->
+    count-per-char via filter/size -> entropy fold), so cost is
+    O(distinct * len) JVM work per document, embarrassingly parallel
+    across partitions. Rounded with the half-ulp nudge because the
+    fold's summation ORDER follows each engine's distinct-list order,
+    which is not a contract (same convention as the money-sum oracles).
+    """
+    chars = F.filter(
+        F.split(F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, max_chars), ""),
+        lambda x: x != "",
+    )
+    n = F.size(chars)
+    distinct = F.array_distinct(chars)
+    counts = F.transform(
+        distinct, lambda c: F.size(F.filter(chars, lambda x: x == c))
+    )
+    nd = n.cast("double")
+    entropy = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, k: acc + (k / nd) * F.log2(k / nd),
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        F.size(distinct).cast("long").alias("n_distinct_chars"),
+        F.when(n > 0, F.round(entropy + 1e-9, round_digits))
+        .otherwise(F.lit(0.0))
+        .alias("entropy"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the byte-exact twin of
+    :func:`char_entropy` and the filter CCNet/Gopher-style pipelines
+    apply directly: ``ratio = deflated_bytes / raw_bytes``. Natural
+    prose lands ~0.3–0.5; heavy repetition collapses toward 0 (the
+    low-quality tail); incompressible noise (base64, random blobs,
+    already-compressed payloads pasted as text) pushes past ~0.9.
+
+    Returns (id, ``n_bytes`` of UTF-8 raw, ``n_compressed``,
+    ``ratio``). Empty/NULL text reports ratio 1.0 with n_bytes 0 (no
+    evidence either way — the neutral value no threshold fires on).
+
+    Python is unavoidable here (no JVM-side zlib expression), so the
+    rows move ONCE through Arrow batches (``mapInPandas``) and the
+    work is a C-speed ``zlib.compress`` per document — no shuffle, no
+    per-row Python overhead beyond the call itself. zlib's output for
+    a fixed ``level`` is deterministic for a given zlib build, but the
+    BYTES are not a cross-engine contract — hence no DuckDB oracle
+    (rows-only check), while the entropy twin carries the hash-checked
+    oracle for the same quality dimension.
+    """
+    if not 0 <= level <= 9:
+        raise ValueError(f"compression_ratio: level={level}; expected 0..9")
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_bytes long, n_compressed long, ratio double"
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nb, nc, ratio = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = ("" if t is None else str(t)).encode("utf-8")
+                comp = zlib.compress(raw, level)
+                ids.append(i)
+                nb.append(len(raw))
+                nc.append(len(comp))
+                ratio.append(len(comp) / len(raw) if raw else 1.0)
+            yield pd.DataFrame(
+                {id_col: ids, "n_bytes": nb, "n_compressed": nc, "ratio": ratio}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema)

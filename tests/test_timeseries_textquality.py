@@ -1,0 +1,211 @@
+"""Behavioral tests for gap_fill (operators.timeseries) and the
+char_entropy / compression_ratio text-quality signals (operators.text)."""
+
+import datetime as dt
+import math
+
+import pytest
+
+from facolos_data_pipelines_spark.operators.text import (
+    char_entropy,
+    compression_ratio,
+)
+from facolos_data_pipelines_spark.operators.timeseries import gap_fill
+
+
+def _events(spark, rows):
+    # rows: (key, iso_ts, value)
+    return spark.createDataFrame(
+        [(k, dt.datetime.fromisoformat(t), float(v)) for k, t, v in rows],
+        "k string, ts timestamp, v double",
+    )
+
+
+class TestGapFill:
+    def test_holes_densified_and_ffilled(self, spark):
+        df = _events(
+            spark,
+            [
+                ("a", "2024-01-01T10:00", 1.0),
+                ("a", "2024-01-01T11:00", 2.0),  # day 1 sums to 3
+                ("a", "2024-01-04T09:00", 7.0),  # days 2-3 are holes
+            ],
+        )
+        out = gap_fill(df, ["k"], "ts", ["v"]).orderBy("bucket").collect()
+        assert len(out) == 4  # contiguous daily spine Jan 1..4
+        assert [r["n_rows"] for r in out] == [2, 0, 0, 1]
+        assert [r["v"] for r in out] == [3.0, 3.0, 3.0, 7.0]  # ffill carries
+
+    def test_zero_and_null_fill_policies(self, spark):
+        df = _events(
+            spark,
+            [("a", "2024-01-01T00:00", 5.0), ("a", "2024-01-03T00:00", 1.0)],
+        )
+        zero = gap_fill(df, ["k"], "ts", ["v"], fill="zero").orderBy("bucket")
+        assert [r["v"] for r in zero.collect()] == [5.0, 0.0, 1.0]
+        null = gap_fill(df, ["k"], "ts", ["v"], fill="null").orderBy("bucket")
+        assert [r["v"] for r in null.collect()] == [5.0, None, 1.0]
+
+    def test_spans_are_per_key_not_global(self, spark):
+        df = _events(
+            spark,
+            [
+                ("a", "2024-01-01T00:00", 1.0),
+                ("a", "2024-01-02T00:00", 1.0),
+                ("b", "2024-03-10T00:00", 1.0),  # disjoint, later span
+            ],
+        )
+        out = gap_fill(df, ["k"], "ts", ["v"]).collect()
+        # b must NOT be back-filled to a's January span
+        assert sorted((r["k"], str(r["bucket"].date())) for r in out) == [
+            ("a", "2024-01-01"),
+            ("a", "2024-01-02"),
+            ("b", "2024-03-10"),
+        ]
+
+    def test_hour_freq_and_avg_agg(self, spark):
+        df = _events(
+            spark,
+            [
+                ("a", "2024-01-01T10:05", 2.0),
+                ("a", "2024-01-01T10:40", 4.0),  # hour 10 avg -> 3.0
+                ("a", "2024-01-01T13:00", 9.0),  # hours 11-12 holes
+            ],
+        )
+        out = (
+            gap_fill(df, ["k"], "ts", ["v"], freq="hour", agg="avg")
+            .orderBy("bucket")
+            .collect()
+        )
+        assert len(out) == 4
+        assert [r["v"] for r in out] == [3.0, 3.0, 3.0, 9.0]
+
+    def test_null_ts_dropped_null_key_kept(self, spark):
+        df = spark.createDataFrame(
+            [
+                (None, dt.datetime(2024, 1, 1), 1.0),
+                ("a", None, 9.0),
+                ("a", dt.datetime(2024, 1, 1), 2.0),
+            ],
+            "k string, ts timestamp, v double",
+        )
+        out = gap_fill(df, ["k"], "ts", ["v"]).collect()
+        keys = sorted((r["k"] or "<null>") for r in out)
+        assert keys == ["<null>", "a"]  # null key is a series; null ts gone
+        assert all(r["n_rows"] == 1 for r in out)
+
+    def test_bad_args_raise(self, spark):
+        df = _events(spark, [("a", "2024-01-01T00:00", 1.0)])
+        with pytest.raises(ValueError, match="freq"):
+            gap_fill(df, ["k"], "ts", ["v"], freq="fortnight")
+        with pytest.raises(ValueError, match="fill"):
+            gap_fill(df, ["k"], "ts", ["v"], fill="interpolate")
+        with pytest.raises(ValueError, match="key_cols"):
+            gap_fill(df, [], "ts", ["v"])
+
+
+class TestCharEntropy:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_known_values(self, spark):
+        rows = {
+            r["doc_id"]: r
+            for r in char_entropy(
+                self._docs(spark, ["aaaa", "abab", "abcd", "", None])
+            ).collect()
+        }
+        assert rows[0]["entropy"] == pytest.approx(0.0, abs=1e-9)  # 1 symbol
+        assert rows[1]["entropy"] == pytest.approx(1.0, abs=1e-3)  # 2 @ 50%
+        assert rows[2]["entropy"] == pytest.approx(2.0, abs=1e-3)  # 4 @ 25%
+        assert rows[3]["n_chars"] == 0 and rows[3]["entropy"] == 0.0
+        assert rows[4]["n_chars"] == 0 and rows[4]["entropy"] == 0.0
+        assert rows[2]["n_distinct_chars"] == 4
+
+    def test_separates_prose_from_junk(self, spark):
+        import random
+
+        rng = random.Random(3)
+        prose = "the quick brown fox jumps over the lazy dog " * 10
+        noise = "".join(
+            rng.choice("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/")
+            for _ in range(400)
+        )
+        rows = {
+            r["doc_id"]: r["entropy"]
+            for r in char_entropy(
+                self._docs(spark, [prose, noise, "zzzzzzzz" * 50])
+            ).collect()
+        }
+        assert rows[2] < 1.0 < rows[0] < rows[1]  # repetition < prose < noise
+        assert rows[1] > 5.0
+
+    def test_truncation_bounds_cost(self, spark):
+        long = "ab" * 50_000  # 100k chars, truncated to 20k
+        row = char_entropy(self._docs(spark, [long])).collect()[0]
+        assert row["n_chars"] == 20_000
+        assert row["entropy"] == pytest.approx(1.0, abs=1e-3)
+
+
+class TestCompressionRatio:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_repetition_vs_noise(self, spark):
+        import random
+
+        rng = random.Random(11)
+        noise = "".join(chr(rng.randrange(0x20, 0x2FF)) for _ in range(2000))
+        rows = {
+            r["doc_id"]: r
+            for r in compression_ratio(
+                self._docs(spark, ["spam " * 500, noise, "", None])
+            ).collect()
+        }
+        assert rows[0]["ratio"] < 0.05  # pure repetition collapses
+        assert rows[1]["ratio"] > 0.7  # noise barely compresses
+        for i in (2, 3):  # empty/NULL: neutral 1.0, zero bytes
+            assert rows[i]["n_bytes"] == 0 and rows[i]["ratio"] == 1.0
+
+    def test_byte_accounting_utf8(self, spark):
+        row = compression_ratio(self._docs(spark, ["héllo"])).collect()[0]
+        assert row["n_bytes"] == len("héllo".encode("utf-8"))
+        assert row["ratio"] == pytest.approx(
+            row["n_compressed"] / row["n_bytes"], abs=1e-9
+        )
+
+    def test_string_ids_pass_through(self, spark):
+        df = spark.createDataFrame(
+            [("x1", "hello world")], "doc_id string, text string"
+        )
+        row = compression_ratio(df).collect()[0]
+        assert row["doc_id"] == "x1" and row["n_bytes"] == 11
+
+    def test_bad_level_raises(self, spark):
+        with pytest.raises(ValueError, match="level"):
+            compression_ratio(self._docs(spark, ["x"]), level=99)
+
+
+def test_entropy_compression_agree_on_ranking(spark):
+    """The two quality signals must order (repetitive, prose, noise)
+    consistently — entropy ascending implies ratio ascending here."""
+    import random
+
+    rng = random.Random(5)
+    texts = [
+        "tick " * 300,
+        "a modest amount of ordinary english text with common words " * 5,
+        "".join(rng.choice("qwertyuiopasdfghjklzxcvbnm1234567890") for _ in range(800)),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ent = {r["doc_id"]: r["entropy"] for r in char_entropy(df).collect()}
+    rat = {r["doc_id"]: r["ratio"] for r in compression_ratio(df).collect()}
+    order_e = sorted(ent, key=ent.get)
+    order_r = sorted(rat, key=rat.get)
+    assert order_e == order_r == [0, 1, 2]
