@@ -2115,6 +2115,41 @@ def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing avg/sum per (user, event_type) over the
+    ZERO-FILLED daily spine (timeseries.gap_fill -> rolling_features)
+    — the composition gap_fill exists for: on the contiguous spine a
+    7-ROW trailing frame IS 7 calendar days. One shuffle for the
+    series, one key-partitioned sort for all frames. The DuckDB twin
+    nests the same spine and uses a named WINDOW with ROWS BETWEEN 6
+    PRECEDING."""
+    from facolos_data_pipelines_spark.operators.timeseries import (
+        gap_fill,
+        rolling_features,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    series = gap_fill(
+        events, ["user_id", "event_type"], "ts", ["value"], fill="zero"
+    )
+    out = rolling_features(
+        series,
+        ["user_id", "event_type"],
+        "bucket",
+        "value",
+        windows=[7],
+        stats=("avg", "sum"),
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("bucket").cast("date").alias("day"),
+        "n_rows",
+        F.round(F.col("value_avg_7") + 1e-8, 4).alias("avg_7d"),
+        F.round(F.col("value_sum_7") + 1e-8, 4).alias("sum_7d"),
+    )
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-entropy quality signal
     (operators.text.char_entropy): zero-shuffle, zero-Python
@@ -3109,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,  # new r5
         "embedding_outliers": q_embedding_outliers,  # new r5
         "gap_fill_daily": q_gap_fill_daily,  # new r5
+        "rolling_features": q_rolling_features,  # new r5
         "char_entropy": q_char_entropy,  # new r5
         "compression_signal": q_compression_signal,  # new r5 (rows-only)
         # -- previously certified (driver r1-r4 windows) --
@@ -4632,6 +4668,42 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY user_id, event_type
                            ORDER BY bucket)) + 1e-8, 4) AS value
             FROM j ORDER BY user_id, event_type, day
+        """,
+        "rolling_features": r"""
+            -- timeseries.gap_fill(zero) -> rolling_features twin: the
+            -- identical spine, then a named 7-row trailing window; the
+            -- frame is calendar-correct BECAUSE the spine is contiguous
+            WITH series AS (
+                SELECT user_id, event_type,
+                       date_trunc('day', ts) AS bucket,
+                       COUNT(*) AS n_rows, SUM(value) AS value
+                FROM events WHERE ts IS NOT NULL
+                GROUP BY 1, 2, 3
+            ), span AS (
+                SELECT user_id, event_type,
+                       MIN(bucket) AS mn, MAX(bucket) AS mx
+                FROM series GROUP BY 1, 2
+            ), spine AS (
+                SELECT user_id, event_type,
+                       unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+                           AS bucket
+                FROM span
+            ), j AS (
+                SELECT s.user_id, s.event_type, s.bucket,
+                       COALESCE(se.n_rows, 0) AS n_rows,
+                       COALESCE(se.value, 0.0) AS value
+                FROM spine s
+                LEFT JOIN series se USING (user_id, event_type, bucket)
+            )
+            SELECT user_id, event_type,
+                   CAST(bucket AS DATE) AS day,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   ROUND(AVG(value) OVER w + 1e-8, 4) AS avg_7d,
+                   ROUND(SUM(value) OVER w + 1e-8, 4) AS sum_7d
+            FROM j
+            WINDOW w AS (PARTITION BY user_id, event_type ORDER BY bucket
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, event_type, day
         """,
         "char_entropy": r"""
             -- text.char_entropy twin: identical higher-order pipeline

@@ -194,7 +194,9 @@ HEADLINE = [
     # embedding-space outlier gate (centroid-distance z-scores)
     "embedding_outliers",
     # time-series regularization (date-spine densify + forward fill)
+    # and calendar-correct trailing features over the spine
     "gap_fill_daily",
+    "rolling_features",
     # entropy / compression text-quality signals
     "char_entropy",
     "compression_signal",

@@ -209,3 +209,77 @@ def test_entropy_compression_agree_on_ranking(spark):
     order_e = sorted(ent, key=ent.get)
     order_r = sorted(rat, key=rat.get)
     assert order_e == order_r == [0, 1, 2]
+
+
+class TestRollingFeatures:
+    def test_partial_prefix_and_trailing_math(self, spark):
+        from facolos_data_pipelines_spark.operators.timeseries import (
+            rolling_features,
+        )
+
+        df = spark.createDataFrame(
+            [("a", i, float(v)) for i, v in enumerate([2, 4, 6, 8])],
+            "k string, i long, v double",
+        )
+        out = (
+            rolling_features(df, ["k"], "i", "v", windows=[3], stats=("avg", "sum"))
+            .orderBy("i")
+            .collect()
+        )
+        assert [r["v_sum_3"] for r in out] == [2.0, 6.0, 12.0, 18.0]
+        assert [r["v_avg_3"] for r in out] == [2.0, 3.0, 4.0, 6.0]
+
+    def test_windows_do_not_cross_keys(self, spark):
+        from facolos_data_pipelines_spark.operators.timeseries import (
+            rolling_features,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 0, 10.0), ("a", 1, 10.0), ("b", 0, 99.0)],
+            "k string, i long, v double",
+        )
+        rows = {
+            (r["k"], r["i"]): r["v_sum_2"]
+            for r in rolling_features(
+                df, ["k"], "i", "v", windows=[2], stats=("sum",)
+            ).collect()
+        }
+        assert rows[("a", 1)] == 20.0
+        assert rows[("b", 0)] == 99.0  # b's frame never sees a's rows
+
+    def test_composes_with_gap_fill_calendar_correctness(self, spark):
+        """The whole point: a quiet key's 3-day average must dilute over
+        the empty days, not skip them."""
+        import datetime as dt
+
+        from facolos_data_pipelines_spark.operators.timeseries import (
+            gap_fill,
+            rolling_features,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("a", dt.datetime(2024, 1, 1), 9.0),
+                ("a", dt.datetime(2024, 1, 3), 3.0),  # Jan 2 is a hole
+            ],
+            "k string, ts timestamp, v double",
+        )
+        series = gap_fill(df, ["k"], "ts", ["v"], fill="zero")
+        out = (
+            rolling_features(series, ["k"], "bucket", "v", windows=[3], stats=("avg",))
+            .orderBy("bucket")
+            .collect()
+        )
+        # Jan 3 window = (9 + 0 + 3) / 3, NOT (9 + 3) / 2
+        assert out[-1]["v_avg_3"] == pytest.approx(4.0, abs=1e-9)
+
+    def test_bad_args_raise(self, spark):
+        from facolos_data_pipelines_spark.operators.timeseries import (
+            rolling_features,
+        )
+
+        df = spark.createDataFrame([("a", 0, 1.0)], "k string, i long, v double")
+        with pytest.raises(ValueError, match="unknown stats"):
+            rolling_features(df, ["k"], "i", "v", stats=("median",))
+        with pytest.raises(ValueError, match="windows"):
+            rolling_features(df, ["k"], "i", "v", windows=[0])
