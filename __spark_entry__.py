@@ -2150,6 +2150,40 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized line-item price (operators.features.winsorize):
+    exact [1%, 99%] percentile cut points (the DuckDB quantile_cont
+    definition) reduced in one aggregate row, then a broadcast
+    least/greatest projection — clipping never shuffles. The at-scale
+    swap is exact=False (t-digest approx_percentile), documented on
+    the operator."""
+    from facolos_data_pipelines_spark.operators.features import winsorize
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = winsorize(li, ["l_extendedprice"], lower=0.01, upper=0.99)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice_w") + 1e-8, 4).alias("price_w"),
+    )
+
+
+def q_freq_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency + smoothed-target encoding table for order priority
+    with o_totalprice as the target (operators.features.
+    frequency_encode): one grouped aggregate + a 1-row global
+    broadcast; target_enc is the m-estimate shrink toward the global
+    mean (smoothing=10)."""
+    from facolos_data_pipelines_spark.operators.features import (
+        frequency_encode,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return frequency_encode(
+        orders, "o_orderpriority", target_col="o_totalprice", smoothing=10.0
+    )
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-entropy quality signal
     (operators.text.char_entropy): zero-shuffle, zero-Python
@@ -3145,6 +3179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,  # new r5
         "gap_fill_daily": q_gap_fill_daily,  # new r5
         "rolling_features": q_rolling_features,  # new r5
+        "winsorize_prices": q_winsorize_prices,  # new r5
+        "freq_encode_priority": q_freq_encode_priority,  # new r5
         "char_entropy": q_char_entropy,  # new r5
         "compression_signal": q_compression_signal,  # new r5 (rows-only)
         # -- previously certified (driver r1-r4 windows) --
@@ -4704,6 +4740,41 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id, event_type ORDER BY bucket
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, event_type, day
+        """,
+        "winsorize_prices": r"""
+            -- features.winsorize twin: quantile_cont IS the linear-
+            -- interpolated percentile Spark's exact `percentile` uses;
+            -- clip = LEAST/GREATEST against the two broadcast cuts
+            WITH q AS (
+                SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+                       quantile_cont(l_extendedprice, 0.99) AS hi
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(LEAST(GREATEST(l_extendedprice, lo), hi) + 1e-8, 4)
+                       AS price_w
+            FROM lineitem, q
+        """,
+        "freq_encode_priority": r"""
+            -- features.frequency_encode twin: per-category counts and
+            -- target means + 1-row global stats; target_enc is the
+            -- m-estimate shrink (n*mean + m*gmean)/(n + m), m = 10
+            WITH g AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS total,
+                       AVG(o_totalprice) AS gmean
+                FROM orders
+            ), c AS (
+                SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '__null__')
+                           AS category,
+                       COUNT(*) AS n, AVG(o_totalprice) AS mean
+                FROM orders GROUP BY 1
+            )
+            SELECT category, CAST(n AS BIGINT) AS n,
+                   ROUND(n / total + 1e-9, 6) AS freq,
+                   ROUND(mean + 1e-9, 6) AS target_mean,
+                   ROUND((n * mean + 10.0 * gmean) / (n + 10.0) + 1e-9, 6)
+                       AS target_enc
+            FROM c, g ORDER BY category
         """,
         "char_entropy": r"""
             -- text.char_entropy twin: identical higher-order pipeline

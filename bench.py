@@ -200,6 +200,9 @@ HEADLINE = [
     # entropy / compression text-quality signals
     "char_entropy",
     "compression_signal",
+    # feature engineering (robust clipping, categorical encoding)
+    "winsorize_prices",
+    "freq_encode_priority",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is
