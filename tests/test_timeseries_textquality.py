@@ -283,3 +283,29 @@ class TestRollingFeatures:
             rolling_features(df, ["k"], "i", "v", stats=("median",))
         with pytest.raises(ValueError, match="windows"):
             rolling_features(df, ["k"], "i", "v", windows=[0])
+
+
+def test_char_entropy_arrow_expr_parity(spark):
+    """The numpy (arrow) and higher-order-function (expr) impls must
+    produce identical rounded rows — the expr path is what the DuckDB
+    oracle certifies, the arrow path is what production runs."""
+    import random
+
+    rng = random.Random(9)
+    texts = [
+        "", None, "aaaa", "abab", "the quick brown fox " * 20,
+        "".join(rng.choice("abcdefghij0123456789 .,!") for _ in range(500)),
+        "héllo wörld ünïcode " * 10,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from facolos_data_pipelines_spark.operators.text import char_entropy
+
+    a = {r["doc_id"]: r for r in char_entropy(df, impl="arrow").collect()}
+    e = {r["doc_id"]: r for r in char_entropy(df, impl="expr").collect()}
+    assert set(a) == set(e)
+    for k in a:
+        assert a[k]["n_chars"] == e[k]["n_chars"]
+        assert a[k]["n_distinct_chars"] == e[k]["n_distinct_chars"]
+        assert a[k]["entropy"] == pytest.approx(e[k]["entropy"], abs=2e-4)
