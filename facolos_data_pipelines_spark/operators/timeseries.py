@@ -95,10 +95,15 @@ def gap_fill(
         raise ValueError(
             f"gap_fill: agg={agg!r}; expected one of {sorted(agg_fns)}"
         )
-    clash = set(key_cols) & {bucket_col, count_col}
-    if clash or bucket_col == count_col:
+    clash = (set(key_cols) | set(value_cols)) & {bucket_col, count_col}
+    if clash:
         raise ValueError(
-            f"gap_fill: bucket_col/count_col collide with keys: {sorted(clash)}"
+            f"gap_fill: bucket_col/count_col collide with key/value "
+            f"columns: {sorted(clash)} — rename via bucket_col=/count_col="
+        )
+    if bucket_col == count_col:
+        raise ValueError(
+            f"gap_fill: bucket_col and count_col are both {bucket_col!r}"
         )
     fn = agg_fns[agg]
     bucket = F.date_trunc(freq, F.col(ts_col)).alias(bucket_col)
@@ -207,6 +212,11 @@ def rolling_features(
         )
     if any(w < 1 for w in windows):
         raise ValueError(f"rolling_features: windows must be >= 1, got {windows}")
+    if len(set(windows)) != len(list(windows)):
+        raise ValueError(
+            f"rolling_features: duplicate window widths {list(windows)} "
+            "would emit duplicate column names"
+        )
     out = df
     cols = list(df.columns)
     for w in windows:

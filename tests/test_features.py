@@ -84,3 +84,42 @@ class TestFrequencyEncode:
     def test_negative_smoothing_raises(self, spark):
         with pytest.raises(ValueError, match="smoothing"):
             frequency_encode(self._df(spark), "g", target_col="y", smoothing=-1)
+
+
+class TestReviewHardening:
+    def test_shrink_weights_by_observed_targets_not_rows(self, spark):
+        # 100 rows, 1 labeled: must shrink like n_t=1, not n=100
+        rows = [("a", 1000.0)] + [("a", None)] * 99 + [("b", 10.0)] * 10
+        df = spark.createDataFrame(rows, "g string, y double")
+        enc = {
+            r["category"]: r
+            for r in __import__(
+                "facolos_data_pipelines_spark.operators.features",
+                fromlist=["frequency_encode"],
+            ).frequency_encode(df, "g", target_col="y", smoothing=10.0).collect()
+        }
+        gmean = (1000.0 + 100.0) / 11  # over the 11 observed targets
+        expected_a = (1 * 1000.0 + 10 * gmean) / 11  # n_t = 1
+        assert enc["a"]["target_enc"] == pytest.approx(expected_a, abs=1e-3)
+        assert enc["a"]["n"] == 100  # row count still reported
+
+    def test_all_null_target_category_encodes_to_prior(self, spark):
+        df = spark.createDataFrame(
+            [("a", 5.0), ("z", None), ("z", None)], "g string, y double"
+        )
+        enc = {
+            r["category"]: r
+            for r in frequency_encode(df, "g", target_col="y").collect()
+        }
+        assert enc["z"]["target_mean"] is None
+        assert enc["z"]["target_enc"] == pytest.approx(5.0, abs=1e-6)  # gmean
+
+    def test_winsorize_all_null_column_raises_clearly(self, spark):
+        df = spark.createDataFrame([(None,), (None,)], "x double")
+        with pytest.raises(ValueError, match="no non-null values"):
+            winsorize(df, ["x"])
+
+    def test_winsorize_empty_frame_raises_clearly(self, spark):
+        df = spark.createDataFrame([], "x double")
+        with pytest.raises(ValueError, match="no non-null values"):
+            winsorize(df, ["x"])

@@ -309,3 +309,52 @@ def test_char_entropy_arrow_expr_parity(spark):
         assert a[k]["n_chars"] == e[k]["n_chars"]
         assert a[k]["n_distinct_chars"] == e[k]["n_distinct_chars"]
         assert a[k]["entropy"] == pytest.approx(e[k]["entropy"], abs=2e-4)
+
+
+class TestReviewHardening:
+    def test_gap_fill_value_col_collision_raises(self, spark):
+        import datetime as dt
+
+        from facolos_data_pipelines_spark.operators.timeseries import gap_fill
+
+        df = spark.createDataFrame(
+            [("a", dt.datetime(2024, 1, 1), 1.0)],
+            "k string, ts timestamp, n_rows double",
+        )
+        with pytest.raises(ValueError, match="collide"):
+            gap_fill(df, ["k"], "ts", ["n_rows"])
+
+    def test_rolling_duplicate_windows_raise(self, spark):
+        from facolos_data_pipelines_spark.operators.timeseries import (
+            rolling_features,
+        )
+
+        df = spark.createDataFrame([("a", 0, 1.0)], "k string, i long, v double")
+        with pytest.raises(ValueError, match="duplicate window"):
+            rolling_features(df, ["k"], "i", "v", windows=[7, 7])
+
+
+def test_bm25_punctuated_query_terms_match(spark):
+    """A phrase-like query term must match its constituent corpus
+    tokens, not silently match nothing."""
+    from facolos_data_pipelines_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(0, "state of the art results"), (1, "unrelated text")],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, ["state-of-the-art"], k=5).collect()
+    assert rows and rows[0]["doc_id"] == 0
+    assert rows[0]["n_terms_matched"] == 4  # state, of, the, art
+    with pytest.raises(ValueError, match="no letter/digit"):
+        bm25_topk(docs, ["!!!"], k=5)
+
+
+def test_embedding_outliers_empty_input_raises(spark):
+    from facolos_data_pipelines_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty input"):
+        embedding_outliers(df, dim=4)
