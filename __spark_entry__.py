@@ -2217,6 +2217,19 @@ def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition per document
+    (operators.text.script_profile): zero-shuffle regexp_count pass
+    over classes Java regex and RE2 count identically
+    (\\p{IsLatin} == \\p{Latin} etc.), explicit whitespace class so
+    the denominators agree; dominant-script CASE and mixed-mass flag
+    are exact integer-ratio comparisons in both engines."""
+    from facolos_data_pipelines_spark.operators.text import script_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return script_profile(docs)
+
+
 def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size HISTOGRAM over the certified
     embedding-LSH pair set: single-link components, then how many
@@ -3185,6 +3198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no oracle) — the driver rows-check is its ONLY
         # driver-side attestation, so it must sit inside the 50-window
         "compression_signal": q_compression_signal,  # new r5 (rows-only)
+        # script_profile is hash-certified by the committed local
+        # artifact; the driver window is full of first-attestations
+        "script_profile": q_script_profile,  # new r5
         # column_profile_approx sits just outside the window by design:
         # its exact twin column_profile is already driver-certified and
         # the committed local artifact hash-checks the approx path
@@ -4813,6 +4829,49 @@ def oracle_sql() -> dict[str, str]:
                        + 1e-9, 4)
                    ELSE 0.0 END AS entropy
             FROM h ORDER BY doc_id
+        """,
+        "script_profile": r"""
+            -- text.script_profile twin: RE2 \p{Latin} == Java
+            -- \p{IsLatin} on these classes; explicit whitespace class
+            -- (Java \s and RE2 \s disagree on vertical tab); fractions
+            -- are exact integer ratios, rounding cosmetic
+            WITH b AS (
+                SELECT doc_id, substr(COALESCE(text, ''), 1, 20000) AS t
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       length(t) - len(regexp_extract_all(t, '[ \t\n\r\f]'))
+                           AS n,
+                       len(regexp_extract_all(t, '\p{Latin}')) AS lat,
+                       len(regexp_extract_all(t, '\p{Cyrillic}')) AS cyr,
+                       len(regexp_extract_all(t, '\p{Han}')) AS han,
+                       len(regexp_extract_all(t, '\p{Arabic}')) AS ara,
+                       len(regexp_extract_all(t, '\p{Devanagari}')) AS dev,
+                       len(regexp_extract_all(t, '[0-9]')) AS dig
+                FROM b
+            ), d AS (
+                SELECT *, CAST(GREATEST(n, 1) AS DOUBLE) AS nd,
+                       GREATEST(lat, cyr, han, ara, dev) AS top
+                FROM c
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+                   ROUND(lat / nd + 1e-9, 4) AS latin_frac,
+                   ROUND(cyr / nd + 1e-9, 4) AS cyrillic_frac,
+                   ROUND(han / nd + 1e-9, 4) AS han_frac,
+                   ROUND(ara / nd + 1e-9, 4) AS arabic_frac,
+                   ROUND(dev / nd + 1e-9, 4) AS devanagari_frac,
+                   ROUND(dig / nd + 1e-9, 4) AS digit_frac,
+                   ROUND((n - lat - cyr - han - ara - dev - dig) / nd
+                         + 1e-9, 4) AS other_frac,
+                   CASE WHEN lat > 0 AND lat = top THEN 'latin'
+                        WHEN cyr > 0 AND cyr = top THEN 'cyrillic'
+                        WHEN han > 0 AND han = top THEN 'han'
+                        WHEN ara > 0 AND ara = top THEN 'arabic'
+                        WHEN dev > 0 AND dev = top THEN 'devanagari'
+                        ELSE 'none' END AS dominant_script,
+                   (lat + cyr + han + ara + dev - top) / nd > 0.15
+                       AS is_mixed
+            FROM d ORDER BY doc_id
         """,
         "leakage_safe_split": rf"""
             -- leakage-safe split: the certified dup_components closure

@@ -203,6 +203,8 @@ HEADLINE = [
     # feature engineering (robust clipping, categorical encoding)
     "winsorize_prices",
     "freq_encode_priority",
+    # Unicode-script composition / mixed-script junk flag
+    "script_profile",
 ]
 
 # Reported outside the headline wall: the multimodal query's decode is

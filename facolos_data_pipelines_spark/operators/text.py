@@ -1115,3 +1115,66 @@ def compression_ratio(
             )
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema)
+
+
+def script_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 20_000,
+    mixed_threshold: float = 0.15,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document Unicode-script composition — the routing/filtering
+    signal a multilingual corpus pipeline applies before (or beside)
+    n-gram language ID: fractions of Latin / Cyrillic / Han / Arabic /
+    Devanagari characters plus digits, a ``dominant_script`` label,
+    and an ``is_mixed`` flag for the script-salad junk (spam that
+    interleaves scripts to evade filters, mojibake, wrong-decode
+    artifacts) that language-ID models misclassify rather than reject.
+
+    Denominator is NON-WHITESPACE characters of the first
+    ``max_chars`` (the explicit class ``[ \\t\\n\\r\\f]`` — identical
+    in Java regex and RE2, unlike ``\\s``). ``other_frac`` covers
+    punctuation, symbols, and scripts outside the tracked five.
+    ``dominant_script`` picks the max-count tracked script (fixed
+    priority order on ties, 'none' when no tracked script appears);
+    ``is_mixed`` fires when the tracked-script mass OUTSIDE the
+    dominant one exceeds ``mixed_threshold`` of the text.
+
+    Cost shape: zero shuffles, zero Python — a handful of
+    ``regexp_count`` per row, embarrassingly parallel; the script
+    classes are chosen because Java regex (``\\p{IsLatin}``) and RE2
+    (``\\p{Latin}``) count them identically, which is what the DuckDB
+    twin certifies. Fractions are ratios of integers, so cross-engine
+    equality is exact (the shared rounding is cosmetic).
+    """
+    base = F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, max_chars)
+    scripts = {
+        "latin": r"\p{IsLatin}",
+        "cyrillic": r"\p{IsCyrillic}",
+        "han": r"\p{IsHan}",
+        "arabic": r"\p{IsArabic}",
+        "devanagari": r"\p{IsDevanagari}",
+    }
+    counts = {k: F.regexp_count(base, F.lit(p)) for k, p in scripts.items()}
+    digit = F.regexp_count(base, F.lit("[0-9]"))
+    n = F.length(base) - F.regexp_count(base, F.lit(r"[ \t\n\r\f]"))
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    script_sum = sum(counts.values())
+    top = F.greatest(*counts.values())
+    dominant = F.lit("none")
+    for name in reversed(list(scripts)):  # earlier names win ties
+        dominant = F.when(
+            (counts[name] > 0) & (counts[name] == top), F.lit(name)
+        ).otherwise(dominant)
+    frac = lambda c: F.round(c / nd + 1e-9, round_digits)  # noqa: E731
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        *[frac(counts[k]).alias(f"{k}_frac") for k in scripts],
+        frac(digit).alias("digit_frac"),
+        frac(n - script_sum - digit).alias("other_frac"),
+        dominant.alias("dominant_script"),
+        ((script_sum - top) / nd > mixed_threshold).alias("is_mixed"),
+    )

@@ -358,3 +358,69 @@ def test_embedding_outliers_empty_input_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty input"):
         embedding_outliers(df, dim=4)
+
+
+class TestScriptProfile:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_script_fractions_and_dominant(self, spark):
+        from facolos_data_pipelines_spark.operators.text import script_profile
+
+        rows = {
+            r["doc_id"]: r
+            for r in script_profile(
+                self._docs(
+                    spark,
+                    [
+                        "hello plain english",          # pure latin
+                        "Привет мир",                   # cyrillic
+                        "你好世界",                      # han
+                        "abc 123 !!!",                  # latin + digits + punct
+                        "",                             # empty
+                        None,                           # null
+                    ],
+                )
+            ).collect()
+        }
+        assert rows[0]["dominant_script"] == "latin"
+        assert rows[0]["latin_frac"] == pytest.approx(1.0, abs=1e-4)
+        assert rows[1]["dominant_script"] == "cyrillic"
+        assert rows[2]["dominant_script"] == "han"
+        assert rows[2]["han_frac"] == pytest.approx(1.0, abs=1e-4)
+        r3 = rows[3]  # 'abc123!!!' -> 9 non-space chars
+        assert r3["latin_frac"] == pytest.approx(3 / 9, abs=1e-4)
+        assert r3["digit_frac"] == pytest.approx(3 / 9, abs=1e-4)
+        assert r3["other_frac"] == pytest.approx(3 / 9, abs=1e-4)
+        for i in (4, 5):
+            assert rows[i]["n_chars"] == 0
+            assert rows[i]["dominant_script"] == "none"
+            assert rows[i]["is_mixed"] is False
+
+    def test_mixed_script_flag(self, spark):
+        from facolos_data_pipelines_spark.operators.text import script_profile
+
+        rows = {
+            r["doc_id"]: r
+            for r in script_profile(
+                self._docs(
+                    spark,
+                    [
+                        "english Привет english Привет",  # heavy mixing
+                        "english text with one ё char",   # trace second script
+                    ],
+                )
+            ).collect()
+        }
+        assert rows[0]["is_mixed"] is True
+        assert rows[1]["is_mixed"] is False
+        assert rows[1]["dominant_script"] == "latin"
+
+    def test_tie_prefers_priority_order(self, spark):
+        from facolos_data_pipelines_spark.operators.text import script_profile
+
+        row = script_profile(self._docs(spark, ["ab яж"])).collect()[0]
+        # 2 latin vs 2 cyrillic: latin wins the fixed priority order
+        assert row["dominant_script"] == "latin"
