@@ -868,8 +868,14 @@ def q_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name",
         "n_rows",
         "n_null",
+        # HLL rsd is ~5% at the default precision, so on near-unique
+        # columns (o_orderkey) the estimate can land ABOVE n_rows; bound
+        # with a 3-sigma margin (est <= n_rows * 1.15) so the boolean is
+        # stable across scales/seeds — the DuckDB twin's exact count is
+        # trivially within the same envelope (approx_distinct convention)
         (
-            (F.col("n_distinct") >= 1) & (F.col("n_distinct") <= F.col("n_rows"))
+            (F.col("n_distinct") >= 1)
+            & (F.col("n_distinct") <= F.col("n_rows") * 1.15)
         ).alias("n_distinct_bounded"),
         "min_value",
         "max_value",
@@ -1000,27 +1006,65 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[NQ] Image feature extraction through the real mapInPandas/Arrow
-    plumbing (operators.multimodal.extract_image_features). Decode is
-    real for PNG/WAV (stdlib) or any Pillow-readable format; these
-    payloads are synthesized from document text, so they exercise the
-    deterministic-fake fallback and report decode_mode='fake'.
-    Rows-only check (no SQL twin for the Python stage)."""
-    from facolos_data_pipelines_spark.operators.multimodal import extract_image_features
+    plumbing with REAL payloads end to end: per-doc genuine 8x8 RGB
+    PNGs (multimodal.synthesize_image_corpus, stdlib encoder) are
+    decoded by the stdlib PNG reader inside
+    multimodal.extract_image_features — every row reports
+    decode_mode='real', so the bench measures the actual decode path,
+    not the deterministic-fake fallback. Hash-certified via the
+    bounded-oracle projection below."""
+    from facolos_data_pipelines_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_image_corpus,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    images = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("payload"),
-        F.lit("png").alias("format"),
-        F.lit(8).alias("width"),
-        F.lit(8).alias("height"),
-        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    images = synthesize_image_corpus(
+        docs.select(F.col("doc_id").alias("media_id")), width=8, height=8
     )
     out = extract_image_features(images)
+    # bounded-oracle projection (approx_distinct convention): the PNG
+    # byte count and the per-id pixel values are build/RNG artifacts,
+    # but their envelopes are mathematical — and decode_mode='real' is
+    # the EXACT hash-checked claim that the genuine decoder ran. The
+    # booleans reference n_bytes/mean_pixel, so the codec stage stays
+    # in the timed plan.
+    return out.select(
+        "media_id",
+        (F.col("n_bytes") > 57).alias("payload_nonempty"),  # min PNG size
+        F.col("mean_pixel").between(64.0, 192.0).alias("mean_pixel_in_envelope"),
+        F.size("features").alias("feature_dim"),
+        "decode_mode",
+    )
+
+
+def q_audio_signal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (multimodal.audio_features) over REAL
+    PCM16 WAV payloads (multimodal.synthesize_audio_corpus, stdlib
+    wave encoder; id-derived sine frequency): stdlib wave decode +
+    RMS + rfft band energies, decode_mode='real' on every row.
+    Hash-certified via the bounded-oracle projection: a 0.5-amplitude
+    sine's RMS is A/sqrt(2)=0.35355 (quantization noise < 1e-4, the
+    envelope is generous), the WAV container is exactly 44 header
+    bytes + 2 per sample, and the measured duration n/sr = 0.2 is an
+    exact double."""
+    from facolos_data_pipelines_spark.operators.multimodal import (
+        audio_features,
+        synthesize_audio_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    audio = synthesize_audio_corpus(
+        docs.select(F.col("doc_id").alias("media_id")),
+        sample_rate=8000,
+        duration_s=0.2,
+    )
+    out = audio_features(audio)
     return out.select(
         "media_id",
         "n_bytes",
-        F.round(F.col("mean_pixel") + 1e-8, 4).alias("mean_pixel"),
+        F.col("rms").between(0.33, 0.38).alias("rms_in_envelope"),
+        F.round(F.col("measured_duration_s") + 1e-8, 4).alias("duration_s"),
         F.size("features").alias("feature_dim"),
         "decode_mode",
     )
@@ -1482,21 +1526,46 @@ def q_window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_daily_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day-over-day revenue delta: lag over the DAILY AGGREGATE (a
-    bounded few-thousand-row frame — the unpartitioned window never
-    touches fact rows, so the single-partition sort is over dates, not
-    the table)."""
+    """Day-over-day revenue delta over the daily aggregate. The lag
+    window is PARTITIONED BY YEAR (a decade-long range would otherwise
+    serialize every day into one task) and the January-1 boundary rows
+    are stitched by a broadcast join against each year's last-day
+    revenue, so the result equals the unpartitioned lag wherever the
+    previous calendar year has data — the delta is NULL on the global
+    first day and after a whole-year gap (where "day-over-day" is
+    meaningless anyway). Oracle twin mirrors the stitch identically."""
     orders = _t(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
         F.round(F.sum("o_totalprice") + 1e-6, 2).alias("revenue")
     )
-    w = Window.orderBy("order_date")
-    return daily.select(
+    yr = F.year("order_date")
+    w = Window.partitionBy(yr).orderBy("order_date")
+    lagged = daily.select(
         "order_date",
         "revenue",
-        F.round(F.col("revenue") - F.lag("revenue").over(w) + 1e-9, 2).alias(
-            "revenue_delta"
-        ),
+        F.lag("revenue").over(w).alias("_prev"),
+        yr.alias("_yr"),
+    ).withColumn(
+        # equi probe key: only year-start rows (lag NULL) look up the
+        # previous year; NULL keys never match, keeping the join equi
+        # (BroadcastHashJoin) with no residual condition
+        "_probe_yr",
+        F.when(F.col("_prev").isNull(), F.col("_yr") - 1),
+    )
+    year_last = daily.groupBy(yr.alias("_yl_yr")).agg(
+        F.max_by("revenue", "order_date").alias("_last_rev")
+    )
+    return (
+        lagged.join(
+            F.broadcast(year_last), F.col("_probe_yr") == F.col("_yl_yr"), "left"
+        )
+        .select(
+            "order_date",
+            "revenue",
+            F.round(
+                F.col("revenue") - F.coalesce("_prev", "_last_rev") + 1e-9, 2
+            ).alias("revenue_delta"),
+        )
     )
 
 
@@ -2201,10 +2270,17 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal
     (operators.text.compression_ratio): one Arrow pass, C-speed
-    deflate per doc, no shuffle. No DuckDB oracle — compressed BYTE
-    length is a zlib-build artifact, not a cross-engine contract
-    (rows-only check); the entropy twin carries the hash-checked
-    oracle for this quality dimension."""
+    deflate per doc, no shuffle. The compressed BYTE length is a
+    zlib-build artifact, not a cross-engine contract, so — following
+    the `approx_distinct` bounded-oracle convention — the engine-
+    specific values are projected to their mathematical envelope,
+    which IS certifiable: n_bytes (exact UTF-8 byte count, DuckDB
+    octet_length), positivity, zlib's worst-case deflate bound
+    (wrapper 6 B + 5 B per 64 KiB stored block), and
+    natural-language text > 200 bytes must actually shrink. The
+    booleans reference n_compressed, so Catalyst cannot prune the
+    deflate pass out of the timed plan; the entropy twin carries the
+    value-level oracle for this quality dimension."""
     from facolos_data_pipelines_spark.operators.text import compression_ratio
 
     docs = _t(spark, sf_dir, "documents")
@@ -2212,8 +2288,14 @@ def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         "n_bytes",
-        "n_compressed",
-        F.round(F.col("ratio") + 1e-8, 4).alias("ratio"),
+        (F.col("n_compressed") > 0).alias("positive"),
+        (
+            F.col("n_compressed")
+            <= F.col("n_bytes") + 11 + 5 * F.floor(F.col("n_bytes") / 65535)
+        ).alias("within_deflate_bound"),
+        F.when(F.col("n_bytes") > 200, F.col("n_compressed") < F.col("n_bytes"))
+        .otherwise(F.lit(True))
+        .alias("shrinks_long_doc"),
     )
 
 
@@ -3256,7 +3338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_lsh": q_knn_join_lsh,
         "minhash_dedup_portable": q_minhash_dedup_portable,
         "simhash_dedup_portable": q_simhash_dedup_portable,
-        "multimodal_features": q_multimodal_features,  # rows-only
+        "multimodal_features": q_multimodal_features,  # bounded oracle (r6)
+        "audio_signal_features": q_audio_signal_features,  # bounded oracle (new r6)
         "minhash_dedup": q_minhash_dedup,  # rows-only
         "simhash_dedup": q_simhash_dedup,  # rows-only
         "ivf_topk": q_ivf_topk,  # rows-only
@@ -3342,8 +3425,10 @@ def _quality_model_sql() -> str:
             "COALESCE(list_sum(list_transform(words, x -> length(x))), 0) / greatest(len(words), 1)",
         ),
         (
+            # explicit whitespace class (Java \s has \x0B, RE2 \s does
+            # not) — mirrors quality_model._feature_exprs / script_profile
             "f_punct_ratio",
-            r"len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) / greatest(length(text), 1)",
+            r"len(regexp_extract_all(text, '[^\p{L}\p{N} \t\n\v\f\r]')) / greatest(length(text), 1)",
         ),
         (
             "f_upper_ratio",
@@ -4801,6 +4886,20 @@ def oracle_sql() -> dict[str, str]:
                          / (nt + 10.0) + 1e-9, 6) AS target_enc
             FROM c, g ORDER BY category
         """,
+        "compression_signal": """
+            -- bounded-oracle twin (approx_distinct convention): the
+            -- zlib byte count is engine-specific, but its envelope is
+            -- mathematical — the exact oracle projection is n_bytes
+            -- (UTF-8 octets) plus constants TRUE for positivity, the
+            -- deflate worst-case bound, and shrink-on-long-text, which
+            -- the Spark side must reproduce from the REAL deflate output
+            SELECT doc_id,
+                   CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes,
+                   TRUE AS positive,
+                   TRUE AS within_deflate_bound,
+                   TRUE AS shrinks_long_doc
+            FROM documents
+        """,
         "char_entropy": r"""
             -- text.char_entropy twin: identical higher-order pipeline
             -- (truncate -> split to chars -> distinct -> count-per-char
@@ -5511,14 +5610,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "column_profile_approx": """
             -- the exact column_profile stats with the HLL estimate
-            -- replaced by its sanity envelope (trivially TRUE when the
-            -- exact distinct count is within [1, n_rows], which it
-            -- always is on non-empty columns — the cross-engine-stable
+            -- replaced by its rsd-margin envelope [1, n_rows*1.15]
+            -- (trivially TRUE for the exact count; the margin absorbs
+            -- HLL ~5% rsd overestimates on near-unique columns — the cross-engine-stable
             -- projection of an engine-specific estimate)
             SELECT 'o_orderkey' AS column_name,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-                   COUNT(DISTINCT o_orderkey) BETWEEN 1 AND COUNT(*) AS n_distinct_bounded,
+                   COUNT(DISTINCT o_orderkey) BETWEEN 1 AND CAST(COUNT(*) * 1.15 AS BIGINT) AS n_distinct_bounded,
                    MIN(CAST(o_orderkey AS DOUBLE)) AS min_value,
                    MAX(CAST(o_orderkey AS DOUBLE)) AS max_value,
                    ROUND(quantile_cont(CAST(o_orderkey AS DOUBLE), 0.25) + 1e-9, 4) AS p25,
@@ -5529,7 +5628,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'o_totalprice',
                    CAST(COUNT(*) AS BIGINT),
                    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-                   COUNT(DISTINCT o_totalprice) BETWEEN 1 AND COUNT(*),
+                   COUNT(DISTINCT o_totalprice) BETWEEN 1 AND CAST(COUNT(*) * 1.15 AS BIGINT),
                    MIN(CAST(o_totalprice AS DOUBLE)),
                    MAX(CAST(o_totalprice AS DOUBLE)),
                    ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) + 1e-9, 4),
@@ -5540,7 +5639,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'o_orderstatus',
                    CAST(COUNT(*) AS BIGINT),
                    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-                   COUNT(DISTINCT o_orderstatus) BETWEEN 1 AND COUNT(*),
+                   COUNT(DISTINCT o_orderstatus) BETWEEN 1 AND CAST(COUNT(*) * 1.15 AS BIGINT),
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
             FROM orders
@@ -5664,6 +5763,32 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1
             GROUP BY 1, 2
         """,
+        "multimodal_features": """
+            -- bounded-oracle twin: PNG byte length and RNG pixels are
+            -- build artifacts, but their envelopes are mathematical and
+            -- decode_mode='real' is the EXACT claim that the genuine
+            -- stdlib decoder ran on every payload
+            SELECT doc_id AS media_id,
+                   TRUE AS payload_nonempty,
+                   TRUE AS mean_pixel_in_envelope,
+                   CAST(16 AS INTEGER) AS feature_dim,
+                   'real' AS decode_mode
+            FROM documents
+        """,
+        "audio_signal_features": """
+            -- bounded-oracle twin: stdlib WAV container is exactly
+            -- 44 header bytes + 2 bytes/sample (1600 samples), RMS of a
+            -- 0.5-amplitude sine is 0.35355 (envelope generous),
+            -- duration n/sr = 0.2 exact; decode_mode='real' is the
+            -- exact decoded-for-real claim
+            SELECT doc_id AS media_id,
+                   CAST(3244 AS BIGINT) AS n_bytes,
+                   TRUE AS rms_in_envelope,
+                   ROUND(0.2 + 1e-8, 4) AS duration_s,
+                   CAST(16 AS INTEGER) AS feature_dim,
+                   'real' AS decode_mode
+            FROM documents
+        """,
         "quality_scores": rf"""
             -- mirrors text.quality_score term by term (all inputs are
             -- per-doc integers, ops in identical order -> exact doubles)
@@ -5676,7 +5801,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        least(len(words) / 50.0, 1.0) AS len_score,
                        greatest(0.0, 1.0 -
-                           (len(regexp_extract_all(text, '[^\p{{L}}\p{{N}}\s]'))
+                           (len(regexp_extract_all(text, '[^\p{{L}}\p{{N}} \t\n\v\f\r]'))
                             / greatest(length(text), 1)) * 4) AS punct_score,
                        least((len(list_filter(words,
                                   x -> list_contains([{_stopwords_en_sql()}], x)))
@@ -5996,7 +6121,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        ((least(len(words) / 50.0, 1.0)
                          + greatest(0.0, 1.0 -
-                             (len(regexp_extract_all(text, '[^\p{{L}}\p{{N}}\s]'))
+                             (len(regexp_extract_all(text, '[^\p{{L}}\p{{N}} \t\n\v\f\r]'))
                               / greatest(length(text), 1)) * 4))
                         + least((len(list_filter(words,
                                     x -> list_contains([{_stopwords_en_sql()}], x)))
@@ -6256,17 +6381,33 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY o_totalprice ASC, o_orderkey ASC)
         """,
         "daily_revenue_delta": """
-            -- day-over-day delta twin: lag over the cent-rounded daily
-            -- aggregate; first day's delta is NULL on both engines
+            -- day-over-day delta twin, mirroring the Spark side's
+            -- year-partitioned lag + boundary stitch: lag within the
+            -- calendar year, January-1 rows take the previous year's
+            -- last-day revenue; NULL delta on the global first day (and
+            -- after a whole-year gap, where day-over-day is undefined)
             WITH daily AS (
                 SELECT CAST(o_orderdate AS DATE) AS order_date,
                        ROUND(SUM(o_totalprice) + 1e-6, 2) AS revenue
                 FROM orders GROUP BY 1
+            ), lagged AS (
+                SELECT order_date, revenue,
+                       EXTRACT(year FROM order_date) AS yr,
+                       LAG(revenue) OVER (
+                           PARTITION BY EXTRACT(year FROM order_date)
+                           ORDER BY order_date) AS prev_rev
+                FROM daily
+            ), year_last AS (
+                SELECT EXTRACT(year FROM order_date) AS yl_yr,
+                       arg_max(revenue, order_date) AS last_rev
+                FROM daily GROUP BY 1
             )
-            SELECT order_date, revenue,
-                   ROUND(revenue - LAG(revenue) OVER (ORDER BY order_date) + 1e-9, 2)
+            SELECT l.order_date, l.revenue,
+                   ROUND(l.revenue - COALESCE(l.prev_rev, y.last_rev) + 1e-9, 2)
                        AS revenue_delta
-            FROM daily
+            FROM lagged l
+            LEFT JOIN year_last y
+              ON l.prev_rev IS NULL AND y.yl_yr = l.yr - 1
         """,
         "session_window_agg": """
             -- native session_window twin: the hand-rolled lag/cumsum

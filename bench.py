@@ -205,13 +205,16 @@ HEADLINE = [
     "freq_encode_priority",
     # Unicode-script composition / mixed-script junk flag
     "script_profile",
+    # multimodal decode: REAL stdlib PNG/WAV codecs over genuine
+    # synthesized payloads (decode_mode='real' on every row) — headline
+    # since round 6, when the fake-path bench payloads were replaced
+    "multimodal_features",
+    "audio_signal_features",
 ]
 
-# Reported outside the headline wall: the multimodal query's decode is
-# real (stdlib PNG/WAV since round 4) but its bench payloads are
-# synthesized text that takes the tagged deterministic-fake path, so its
-# cost is not a representative Spark plan.
-STUB = ["multimodal_features"]
+# Reported outside the headline wall (empty since round 6: the
+# multimodal queries now run real decoders on genuine payloads).
+STUB: list[str] = []
 
 
 def main() -> None:
@@ -266,6 +269,11 @@ def main() -> None:
         "stub_queries": stub_timings,
         "repeats": repeats,
         "sf": sf,
+        # full-surface runs share one JVM back-to-back, so individual
+        # timings carry scheduling contention; isolated-process medians
+        # (scripts/bench_diff.py protocol, reported in BENCH_DIFF.md)
+        # are the apples-to-apples per-query numbers
+        "timing_mode": "contended-sequential",
     }
     # Full per-query map goes to a file: round 4 proved that inlining 134
     # timings in the printed line overflows the driver's tail capture

@@ -319,6 +319,104 @@ def _make_image_decoder():
 _decode_image_stub = _make_image_decoder()
 
 
+def synthesize_image_corpus(
+    df: DataFrame,
+    id_col: str = "media_id",
+    width: int = 8,
+    height: int = 8,
+) -> DataFrame:
+    """Deterministic REAL-PNG corpus synthesizer: one IMAGE_SCHEMA row
+    per input row, payload a genuine stdlib-encoded RGB PNG whose
+    pixels are crc32(id)-seeded — so a benchmark or test built on it
+    exercises the REAL decode path end to end (``decode_mode='real'``
+    downstream), not the fake fallback. Runs as one Arrow pass
+    (mapInPandas) with zero shuffle; generation cost mirrors decode
+    cost, which is the honest shape for a media-pipeline benchmark
+    when the container has no sample media and the testdata tree is
+    read-only."""
+    codecs = _make_media_codecs()
+    w, h = int(width), int(height)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, nb = [], [], []
+            for i in pdf[id_col]:
+                rng = np.random.default_rng(zlib.crc32(str(int(i)).encode()))
+                px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                data = codecs.png_encode(px)
+                ids.append(int(i))
+                payloads.append(data)
+                nb.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "payload": payloads,
+                    "format": "png",
+                    "width": pd.array([w] * len(ids), dtype="int32"),
+                    "height": pd.array([h] * len(ids), dtype="int32"),
+                    "n_bytes": pd.array(nb, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, IMAGE_SCHEMA)
+
+
+def synthesize_audio_corpus(
+    df: DataFrame,
+    id_col: str = "media_id",
+    sample_rate: int = 8000,
+    duration_s: float = 0.2,
+) -> DataFrame:
+    """Deterministic REAL-WAV corpus synthesizer: PCM16 mono sine at an
+    id-derived frequency, written by the stdlib ``wave`` encoder — the
+    audio twin of :func:`synthesize_image_corpus`, giving downstream
+    :func:`audio_features` a genuinely decodable payload
+    (``decode_mode='real'``). One Arrow pass, no shuffle."""
+    sr, dur = int(sample_rate), float(duration_s)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+        import zlib
+
+        import numpy as np
+
+        n = max(1, int(sr * dur))
+        t = np.arange(n) / sr
+        for pdf in batches:
+            ids, payloads, nb = [], [], []
+            for i in pdf[id_col]:
+                seed = zlib.crc32(str(int(i)).encode())
+                freq = 100.0 + (seed % 3000)  # 100..3099 Hz, deterministic
+                x = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(sr)
+                    wf.writeframes(x.tobytes())
+                data = buf.getvalue()
+                ids.append(int(i))
+                payloads.append(data)
+                nb.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "payload": payloads,
+                    "codec": "pcm_s16le",
+                    "sample_rate": pd.array([sr] * len(ids), dtype="int32"),
+                    "duration_s": dur,
+                    "n_bytes": pd.array(nb, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, AUDIO_SCHEMA)
+
+
 def extract_image_features(df: DataFrame) -> DataFrame:
     """Decode + feature-extract images into array<float> columns.
 

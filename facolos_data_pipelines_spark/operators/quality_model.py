@@ -60,8 +60,12 @@ def _feature_exprs(text_col: str, lang: str = "en") -> dict[str, Column]:
             F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
             / F.greatest(n_words, F.lit(1))
         ),
+        # explicit whitespace class, not \s: Java's \s includes \x0B
+        # (vertical tab) while RE2's does not, so \s on both sides would
+        # diverge on VT-bearing docs and break the hash-certified oracle
+        # (same convention as script_profile)
         "f_punct_ratio": (
-            F.regexp_count(c, F.lit(r"[^\p{L}\p{N}\s]"))
+            F.regexp_count(c, F.lit("[^\\p{L}\\p{N} \\t\\n\\x0B\\f\\r]"))
             / F.greatest(n_chars, F.lit(1))
         ),
         "f_upper_ratio": (

@@ -1270,8 +1270,32 @@ def embedding_outliers(
     identical convention to the money-sum oracles. A zero-spread
     distance distribution (all vectors identical) yields z = 0
     everywhere, not a division by zero.
+
+    ``dim=None`` (the default) infers the width from the first non-null
+    vector — one bounded driver probe — so the operator works on any
+    embedding width without configuration; an explicit ``dim`` is still
+    validated row-by-row in-plan (the raise_error guard) so ragged
+    corpora fail loudly, not silently.
     """
-    d = dim or 64
+    if dim is None or dim == 0:
+        probe = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("_w"))
+            .head(1)
+        )
+        if not probe:
+            raise ValueError(
+                "embedding_outliers: empty input frame (or all-NULL "
+                f"{vec_col!r}) — cannot infer the embedding dimension"
+            )
+        d = int(probe[0]["_w"])
+        if d <= 0:
+            raise ValueError(
+                f"embedding_outliers: first non-null {vec_col!r} vector is "
+                "empty; pass dim explicitly"
+            )
+    else:
+        d = int(dim)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     width_ok = F.size(F.col(vec_col)) == d
     guard = F.raise_error(

@@ -58,7 +58,8 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             / F.greatest(n_words, F.lit(1))
         ).alias("stat_avg_word_len"),
         (
-            F.regexp_count(c, F.lit(r"[^\p{L}\p{N}\s]")) / F.greatest(n_chars, F.lit(1))
+            F.regexp_count(c, F.lit("[^\\p{L}\\p{N} \\t\\n\\x0B\\f\\r]"))
+            / F.greatest(n_chars, F.lit(1))
         ).alias("stat_punct_ratio"),
         (F.regexp_count(c, F.lit(r"[A-Z]")) / F.greatest(n_chars, F.lit(1))).alias(
             "stat_upper_ratio"
@@ -106,7 +107,10 @@ def quality_score(df: DataFrame, text_col: str = "text", lang: str = "en") -> Da
     words = normalized_words(c)
     n_words = F.size(words)
     len_score = F.least(n_words / F.lit(50.0), F.lit(1.0))  # ramps to 1 at 50 words
-    punct = F.regexp_count(c, F.lit(r"[^\p{L}\p{N}\s]")) / F.greatest(F.length(c), F.lit(1))
+    # explicit whitespace class (Java \s includes \x0B, RE2 \s does not)
+    punct = F.regexp_count(c, F.lit("[^\\p{L}\\p{N} \\t\\n\\x0B\\f\\r]")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
     punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct * 4)  # penalize >25% punct
     sw_score = F.least(stopword_ratio(c, lang) * 4, F.lit(1.0))  # healthy prose ~25%+
     diversity = F.size(F.array_distinct(words)) / F.greatest(n_words, F.lit(1))

@@ -145,30 +145,30 @@ def schedule_accuracy(
     iff the deviation from the target is under ``tolerance_pct``.
 
     One row out: target/actual interval, accuracy percentage
-    (100 - deviation%), schedule_accurate, n_intervals. The lag window
-    runs over at most ``last_n`` rows (TakeOrdered first), so the
-    single-partition window is bounded — not a scale risk. Interval
-    math happens on whole unix seconds and divides by 60 ONCE after
-    averaging, so an external SQL oracle reproduces it exactly.
-    Fewer than 2 cycles -> n_intervals=0 and NULL accuracy (the
-    reference returns an error dict there). cycle_id tie-breaks the
-    top-N cut AND the lag order, so tied timestamps can't flip the
-    interval set between runs."""
-    from pyspark.sql import Window
-
+    (100 - deviation%), schedule_accurate, n_intervals. The mean of
+    consecutive start intervals TELESCOPES to
+    ``(max_start - min_start) / (n - 1)``, so after the TakeOrdered
+    top-N cut this is a plain aggregate — no window at all (the lag
+    formulation needed a single-partition WindowExec; min/max/count
+    map-side-combine instead and produce bit-identical values, whole
+    unix seconds divided by 60 ONCE after averaging, so an external
+    SQL oracle reproduces it exactly). Fewer than 2 cycles ->
+    n_intervals=0 and NULL accuracy (the reference returns an error
+    dict there). cycle_id tie-breaks the top-N cut, so tied
+    timestamps can't flip the interval set between runs (min/max of
+    the cut are order-insensitive)."""
     recent = metrics.orderBy(
         F.col("started_at").desc(), F.col("cycle_id").desc()
     ).limit(last_n)
-    w = Window.orderBy(F.col("started_at").asc(), F.col("cycle_id").asc())
-    iv = recent.select(
+    agg = recent.agg(
+        F.greatest(F.count("*") - 1, F.lit(0)).cast("long").alias("n_intervals"),
         (
-            F.unix_timestamp("started_at")
-            - F.unix_timestamp(F.lag("started_at").over(w))
-        ).alias("_iv_s")
-    ).filter(F.col("_iv_s").isNotNull())
-    agg = iv.agg(
-        F.count("*").cast("long").alias("n_intervals"),
-        F.avg("_iv_s").alias("_avg_s"),
+            (
+                F.max(F.unix_timestamp("started_at"))
+                - F.min(F.unix_timestamp("started_at"))
+            )
+            / F.when(F.count("*") > 1, F.count("*") - 1)
+        ).alias("_avg_s"),
     )
     avg_min = F.col("_avg_s") / 60.0
     deviation = F.abs(avg_min - target_interval_minutes) / target_interval_minutes * 100.0

@@ -261,6 +261,73 @@ def merge_upsert_sink(
     return q
 
 
+_STORE_META_NAME = "_NEAR_DUP_STORE_META.json"
+
+
+def _store_meta_path(bucket_store_path: str) -> str:
+    return bucket_store_path.rstrip("/") + "/" + _STORE_META_NAME
+
+
+def _read_store_meta(bucket_store_path: str) -> dict | None:
+    """Read the bucket store's layout meta (underscore-prefixed, so Spark's
+    parquet reader ignores it like _SUCCESS). Local paths only — returns
+    None on remote filesystems or when the file is absent."""
+    import json
+    import os
+
+    if "://" in bucket_store_path:
+        return None
+    p = _store_meta_path(bucket_store_path)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _write_store_meta(bucket_store_path: str, store_partitions: int) -> None:
+    import json
+
+    if "://" in bucket_store_path:
+        return  # remote stores validate via column presence only
+    with open(_store_meta_path(bucket_store_path), "w") as fh:
+        json.dump({"store_partitions": int(store_partitions)}, fh)
+
+
+def _effective_store_partitions(spark, bucket_store_path: str, requested: int) -> int:
+    """Layout of an EXISTING bucket store is sticky: the partition count it
+    was created with wins, and a mismatched request raises instead of
+    silently probing the wrong pmod space (a wrong N computes
+    pmod(band_hash, N_new) != stored bucket_pmod, so every probe misses
+    and cross-batch duplicates leak through). Legacy stores written
+    before the meta file: unpartitioned layout -> keep writing
+    unpartitioned (mixing layouts makes Spark's partition-discovery read
+    silently drop the root-level legacy rows); partitioned layout without
+    meta -> unrecoverable N, raise with a migration instruction."""
+    meta = _read_store_meta(bucket_store_path)
+    if meta is not None:
+        n = int(meta["store_partitions"])
+        if n == 0:
+            return 0  # unpartitioned stores stay unpartitioned, like legacy
+        if requested != n:
+            raise ValueError(
+                f"bucket store at {bucket_store_path!r} was created with "
+                f"store_partitions={n} but the sink was configured with "
+                f"{requested}; the layout is sticky — pass {n}, or rebuild "
+                "the store (compact_bucket_store keeps the existing layout)"
+            )
+        return n
+    cols = spark.read.parquet(bucket_store_path).columns
+    if "bucket_pmod" in cols:
+        raise ValueError(
+            f"bucket store at {bucket_store_path!r} is bucket_pmod-"
+            f"partitioned but has no {_STORE_META_NAME}; its partition "
+            "count is unrecoverable from data alone — write the meta file "
+            'with the original value ({"store_partitions": N}) before '
+            "probing it"
+        )
+    return 0  # legacy unpartitioned store: stay unpartitioned
+
+
 def near_dup_filter_sink(
     docs_sink_path: str,
     bucket_store_path: str,
@@ -307,7 +374,15 @@ def near_dup_filter_sink(
     appends never need a read-modify-write; ``compact_bucket_store``
     dedups and re-files each partition at maintenance time, keeping the
     per-partition file count and the scan input bounded.
-    ``store_partitions=0`` keeps the legacy unpartitioned layout.
+    ``store_partitions=0`` keeps the legacy unpartitioned layout. The
+    layout is STICKY and PERSISTED: the store's creation-time partition
+    count is recorded in ``_NEAR_DUP_STORE_META.json`` inside the store
+    directory; re-opening with a different ``store_partitions`` raises
+    (a mismatched N would probe the wrong pmod space and silently miss
+    every historical bucket), and a legacy unpartitioned store keeps
+    being written unpartitioned regardless of the configured default
+    (mixing layouts makes Spark's partition discovery silently drop the
+    root-level legacy rows).
     """
     from ..operators.dedup import minhash_dedup, minhash_lsh_buckets
     from ..sources.io import table_exists
@@ -316,15 +391,21 @@ def near_dup_filter_sink(
         spark = batch_df.sparkSession
         if not batch_df.head(1):
             return
+        store_exists = table_exists(spark, bucket_store_path)
+        n_parts = (
+            _effective_store_partitions(spark, bucket_store_path, store_partitions)
+            if store_exists
+            else store_partitions
+        )
         survivors = minhash_dedup(
             batch_df, text_col, id_col, num_hashes, bands, shingle_n,
             threshold, family=family,
         ).localCheckpoint(eager=True)
 
         def with_pmod(b: DataFrame) -> DataFrame:
-            if store_partitions:
+            if n_parts:
                 return b.withColumn(
-                    "bucket_pmod", F.pmod(F.col("band_hash"), F.lit(store_partitions))
+                    "bucket_pmod", F.pmod(F.col("band_hash"), F.lit(n_parts))
                 )
             return b
 
@@ -333,11 +414,11 @@ def near_dup_filter_sink(
                 survivors, text_col, id_col, num_hashes, bands, shingle_n, family
             )
         )
-        if table_exists(spark, bucket_store_path):
+        if store_exists:
             store = spark.read.parquet(bucket_store_path)
             probe_keys = (
                 ["bucket_pmod", "band_id", "band_hash"]
-                if store_partitions and "bucket_pmod" in store.columns
+                if n_parts and "bucket_pmod" in store.columns
                 else ["band_id", "band_hash"]
             )
             # Broadcast the (small) batch side; the store is scanned
@@ -365,15 +446,17 @@ def near_dup_filter_sink(
         survivors = survivors.localCheckpoint(eager=True)
         survivors.write.mode("append").parquet(docs_sink_path)
         out = buckets.select(
-            *(["bucket_pmod"] if store_partitions else []),
+            *(["bucket_pmod"] if n_parts else []),
             "band_id",
             "band_hash",
             id_col,
         )
         writer = out.write.mode("append")
-        if store_partitions:
+        if n_parts:
             writer = writer.partitionBy("bucket_pmod")
         writer.parquet(bucket_store_path)
+        if _read_store_meta(bucket_store_path) is None:
+            _write_store_meta(bucket_store_path, n_parts)
 
     return filter_batch
 
@@ -439,6 +522,9 @@ def compact_bucket_store(
         writer = writer.partitionBy("bucket_pmod")
     writer.parquet(tmp)
     rows_after = spark.read.parquet(tmp).count()
+    meta = _read_store_meta(path)
+    if meta is not None:  # layout meta travels with the compacted store
+        _write_store_meta(tmp, meta["store_partitions"])
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -176,3 +176,43 @@ def test_audio_features_zero_frame_wav_survives(spark):
     assert r["decode_mode"] == "real"
     assert r["rms"] == 0.0 and r["measured_duration_s"] == 0.0
     assert r["features"] == [0.0] * multimodal.FEATURE_DIM
+
+
+def test_synthesize_image_corpus_real_decodable(spark):
+    """The synthesized bench corpus must be GENUINE PNGs: stdlib
+    png_decode reads every payload, extract_image_features reports
+    decode_mode='real' on all rows, and payloads are deterministic per
+    id (same id -> same bytes across runs/executors)."""
+    ids = spark.range(0, 20).selectExpr("id as media_id")
+    imgs = multimodal.synthesize_image_corpus(ids, width=8, height=8).collect()
+    assert len(imgs) == 20
+    for r in imgs:
+        px = multimodal.png_decode(bytes(r["payload"]))
+        assert px.shape == (8, 8, 3)
+        assert r["n_bytes"] == len(r["payload"])
+    again = {
+        r["media_id"]: bytes(r["payload"])
+        for r in multimodal.synthesize_image_corpus(ids).collect()
+    }
+    assert all(bytes(r["payload"]) == again[r["media_id"]] for r in imgs)
+    feats = multimodal.extract_image_features(
+        multimodal.synthesize_image_corpus(ids)
+    ).collect()
+    assert {r["decode_mode"] for r in feats} == {"real"}
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in feats)
+
+
+def test_synthesize_audio_corpus_real_decodable(spark):
+    """Synthesized WAVs: stdlib wave reads them, audio_features reports
+    decode_mode='real', the 0.5-amplitude sine RMS lands at A/sqrt(2),
+    and the PCM16 container is exactly 44 + 2*n bytes."""
+    ids = spark.range(0, 10).selectExpr("id as media_id")
+    out = multimodal.audio_features(
+        multimodal.synthesize_audio_corpus(ids, sample_rate=8000, duration_s=0.2)
+    ).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["decode_mode"] == "real"
+        assert r["n_bytes"] == 44 + 2 * 1600
+        assert r["measured_duration_s"] == pytest.approx(0.2)
+        assert r["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=2e-3)

@@ -596,3 +596,79 @@ def test_near_dup_sink_partitioned_store_many_batches(spark, tmp_root):
     assert {
         r["doc_id"] for r in spark.read.parquet(f"{tmp_root}/p_sink").collect()
     } == part_ids
+
+
+def test_near_dup_sink_store_layout_is_sticky_and_validated(spark, tmp_root):
+    """Bucket-store layout safety: (a) a legacy unpartitioned store keeps
+    being written unpartitioned even under the partitioned default —
+    mixing layouts would make Spark's partition discovery silently drop
+    the root-level legacy rows, losing pre-upgrade dedup state; (b) the
+    creation-time partition count is persisted and a mismatched
+    store_partitions raises instead of probing the wrong pmod space;
+    (c) a partitioned store whose meta file is missing raises with a
+    migration instruction; (d) the meta survives compaction."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from facolos_data_pipelines_spark.streaming import (
+        compact_bucket_store,
+        near_dup_filter_sink,
+    )
+    from facolos_data_pipelines_spark.streaming.pipeline import (
+        _STORE_META_NAME,
+        _read_store_meta,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+
+    # (a) legacy store created unpartitioned, then reopened with the
+    # partitioned default: stays unpartitioned, cross-batch dedup intact
+    sink, store = f"{tmp_root}/leg_sink", f"{tmp_root}/leg_store"
+    fold0 = near_dup_filter_sink(sink, store, store_partitions=0)
+    fold0(spark.createDataFrame([(1, base)], doc_schema), 0)
+    os.remove(os.path.join(store, _STORE_META_NAME))  # simulate pre-meta store
+    fold16 = near_dup_filter_sink(sink, store)  # default store_partitions=16
+    fold16(
+        spark.createDataFrame(
+            [(2, base + " nu"), (3, "totally different words about spark here")],
+            doc_schema,
+        ),
+        1,
+    )
+    assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == {1, 3}
+    assert not glob.glob(os.path.join(store, "bucket_pmod=*")), (
+        "legacy store must never gain a partitioned layer"
+    )
+    assert "bucket_pmod" not in spark.read.parquet(store).columns
+
+    # (b) partitioned store: N persisted at creation, mismatch raises
+    psink, pstore = f"{tmp_root}/par_sink", f"{tmp_root}/par_store"
+    fold4 = near_dup_filter_sink(psink, pstore, store_partitions=4)
+    fold4(spark.createDataFrame([(1, base)], doc_schema), 0)
+    assert _read_store_meta(pstore) == {"store_partitions": 4}
+    fold8 = near_dup_filter_sink(psink, pstore, store_partitions=8)
+    with pytest.raises(ValueError, match="sticky"):
+        fold8(spark.createDataFrame([(9, "whatever text")], doc_schema), 1)
+
+    # (c) partitioned store without meta: unrecoverable N, raise
+    os.remove(os.path.join(pstore, _STORE_META_NAME))
+    with pytest.raises(ValueError, match="unrecoverable"):
+        fold4(spark.createDataFrame([(9, "whatever text")], doc_schema), 2)
+
+    # (d) meta survives compaction (restore it first)
+    with open(os.path.join(pstore, _STORE_META_NAME), "w") as fh:
+        fh.write('{"store_partitions": 4}')
+    compact_bucket_store(spark, pstore)
+    assert _read_store_meta(pstore) == {"store_partitions": 4}
+    # and the compacted store still probes correctly at the recorded N
+    fold4(spark.createDataFrame([(5, base + " xi")], doc_schema), 3)
+    assert {r["doc_id"] for r in spark.read.parquet(psink).collect()} == {1}
