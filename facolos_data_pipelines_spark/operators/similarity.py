@@ -323,6 +323,62 @@ def topk_lsh(
     return topk_bruteforce(candidates, query, k, vec_col, id_col)
 
 
+def rrf_fuse(
+    ranked: list[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    topk: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) over N
+    candidate lists — the standard hybrid-retrieval combiner for a
+    lexical list (``text.bm25_topk``) and a vector list
+    (``topk_bruteforce`` / ``topk_ivf``): each candidate contributes
+    ``1 / (k_rrf + rank_i)`` per list it appears in, ranks computed
+    per-list by (score desc, id asc) so ties break deterministically.
+    Returns (id, rrf_score, n_lists) — the fused top-``topk``.
+
+    Inputs are BOUNDED retrieval results (top-k frames, k rows each),
+    never corpora — that is what makes the per-list rank window on a
+    constant partition key safe: it sorts <= k rows in one task by
+    construction, while the expensive corpus work stays inside the
+    upstream retrieval operators with their own documented scale
+    shapes. Fusion itself is a union of N tiny frames + one groupBy
+    over <= N*k rows.
+    """
+    from pyspark.sql import Window
+
+    if not ranked:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    if k_rrf < 1 or topk < 1:
+        raise ValueError("rrf_fuse: k_rrf and topk must be >= 1")
+    parts = []
+    for i, (df_i, score_col) in enumerate(ranked):
+        w = Window.partitionBy(F.lit(i)).orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        parts.append(
+            df_i.select(
+                F.col(id_col), F.row_number().over(w).alias("_rank")
+            )
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return (
+        union.groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(1.0 / (F.lit(float(k_rrf)) + F.col("_rank"))) + 1e-9,
+                round_digits,
+            ).alias("rrf_score"),
+            F.count("*").cast("long").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(topk)
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],

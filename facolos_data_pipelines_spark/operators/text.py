@@ -430,6 +430,69 @@ def decontaminate(
     )
 
 
+def contamination_fraction(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Graded benchmark contamination: the FRACTION of each training
+    document's distinct word n-grams that appear anywhere in the
+    benchmark corpus — the continuous companion to
+    :func:`decontaminate`'s binary flag (Dolma/FineWeb-style pipelines
+    hard-drop high fractions and down-weight the mid-range; the
+    thresholding policy stays with the caller).
+
+    Plan shape at 100 TB, one notch better than decontaminate's: the
+    benchmark collapses to its broadcastable distinct-gram set; the
+    corpus explodes distinct-per-doc shingles ONCE and left-joins the
+    broadcast set with a hit marker, so numerator (marked grams) and
+    denominator (all grams) come out of the SAME single groupBy — one
+    corpus scan, no second aggregation, no corpus-wide shuffle (the
+    groupBy key is the doc id carried by the explode). Docs too short
+    to form any n-gram score 0.0 (no evidence), preserved via the
+    id-only left join.
+    """
+    from .dedup import exploded_shingles
+
+    if id_col not in benchmark.columns:
+        benchmark = benchmark.withColumn(id_col, F.monotonically_increasing_id())
+    bench_grams = (
+        exploded_shingles(benchmark, text_col, id_col, n, distinct=False)
+        .select(F.col("_sh").alias("_g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = exploded_shingles(docs, text_col, id_col, n, distinct=True).select(
+        F.col(id_col), F.col("_sh").alias("_g")
+    )
+    per_doc = (
+        doc_grams.join(F.broadcast(bench_grams), "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_overlap"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1))
+                + 1e-9,
+                round_digits,
+            ).alias("contamination"),
+        )
+    )
+
+
 def bloom_bitmap(
     grams: DataFrame,
     col: str = "_g",

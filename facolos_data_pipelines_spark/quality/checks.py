@@ -41,6 +41,7 @@ def column_profile(
     df: DataFrame,
     columns: list[str] | None = None,
     exact_distinct: bool = False,
+    approx_percentiles: bool = False,
 ) -> DataFrame:
     """Per-column data profile: one row per column with
     (column_name, n_rows, n_null, n_distinct, min_value, max_value,
@@ -58,11 +59,24 @@ def column_profile(
     (~2% error) is the safe out-of-the-box choice at 100 TB. Pass
     ``exact_distinct=True`` when an exact cardinality matters (the
     oracle-certified `column_profile` query pins it exact).
+
+    ``approx_percentiles=True`` swaps the exact interpolated
+    ``percentile`` (a sort-based aggregate) for ``percentile_approx``
+    (Greenwald-Khanna sketch at accuracy 10000 — map-side combinable,
+    no per-column value sort) — the percentile half of the same 100 TB
+    story; the returned quartiles are then actual column values within
+    the sketch's rank-error bound rather than interpolated points, so
+    they are envelope-checked, not hash-pinned, by the oracle.
     """
     from pyspark.sql.types import NumericType
 
     cols = columns or df.columns
     distinct_fn = F.countDistinct if exact_distinct else F.approx_count_distinct
+
+    def pctile(num, p: int):
+        if approx_percentiles:
+            return F.percentile_approx(num, F.lit(p / 100), F.lit(10000))
+        return F.percentile(num, F.lit(p / 100))
     aggs = [F.count("*").cast("long").alias("__n_rows")]
     for i, c in enumerate(cols):
         numeric = isinstance(df.schema[c].dataType, NumericType)
@@ -76,9 +90,7 @@ def column_profile(
                 F.min(num).alias(f"__min_{i}"),
                 F.max(num).alias(f"__max_{i}"),
                 *[
-                    F.round(F.percentile(num, F.lit(p / 100)) + 1e-9, 4).alias(
-                        f"__p{p}_{i}"
-                    )
+                    F.round(pctile(num, p) + 1e-9, 4).alias(f"__p{p}_{i}")
                     for p in (25, 50, 75)
                 ],
             ]

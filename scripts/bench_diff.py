@@ -15,12 +15,53 @@ median-of-3 exists for exactly this reason).
 per-query table, regressions flagged) — the per-round committed
 artifact the round workflow keeps (BENCH_DIFF.md): run the sf0.1 bench,
 diff against the prior round's committed BENCH_DETAIL.json, commit both.
+
+``--remeasure`` automates the noise adjudication previously done by
+hand: each flagged query is re-run ALONE in a fresh subprocess
+(bench.py subset mode — no shared-JVM contention), and the flag is
+kept only if the isolated median still exceeds threshold x old. The
+exit code then reflects CONFIRMED regressions only; adjudicated-noise
+rows stay in the report with their isolated number.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
+import tempfile
+
+
+def remeasure_isolated(queries: list[str]) -> dict[str, float]:
+    """Re-run the given bench queries in ONE fresh subprocess (isolated
+    from this process's JVM, queries still median-of-3 warm) and return
+    their isolated timings. Honors SPARK_GRAFT_SF_DIR."""
+    if not queries:
+        return {}
+    bench = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+    )
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+        detail_path = tf.name
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_QUERIES=",".join(queries),
+        SPARK_GRAFT_BENCH_DETAIL=detail_path,
+    )
+    try:
+        subprocess.run(
+            [sys.executable, bench],
+            env=env,
+            check=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        with open(detail_path) as f:
+            detail = json.load(f)
+        return {**detail.get("queries", {}), **detail.get("stub_queries", {})}
+    finally:
+        os.unlink(detail_path)
 
 
 def load(path: str) -> dict:
@@ -43,7 +84,7 @@ def write_report(
     removed: list,
     regressions: list,
 ) -> None:
-    flagged = {q for _, q, _, _ in regressions}
+    flagged = {q: iso for _, q, _, _, iso in regressions}
     lines = [
         "# BENCH DIFF",
         "",
@@ -60,7 +101,16 @@ def write_report(
     for q in common:
         a, b = old["queries"][q], new["queries"][q]
         ratio = b / a if a > 0 else float("inf")
-        flag = "REGRESSION" if q in flagged else ""
+        if q in flagged:
+            iso = flagged[q]
+            if iso is None:
+                flag = "REGRESSION"
+            elif a > 0 and iso / a > threshold:
+                flag = f"REGRESSION (confirmed isolated: {iso} s)"
+            else:
+                flag = f"noise (isolated: {iso} s)"
+        else:
+            flag = ""
         lines.append(f"| {q} | {a} | {b} | {ratio:.2f}x | {flag} |")
     for q in added:
         lines.append(f"| {q} | — | {new['queries'][q]} | new | |")
@@ -77,26 +127,48 @@ def main() -> int:
         i = argv.index("--report")
         report_path = argv[i + 1]
         del argv[i : i + 2]
+    remeasure = "--remeasure" in argv
+    if remeasure:
+        argv.remove("--remeasure")
     if len(argv) < 2:
         raise SystemExit(
-            "usage: bench_diff.py OLD.json NEW.json [threshold] [--report PATH]"
+            "usage: bench_diff.py OLD.json NEW.json [threshold] "
+            "[--report PATH] [--remeasure]"
         )
     old, new = load(argv[0]), load(argv[1])
     threshold = float(argv[2]) if len(argv) > 2 else 1.5
     common = sorted(set(old["queries"]) & set(new["queries"]))
     added = sorted(set(new["queries"]) - set(old["queries"]))
     removed = sorted(set(old["queries"]) - set(new["queries"]))
-    regressions = []
-    for q in common:
+    flagged = [
+        q
+        for q in common
+        if old["queries"][q] > 0
+        and new["queries"][q] / old["queries"][q] > threshold
+    ]
+    isolated = remeasure_isolated(flagged) if remeasure else {}
+    regressions = []  # (ratio, query, old, new, isolated-or-None)
+    confirmed = 0
+    for q in flagged:
         a, b = old["queries"][q], new["queries"][q]
-        if a > 0 and b / a > threshold:
-            regressions.append((b / a, q, a, b))
+        iso = isolated.get(q)
+        regressions.append((b / a, q, a, b, iso))
+        if iso is None or iso / a > threshold:
+            confirmed += 1
     print(
         f"total: {old.get('value')} -> {new.get('value')} s | common {len(common)}"
         f" | added {len(added)} | removed {len(removed)}"
     )
-    for ratio, q, a, b in sorted(regressions, reverse=True):
-        print(f"  REGRESSION {ratio:4.1f}x  {q}: {a} -> {b} s")
+    for ratio, q, a, b, iso in sorted(regressions, reverse=True):
+        if iso is not None and iso / a <= threshold:
+            print(f"  noise {ratio:4.1f}x  {q}: {a} -> {b} s (isolated: {iso} s)")
+        elif iso is not None:
+            print(
+                f"  REGRESSION {ratio:4.1f}x  {q}: {a} -> {b} s "
+                f"(confirmed isolated: {iso} s)"
+            )
+        else:
+            print(f"  REGRESSION {ratio:4.1f}x  {q}: {a} -> {b} s")
     for q in added:
         print(f"  new {q}: {new['queries'][q]} s")
     if removed:
@@ -106,7 +178,7 @@ def main() -> int:
             report_path, old, new, threshold, common, added, removed, regressions
         )
         print(f"  report written: {report_path}")
-    return 1 if regressions else 0
+    return 1 if confirmed else 0
 
 
 if __name__ == "__main__":

@@ -211,3 +211,75 @@ class TestEmbeddingOutliers:
             embedding_outliers(
                 self._emb(spark, [[1.0, 2.0]]), dim=8
             ).collect()
+
+
+class TestRRFFusion:
+    def test_fused_ranking_matches_hand_computation(self, spark):
+        """Two 3-row lists with one shared doc: RRF scores must equal
+        the hand-computed 1/(60+rank) sums, the shared doc leads, and
+        n_lists reports list membership."""
+        from facolos_data_pipelines_spark.operators.similarity import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(1, 9.0), (2, 5.0), (3, 1.0)], ["doc_id", "bm25"]
+        )
+        vec = spark.createDataFrame(
+            [(2, 0.9), (4, 0.8), (5, 0.7)], ["doc_id", "cosine"]
+        )
+        out = rrf_fuse([(lex, "bm25"), (vec, "cosine")], topk=10).collect()
+        got = {r["doc_id"]: (r["rrf_score"], r["n_lists"]) for r in out}
+        # doc 2: rank 2 in lex, rank 1 in vec
+        assert got[2] == (round(1 / 62 + 1 / 61 + 1e-9, 6), 2)
+        assert got[1] == (round(1 / 61 + 1e-9, 6), 1)  # rank 1 in lex
+        assert got[4] == (round(1 / 62 + 1e-9, 6), 1)  # rank 2 in vec
+        # doc 2 (in both lists) outranks every single-list doc
+        assert out[0]["doc_id"] == 2
+        # equal rrf_score (rank-1 singletons 1 and... none) — order is
+        # score desc then id asc: 1 (1/61) precedes 4 (1/62)
+        ids = [r["doc_id"] for r in out]
+        assert ids.index(1) < ids.index(4)
+
+    def test_tie_break_and_topk(self, spark):
+        from facolos_data_pipelines_spark.operators.similarity import rrf_fuse
+
+        lst = spark.createDataFrame(
+            [(i, 1.0) for i in range(10, 0, -1)], ["doc_id", "s"]
+        )
+        out = rrf_fuse([(lst, "s")], topk=3).collect()
+        # all scores tie -> rank by id asc -> top-3 are ids 1..3
+        assert [r["doc_id"] for r in out] == [1, 2, 3]
+        with pytest.raises(ValueError, match="ranked list"):
+            rrf_fuse([])
+
+
+class TestContaminationFraction:
+    def test_fraction_and_short_doc_zero(self, spark):
+        """A doc sharing half its distinct 3-grams with the benchmark
+        scores 0.5; a disjoint doc scores 0.0; a doc too short for any
+        3-gram reports n_grams=0 and score 0.0."""
+        from facolos_data_pipelines_spark.operators.text import (
+            contamination_fraction,
+        )
+
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta")], ["doc_id", "text"]
+        )
+        docs = spark.createDataFrame(
+            [
+                # grams: {alpha beta gamma, beta gamma delta, gamma delta zz,
+                #         delta zz yy} -> 2 of 4 in bench
+                (1, "alpha beta gamma delta zz yy"),
+                (2, "completely different words here now"),
+                (3, "too short"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in contamination_fraction(docs, bench, n=3).collect()
+        }
+        assert out[1]["n_grams"] == 4 and out[1]["n_overlap"] == 2
+        assert out[1]["contamination"] == 0.5
+        assert out[2]["n_overlap"] == 0 and out[2]["contamination"] == 0.0
+        assert out[3]["n_grams"] in (0, 1)  # short-doc fallback contract
+        assert out[3]["n_overlap"] == 0 and out[3]["contamination"] == 0.0

@@ -123,6 +123,30 @@ def test_column_profile_numeric_and_string(spark):
     assert approx["k"]["n_distinct"] >= 3
 
 
+def test_column_profile_approx_percentiles(spark):
+    """The fully-approx 100 TB shape (approx_percentiles=True): GK
+    sketch quartiles are actual column values, rank-monotone, inside
+    [min, max]; at accuracy 10000 on a tiny frame they are exact
+    discrete percentiles. Exact counts/min/max are unchanged."""
+    from facolos_data_pipelines_spark.quality import column_profile
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)] + [(None,)], ["v"]
+    )
+    out = column_profile(df, ["v"], approx_percentiles=True).collect()[0]
+    assert out["n_rows"] == 101 and out["n_null"] == 1
+    assert out["min_value"] == 1.0 and out["max_value"] == 100.0
+    assert out["p25"] <= out["p50"] <= out["p75"]
+    assert out["min_value"] <= out["p25"] and out["p75"] <= out["max_value"]
+    # discrete values from the data, near the exact interpolated points
+    assert out["p50"] in (50.0, 51.0)
+    assert abs(out["p25"] - 25.75) <= 1.0 and abs(out["p75"] - 75.25) <= 1.0
+    # non-numeric columns keep NULL sketch outputs
+    s = spark.createDataFrame([("a",), ("b",)], ["s"])
+    srow = column_profile(s, ["s"], approx_percentiles=True).collect()[0]
+    assert srow["p25"] is None and srow["p75"] is None
+
+
 def test_snapshot_drift_flags(spark):
     from facolos_data_pipelines_spark.quality.checks import snapshot_drift
 
