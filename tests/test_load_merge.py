@@ -244,7 +244,9 @@ def test_upsert_parquet_delta_merge_dispatch(spark, tmp_path):
         pytest.skip(
             "delta-spark not importable (sources.io.HAS_DELTA=False): the "
             "Delta MERGE dispatch at io.upsert_parquet needs the delta "
-            "package + jars, which this sandbox cannot install"
+            "package + jars; a fresh `pip install delta-spark` attempt in "
+            "this round's environment (2026-08-15) failed with 'No matching "
+            "distribution found' — no package index is reachable"
         )
     path = str(tmp_path / "delta_tbl")
     spark.createDataFrame(
