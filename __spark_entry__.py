@@ -3304,6 +3304,35 @@ def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (sampling.dsir_logratio_weights, Xie et
+    al. 2023): hashed word-bigram bag-of-ngrams models fit on the
+    target domain (English documents) vs the raw corpus; per-doc
+    log-likelihood ratio under the md5 bucket contract. DuckDB rebuilds
+    the 32-bit md5 bucket digit-by-digit and reproduces the smoothed
+    log-ratio arithmetic exactly (4dp round for summation order)."""
+    from facolos_data_pipelines_spark.operators.sampling import dsir_logratio_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_logratio_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-k importance resampling (sampling.dsir_resample) over
+    the dsir_weights scores: deterministic md5-fraction Gumbel noise,
+    top-50 by perturbed key — sampling w/o replacement proportional to
+    exp(logratio). The rounded perturbed key + id tie-break make the
+    frontier engine-exact."""
+    from facolos_data_pipelines_spark.operators.sampling import (
+        dsir_logratio_weights,
+        dsir_resample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_logratio_weights(docs, docs.filter(F.col("lang") == "en"))
+    return dsir_resample(w, 50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the driver checks the FIRST 50
     # entries only, so the window ROTATES each round (see the
@@ -3323,6 +3352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_signal_features": q_audio_signal_features,
         "compression_signal": q_compression_signal,
         "multimodal_features": q_multimodal_features,
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
         "daily_revenue_delta": q_daily_revenue_delta,
         "quality_model_score": q_quality_model_score,
         "quality_scores": q_quality_scores,
@@ -3363,10 +3394,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_threshold": q_similarity_threshold,
         "doc_fingerprint": q_doc_fingerprint,
-        "embedding_near_dups": q_embedding_near_dups,
-        "embedding_near_dups_exact": q_embedding_near_dups_exact,
         # -- outside the 50-entry driver window: previously
         # driver-certified (r1-r5) and re-certified locally --
+        "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "sessionization": q_sessionization,
         "asof_join_events": q_asof_join_events,
         "asof_join_forward": q_asof_join_forward,
@@ -4004,6 +4035,67 @@ _IVFPQ_SQL = r"""
         """
 
 
+def _md5_32bit_sql(expr: str) -> str:
+    """32-bit int from the first 8 hex digits of md5(expr), rebuilt
+    digit-by-digit (DuckDB has no hex->int conv) — the same idiom as
+    _split_oracle_sql, parameterized on the hashed expression."""
+    h = f"md5({expr})"
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {d + 1}, 1)) - 1) * {16 ** (7 - d)}"
+        for d in range(8)
+    )
+
+
+def _dsir_weights_ctes() -> str:
+    """Shared CTE chain for the dsir_weights / dsir_sample twins:
+    word-bigram shingles with multiplicity (same short-doc fallback as
+    the decontaminate twin), 32-bit md5 bucket % 8192, Laplace-smoothed
+    (a=1) bucket models on target (lang='en') vs raw (all documents),
+    per-doc sum of ln(p_target/p_raw)."""
+    bucket = _md5_32bit_sql("'dsir:' || sh")
+    return rf"""
+            WITH w AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(lower(text), '[^\p{{L}}\p{{N}}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id, lang, unnest(
+                    list_filter([array_to_string(list_slice(words, i, i + 1), ' ')
+                                 for i in range(1, greatest(len(words) - 1, 1) + 1)],
+                                x -> x <> '')) AS sh
+                FROM w
+            ), gb AS (
+                SELECT doc_id, lang, ({bucket}) % 8192 AS b FROM g
+            ), cr AS (
+                SELECT b, COUNT(*) AS c FROM gb GROUP BY 1
+            ), ct AS (
+                SELECT b, COUNT(*) AS c FROM gb WHERE lang = 'en' GROUP BY 1
+            ), m AS (
+                SELECT COALESCE(cr.b, ct.b) AS b,
+                       COALESCE(cr.c, 0) AS crc,
+                       COALESCE(ct.c, 0) AS ctc
+                FROM cr FULL OUTER JOIN ct ON cr.b = ct.b
+            ), t AS (
+                SELECT SUM(crc) AS tr, SUM(ctc) AS tt FROM m
+            ), lw AS (
+                SELECT b, ln(((ctc + 1.0) / (tt + 1.0 * 8192.0))
+                           / ((crc + 1.0) / (tr + 1.0 * 8192.0))) AS lw
+                FROM m CROSS JOIN t
+            ), per_doc AS (
+                SELECT gb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                       SUM(lw.lw) AS slw
+                FROM gb JOIN lw USING (b)
+                GROUP BY 1
+            ), wt AS (
+                SELECT docs.doc_id,
+                       COALESCE(per_doc.n_feats, 0) AS n_feats,
+                       ROUND(COALESCE(per_doc.slw, 0.0) + 1e-9, 4) AS logratio
+                FROM (SELECT doc_id FROM documents) docs
+                LEFT JOIN per_doc USING (doc_id)
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     vec = _vec_sql()
     cos = (
@@ -4011,7 +4103,27 @@ def oracle_sql() -> dict[str, str]:
         "(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) * "
         "sqrt(list_sum(list_transform(q, x -> x * x))))"
     )
+    gumbel32 = _md5_32bit_sql("'dsir-gumbel:' || CAST(doc_id AS VARCHAR)")
+    dsir = _dsir_weights_ctes()
     return {
+        "dsir_weights": dsir
+        + """
+            SELECT doc_id, n_feats, logratio FROM wt
+        """,
+        "dsir_sample": dsir
+        + f"""
+            , res AS (
+                SELECT doc_id, n_feats, logratio,
+                       ROUND(logratio / 1.0
+                             + (-ln(-ln((({gumbel32}) + 0.5) / 4294967296.0)))
+                             + 1e-9, 6) AS sample_key
+                FROM wt
+            )
+            SELECT doc_id, n_feats, logratio, sample_key
+            FROM res
+            ORDER BY sample_key DESC, doc_id
+            LIMIT 50
+        """,
         "semantic_dedup": r"""
             -- dedup.semantic_dedup twin (SemDeDup): argmin nearest-
             -- centroid assignment with (dist, cluster_id) tie-break,

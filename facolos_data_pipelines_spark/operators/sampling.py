@@ -589,3 +589,145 @@ def leakage_safe_split(
     if keep_group:
         return assigned
     return assigned.drop("_leak_group")
+
+
+def dsir_logratio_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int = 2,
+    num_buckets: int = 8192,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+    salt: str = "dsir",
+    round_digits: int = 4,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-corpus
+    document by the log-likelihood ratio of its hashed word-n-gram
+    features under bag-of-ngrams models fit on the target domain vs the
+    raw corpus — high scores mean "distributed like the target". Pair
+    with :func:`dsir_resample` for the paper's Gumbel top-k selection.
+
+    Features: word n-grams (same tokenizer/shingle contract as the
+    dedup/text family, multiplicity kept) hashed into ``num_buckets``
+    buckets via the 32-bit md5 contract (portable across engines, like
+    hash_split). Both corpora reduce to bucket histograms; probabilities
+    are Laplace-smoothed, p[b] = (c[b]+a) / (total+a*B); a document's
+    weight is sum over its gram occurrences of ln(p_target/p_raw),
+    rounded for cross-engine summation-order parity. Docs with no grams
+    score 0.0 (no evidence = neutral weight, n_feats = 0).
+
+    100 TB shape: each corpus is scanned ONCE into a B-key histogram
+    (map-side combinable groupBy on the bucket — B is thousands, so the
+    shuffle is bytes); the merged log-ratio table (<= B rows) outer-joins
+    the two histograms, folds the two totals in as a 1-row broadcast,
+    and is itself BROADCAST to the scoring join; scoring reuses the
+    explode's per-doc shuffle for the final id-keyed aggregation.
+    Nothing scales with corpus size except the two scans. The target
+    side is typically a domain sample orders of magnitude smaller than
+    the raw corpus.
+    """
+    from .dedup import exploded_shingles
+
+    if smoothing <= 0:
+        raise ValueError("dsir_logratio_weights: smoothing must be > 0")
+    if num_buckets < 2:
+        raise ValueError("dsir_logratio_weights: num_buckets must be >= 2")
+    a = float(smoothing)
+    b_lit = F.lit(float(num_buckets))
+
+    def bucket(gram_col) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"{salt}:"), gram_col))
+        return F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(num_buckets)
+        ).alias("_b")
+
+    def histogram(df: DataFrame, cname: str) -> DataFrame:
+        return (
+            exploded_shingles(df, text_col, id_col, n, distinct=False)
+            .select(bucket(F.col("_sh")))
+            .groupBy("_b")
+            .agg(F.count("*").cast("long").alias(cname))
+        )
+
+    merged = histogram(raw, "_cr").join(
+        histogram(target, "_ct"), "_b", "full_outer"
+    ).select(
+        "_b",
+        F.coalesce("_cr", F.lit(0).cast("long")).alias("_cr"),
+        F.coalesce("_ct", F.lit(0).cast("long")).alias("_ct"),
+    )
+    totals = merged.agg(
+        F.sum("_cr").cast("long").alias("_tr"), F.sum("_ct").cast("long").alias("_tt")
+    )
+    log_ratio = F.log(
+        ((F.col("_ct") + F.lit(a)) / (F.col("_tt") + F.lit(a) * b_lit))
+        / ((F.col("_cr") + F.lit(a)) / (F.col("_tr") + F.lit(a) * b_lit))
+    )
+    weights = (
+        merged.crossJoin(F.broadcast(totals)).select("_b", log_ratio.alias("_lw"))
+    )
+    doc_feats = exploded_shingles(raw, text_col, id_col, n, distinct=False).select(
+        F.col(id_col), bucket(F.col("_sh"))
+    )
+    per_doc = (
+        doc_feats.join(F.broadcast(weights), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("_lw").alias("_sum_lw"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
+            F.round(F.coalesce(F.col("_sum_lw"), F.lit(0.0)) + 1e-9, round_digits)
+            .alias("logratio"),
+        )
+    )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    score_col: str = "logratio",
+    temperature: float = 1.0,
+    salt: str = "dsir-gumbel",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Gumbel top-k importance resampling over :func:`dsir_logratio_weights`
+    output: sampling k documents WITHOUT replacement with probability
+    proportional to exp(score/temperature) is exactly taking the top k
+    by score/temperature + Gumbel noise (the Gumbel-max trick DSIR
+    uses). The noise is derived from the md5 hash-fraction contract, so
+    the selection is deterministic across runs, engines, and cluster
+    sizes — same property as hash_split, required for reproducible
+    data curation. NULL scores are excluded (no weight, cannot win).
+
+    The perturbed key is rounded and ties break on the id, so the top-k
+    frontier is engine-exact. One TakeOrderedAndProject — no global
+    sort materialization.
+    """
+    if k <= 0:
+        raise ValueError("dsir_resample: k must be > 0")
+    if temperature <= 0:
+        raise ValueError("dsir_resample: temperature must be > 0")
+    u = (
+        F.conv(F.substring(_salted_md5(id_col, salt), 1, 8), 16, 10).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(_HASH_DENOM)
+    gumbel = -F.log(-F.log(u))
+    key = F.round(
+        F.col(score_col) / F.lit(float(temperature)) + gumbel + 1e-9, round_digits
+    )
+    return (
+        weights.filter(F.col(score_col).isNotNull())
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -15,7 +15,15 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Shuffle parallelism follows core count by default; on a cluster (and in
+# the sfN scale-curve protocol) partitions must scale with DATA so the
+# per-partition working set stays constant — SPARK_GRAFT_SHUFFLE_PARTITIONS
+# overrides without changing local[N] task slots.
+DEFAULT_SHUFFLE_PARTITIONS = int(
+    os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+)
 
 # Synthetic-table columns physically stored as TIMESTAMP(NANOS) parquet —
 # they read back as long under nanosAsLong and need ns->timestamp repair.
