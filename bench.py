@@ -210,6 +210,14 @@ HEADLINE = [
     # since round 6, when the fake-path bench payloads were replaced
     "multimodal_features",
     "audio_signal_features",
+    # round-6 additions: lexical+vector hybrid retrieval (RRF), graded
+    # n-gram contamination scoring, the full-approx (HLL + t-digest)
+    # profile path, and DSIR importance weighting + Gumbel resampling
+    "hybrid_search",
+    "contamination_score",
+    "column_profile_tdigest",
+    "dsir_weights",
+    "dsir_sample",
 ]
 
 # Reported outside the headline wall (empty since round 6: the

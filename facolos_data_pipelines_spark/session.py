@@ -77,6 +77,16 @@ def build_spark(
         builder = builder.master(f"local[{cpus}]").config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         )
+    # Ops escape hatch: SPARK_GRAFT_EXTRA_CONF='{"spark.network.timeout":
+    # "1200s", ...}' lets scale runs set GC-tolerance / memory confs
+    # without code changes (the same knob spark-submit --conf provides on
+    # a real cluster). Explicit extra_conf kwargs win over the env.
+    env_extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_extra:
+        import json
+
+        for k, v in json.loads(env_extra).items():
+            builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
