@@ -618,15 +618,20 @@ def dsir_logratio_weights(
     rounded for cross-engine summation-order parity. Docs with no grams
     score 0.0 (no evidence = neutral weight, n_feats = 0).
 
-    100 TB shape: each corpus is scanned ONCE into a B-key histogram
-    (map-side combinable groupBy on the bucket — B is thousands, so the
-    shuffle is bytes); the merged log-ratio table (<= B rows) outer-joins
-    the two histograms, folds the two totals in as a 1-row broadcast,
-    and is itself BROADCAST to the scoring join; scoring reuses the
+    100 TB shape: the raw corpus is scanned exactly TWICE (once into
+    its B-key histogram, once to score documents) and the target once
+    — the histogram groupBys are map-side combinable on the bucket (B
+    is thousands, so the shuffle is bytes). The merged histogram (<= B
+    rows of exact longs) is COLLECTED once; totals are exact integer
+    sums on the driver, folded back in as literals, so the scoring
+    join sees a small materialized weights table instead of
+    re-embedding the two corpus-scan lineages per referencing
+    expression (the pre-collect plan re-scanned raw ~3x per action).
+    The log itself is still evaluated by Spark, so weights are
+    bit-identical to the all-lazy formulation. Scoring reuses the
     explode's per-doc shuffle for the final id-keyed aggregation.
-    Nothing scales with corpus size except the two scans. The target
-    side is typically a domain sample orders of magnitude smaller than
-    the raw corpus.
+    The target side is typically a domain sample orders of magnitude
+    smaller than the raw corpus.
     """
     from .dedup import exploded_shingles
 
@@ -651,23 +656,28 @@ def dsir_logratio_weights(
             .agg(F.count("*").cast("long").alias(cname))
         )
 
-    merged = histogram(raw, "_cr").join(
-        histogram(target, "_ct"), "_b", "full_outer"
-    ).select(
-        "_b",
-        F.coalesce("_cr", F.lit(0).cast("long")).alias("_cr"),
-        F.coalesce("_ct", F.lit(0).cast("long")).alias("_ct"),
+    merged_rows = (
+        histogram(raw, "_cr")
+        .join(histogram(target, "_ct"), "_b", "full_outer")
+        .select(
+            "_b",
+            F.coalesce("_cr", F.lit(0).cast("long")).alias("_cr"),
+            F.coalesce("_ct", F.lit(0).cast("long")).alias("_ct"),
+        )
+        .collect()  # <= num_buckets rows of exact longs — one corpus scan each
     )
-    totals = merged.agg(
-        F.sum("_cr").cast("long").alias("_tr"), F.sum("_ct").cast("long").alias("_tt")
+    spark = raw.sparkSession
+    tr = sum(r["_cr"] for r in merged_rows)  # exact integer totals on the driver
+    tt = sum(r["_ct"] for r in merged_rows)
+    merged = spark.createDataFrame(
+        [(r["_b"], r["_cr"], r["_ct"]) for r in merged_rows],
+        "_b long, _cr long, _ct long",
     )
     log_ratio = F.log(
-        ((F.col("_ct") + F.lit(a)) / (F.col("_tt") + F.lit(a) * b_lit))
-        / ((F.col("_cr") + F.lit(a)) / (F.col("_tr") + F.lit(a) * b_lit))
+        ((F.col("_ct") + F.lit(a)) / (F.lit(float(tt)) + F.lit(a) * b_lit))
+        / ((F.col("_cr") + F.lit(a)) / (F.lit(float(tr)) + F.lit(a) * b_lit))
     )
-    weights = (
-        merged.crossJoin(F.broadcast(totals)).select("_b", log_ratio.alias("_lw"))
-    )
+    weights = merged.select("_b", log_ratio.alias("_lw"))
     doc_feats = exploded_shingles(raw, text_col, id_col, n, distinct=False).select(
         F.col(id_col), bucket(F.col("_sh"))
     )

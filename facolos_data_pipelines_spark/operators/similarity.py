@@ -339,27 +339,37 @@ def rrf_fuse(
     Returns (id, rrf_score, n_lists) — the fused top-``topk``.
 
     Inputs are BOUNDED retrieval results (top-k frames, k rows each),
-    never corpora — that is what makes the per-list rank window on a
-    constant partition key safe: it sorts <= k rows in one task by
-    construction, while the expensive corpus work stays inside the
-    upstream retrieval operators with their own documented scale
-    shapes. Fusion itself is a union of N tiny frames + one groupBy
-    over <= N*k rows.
+    never corpora — per-list ranks are therefore computed with ONE
+    aggregate per list: ``posexplode(sort_array(collect_list(
+    struct(-score, id))))`` sorts <= k rows inside a single expression
+    (ascending struct order == score desc, id asc — scores are
+    non-null by retrieval construction), producing the exact
+    ``row_number`` ranks with ZERO Window nodes, so the plan can never
+    trip the unpartitioned-WindowExec warning that buries real
+    single-partition regressions. The expensive corpus work stays
+    inside the upstream retrieval operators with their own documented
+    scale shapes. Fusion itself is a union of N tiny frames + one
+    groupBy over <= N*k rows.
     """
-    from pyspark.sql import Window
-
     if not ranked:
         raise ValueError("rrf_fuse: need at least one ranked list")
     if k_rrf < 1 or topk < 1:
         raise ValueError("rrf_fuse: k_rrf and topk must be >= 1")
     parts = []
-    for i, (df_i, score_col) in enumerate(ranked):
-        w = Window.partitionBy(F.lit(i)).orderBy(
-            F.col(score_col).desc(), F.col(id_col).asc()
+    for df_i, score_col in ranked:
+        ordered = F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col(score_col)).alias("_ns"), F.col(id_col).alias("_id")
+                )
+            )
         )
         parts.append(
-            df_i.select(
-                F.col(id_col), F.row_number().over(w).alias("_rank")
+            df_i.agg(ordered.alias("_l"))
+            .select(F.posexplode("_l").alias("_pos", "_e"))
+            .select(
+                F.col("_e._id").alias(id_col),
+                (F.col("_pos") + 1).alias("_rank"),
             )
         )
     union = parts[0]

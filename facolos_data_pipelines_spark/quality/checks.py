@@ -67,8 +67,9 @@ def column_profile(
     story; the returned quartiles are then actual column values within
     the sketch's rank-error bound rather than interpolated points, so
     they are envelope-checked, not hash-pinned, by the oracle.
-    Measured at sf1 the full-approx profile is 12.5x the default
-    (SCALE.md §6b) — beyond ~10M rows, pass ``approx_percentiles=True``.
+    Measured at sf1 the full-approx profile is 12.5x FASTER than the
+    default (SCALE.md §6b) — beyond ~10M rows, pass
+    ``approx_percentiles=True``.
     """
     from pyspark.sql.types import NumericType
 

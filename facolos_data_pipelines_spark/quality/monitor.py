@@ -156,18 +156,23 @@ def schedule_accuracy(
     n_intervals=0 and NULL accuracy (the reference returns an error
     dict there). cycle_id tie-breaks the top-N cut, so tied
     timestamps can't flip the interval set between runs (min/max of
-    the cut are order-insensitive)."""
+    the cut are order-insensitive). Counts are over ``started_at``
+    itself (not ``count(*)``), so NULL-started rows in the cut are
+    excluded from the interval math exactly like the lag
+    formulation, which produced NULL intervals for them and
+    filtered them out."""
     recent = metrics.orderBy(
         F.col("started_at").desc(), F.col("cycle_id").desc()
     ).limit(last_n)
+    n_started = F.count("started_at")
     agg = recent.agg(
-        F.greatest(F.count("*") - 1, F.lit(0)).cast("long").alias("n_intervals"),
+        F.greatest(n_started - 1, F.lit(0)).cast("long").alias("n_intervals"),
         (
             (
                 F.max(F.unix_timestamp("started_at"))
                 - F.min(F.unix_timestamp("started_at"))
             )
-            / F.when(F.count("*") > 1, F.count("*") - 1)
+            / F.when(n_started > 1, n_started - 1)
         ).alias("_avg_s"),
     )
     avg_min = F.col("_avg_s") / 60.0

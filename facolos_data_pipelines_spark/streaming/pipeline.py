@@ -268,29 +268,72 @@ def _store_meta_path(bucket_store_path: str) -> str:
     return bucket_store_path.rstrip("/") + "/" + _STORE_META_NAME
 
 
-def _read_store_meta(bucket_store_path: str) -> dict | None:
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for any Hadoop-resolvable URI — file://, hdfs://,
+    s3a://, ... — via the session's Hadoop configuration."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _read_store_meta(bucket_store_path: str, spark=None) -> dict | None:
     """Read the bucket store's layout meta (underscore-prefixed, so Spark's
-    parquet reader ignores it like _SUCCESS). Local paths only — returns
-    None on remote filesystems or when the file is absent."""
+    parquet reader ignores it like _SUCCESS). Plain-local paths use the
+    local filesystem directly; URI paths ('://' — HDFS, object stores,
+    file://) go through the Hadoop FileSystem API and need ``spark``.
+    Returns None when the file is absent or unreadable (the caller
+    decides the fallback)."""
     import json
     import os
 
+    mp = _store_meta_path(bucket_store_path)
     if "://" in bucket_store_path:
+        if spark is None:
+            return None
+        try:
+            fs, jpath = _hadoop_fs(spark, mp)
+            if not fs.exists(jpath):
+                return None
+            stream = fs.open(jpath)
+            try:
+                reader = spark._jvm.java.io.BufferedReader(
+                    spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+                )
+                chunks = []
+                line = reader.readLine()
+                while line is not None:
+                    chunks.append(line)
+                    line = reader.readLine()
+            finally:
+                stream.close()
+            return json.loads("\n".join(chunks))
+        except Exception:
+            return None
+    if not os.path.isfile(mp):
         return None
-    p = _store_meta_path(bucket_store_path)
-    if not os.path.isfile(p):
-        return None
-    with open(p) as fh:
+    with open(mp) as fh:
         return json.load(fh)
 
 
-def _write_store_meta(bucket_store_path: str, store_partitions: int) -> None:
+def _write_store_meta(bucket_store_path: str, store_partitions: int, spark=None) -> None:
     import json
 
+    payload = json.dumps({"store_partitions": int(store_partitions)})
+    mp = _store_meta_path(bucket_store_path)
     if "://" in bucket_store_path:
-        return  # remote stores validate via column presence only
-    with open(_store_meta_path(bucket_store_path), "w") as fh:
-        json.dump({"store_partitions": int(store_partitions)}, fh)
+        if spark is None:
+            return
+        try:
+            fs, jpath = _hadoop_fs(spark, mp)
+            out = fs.create(jpath, True)
+            try:
+                out.write(bytearray(payload.encode("utf-8")))
+            finally:
+                out.close()
+        except Exception:
+            pass  # best-effort: _effective_store_partitions trusts config then
+        return
+    with open(mp, "w") as fh:
+        fh.write(payload)
 
 
 def _effective_store_partitions(spark, bucket_store_path: str, requested: int) -> int:
@@ -301,9 +344,14 @@ def _effective_store_partitions(spark, bucket_store_path: str, requested: int) -
     and cross-batch duplicates leak through). Legacy stores written
     before the meta file: unpartitioned layout -> keep writing
     unpartitioned (mixing layouts makes Spark's partition-discovery read
-    silently drop the root-level legacy rows); partitioned layout without
-    meta -> unrecoverable N, raise with a migration instruction."""
-    meta = _read_store_meta(bucket_store_path)
+    silently drop the root-level legacy rows); local partitioned layout
+    without meta -> unrecoverable N, raise with a migration instruction.
+    REMOTE ('://') partitioned stores whose meta is absent or unreadable
+    (pre-meta legacy stores, or object stores where the best-effort write
+    failed) trust the configured value instead of raising — the pre-meta
+    behavior, since a raise there is unrecoverable through this API — and
+    adopt it as the sticky layout by (re)writing the meta."""
+    meta = _read_store_meta(bucket_store_path, spark)
     if meta is not None:
         n = int(meta["store_partitions"])
         if n == 0:
@@ -318,6 +366,9 @@ def _effective_store_partitions(spark, bucket_store_path: str, requested: int) -
         return n
     cols = spark.read.parquet(bucket_store_path).columns
     if "bucket_pmod" in cols:
+        if "://" in bucket_store_path and requested > 0:
+            _write_store_meta(bucket_store_path, requested, spark)
+            return requested
         raise ValueError(
             f"bucket store at {bucket_store_path!r} is bucket_pmod-"
             f"partitioned but has no {_STORE_META_NAME}; its partition "
@@ -455,8 +506,8 @@ def near_dup_filter_sink(
         if n_parts:
             writer = writer.partitionBy("bucket_pmod")
         writer.parquet(bucket_store_path)
-        if _read_store_meta(bucket_store_path) is None:
-            _write_store_meta(bucket_store_path, n_parts)
+        if _read_store_meta(bucket_store_path, spark) is None:
+            _write_store_meta(bucket_store_path, n_parts, spark)
 
     return filter_batch
 
@@ -522,9 +573,9 @@ def compact_bucket_store(
         writer = writer.partitionBy("bucket_pmod")
     writer.parquet(tmp)
     rows_after = spark.read.parquet(tmp).count()
-    meta = _read_store_meta(path)
+    meta = _read_store_meta(path, spark)
     if meta is not None:  # layout meta travels with the compacted store
-        _write_store_meta(tmp, meta["store_partitions"])
+        _write_store_meta(tmp, meta["store_partitions"], spark)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -17,11 +17,22 @@ artifact the round workflow keeps (BENCH_DIFF.md): run the sf0.1 bench,
 diff against the prior round's committed BENCH_DETAIL.json, commit both.
 
 ``--remeasure`` automates the noise adjudication previously done by
-hand: each flagged query is re-run ALONE in a fresh subprocess
-(bench.py subset mode — no shared-JVM contention), and the flag is
-kept only if the isolated median still exceeds threshold x old. The
-exit code then reflects CONFIRMED regressions only; adjudicated-noise
-rows stay in the report with their isolated number.
+hand: each flagged query is re-run ALONE — one fresh subprocess PER
+query (bench.py subset mode, median-of-3 — no shared-JVM contention,
+no cross-query interference). Isolated timings are systematically
+faster than contended ones, so the isolated re-run is compared
+LIKE-FOR-LIKE against an isolated baseline, not the contended old
+number: every isolated median is persisted to ``BENCH_ISOLATED.json``
+(cumulative, next to this repo's root), and a flag is confirmed when
+``iso_new > threshold * iso_old`` for a query with a recorded
+isolated baseline. Queries with NO isolated baseline yet (first time
+flagged) are adjudicated conservatively: cleared as noise only when
+the isolated re-run beats even the CONTENDED old number
+(``iso_new <= old``) — anything slower than that stays a confirmed
+regression, because the contended old time is an upper bound on the
+unknown isolated old time. The exit code reflects CONFIRMED
+regressions only; adjudicated-noise rows stay in the report with
+their isolated number.
 """
 
 from __future__ import annotations
@@ -32,36 +43,56 @@ import subprocess
 import sys
 import tempfile
 
+ISOLATED_BASELINE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "BENCH_ISOLATED.json",
+)
+
 
 def remeasure_isolated(queries: list[str]) -> dict[str, float]:
-    """Re-run the given bench queries in ONE fresh subprocess (isolated
-    from this process's JVM, queries still median-of-3 warm) and return
-    their isolated timings. Honors SPARK_GRAFT_SF_DIR."""
-    if not queries:
-        return {}
+    """Re-run each given bench query ALONE — one fresh subprocess per
+    query (own JVM, median-of-3 warm) — and return the isolated
+    timings. Honors SPARK_GRAFT_SF_DIR."""
     bench = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
     )
-    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
-        detail_path = tf.name
-    env = dict(
-        os.environ,
-        SPARK_GRAFT_BENCH_QUERIES=",".join(queries),
-        SPARK_GRAFT_BENCH_DETAIL=detail_path,
-    )
-    try:
-        subprocess.run(
-            [sys.executable, bench],
-            env=env,
-            check=True,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
+    out: dict[str, float] = {}
+    for q in queries:
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            detail_path = tf.name
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_BENCH_QUERIES=q,
+            SPARK_GRAFT_BENCH_DETAIL=detail_path,
         )
-        with open(detail_path) as f:
-            detail = json.load(f)
-        return {**detail.get("queries", {}), **detail.get("stub_queries", {})}
-    finally:
-        os.unlink(detail_path)
+        try:
+            subprocess.run(
+                [sys.executable, bench],
+                env=env,
+                check=True,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            with open(detail_path) as f:
+                detail = json.load(f)
+            out.update(detail.get("queries", {}))
+            out.update(detail.get("stub_queries", {}))
+        finally:
+            os.unlink(detail_path)
+    return out
+
+
+def load_isolated_baseline() -> dict[str, float]:
+    if not os.path.isfile(ISOLATED_BASELINE):
+        return {}
+    with open(ISOLATED_BASELINE) as f:
+        return json.load(f)
+
+
+def update_isolated_baseline(timings: dict[str, float]) -> None:
+    merged = {**load_isolated_baseline(), **timings}
+    with open(ISOLATED_BASELINE, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
 
 
 def load(path: str) -> dict:
@@ -84,7 +115,7 @@ def write_report(
     removed: list,
     regressions: list,
 ) -> None:
-    flagged = {q: iso for _, q, _, _, iso in regressions}
+    flagged = {q: label for _, q, _, _, label in regressions}
     lines = [
         "# BENCH DIFF",
         "",
@@ -101,16 +132,7 @@ def write_report(
     for q in common:
         a, b = old["queries"][q], new["queries"][q]
         ratio = b / a if a > 0 else float("inf")
-        if q in flagged:
-            iso = flagged[q]
-            if iso is None:
-                flag = "REGRESSION"
-            elif a > 0 and iso / a > threshold:
-                flag = f"REGRESSION (confirmed isolated: {iso} s)"
-            else:
-                flag = f"noise (isolated: {iso} s)"
-        else:
-            flag = ""
+        flag = flagged.get(q, "")
         lines.append(f"| {q} | {a} | {b} | {ratio:.2f}x | {flag} |")
     for q in added:
         lines.append(f"| {q} | — | {new['queries'][q]} | new | |")
@@ -147,28 +169,42 @@ def main() -> int:
         and new["queries"][q] / old["queries"][q] > threshold
     ]
     isolated = remeasure_isolated(flagged) if remeasure else {}
-    regressions = []  # (ratio, query, old, new, isolated-or-None)
+    iso_baseline = load_isolated_baseline() if remeasure else {}
+    if isolated:
+        update_isolated_baseline(isolated)
+    regressions = []  # (ratio, query, old, new, label)
     confirmed = 0
     for q in flagged:
         a, b = old["queries"][q], new["queries"][q]
-        iso = isolated.get(q)
-        regressions.append((b / a, q, a, b, iso))
-        if iso is None or iso / a > threshold:
-            confirmed += 1
+        iso, iso_old = isolated.get(q), iso_baseline.get(q)
+        if not remeasure or iso is None:
+            label, is_real = "REGRESSION", True
+        elif iso_old is not None and iso_old > 0:
+            # like-for-like: isolated re-run vs recorded isolated baseline
+            is_real = iso / iso_old > threshold
+            label = (
+                f"REGRESSION (isolated: {iso} s vs baseline {iso_old} s)"
+                if is_real
+                else f"noise (isolated: {iso} s vs baseline {iso_old} s)"
+            )
+        else:
+            # no isolated baseline yet: the contended old time is an UPPER
+            # bound on the unknown isolated old time, so only an isolated
+            # re-run beating it outright is safely adjudicated as noise
+            is_real = iso > a
+            label = (
+                f"REGRESSION (isolated: {iso} s > contended old, no iso baseline)"
+                if is_real
+                else f"noise (isolated: {iso} s <= contended old {a} s)"
+            )
+        regressions.append((b / a, q, a, b, label))
+        confirmed += is_real
     print(
         f"total: {old.get('value')} -> {new.get('value')} s | common {len(common)}"
         f" | added {len(added)} | removed {len(removed)}"
     )
-    for ratio, q, a, b, iso in sorted(regressions, reverse=True):
-        if iso is not None and iso / a <= threshold:
-            print(f"  noise {ratio:4.1f}x  {q}: {a} -> {b} s (isolated: {iso} s)")
-        elif iso is not None:
-            print(
-                f"  REGRESSION {ratio:4.1f}x  {q}: {a} -> {b} s "
-                f"(confirmed isolated: {iso} s)"
-            )
-        else:
-            print(f"  REGRESSION {ratio:4.1f}x  {q}: {a} -> {b} s")
+    for ratio, q, a, b, label in sorted(regressions, reverse=True):
+        print(f"  {ratio:4.1f}x  {q}: {a} -> {b} s — {label}")
     for q in added:
         print(f"  new {q}: {new['queries'][q]} s")
     if removed:

@@ -672,3 +672,64 @@ def test_near_dup_sink_store_layout_is_sticky_and_validated(spark, tmp_root):
     # and the compacted store still probes correctly at the recorded N
     fold4(spark.createDataFrame([(5, base + " xi")], doc_schema), 3)
     assert {r["doc_id"] for r in spark.read.parquet(psink).collect()} == {1}
+
+
+def test_near_dup_sink_store_meta_on_uri_paths(spark, tmp_root):
+    """URI ('://') store paths — HDFS/object stores in production,
+    file:// here — go through the Hadoop FileSystem API: the layout
+    meta is written and read back, the sticky-N mismatch still raises,
+    and a partitioned URI store with NO readable meta (pre-meta legacy,
+    or an object store where the best-effort write failed) trusts the
+    configured N and adopts it instead of raising — the scenario where
+    the second micro-batch used to die unrecoverably."""
+    import os
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from facolos_data_pipelines_spark.streaming import near_dup_filter_sink
+    from facolos_data_pipelines_spark.streaming.pipeline import (
+        _STORE_META_NAME,
+        _read_store_meta,
+        _write_store_meta,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    sink = f"file://{tmp_root}/uri_sink"
+    store = f"file://{tmp_root}/uri_store"
+    local_meta = os.path.join(f"{tmp_root}/uri_store", _STORE_META_NAME)
+
+    # round-trip through the Hadoop FS branch
+    fold4 = near_dup_filter_sink(sink, store, store_partitions=4)
+    fold4(spark.createDataFrame([(1, base)], doc_schema), 0)
+    assert os.path.isfile(local_meta)
+    assert _read_store_meta(store, spark) == {"store_partitions": 4}
+    assert _read_store_meta(store) is None  # URI path without spark: opaque
+
+    # sticky mismatch raises on URI stores too
+    fold8 = near_dup_filter_sink(sink, store, store_partitions=8)
+    with pytest.raises(ValueError, match="sticky"):
+        fold8(spark.createDataFrame([(9, "whatever text")], doc_schema), 1)
+
+    # meta-less partitioned URI store: trust the configured N, adopt it,
+    # and the next micro-batch still dedups against batch-0 state
+    os.remove(local_meta)
+    fold4(
+        spark.createDataFrame(
+            [(2, base + " nu"), (3, "totally different words about spark here")],
+            doc_schema,
+        ),
+        2,
+    )
+    assert _read_store_meta(store, spark) == {"store_partitions": 4}
+    assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == {1, 3}
+
+    # direct writer round-trip (covers overwrite)
+    _write_store_meta(store, 4, spark)
+    assert _read_store_meta(store, spark) == {"store_partitions": 4}
