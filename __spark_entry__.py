@@ -3333,17 +3333,72 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_resample(w, 50)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Entry ORDER is deliberate: the driver checks the FIRST 50
-    # entries only, so the window ROTATES each round (see the
-    # window comment below). Earlier windows: r1-r5 artifacts.
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-LM fluency scores (text.bigram_logprob_scores)
+    over documents: additive-smoothed ln p(w2|w1) under the corpus's
+    own bigram model, narrow zip_with pair construction. Same rounding
+    contract as the unigram twin (4dp + 1e-9 nudge)."""
+    from facolos_data_pipelines_spark.operators.text import bigram_logprob_scores
+
+    return bigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level 3-gram overlap (text.corpus_overlap) between the
+    even-id and odd-id halves of documents: distinct-gram counts,
+    intersection, Jaccard, both containments — the dataset-mixing
+    dashboard row, one gram-keyed join over two distinct sets."""
+    from facolos_data_pipelines_spark.operators.text import corpus_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_overlap(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        n=3,
+    )
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed whitespace-token-length histogram
+    (text.token_length_histogram) over documents — the packing/bucket
+    planner input. Bucket index via integer bit length (base-2 string
+    conversion), so the floor can't flip on a float ulp in either
+    engine."""
+    from facolos_data_pipelines_spark.operators.text import token_length_histogram
+
+    return token_length_histogram(_t(spark, sf_dir, "documents"))
+
+
+def q_quantile_bin_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning (features.quantile_bin, 8 bins) of
+    lineitem extended prices, summarized per bin (count, min/max) —
+    cut points are interpolated percentiles rounded to the engine
+    parity contract, so bin edges are bit-identical to DuckDB's
+    quantile_cont."""
+    from facolos_data_pipelines_spark.operators.features import quantile_bin
+
+    li = _t(spark, sf_dir, "lineitem")
+    binned = quantile_bin(li, "l_extendedprice", n_bins=8)
+    return (
+        binned.groupBy(F.col("l_extendedprice_bin").alias("price_bin"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.min("l_extendedprice") + 1e-8, 2).alias("min_price"),
+            F.round(F.max("l_extendedprice") + 1e-8, 2).alias("max_price"),
+        )
+        .orderBy("price_bin")
+    )
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The full registry, insertion order immaterial — queries() below
+    # reorders it so the driver's 50-entry sample window rotates each
+    # round (see _R7_WINDOW).
     return {
-        # -- round-6 driver window (first 50): the two names never
-        # driver-attested (r5 verdict ask #1), the six new round-6
-        # queries, every query whose implementation or oracle changed
-        # this round, then the names whose newest driver attestation
-        # is oldest (round 3) — maximizing cross-round freshness. The
-        # full surface is re-certified in CORRECTNESS_local_r11.json.
+        "bigram_lm_scores": q_bigram_lm_scores,
+        "corpus_overlap": q_corpus_overlap,
+        "length_histogram": q_length_histogram,
+        "quantile_bin_prices": q_quantile_bin_prices,
         "column_profile_approx": q_column_profile_approx,
         "script_profile": q_script_profile,
         "hybrid_search": q_hybrid_search,
@@ -3505,6 +3560,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "sample_per_group": q_sample_per_group,
     }
+
+
+# Round-7 driver window (the driver oracle-checks the FIRST 50 entries
+# of queries() each round; earlier windows live in the r1-r6
+# CORRECTNESS artifacts): the 4 new round-7 queries, the 4 whose
+# implementation changed this round (rrf rank path, dsir collect,
+# schedule_accuracy NULL counts), the 10 names whose newest driver
+# attestation is round-3 vintage, then the oldest 32 of the round-4
+# vintage names (alphabetical; the remaining 18 rotate in next round).
+_R7_WINDOW = [
+    "bigram_lm_scores", "corpus_overlap", "length_histogram",
+    "quantile_bin_prices",
+    "hybrid_search", "dsir_weights", "dsir_sample", "schedule_health",
+    "chunk_documents", "corpus_clean", "cycle_metrics", "dataset_split",
+    "embedding_near_dups", "embedding_near_dups_exact", "language_id",
+    "pii_redaction", "sample_per_group", "video_frame_sample",
+    "ann_recall", "anomaly_zscore", "approx_distinct", "c4_clean",
+    "cold_customers", "column_profile", "curriculum_order",
+    "daily_sales_summary", "decontaminate_bloom", "dedup_keep_best",
+    "disjunctive_revenue", "dup_cluster_sizes", "dup_components",
+    "duplicate_spans", "excess_suppliers", "expectations",
+    "forecast_revenue", "frequent_items", "fuzzy_match",
+    "important_parts", "ivfpq_topk", "key_skew", "knn_join",
+    "knn_join_lsh", "large_orders", "line_dedup", "market_share",
+    "min_cost_supplier", "minhash_dedup_portable", "nation_profit",
+    "nation_trade", "ngram_jaccard_dedup",
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    all_q = _all_queries()
+    missing = [n for n in _R7_WINDOW if n not in all_q]
+    if missing:
+        raise KeyError(f"_R7_WINDOW names not in the registry: {missing}")
+    rest = [n for n in all_q if n not in set(_R7_WINDOW)]
+    return {n: all_q[n] for n in [*_R7_WINDOW, *rest]}
+
 
 def _vec_sql() -> str:
     return "[" + ", ".join(f"{x!r}" for x in QUERY_VEC) + "]"
@@ -4123,6 +4215,128 @@ def oracle_sql() -> dict[str, str]:
             FROM res
             ORDER BY sample_key DESC, doc_id
             LIMIT 50
+        """,
+        "bigram_lm_scores": r"""
+            -- text.bigram_logprob_scores twin: same tokenizer as the
+            -- unigram twin, bigram pairs from adjacent positions,
+            -- additive smoothing 0.5 over the unigram vocabulary,
+            -- conditional p(w2|w1) = (c12+s)/(c1+s*|V|), natural log
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), pp AS (
+                SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+                    SELECT doc_id,
+                           unnest([{'w1': ws[i], 'w2': ws[i+1]}
+                                   for i in range(1, len(ws))]) AS p
+                    FROM w WHERE len(ws) >= 2
+                )
+            ), bg AS (
+                SELECT w1, w2, COUNT(*) AS c12 FROM pp GROUP BY 1, 2
+            ), ctx AS (
+                SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY 1
+            ), v AS (
+                SELECT COUNT(DISTINCT u) AS nv
+                FROM (SELECT unnest(ws) AS u FROM w)
+            ), d AS (
+                SELECT pp.doc_id, COUNT(*) AS n_bigrams,
+                       AVG(ln((c12 + 0.5) / (c1 + 0.5 * nv))) AS alp
+                FROM pp JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+                GROUP BY pp.doc_id
+            )
+            SELECT docs.doc_id,
+                   CAST(COALESCE(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   ROUND(d.alp + 1e-9, 4) AS avg_logprob
+            FROM (SELECT doc_id FROM documents) docs
+            LEFT JOIN d USING (doc_id)
+        """,
+        "corpus_overlap": r"""
+            -- text.corpus_overlap twin: same 3-shingle pipeline as the
+            -- decontaminate twin, distinct sets of the even/odd halves,
+            -- full-outer joined into one overlap row
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    list_filter([array_to_string(list_slice(words, i, i + 2), ' ')
+                                 for i in range(1, greatest(len(words) - 2, 1) + 1)],
+                                x -> x <> ''))) AS sh
+                FROM w
+            ), ga AS (
+                SELECT DISTINCT sh FROM g WHERE doc_id % 2 = 0
+            ), gb AS (
+                SELECT DISTINCT sh FROM g WHERE doc_id % 2 = 1
+            ), j AS (
+                SELECT ga.sh IS NOT NULL AS ina, gb.sh IS NOT NULL AS inb
+                FROM ga FULL OUTER JOIN gb ON ga.sh = gb.sh
+            ), agg AS (
+                SELECT CAST(SUM(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS n_grams_a,
+                       CAST(SUM(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT) AS n_grams_b,
+                       CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+                FROM j
+            )
+            SELECT n_grams_a, n_grams_b, n_common,
+                   ROUND(n_common / greatest(n_grams_a + n_grams_b - n_common, 1)
+                         + 1e-9, 6) AS jaccard,
+                   ROUND(n_common / greatest(n_grams_a, 1) + 1e-9, 6) AS containment_a,
+                   ROUND(n_common / greatest(n_grams_b, 1) + 1e-9, 6) AS containment_b
+            FROM agg
+        """,
+        "length_histogram": r"""
+            -- text.token_length_histogram twin: whitespace token count
+            -- (same tokenizer as token_counts), bucket via integer bit
+            -- length, lo/hi from integer shifts — no float log anywhere
+            WITH t AS (
+                SELECT len(list_filter(regexp_split_to_array(text, '\s+'),
+                                       x -> x <> '')) AS n
+                FROM documents
+            ), b AS (
+                SELECT CASE WHEN n <= 0 THEN -1
+                            ELSE CAST(length(bin(CAST(n AS BIGINT))) - 1 AS INTEGER)
+                       END AS bucket, n
+                FROM t
+            )
+            SELECT bucket,
+                   CASE WHEN bucket >= 0 THEN CAST(1 AS BIGINT) << bucket END AS lo_tokens,
+                   CASE WHEN bucket >= 0 THEN (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END AS hi_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS total_tokens
+            FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "quantile_bin_prices": r"""
+            -- features.quantile_bin twin: interpolated octile cut
+            -- points (quantile_cont == Spark percentile), rounded to
+            -- the 4dp parity contract BEFORE comparison so bin edges
+            -- are bit-identical; strict > above each cut
+            WITH q AS (
+                SELECT list_transform(
+                    quantile_cont(l_extendedprice,
+                        [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+                    x -> round(x + 1e-8, 4)) AS cuts
+                FROM lineitem
+            ), b AS (
+                SELECT l_extendedprice AS p,
+                       1 + (CASE WHEN l_extendedprice > cuts[1] THEN 1 ELSE 0 END)
+                         + (CASE WHEN l_extendedprice > cuts[2] THEN 1 ELSE 0 END)
+                         + (CASE WHEN l_extendedprice > cuts[3] THEN 1 ELSE 0 END)
+                         + (CASE WHEN l_extendedprice > cuts[4] THEN 1 ELSE 0 END)
+                         + (CASE WHEN l_extendedprice > cuts[5] THEN 1 ELSE 0 END)
+                         + (CASE WHEN l_extendedprice > cuts[6] THEN 1 ELSE 0 END)
+                         + (CASE WHEN l_extendedprice > cuts[7] THEN 1 ELSE 0 END)
+                       AS price_bin
+                FROM lineitem, q
+                WHERE l_extendedprice IS NOT NULL
+            )
+            SELECT price_bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(MIN(p) + 1e-8, 2) AS min_price,
+                   ROUND(MAX(p) + 1e-8, 2) AS max_price
+            FROM b GROUP BY price_bin ORDER BY price_bin
         """,
         "semantic_dedup": r"""
             -- dedup.semantic_dedup twin (SemDeDup): argmin nearest-

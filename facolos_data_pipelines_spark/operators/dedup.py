@@ -1191,21 +1191,53 @@ def _exact_pairs_gemm(
     )
 
 
+def _auto_num_planes(n_vectors: int, target_occupancy: int = 64) -> int:
+    """Plane count that keeps expected bucket occupancy ~constant:
+    ceil(log2(n / occupancy)), clamped to [6, 24]. Hyperplane
+    signatures live in a FIXED 2^planes bucket space per band, so at a
+    fixed plane count occupancy grows linearly with the corpus and
+    within-bucket candidate pairs grow QUADRATICALLY — the sf10
+    measurement run demonstrated this empirically (6 planes over 2M
+    vectors = ~31k vectors/bucket = ~10^11 candidate pairs, death by
+    shuffle spill). Scaling planes with log2(n) pins occupancy, making
+    the candidate count ~ bands * n * occupancy / 2 — linear in n."""
+    import math
+
+    if n_vectors <= 0:
+        return 6
+    raw = math.ceil(math.log2(max(n_vectors / max(target_occupancy, 1), 1.0)))
+    return max(6, min(24, raw))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    num_planes: int = 6,
+    num_planes: int | str = 6,
     num_bands: int = 4,
     dim: int | None = None,
     max_bucket_size: int | None = None,
     signature_impl: str = "expr",
     exact_impl: str = "gemm",
     exact_tile_rows: int = 2048,
+    auto_bucket_occupancy: int = 64,
 ) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold, blocked by
     banded random-hyperplane LSH — the DEFAULT and the 100 TB path.
+
+    ``num_planes="auto"`` sizes the signature from the corpus itself
+    (one column-pruned count): planes = ceil(log2(n /
+    ``auto_bucket_occupancy``)), clamped to [6, 24] — see
+    :func:`_auto_num_planes` for why a FIXED plane count degrades
+    quadratically as the corpus grows (the bucket space doesn't grow
+    with it). Auto is the knob to reach for past ~10^5 vectors.
+    Tradeoff to know: per-band true-pair retention is
+    (1 - theta/pi)^planes, so longer signatures lower recall at a
+    fixed band count — recall-critical jobs should raise ``num_bands``
+    (OR-amplification) alongside. The certified oracle queries pin
+    ``num_planes=6`` explicitly, so their results are reproducible at
+    any sf; at the oracle's sf0.01 corpus auto resolves to the same 6.
 
     Each band hashes the vector against ``num_planes`` independent
     hyperplanes (plane family is deterministic by index, see
@@ -1244,6 +1276,15 @@ def embedding_near_dup_pairs(
     """
     from .similarity import banded_signatures
 
+    if num_planes == "auto":
+        num_planes = _auto_num_planes(
+            df.select(id_col).count(), auto_bucket_occupancy
+        )
+    elif isinstance(num_planes, str):
+        raise ValueError(
+            f"embedding_near_dup_pairs: num_planes must be an int or 'auto', "
+            f"got {num_planes!r}"
+        )
     norm_sq = F.aggregate(
         F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
     )
@@ -1308,7 +1349,7 @@ def embedding_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    num_planes: int = 6,
+    num_planes: int | str = 6,
     num_bands: int = 4,
     dim: int | None = None,
     transitive: bool = False,

@@ -156,3 +156,58 @@ def frequency_encode(
             F.round(shrunk + 1e-9, round_digits).alias("target_enc"),
         ]
     return out.select(*cols).orderBy("category")
+
+
+def quantile_bin(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 4,
+    exact: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency (quantile) binning — the discretization
+    workhorse that one-hot/GBDT feature pipelines and stratified
+    samplers reach for: bin 1..``n_bins`` gets ~1/n of the non-null
+    rows each, robust to any monotone transformation of the feature
+    (unlike equal-width bins, which one fat tail collapses).
+
+    Adds ``{col}_bin`` (or ``out_col``): 1 + the number of interior
+    cut points strictly below the value; NULLs pass through NULL (no
+    position in the distribution). Cut points are the
+    k/n_bins-quantiles (k = 1..n_bins-1), linear-interpolated
+    (``percentile`` — DuckDB's ``quantile_cont`` definition, the same
+    parity contract as :func:`winsorize`), ROUNDED to 4 digits with
+    the engine-parity nudge so the bin edges are bit-identical across
+    engines and a knife-edge value can't land in different bins.
+
+    ``exact=True`` is a sort-based aggregate; at 100 TB flip
+    ``exact=False`` for ``approx_percentile`` (t-digest, map-side
+    combinable, no global sort) — the boundaries land within the
+    sketch's rank-error bound and binning itself is unchanged. Either
+    way the cut points reduce to ONE aggregate row broadcast into a
+    pure comparison-chain projection: the assignment pass never
+    shuffles. Duplicate cut points (heavily discrete data) merge
+    adjacent bins — fewer occupied bins, never a wrong assignment.
+    """
+    if n_bins < 2:
+        raise ValueError("quantile_bin: n_bins must be >= 2")
+    fn = "percentile" if exact else "approx_percentile"
+    qs = ", ".join(repr(k / n_bins) for k in range(1, n_bins))
+    cuts_row = df.agg(
+        F.expr(
+            f"transform({fn}(`{col}`, array({qs})), x -> round(x + 1e-8, 4))"
+        ).alias("_cuts")
+    ).first()
+    cuts = cuts_row["_cuts"]
+    if cuts is None or cuts[0] is None:
+        raise ValueError(
+            f"quantile_bin: no non-null values in column {col!r} — "
+            "quantile cut points are undefined"
+        )
+    c = F.col(col)
+    bin_expr = F.lit(1)
+    for cut in cuts:
+        bin_expr = bin_expr + (c > F.lit(float(cut))).cast("int")
+    return df.withColumn(
+        out_col or f"{col}_bin", F.when(c.isNotNull(), bin_expr)
+    )

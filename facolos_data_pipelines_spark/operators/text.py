@@ -849,6 +849,202 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document mean bigram conditional log-probability
+    ln p(w2|w1) under the corpus's own bigram LM — the next fluency
+    notch above :func:`unigram_logprob_scores` (a unigram model can't
+    tell scrambled text from prose; conditional bigram probability
+    can, which is why CCNet-style pipelines score with an n-gram LM
+    rather than a bag of words). Additive smoothing over the unigram
+    vocabulary: p(w2|w1) = (c(w1,w2) + s) / (c(w1,·) + s * |V|),
+    where c(w1,·) sums the bigram counts with context w1 and |V| is
+    the corpus's distinct-word count.
+
+    Output: (id, n_bigrams, avg_logprob) — documents with fewer than
+    two words keep their row with n_bigrams=0 and a NULL score (no
+    transitions, no fluency evidence), same contract as the unigram
+    scorer.
+
+    Plan shape at 100 TB: bigram pairs come from ``zip_with`` over
+    the word array against its own tail — a NARROW per-row
+    expression, no self-join and no positional shuffle; the bigram LM
+    is one aggregation on (w1, w2) plus a bigram-table-sized rollup
+    to context counts (never corpus-sized work); scoring joins pairs
+    back to the enriched bigram table (one pair-keyed shuffle — Spark
+    injects a runtime bloom filter on the big side); |V| folds in as
+    a 1-row broadcast; the per-doc mean is one id-keyed aggregation.
+    Zero UDFs, zero driver-side state.
+    """
+    from .dedup import normalized_words
+
+    if smoothing <= 0:
+        raise ValueError("bigram_logprob_scores: smoothing must be > 0")
+    words = normalized_words(F.col(text_col))
+    k = F.size(words)
+    pair_arr = F.when(
+        k >= 2,
+        F.zip_with(
+            F.slice(words, 1, k - 1),
+            F.slice(words, 2, k - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    )
+    pairs = df.select(F.col(id_col), F.explode(pair_arr).alias("_p")).select(
+        F.col(id_col), F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2")
+    )
+    bg = pairs.groupBy("_w1", "_w2").agg(F.count("*").cast("long").alias("_c12"))
+    ctx = bg.groupBy("_w1").agg(F.sum("_c12").cast("long").alias("_c1"))
+    lm = bg.join(ctx, "_w1")
+    vocab = df.select(F.explode(words).alias("_w")).agg(
+        F.count_distinct("_w").cast("long").alias("_v")
+    )
+    s = float(smoothing)
+    lp = F.log(
+        (F.col("_c12") + F.lit(s)) / (F.col("_c1") + F.lit(s) * F.col("_v"))
+    )
+    per_doc = (
+        pairs.join(lm, ["_w1", "_w2"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.avg(lp).alias("_avg_lp"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+            F.round(F.col("_avg_lp") + 1e-9, 4).alias("avg_logprob"),
+        )
+    )
+
+
+def corpus_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Corpus-level n-gram overlap between two datasets — the mixing
+    and contamination dashboard number (is dataset B new material or
+    a re-crawl of A?): one row with the distinct-gram counts of each
+    side, the intersection size, Jaccard, and both containments
+    (|A∩B|/|A| tells you how much of A is covered by B; the
+    asymmetric pair matters when the corpora differ in size).
+
+    Plan shape at 100 TB: each corpus reduces to its DISTINCT shingle
+    set (map-side partial distinct, one shuffle on the gram); the
+    overlap is one gram-keyed full-outer join between the two
+    distinct sets — hash-partitioned both sides, skew-free by
+    construction (keys are distinct), never a broadcast requirement —
+    folded into a single 1-row aggregate. Nothing scales with
+    document count beyond the two distinct passes. For repeated
+    monitoring, persist the distinct-gram sets and re-join only the
+    deltas.
+    """
+    from .dedup import exploded_shingles
+
+    def gram_set(df: DataFrame, marker: str) -> DataFrame:
+        d = df
+        if id_col not in d.columns:
+            d = d.withColumn(id_col, F.monotonically_increasing_id())
+        return (
+            exploded_shingles(d, text_col, id_col, n, distinct=False)
+            .select(F.col("_sh").alias("_g"))
+            .distinct()
+            .withColumn(marker, F.lit(1))
+        )
+
+    joined = gram_set(a, "_ina").join(gram_set(b, "_inb"), "_g", "full_outer")
+    n_a = F.sum(F.coalesce("_ina", F.lit(0))).cast("long")
+    n_b = F.sum(F.coalesce("_inb", F.lit(0))).cast("long")
+    n_common = F.sum(
+        F.when(F.col("_ina").isNotNull() & F.col("_inb").isNotNull(), 1).otherwise(0)
+    ).cast("long")
+    agg = joined.agg(
+        n_a.alias("n_grams_a"), n_b.alias("n_grams_b"), n_common.alias("n_common")
+    )
+    union_sz = F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_common")
+    return agg.select(
+        "n_grams_a",
+        "n_grams_b",
+        "n_common",
+        F.round(F.col("n_common") / F.greatest(union_sz, F.lit(1)) + 1e-9, round_digits)
+        .alias("jaccard"),
+        F.round(
+            F.col("n_common") / F.greatest(F.col("n_grams_a"), F.lit(1)) + 1e-9,
+            round_digits,
+        ).alias("containment_a"),
+        F.round(
+            F.col("n_common") / F.greatest(F.col("n_grams_b"), F.lit(1)) + 1e-9,
+            round_digits,
+        ).alias("containment_b"),
+    )
+
+
+def token_length_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Log2-bucketed whitespace-token-length histogram — the packing
+    and bucketing planner's input (how many documents land in the
+    128-255-token bucket decides the sequence-packing bin layout and
+    the shuffle-partition sizing for length-grouped batching).
+
+    One row per occupied bucket: ``bucket`` = floor(log2(n_tokens))
+    (-1 for zero-token documents, kept explicit because empty docs
+    are a data-quality signal, not a rounding artifact), the bucket's
+    inclusive [lo, hi] token range, document count, and total tokens.
+
+    The bucket index is computed with INTEGER arithmetic — the bit
+    length of n via base-2 string conversion — not a float log2,
+    whose values at exact powers of two are one ulp from flipping the
+    floor on some platforms; bit length is exact on every engine.
+    Plan shape: one narrow projection + one ~64-key groupBy
+    (map-side combinable) — no join, no sort, scan-bound at any
+    corpus size.
+    """
+    n_tok = token_count_whitespace(F.col(text_col))
+    bucket = F.when(n_tok <= 0, F.lit(-1)).otherwise(
+        (F.length(F.conv(n_tok.cast("string"), 10, 2)) - 1).cast("int")
+    )
+    by_bucket = (
+        df.select(bucket.alias("bucket"), n_tok.alias("_n"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("total_tokens"),
+        )
+    )
+    # shiftleft's Python wrapper takes only literal shift amounts; the
+    # SQL function shifts by a column (same workaround as bloom_bitmap)
+    lo = F.when(
+        F.col("bucket") >= 0,
+        F.call_function("shiftleft", F.lit(1).cast("long"), F.col("bucket")),
+    )
+    hi = F.when(
+        F.col("bucket") >= 0,
+        F.call_function("shiftleft", F.lit(1).cast("long"), F.col("bucket") + 1) - 1,
+    )
+    return by_bucket.select(
+        "bucket",
+        lo.alias("lo_tokens"),
+        hi.alias("hi_tokens"),
+        "n_docs",
+        "total_tokens",
+    ).orderBy("bucket")
+
+
 def c4_clean(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,146 @@
+"""Round-close protocol in one command — the artifact-freshness
+guard. PLANS.md and BENCH_DIFF.md went stale in past rounds because
+the close steps were run by hand (or not at all) after the last code
+change; this script runs them in the one order that keeps the numbers
+honest:
+
+1. **bench ALONE** (contended timings are meaningless — the bench must
+   own the machine, so this refuses to start if another bench.py /
+   pytest / check_oracle process is alive) → repo ``BENCH_DETAIL.json``
+   + one compact JSON line on stdout;
+2. **full-surface oracle** → ``CORRECTNESS_local_r{N}.json`` (N = one
+   past the highest committed local artifact);
+3. **pytest** (full suite, quiet);
+4. **plan inventory** → ``PLANS.md`` (compile-only, covers every
+   ``queries()`` entry);
+5. **bench diff vs the last committed detail** (``git show
+   HEAD:BENCH_DETAIL.json``) with ``--remeasure`` noise adjudication
+   → ``BENCH_DIFF.md``.
+
+Steps run sequentially; the first failure aborts (later artifacts
+would be describing a broken tree). Usage:
+
+    python scripts/close_round.py [--skip bench,oracle,pytest,plans,diff]
+
+Environment: SPARK_GRAFT_SF_DIR (bench data, default sf0.1), plus
+everything bench.py / check_oracle.py already honor.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _other_spark_procs() -> list[str]:
+    out = subprocess.run(
+        ["ps", "-eo", "pid,args"], capture_output=True, text=True
+    ).stdout
+    me = str(os.getpid())
+    hits = []
+    for line in out.splitlines():
+        pid = line.strip().split(" ", 1)[0]
+        if pid == me:
+            continue
+        if re.search(r"bench\.py|pytest|check_oracle\.py", line):
+            hits.append(line.strip())
+    return hits
+
+
+def _next_local_correctness() -> str:
+    ns = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_local_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    return os.path.join(REPO, f"CORRECTNESS_local_r{max(ns, default=0) + 1}.json")
+
+
+def _run(step: str, argv: list[str], **kw) -> None:
+    print(f"== {step}: {' '.join(argv)}", flush=True)
+    r = subprocess.run(argv, cwd=REPO, **kw)
+    if r.returncode != 0:
+        raise SystemExit(f"close_round: step '{step}' failed (rc={r.returncode})")
+
+
+def main() -> int:
+    skip = set()
+    argv = sys.argv[1:]
+    if "--skip" in argv:
+        i = argv.index("--skip")
+        skip = set(argv[i + 1].split(","))
+    py = sys.executable
+
+    if "bench" not in skip:
+        procs = _other_spark_procs()
+        if procs:
+            raise SystemExit(
+                "close_round: refusing to bench under contention — live "
+                "processes:\n  " + "\n  ".join(procs)
+            )
+        env = dict(os.environ)
+        env.pop("SPARK_GRAFT_BENCH_QUERIES", None)  # full headline only
+        env.pop("SPARK_GRAFT_BENCH_DETAIL", None)  # the repo artifact
+        _run("bench (alone)", [py, "bench.py"], env=env)
+
+    if "oracle" not in skip:
+        out = _next_local_correctness()
+        _run("oracle full surface", [py, "scripts/check_oracle.py", "--json", out])
+        res = json.load(open(out))
+        bad = [
+            k
+            for k, v in res.items()
+            if isinstance(v, dict) and (v.get("err") or v.get("hash_match") is False)
+        ]
+        print(f"   wrote {out} ({len(res)} queries, {len(bad)} problems: {bad})")
+        if bad:
+            raise SystemExit("close_round: oracle mismatches — fix before closing")
+
+    if "pytest" not in skip:
+        _run("pytest", [py, "-m", "pytest", "tests/", "-q", "--tb=line"])
+
+    if "plans" not in skip:
+        _run("plan inventory", [py, "scripts/dump_plans.py"])
+
+    if "diff" not in skip:
+        prev = subprocess.run(
+            ["git", "show", "HEAD:BENCH_DETAIL.json"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        )
+        if prev.returncode != 0:
+            print("   no committed BENCH_DETAIL.json to diff against — skipping")
+        else:
+            prev_path = os.path.join(REPO, ".prev_bench_detail.json")
+            with open(prev_path, "w") as f:
+                f.write(prev.stdout)
+            try:
+                _run(
+                    "bench diff (remeasure)",
+                    [
+                        py,
+                        "scripts/bench_diff.py",
+                        prev_path,
+                        "BENCH_DETAIL.json",
+                        "1.5",
+                        "--remeasure",
+                        "--report",
+                        "BENCH_DIFF.md",
+                    ],
+                )
+            finally:
+                os.unlink(prev_path)
+
+    print("close_round: all steps green — commit the refreshed artifacts")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

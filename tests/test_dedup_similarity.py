@@ -1170,3 +1170,45 @@ def test_pca_project_plan_is_narrow_and_guards_fire(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError, match="zero non-null"):
         pca_train(empty, n_components=2)
+
+
+def test_auto_num_planes_scaling(spark):
+    """'auto' pins bucket occupancy: planes grow with log2(n), clamped
+    to [6, 24]; small corpora resolve to the certified default 6 so
+    oracle results are unchanged."""
+    from facolos_data_pipelines_spark.operators.dedup import (
+        _auto_num_planes,
+        embedding_near_dup_pairs,
+    )
+
+    assert _auto_num_planes(0) == 6
+    assert _auto_num_planes(2_000) == 6        # sf0.01: same as the default
+    assert _auto_num_planes(20_000) == 9       # sf0.1
+    assert _auto_num_planes(200_000) == 12     # sf1
+    assert _auto_num_planes(2_000_000) == 15   # sf10
+    assert _auto_num_planes(1 << 40) == 24     # clamp
+    assert _auto_num_planes(2_000_000, target_occupancy=128) == 14
+
+    # auto on a small frame == explicit 6 planes (bit-identical pairs)
+    rows = [
+        (i, [float((i * 7 + j * 3) % 13 - 6) for j in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got_auto = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.4, num_planes="auto", dim=8
+        ).collect()
+    }
+    got_six = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.4, num_planes=6, dim=8
+        ).collect()
+    }
+    assert got_auto == got_six
+
+    import pytest
+
+    with pytest.raises(ValueError, match="auto"):
+        embedding_near_dup_pairs(df, num_planes="bogus", dim=8)

@@ -123,3 +123,55 @@ class TestReviewHardening:
         df = spark.createDataFrame([], "x double")
         with pytest.raises(ValueError, match="no non-null values"):
             winsorize(df, ["x"])
+
+
+class TestQuantileBin:
+    def test_equal_frequency_quartiles(self, spark):
+        from facolos_data_pipelines_spark.operators.features import quantile_bin
+
+        # 1..100: quartile cuts 25.75 / 50.5 / 75.25 -> 25 rows per bin
+        df = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["x"])
+        out = quantile_bin(df, "x", n_bins=4).collect()
+        from collections import Counter
+
+        counts = Counter(r["x_bin"] for r in out)
+        assert counts == {1: 25, 2: 25, 3: 25, 4: 25}
+        by_val = {r["x"]: r["x_bin"] for r in out}
+        assert by_val[25.0] == 1 and by_val[26.0] == 2  # cut 25.75
+        assert by_val[100.0] == 4
+
+    def test_nulls_pass_through_and_monotone(self, spark):
+        from facolos_data_pipelines_spark.operators.features import quantile_bin
+
+        df = spark.createDataFrame(
+            [(1.0,), (2.0,), (3.0,), (4.0,), (None,)], "x double"
+        )
+        rows = quantile_bin(df, "x", n_bins=2, out_col="b").collect()
+        got = {r["x"]: r["b"] for r in rows}
+        assert got[None] is None
+        assert got[1.0] <= got[2.0] <= got[3.0] <= got[4.0]
+
+    def test_duplicate_cuts_merge_bins(self, spark):
+        from facolos_data_pipelines_spark.operators.features import quantile_bin
+
+        # constant column: every cut equals the value -> everything bin 1
+        df = spark.createDataFrame([(5.0,)] * 10, "x double")
+        out = quantile_bin(df, "x", n_bins=4).collect()
+        assert {r["x_bin"] for r in out} == {1}
+
+    def test_approx_mode_and_errors(self, spark):
+        import pytest
+
+        from facolos_data_pipelines_spark.operators.features import quantile_bin
+
+        df = spark.createDataFrame([(float(i),) for i in range(1, 1001)], ["x"])
+        exact = quantile_bin(df, "x", 4).groupBy("x_bin").count().collect()
+        approx = quantile_bin(df, "x", 4, exact=False).groupBy("x_bin").count().collect()
+        e = {r["x_bin"]: r["count"] for r in exact}
+        a = {r["x_bin"]: r["count"] for r in approx}
+        assert all(abs(e[b] - a.get(b, 0)) < 100 for b in e)
+        with pytest.raises(ValueError, match="n_bins"):
+            quantile_bin(df, "x", 1)
+        allnull = spark.createDataFrame([(None,)], "x double")
+        with pytest.raises(ValueError, match="no non-null"):
+            quantile_bin(allnull, "x", 4)

@@ -1,0 +1,109 @@
+"""Behavioral tests for the round-7 text operators: bigram LM scoring,
+corpus overlap, token-length histogram."""
+
+import math
+
+import pytest
+
+from facolos_data_pipelines_spark.operators.text import (
+    bigram_logprob_scores,
+    corpus_overlap,
+    token_length_histogram,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestBigramLogprobScores:
+    def test_hand_computed_probabilities(self, spark):
+        # corpus: "a b a b" and "a b" -> bigrams: (a,b)x3, (b,a)x1
+        # V = {a, b} = 2; s = 0.5
+        # p(b|a) = (3+.5)/(3+ .5*2) = 3.5/4 ; p(a|b) = (1+.5)/(1+1) = .75
+        df = _docs(spark, [(1, "a b a b"), (2, "a b")])
+        out = {r["doc_id"]: r for r in bigram_logprob_scores(df).collect()}
+        lp_ab = math.log(3.5 / 4.0)
+        lp_ba = math.log(1.5 / 2.0)
+        assert out[1]["n_bigrams"] == 3
+        assert out[1]["avg_logprob"] == pytest.approx(
+            (2 * lp_ab + lp_ba) / 3, abs=1e-3
+        )
+        assert out[2]["n_bigrams"] == 1
+        assert out[2]["avg_logprob"] == pytest.approx(lp_ab, abs=1e-3)
+
+    def test_short_and_empty_docs_null_score(self, spark):
+        df = _docs(spark, [(1, "hello"), (2, ""), (3, "   "), (4, "x y")])
+        out = {r["doc_id"]: r for r in bigram_logprob_scores(df).collect()}
+        for d in (1, 2, 3):
+            assert out[d]["n_bigrams"] == 0 and out[d]["avg_logprob"] is None
+        assert out[4]["n_bigrams"] == 1 and out[4]["avg_logprob"] is not None
+
+    def test_fluent_beats_scrambled(self, spark):
+        # the discriminating property a unigram LM lacks: same words,
+        # different order -> the repeated-transition doc scores higher
+        fluent = " ".join(["the cat sat"] * 10)
+        scrambled = " ".join(["cat the"] * 5 + ["sat sat the cat"] * 5)
+        df = _docs(spark, [(1, fluent), (2, scrambled)])
+        out = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob_scores(df).collect()}
+        assert out[1] > out[2]
+
+    def test_bad_smoothing(self, spark):
+        df = _docs(spark, [(1, "a b")])
+        with pytest.raises(ValueError, match="smoothing"):
+            bigram_logprob_scores(df, smoothing=0.0)
+
+
+class TestCorpusOverlap:
+    def test_identical_and_disjoint(self, spark):
+        a = _docs(spark, [(1, "alpha beta gamma delta")])
+        b_same = _docs(spark, [(9, "alpha beta gamma delta")])
+        b_diff = _docs(spark, [(9, "epsilon zeta eta theta")])
+        same = corpus_overlap(a, b_same).first()
+        assert same["jaccard"] == pytest.approx(1.0, abs=1e-6)
+        assert same["containment_a"] == pytest.approx(1.0, abs=1e-6)
+        diff = corpus_overlap(a, b_diff).first()
+        assert diff["n_common"] == 0 and diff["jaccard"] == 0.0
+
+    def test_partial_overlap_counts(self, spark):
+        # a: shingles {a b c, b c d}; b: shingles {b c d, c d e}
+        a = _docs(spark, [(1, "a b c d")])
+        b = _docs(spark, [(2, "b c d e")])
+        r = corpus_overlap(a, b).first()
+        assert r["n_grams_a"] == 2 and r["n_grams_b"] == 2
+        assert r["n_common"] == 1
+        assert r["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+        assert r["containment_a"] == pytest.approx(0.5, abs=1e-6)
+        assert r["containment_b"] == pytest.approx(0.5, abs=1e-6)
+
+    def test_empty_side(self, spark):
+        a = _docs(spark, [(1, "a b c d")])
+        b = _docs(spark, [(2, "")])
+        r = corpus_overlap(a, b).first()
+        assert r["n_grams_b"] == 0 and r["n_common"] == 0
+        assert r["jaccard"] == 0.0 and r["containment_b"] == 0.0
+
+
+class TestTokenLengthHistogram:
+    def test_buckets_and_ranges(self, spark):
+        rows = [
+            (1, ""),                        # 0 tokens -> bucket -1
+            (2, "one"),                     # 1 -> bucket 0 [1, 1]
+            (3, "a b c"),                   # 3 -> bucket 1 [2, 3]
+            (4, " ".join(["w"] * 8)),       # 8 -> bucket 3 [8, 15]
+            (5, " ".join(["w"] * 15)),      # 15 -> bucket 3
+        ]
+        out = {r["bucket"]: r for r in token_length_histogram(_docs(spark, rows)).collect()}
+        assert set(out) == {-1, 0, 1, 3}
+        assert out[-1]["n_docs"] == 1 and out[-1]["lo_tokens"] is None
+        assert out[0]["lo_tokens"] == 1 and out[0]["hi_tokens"] == 1
+        assert out[1]["lo_tokens"] == 2 and out[1]["hi_tokens"] == 3
+        assert out[3]["n_docs"] == 2 and out[3]["total_tokens"] == 23
+        assert out[3]["lo_tokens"] == 8 and out[3]["hi_tokens"] == 15
+
+    def test_power_of_two_boundaries_exact(self, spark):
+        # the reason for integer bit-length: 2^k must land in bucket k
+        rows = [(i, " ".join(["t"] * (2 ** i))) for i in range(1, 7)]
+        out = token_length_histogram(_docs(spark, rows)).collect()
+        got = {r["bucket"]: r["n_docs"] for r in out}
+        assert got == {i: 1 for i in range(1, 7)}
