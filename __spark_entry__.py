@@ -4292,8 +4292,8 @@ def oracle_sql() -> dict[str, str]:
             -- (same tokenizer as token_counts), bucket via integer bit
             -- length, lo/hi from integer shifts — no float log anywhere
             WITH t AS (
-                SELECT len(list_filter(regexp_split_to_array(text, '\s+'),
-                                       x -> x <> '')) AS n
+                SELECT COALESCE(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                                x -> x <> '')), 0) AS n
                 FROM documents
             ), b AS (
                 SELECT CASE WHEN n <= 0 THEN -1

@@ -218,6 +218,12 @@ HEADLINE = [
     "column_profile_tdigest",
     "dsir_weights",
     "dsir_sample",
+    # round-7 additions: bigram conditional-LM fluency, corpus-level
+    # n-gram overlap, log2 token-length histogram, quantile binning
+    "bigram_lm_scores",
+    "corpus_overlap",
+    "length_histogram",
+    "quantile_bin_prices",
 ]
 
 # Reported outside the headline wall (empty since round 6: the

@@ -1209,6 +1209,59 @@ def _auto_num_planes(n_vectors: int, target_occupancy: int = 64) -> int:
     return max(6, min(24, raw))
 
 
+def _bucket_verify_arrow(
+    sigs: DataFrame, scaled: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Bucket-local GEMM candidate verification (the scale path of
+    :func:`embedding_near_dup_pairs`): join the L2-normalized vectors
+    to the (id, band, sig) bucket rows — O(bands * corpus) shuffle
+    bytes, never O(candidates) — then one ``M @ M.T`` per (band, sig)
+    group emits only the pairs at or above the threshold. Rows are
+    sorted by id inside each group so id_a < id_b holds for any
+    orderable id type, and cross-band duplicates (a pair sharing more
+    than one band signature) collapse in one id-pair dropDuplicates
+    over survivors only."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    joined = sigs.join(scaled.select(F.col(id_col), F.col("_sv")), id_col)
+    id_type = joined.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+    id_name = id_col
+
+    def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        pdf = pdf.sort_values(id_name, kind="mergesort")
+        mat = np.stack(pdf["_sv"].to_numpy()).astype(np.float64)
+        sims = mat @ mat.T
+        ii, jj = np.triu_indices(n, k=1)
+        vals = sims[ii, jj]
+        ids = pdf[id_name].to_numpy()
+        # ids[ii] != ids[jj] mirrors the expr path's strict id_a < id_b:
+        # duplicate ids must never emit a self-pair
+        keep = (vals >= thr) & (ids[ii] != ids[jj])
+        return pd.DataFrame(
+            {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]], "cosine": vals[keep]}
+        )
+
+    return (
+        joined.groupBy("band", "sig")
+        .applyInPandas(bucket_pairs, out_schema)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1222,9 +1275,32 @@ def embedding_near_dup_pairs(
     exact_impl: str = "gemm",
     exact_tile_rows: int = 2048,
     auto_bucket_occupancy: int = 64,
+    verify_impl: str = "expr",
 ) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold, blocked by
     banded random-hyperplane LSH — the DEFAULT and the 100 TB path.
+
+    ``verify_impl`` picks how candidates are verified:
+
+    - ``'expr'`` (default, the oracle-certified plan): materialize the
+      deduplicated candidate id pairs, join the normalized vectors
+      back by id, fold the dot product in codegen. Exactly
+      reproducible by an external SQL engine — but the pair-keyed
+      vector joins move O(candidates * dim) bytes through the
+      shuffle, and the per-pair higher-order-function fold costs
+      ~2.5us per element: both grow with the CANDIDATE count, which
+      at scale dwarfs the corpus (the 6-plane sf10 run shuffled 38 GB
+      of spill before dying).
+    - ``'arrow'`` (the 100 TB path): carry the normalized vectors
+      through the (band, sig) bucket shuffle — O(bands * corpus)
+      bytes, linear — and verify each bucket with ONE numpy matmul
+      inside ``applyInPandas`` (occupancy^2 dots at BLAS speed,
+      measured orders of magnitude over the per-pair fold); only
+      surviving pairs materialize, deduplicated across bands
+      afterwards. Same pair set; cosines may differ from the expr
+      fold in the last ulp (BLAS summation order), which the 4dp
+      oracle rounding absorbs — same certified-twin convention as
+      minhash's signature_impl.
 
     ``num_planes="auto"`` sizes the signature from the corpus itself
     (one column-pruned count): planes = ceil(log2(n /
@@ -1328,6 +1404,13 @@ def embedding_near_dup_pairs(
         from .skew import drop_oversized_groups
 
         sigs = drop_oversized_groups(sigs, ["band", "sig"], max_bucket_size)
+    if verify_impl == "arrow":
+        return _bucket_verify_arrow(sigs, scaled, id_col, threshold)
+    if verify_impl != "expr":
+        raise ValueError(
+            f"embedding_near_dup_pairs: verify_impl must be 'expr' or "
+            f"'arrow', got {verify_impl!r}"
+        )
     a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
     cand = (

@@ -365,7 +365,12 @@ def rrf_fuse(
             )
         )
         parts.append(
-            df_i.agg(ordered.alias("_l"))
+            # NULL scores have no rank: the old desc-nulls-last window
+            # put them LAST; ascending struct sort would put them FIRST
+            # and hand the worst candidate the biggest RRF share — drop
+            # them outright (a NULL-scored row is not a retrieval hit)
+            df_i.filter(F.col(score_col).isNotNull())
+            .agg(ordered.alias("_l"))
             .select(F.posexplode("_l").alias("_pos", "_e"))
             .select(
                 F.col("_e._id").alias(id_col),

@@ -873,12 +873,17 @@ def bigram_logprob_scores(
     Plan shape at 100 TB: bigram pairs come from ``zip_with`` over
     the word array against its own tail — a NARROW per-row
     expression, no self-join and no positional shuffle; the bigram LM
-    is one aggregation on (w1, w2) plus a bigram-table-sized rollup
-    to context counts (never corpus-sized work); scoring joins pairs
-    back to the enriched bigram table (one pair-keyed shuffle — Spark
-    injects a runtime bloom filter on the big side); |V| folds in as
-    a 1-row broadcast; the per-doc mean is one id-keyed aggregation.
-    Zero UDFs, zero driver-side state.
+    is one aggregation on (w1, w2), eagerly CHECKPOINTED (the count
+    table is referenced twice — context rollup and scoring join — and
+    without the checkpoint each reference re-embeds the corpus scan:
+    the lazy plan compiled to 5 corpus scans per action, measured);
+    the context rollup is bigram-table-sized, never corpus-sized.
+    Scoring joins pairs back to the enriched LM (one pair-keyed
+    shuffle — Spark injects a runtime bloom filter on the big side);
+    |V| folds in as a 1-row broadcast; the per-doc mean is one
+    id-keyed aggregation. Total corpus text scans per action: three
+    (LM fit, vocabulary, scoring) plus one id-only spine. Zero UDFs,
+    zero driver-side state.
     """
     from .dedup import normalized_words
 
@@ -897,7 +902,11 @@ def bigram_logprob_scores(
     pairs = df.select(F.col(id_col), F.explode(pair_arr).alias("_p")).select(
         F.col(id_col), F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2")
     )
-    bg = pairs.groupBy("_w1", "_w2").agg(F.count("*").cast("long").alias("_c12"))
+    bg = (
+        pairs.groupBy("_w1", "_w2")
+        .agg(F.count("*").cast("long").alias("_c12"))
+        .localCheckpoint(eager=True)
+    )
     ctx = bg.groupBy("_w1").agg(F.sum("_c12").cast("long").alias("_c1"))
     lm = bg.join(ctx, "_w1")
     vocab = df.select(F.explode(words).alias("_w")).agg(
@@ -1014,7 +1023,11 @@ def token_length_histogram(
     (map-side combinable) — no join, no sort, scan-bound at any
     corpus size.
     """
-    n_tok = token_count_whitespace(F.col(text_col))
+    # NULL text counts as 0 tokens (size() on NULL is -1 under the
+    # engine's non-ANSI casts — never let that reach the sums)
+    n_tok = F.when(
+        F.col(text_col).isNull(), F.lit(0)
+    ).otherwise(token_count_whitespace(F.col(text_col)))
     bucket = F.when(n_tok <= 0, F.lit(-1)).otherwise(
         (F.length(F.conv(n_tok.cast("string"), 10, 2)) - 1).cast("int")
     )

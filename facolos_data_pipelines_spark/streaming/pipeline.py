@@ -364,9 +364,26 @@ def _effective_store_partitions(spark, bucket_store_path: str, requested: int) -
                 "the store (compact_bucket_store keeps the existing layout)"
             )
         return n
-    cols = spark.read.parquet(bucket_store_path).columns
+    store = spark.read.parquet(bucket_store_path)
+    cols = store.columns
     if "bucket_pmod" in cols:
         if "://" in bucket_store_path and requested > 0:
+            # Sanity-check before adopting: a stored pmod value >=
+            # requested proves the store was written with a LARGER N —
+            # adopting the configured value would probe the wrong pmod
+            # space and silently leak cross-batch duplicates (and pin
+            # the wrong N as sticky). Partition-column max is a
+            # metadata-only scan.
+            max_pmod = store.agg(F.max("bucket_pmod")).first()[0]
+            if max_pmod is not None and int(max_pmod) >= requested:
+                raise ValueError(
+                    f"bucket store at {bucket_store_path!r} has "
+                    f"bucket_pmod={max_pmod} on disk, which is impossible "
+                    f"under the configured store_partitions={requested}; "
+                    "the original N is larger and unrecoverable from data "
+                    "alone — write the meta file with the original value "
+                    '({"store_partitions": N}) before probing it'
+                )
             _write_store_meta(bucket_store_path, requested, spark)
             return requested
         raise ValueError(

@@ -22,9 +22,12 @@ query (bench.py subset mode, median-of-3 — no shared-JVM contention,
 no cross-query interference). Isolated timings are systematically
 faster than contended ones, so the isolated re-run is compared
 LIKE-FOR-LIKE against an isolated baseline, not the contended old
-number: every isolated median is persisted to ``BENCH_ISOLATED.json``
-(cumulative, next to this repo's root), and a flag is confirmed when
-``iso_new > threshold * iso_old`` for a query with a recorded
+number: NOISE-adjudicated isolated medians are persisted to
+``BENCH_ISOLATED.json`` (cumulative, keyed by scale factor so an sf1
+remeasure never becomes an sf0.1 baseline; confirmed regressions are
+NOT absorbed — a persistent regression must not ratchet itself into
+the baseline and self-clear on the next run), and a flag is confirmed
+when ``iso_new > threshold * iso_old`` for a query with a recorded
 isolated baseline. Queries with NO isolated baseline yet (first time
 flagged) are adjudicated conservatively: cleared as noise only when
 the isolated re-run beats even the CONTENDED old number
@@ -82,17 +85,24 @@ def remeasure_isolated(queries: list[str]) -> dict[str, float]:
     return out
 
 
-def load_isolated_baseline() -> dict[str, float]:
+def load_isolated_baseline(sf) -> dict[str, float]:
+    """Baselines are keyed by scale factor — an sf1 ad-hoc remeasure
+    must never become the baseline an sf0.1 round adjudicates against."""
     if not os.path.isfile(ISOLATED_BASELINE):
         return {}
     with open(ISOLATED_BASELINE) as f:
-        return json.load(f)
+        data = json.load(f)
+    return data.get(str(sf), {})
 
 
-def update_isolated_baseline(timings: dict[str, float]) -> None:
-    merged = {**load_isolated_baseline(), **timings}
+def update_isolated_baseline(timings: dict[str, float], sf) -> None:
+    data = {}
+    if os.path.isfile(ISOLATED_BASELINE):
+        with open(ISOLATED_BASELINE) as f:
+            data = json.load(f)
+    data.setdefault(str(sf), {}).update(timings)
     with open(ISOLATED_BASELINE, "w") as f:
-        json.dump(merged, f, indent=1, sort_keys=True)
+        json.dump(data, f, indent=1, sort_keys=True)
 
 
 def load(path: str) -> dict:
@@ -168,11 +178,11 @@ def main() -> int:
         if old["queries"][q] > 0
         and new["queries"][q] / old["queries"][q] > threshold
     ]
+    sf = new.get("sf")
     isolated = remeasure_isolated(flagged) if remeasure else {}
-    iso_baseline = load_isolated_baseline() if remeasure else {}
-    if isolated:
-        update_isolated_baseline(isolated)
+    iso_baseline = load_isolated_baseline(sf) if remeasure else {}
     regressions = []  # (ratio, query, old, new, label)
+    noise_timings: dict[str, float] = {}
     confirmed = 0
     for q in flagged:
         a, b = old["queries"][q], new["queries"][q]
@@ -199,6 +209,13 @@ def main() -> int:
             )
         regressions.append((b / a, q, a, b, label))
         confirmed += is_real
+        if iso is not None and not is_real:
+            # only NOISE-adjudicated timings enter the baseline — a
+            # confirmed regression must NOT ratchet itself in and
+            # self-clear on the next run
+            noise_timings[q] = iso
+    if noise_timings:
+        update_isolated_baseline(noise_timings, sf)
     print(
         f"total: {old.get('value')} -> {new.get('value')} s | common {len(common)}"
         f" | added {len(added)} | removed {len(removed)}"

@@ -12,29 +12,41 @@ in n — at any sf directory, median-of-N in one JVM (isolate per
 (op, sf) by running one process per combination, same protocol as the
 bench):
 
-    python scripts/bench_scale_growers.py SF_DIR OP [reps]
+    python scripts/bench_scale_growers.py SF_DIR OP [reps] [threshold]
 
 OP: ``embedding_near_dups_auto`` (pair search + count) or
 ``dup_components_auto`` (pair search + single-link components +
 count). Prints one JSON line with the median, all rep times, the
 resolved plane count, and the output row count.
+
+Threshold defaults to 0.8: the synthesized scale data decorrelates
+copy embeddings only down to ~0.5 cosine, so at the certified
+queries' 0.4 the TRUE pair set itself grows quadratically with the
+copy count (measured: 221 pairs at sf0.1 -> 2.17M at sf1) — any
+engine must emit quadratically many rows there, which measures the
+data, not the plan. At 0.8 pair density stays flat by construction
+and the curve isolates plan scaling.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
     if len(sys.argv) < 3:
-        raise SystemExit("usage: bench_scale_growers.py SF_DIR OP [reps]")
+        raise SystemExit(
+            "usage: bench_scale_growers.py SF_DIR OP [reps] [threshold]"
+        )
     sf_dir, op = sys.argv[1], sys.argv[2]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    threshold = float(sys.argv[4]) if len(sys.argv) > 4 else 0.8
 
     from facolos_data_pipelines_spark.operators.dedup import (
         _auto_num_planes,
@@ -50,7 +62,9 @@ def main() -> int:
 
     def run() -> tuple[float, int]:
         t0 = time.monotonic()
-        pairs = embedding_near_dup_pairs(emb, threshold=0.4, num_planes="auto")
+        pairs = embedding_near_dup_pairs(
+            emb, threshold=threshold, num_planes="auto", verify_impl="arrow"
+        )
         if op == "embedding_near_dups_auto":
             n = pairs.count()
         elif op == "dup_components_auto":
@@ -70,6 +84,7 @@ def main() -> int:
                 "sf_dir": sf_dir,
                 "n_vectors": n_vec,
                 "num_planes": planes,
+                "threshold": threshold,
                 "median": statistics.median(times),
                 "times": times,
                 "rows_out": n_out,

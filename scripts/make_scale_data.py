@@ -17,9 +17,20 @@ scaling, not a change in problem character:
   so copies are NOT near-duplicates of their originals and the
   dedup-pair density per doc stays flat instead of exploding 10x).
   ``n_chars`` is recomputed from the perturbed text.
-- ``embeddings``: vec ids shifted; copies > 0 get deterministic
-  per-element sinusoidal noise large enough to decorrelate cosine
-  (keeps ANN candidate density flat).
+- ``embeddings``: vec ids shifted; copies > 0 are REPLACED by
+  deterministic pseudo-random directions (per-element shader-style
+  hash of (vec_id, copy-group, element) — uniform in [-0.5, 0.5], so
+  cross-copy cosines concentrate around 0 +- 1/sqrt(dim) and the true
+  pair set above any threshold >= 0.8 stays flat), EXCEPT that copies
+  are grouped in threes sharing one direction: each (vec_id, group)
+  plants a 3-clique of exact near-dups, so the true-pair count grows
+  LINEARLY with the copy factor — the way real corpora grow (more
+  fixed-size duplicate clusters, not ever-fatter ones). The original
+  round-4 sinusoidal noise was structured (one frequency across all
+  elements), leaving copies mutually correlated ABOVE 0.8 and making
+  the true pair set quadratic in the factor — measured 221 pairs at
+  sf0.1 -> 2.17M at sf1 at threshold 0.4 — which benchmarks the data
+  artifact, not the operator.
 - dims (``region nation customer supplier part``) copy through
   unchanged — dimensions don't grow 10x when facts do.
 
@@ -84,18 +95,28 @@ def main() -> int:
         )
 
     def perturb_embeddings(df, i: int):
-        noisy = F.transform(
-            F.col("embedding"),
-            lambda x, j: (
-                x
-                + F.lit(0.5)
-                * F.sin(
-                    j.cast("double") * F.lit(float(i + 1))
-                    + F.col("vec_id").cast("double")
-                )
-            ).cast("float"),
+        # copy i >= 1: fresh pseudo-random direction per (vec_id,
+        # copy-GROUP, element) — groups of three consecutive copies
+        # share a direction, planting fixed-size 3-cliques of exact
+        # near-dups (true pairs grow linearly with the factor) while
+        # everything else decorrelates (elementwise shader hash:
+        # fract(sin(mix) * 43758.5453), uniform enough that 64-dim
+        # cosines concentrate at 0 +- 0.125)
+        group = (i - 1) // 3
+        mix = (
+            F.col("vec_id").cast("double") * F.lit(100003.0)
+            + F.lit(float(group * 7919))
         )
-        return df.withColumn("embedding", noisy)
+
+        def rand_elem(x, j):
+            h = F.sin((mix + j.cast("double") * F.lit(104729.0)) * F.lit(12.9898)) * F.lit(
+                43758.5453
+            )
+            return (h - F.floor(h) - F.lit(0.5)).cast("float")
+
+        return df.withColumn(
+            "embedding", F.transform(F.col("embedding"), rand_elem)
+        )
 
     plans = {
         "region": t["region"],

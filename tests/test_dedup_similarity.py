@@ -1212,3 +1212,52 @@ def test_auto_num_planes_scaling(spark):
 
     with pytest.raises(ValueError, match="auto"):
         embedding_near_dup_pairs(df, num_planes="bogus", dim=8)
+
+
+def test_bucket_verify_arrow_matches_expr(spark):
+    """verify_impl='arrow' (bucket-local GEMM) finds the SAME pair set
+    as the certified expr-join plan, with cosines equal to 4dp (BLAS
+    summation order may differ in the last ulp — the oracle rounding
+    convention absorbs it)."""
+    import pytest
+
+    from facolos_data_pipelines_spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [
+        (i, [float(((i // 4) * 11 + j * 5) % 17 - 8) + 0.01 * (i % 4) for j in range(8)])
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    expr = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 4)
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.6, num_planes=4, num_bands=3, dim=8
+        ).collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 4)
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.6, num_planes=4, num_bands=3, dim=8, verify_impl="arrow"
+        ).collect()
+    }
+    assert expr, "fixture must produce pairs"
+    assert arrow == expr
+
+    with pytest.raises(ValueError, match="verify_impl"):
+        embedding_near_dup_pairs(df, dim=8, verify_impl="bogus")
+
+
+def test_bucket_verify_arrow_never_emits_self_pairs(spark):
+    """Duplicate ids sharing a bucket must not produce id_a == id_b
+    rows — the expr path's strict id_a < id_b drops them, and the
+    arrow path must match."""
+    from facolos_data_pipelines_spark.operators.dedup import embedding_near_dup_pairs
+
+    v = [1.0, 0.5, -0.25, 0.125]
+    rows = [(7, v), (7, v), (8, [-x for x in v])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for impl in ("expr", "arrow"):
+        pairs = embedding_near_dup_pairs(
+            df, threshold=0.9, num_planes=4, num_bands=2, dim=4, verify_impl=impl
+        ).collect()
+        assert all(r["id_a"] != r["id_b"] for r in pairs), (impl, pairs)

@@ -733,3 +733,34 @@ def test_near_dup_sink_store_meta_on_uri_paths(spark, tmp_root):
     # direct writer round-trip (covers overwrite)
     _write_store_meta(store, 4, spark)
     assert _read_store_meta(store, spark) == {"store_partitions": 4}
+
+
+def test_uri_store_adopt_rejects_provably_wrong_n(spark, tmp_root):
+    """Adopting the configured N on a meta-less partitioned URI store
+    is sanity-checked: a stored bucket_pmod >= requested proves the
+    store was written with a larger N, so the adopt path must raise
+    instead of probing the wrong pmod space and pinning the wrong N."""
+    import os
+
+    import pytest
+
+    from facolos_data_pipelines_spark.streaming.pipeline import (
+        _STORE_META_NAME,
+        _effective_store_partitions,
+    )
+
+    local = f"{tmp_root}/wrongn_store"
+    store = f"file://{local}"
+    spark.createDataFrame(
+        [(12, 0, 999, 1)], "bucket_pmod int, band_id int, band_hash long, doc_id long"
+    ).write.partitionBy("bucket_pmod").parquet(store)
+    meta = os.path.join(local, _STORE_META_NAME)
+    if os.path.exists(meta):
+        os.remove(meta)
+    # requested 8 but pmod=12 exists on disk -> provably wrong, raise
+    with pytest.raises(ValueError, match="impossible"):
+        _effective_store_partitions(spark, store, 8)
+    assert not os.path.exists(meta), "wrong N must not be pinned"
+    # requested 16 is consistent with pmod=12 -> adopted and pinned
+    assert _effective_store_partitions(spark, store, 16) == 16
+    assert os.path.exists(meta)

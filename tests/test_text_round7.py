@@ -107,3 +107,13 @@ class TestTokenLengthHistogram:
         out = token_length_histogram(_docs(spark, rows)).collect()
         got = {r["bucket"]: r["n_docs"] for r in out}
         assert got == {i: 1 for i in range(1, 7)}
+
+    def test_null_text_counts_as_zero_tokens(self, spark):
+        # non-ANSI size(NULL) is -1; NULL text must land in bucket -1
+        # with 0 tokens, matching the oracle's COALESCE(len(...), 0)
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "a b")], "doc_id long, text string"
+        )
+        out = {r["bucket"]: r for r in token_length_histogram(df).collect()}
+        assert out[-1]["n_docs"] == 2 and out[-1]["total_tokens"] == 0
+        assert out[1]["n_docs"] == 1 and out[1]["total_tokens"] == 2
