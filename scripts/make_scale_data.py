@@ -103,8 +103,12 @@ def main() -> int:
         # fract(sin(mix) * 43758.5453), uniform enough that 64-dim
         # cosines concentrate at 0 +- 0.125)
         group = (i - 1) // 3
+        # perturb runs AFTER the id shift, so recover the copy-stable
+        # BASE id — hashing the shifted id would give every copy in a
+        # group a different direction and plant no cliques at all
+        base_id = F.pmod(F.col("vec_id"), F.lit(10_000_000))
         mix = (
-            F.col("vec_id").cast("double") * F.lit(100003.0)
+            base_id.cast("double") * F.lit(100003.0)
             + F.lit(float(group * 7919))
         )
 
