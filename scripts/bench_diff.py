@@ -17,10 +17,16 @@ artifact the round workflow keeps (BENCH_DIFF.md): run the sf0.1 bench,
 diff against the prior round's committed BENCH_DETAIL.json, commit both.
 
 ``--remeasure`` automates the noise adjudication previously done by
-hand: each flagged query is re-run ALONE — one fresh subprocess PER
-query (bench.py subset mode, median-of-3 — no shared-JVM contention,
-no cross-query interference). Isolated timings are systematically
-faster than contended ones, so the isolated re-run is compared
+hand: the flagged queries are re-run in ONE fresh subprocess,
+sequentially, with extra repeats (bench.py subset mode) — free of
+other processes, but deliberately NOT one JVM per query: a JVM that
+has executed only a single sub-second query never reaches the JIT
+warmth the full bench gives query #100, and measured per-query-JVM
+medians came out ~2x SLOWER than the same query's contended number,
+inverting the adjudication. One warm subprocess reproduces the
+bench's own contended-sequential conditions for the flagged subset.
+Isolated-subset timings still differ systematically from full-bench
+ones, so the re-run is compared
 LIKE-FOR-LIKE against an isolated baseline, not the contended old
 number: NOISE-adjudicated isolated medians are persisted to
 ``BENCH_ISOLATED.json`` (cumulative, keyed by scale factor so an sf1
@@ -53,36 +59,37 @@ ISOLATED_BASELINE = os.path.join(
 
 
 def remeasure_isolated(queries: list[str]) -> dict[str, float]:
-    """Re-run each given bench query ALONE — one fresh subprocess per
-    query (own JVM, median-of-3 warm) — and return the isolated
-    timings. Honors SPARK_GRAFT_SF_DIR."""
+    """Re-run the given bench queries in ONE fresh subprocess (free of
+    other processes; sequential within a shared warm JVM like the
+    bench itself — see the module docstring for why per-query JVMs
+    mis-measure sub-second queries) with 5 repeats so the median sits
+    on warm samples. Honors SPARK_GRAFT_SF_DIR."""
+    if not queries:
+        return {}
     bench = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
     )
-    out: dict[str, float] = {}
-    for q in queries:
-        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
-            detail_path = tf.name
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_BENCH_QUERIES=q,
-            SPARK_GRAFT_BENCH_DETAIL=detail_path,
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+        detail_path = tf.name
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_QUERIES=",".join(queries),
+        SPARK_GRAFT_BENCH_DETAIL=detail_path,
+        SPARK_GRAFT_BENCH_REPEATS=os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"),
+    )
+    try:
+        subprocess.run(
+            [sys.executable, bench],
+            env=env,
+            check=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
         )
-        try:
-            subprocess.run(
-                [sys.executable, bench],
-                env=env,
-                check=True,
-                stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
-            )
-            with open(detail_path) as f:
-                detail = json.load(f)
-            out.update(detail.get("queries", {}))
-            out.update(detail.get("stub_queries", {}))
-        finally:
-            os.unlink(detail_path)
-    return out
+        with open(detail_path) as f:
+            detail = json.load(f)
+        return {**detail.get("queries", {}), **detail.get("stub_queries", {})}
+    finally:
+        os.unlink(detail_path)
 
 
 def load_isolated_baseline(sf) -> dict[str, float]:

@@ -45,11 +45,19 @@ def _other_spark_procs() -> list[str]:
     me = str(os.getpid())
     hits = []
     for line in out.splitlines():
-        pid = line.strip().split(" ", 1)[0]
-        if pid == me:
+        parts = line.strip().split(None, 2)
+        if len(parts) < 2 or parts[0] == me:
             continue
-        if re.search(r"bench\.py|pytest|check_oracle\.py", line):
-            hits.append(line.strip())
+        exe = os.path.basename(parts[1])
+        rest = parts[2] if len(parts) > 2 else ""
+        # only processes whose EXECUTABLE is python count — other
+        # processes (e.g. the round driver) may quote these filenames
+        # inside their argument text
+        if exe.startswith("python") and re.search(
+            r"bench\.py|check_oracle\.py|bench_scale_growers\.py|-m pytest",
+            rest,
+        ):
+            hits.append(line.strip()[:160])
     return hits
 
 
