@@ -3399,6 +3399,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": q_corpus_overlap,
         "length_histogram": q_length_histogram,
         "quantile_bin_prices": q_quantile_bin_prices,
+        "cube_sales": q_cube_sales,
+        "corpus_diversity": q_corpus_diversity,
+        "doc_containment": q_doc_containment,
         "column_profile_approx": q_column_profile_approx,
         "script_profile": q_script_profile,
         "hybrid_search": q_hybrid_search,
@@ -3571,7 +3574,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # vintage names (alphabetical; the remaining 18 rotate in next round).
 _R7_WINDOW = [
     "bigram_lm_scores", "corpus_overlap", "length_histogram",
-    "quantile_bin_prices",
+    "quantile_bin_prices", "cube_sales", "corpus_diversity",
+    "doc_containment",
     "hybrid_search", "dsir_weights", "dsir_sample", "schedule_health",
     "chunk_documents", "corpus_clean", "cycle_metrics", "dataset_split",
     "embedding_near_dups", "embedding_near_dups_exact", "language_id",
@@ -3584,9 +3588,50 @@ _R7_WINDOW = [
     "forecast_revenue", "frequent_items", "fuzzy_match",
     "important_parts", "ivfpq_topk", "key_skew", "knn_join",
     "knn_join_lsh", "large_orders", "line_dedup", "market_share",
-    "min_cost_supplier", "minhash_dedup_portable", "nation_profit",
-    "nation_trade", "ngram_jaccard_dedup",
+    "min_cost_supplier", "minhash_dedup_portable",
 ]
+
+
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets (the full-lattice companion to rollup_sales):
+    order counts + revenue over every subset of (priority, status),
+    with per-column GROUPING flags so real NULL groups stay
+    distinguishable from subtotal rows — Catalyst expands to one
+    Expand + single aggregation, exactly GROUP BY CUBE in the oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round((F.sum("o_totalprice")) + 1e-6, 2).alias("revenue"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+    )
+
+
+def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus diversity (text.corpus_diversity): doc count,
+    total/distinct 3-shingles and the type-token ratio — the
+    cross-document sameness signal per-doc repetition stats can't see."""
+    from facolos_data_pipelines_spark.operators.text import corpus_diversity
+
+    return corpus_diversity(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment pairs (dedup.ngram_containment_pairs,
+    |A∩B|/min(|A|,|B|) >= 0.6): catches short docs quoted inside long
+    ones, which Jaccard-only dedup misses. Inverted-index candidates,
+    exact counts, uncapped here (the oracle recomputes the identical
+    pair set)."""
+    from facolos_data_pipelines_spark.operators.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_containment_pairs(docs, threshold=0.6, max_posting_size=None)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("containment") + 1e-9, 6).alias("containment"),
+        "contained_id",
+    ).orderBy("id_a", "id_b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4337,6 +4382,86 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MIN(p) + 1e-8, 2) AS min_price,
                    ROUND(MAX(p) + 1e-8, 2) AS max_price
             FROM b GROUP BY price_bin ORDER BY price_bin
+        """,
+        "cube_sales": r"""
+            -- q_cube_sales twin: full CUBE lattice with per-column
+            -- GROUPING flags (Spark's grouping() == DuckDB's GROUPING())
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(SUM(o_totalprice) + 1e-6, 2) AS revenue,
+                   CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+                   CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "corpus_diversity": r"""
+            -- text.corpus_diversity twin: non-distinct 3-shingles with
+            -- the short-doc fallback (same construction as the dsir
+            -- twin), per-source totals + distincts + type-token ratio
+            WITH w AS (
+                SELECT doc_id, source,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), g AS (
+                SELECT source, unnest(
+                    list_filter([array_to_string(list_slice(words, i, i + 2), ' ')
+                                 for i in range(1, greatest(len(words) - 2, 1) + 1)],
+                                x -> x <> '')) AS sh
+                FROM w
+            ), per AS (
+                SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS total_grams,
+                       CAST(COUNT(DISTINCT sh) AS BIGINT) AS distinct_grams
+                FROM g GROUP BY 1
+            ), d AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY 1
+            )
+            SELECT d.source, n_docs,
+                   COALESCE(total_grams, 0) AS total_grams,
+                   COALESCE(distinct_grams, 0) AS distinct_grams,
+                   ROUND(COALESCE(distinct_grams, 0)
+                         / greatest(COALESCE(total_grams, 0), 1) + 1e-9, 6)
+                       AS type_token_ratio
+            FROM d LEFT JOIN per USING (source)
+            ORDER BY d.source
+        """,
+        "doc_containment": r"""
+            -- dedup.ngram_containment_pairs twin: distinct 3-shingles
+            -- (decontaminate-twin construction), posting self-join,
+            -- containment = shared / min(|A|,|B|), contained side =
+            -- smaller set (lesser id on ties), threshold on the
+            -- UNROUNDED ratio like the Spark plan
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    list_filter([array_to_string(list_slice(words, i, i + 2), ' ')
+                                 for i in range(1, greatest(len(words) - 2, 1) + 1)],
+                                x -> x <> ''))) AS sh
+                FROM w
+            ), sz AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s FROM g GROUP BY 1
+            ), p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                FROM g a JOIN g b USING (sh)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(shared / least(sa.s, sb.s) + 1e-9, 6) AS containment,
+                   CASE WHEN sa.s < sb.s THEN id_a
+                        WHEN sb.s < sa.s THEN id_b
+                        ELSE least(id_a, id_b) END AS contained_id
+            FROM p
+            JOIN sz sa ON sa.doc_id = p.id_a
+            JOIN sz sb ON sb.doc_id = p.id_b
+            WHERE shared / least(sa.s, sb.s) >= 0.6
+            ORDER BY id_a, id_b
         """,
         "semantic_dedup": r"""
             -- dedup.semantic_dedup twin (SemDeDup): argmin nearest-

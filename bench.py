@@ -224,6 +224,9 @@ HEADLINE = [
     "corpus_overlap",
     "length_histogram",
     "quantile_bin_prices",
+    "cube_sales",
+    "corpus_diversity",
+    "doc_containment",
 ]
 
 # Reported outside the headline wall (empty since round 6: the

@@ -738,6 +738,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_posting_size: int | None = 10_000,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs — |A∩B| / min(|A|, |B|) >=
+    threshold. The asymmetric companion to :func:`ngram_jaccard_pairs`:
+    a short document quoted wholesale inside a long one has containment
+    ~1.0 but Jaccard ~|short|/|long| ~ 0, so Jaccard-only dedup keeps
+    both copies of the quoted text (the RefinedWeb/Dolma pipelines drop
+    contained documents as a separate pass for exactly this reason).
+
+    Output: (id_a, id_b, containment, contained_id) with id_a < id_b;
+    ``contained_id`` is the SMALLER document (fewer distinct shingles,
+    lesser id on ties) — the one a drop-contained policy removes.
+
+    Plan shape: identical to the Jaccard twin — inverted-index posting
+    join with the in-plan ``max_posting_size`` cap (conservative
+    under-count when capped, never a false positive), shared counts and
+    both sizes from the same aggregation, no re-touching of texts. One
+    extra comparison picks the contained side; at 100 TB the cost
+    profile is the Jaccard operator's, bit for bit.
+    """
+    sh = exploded_shingles(df, text_col, id_col, shingle_n, distinct=True)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    if max_posting_size is not None:
+        from .skew import cap_group_size
+
+        posted = cap_group_size(sh, ["_sh"], max_posting_size, order_col=id_col)
+    else:
+        posted = sh
+    a = posted.select(F.col(id_col).alias("id_a"), "_sh")
+    b = posted.select(F.col(id_col).alias("id_b"), "_sh")
+    shared = (
+        a.join(b, ["_sh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_shared"))
+    )
+    containment = F.col("_shared") / F.least(F.col("sz_a"), F.col("sz_b"))
+    contained = F.when(F.col("sz_a") < F.col("sz_b"), F.col("id_a")).otherwise(
+        F.when(F.col("sz_b") < F.col("sz_a"), F.col("id_b")).otherwise(
+            F.least(F.col("id_a"), F.col("id_b"))
+        )
+    )
+    return (
+        shared.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("sz_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            containment.alias("containment"),
+            contained.alias("contained_id"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def _drop_pair_losers(
     df: DataFrame,
     pairs: DataFrame,

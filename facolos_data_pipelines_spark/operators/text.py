@@ -1058,6 +1058,58 @@ def token_length_histogram(
     ).orderBy("bucket")
 
 
+def corpus_diversity(
+    df: DataFrame,
+    by: str = "source",
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group corpus diversity report: document count, total n-gram
+    occurrences, distinct n-grams, and the shingle type-token ratio
+    (distinct / total) — the corpus-level health number mixture
+    planners watch (a source whose TTR collapses is template spam or a
+    re-crawl even when every individual document passes quality
+    filters; per-document repetition stats can't see cross-document
+    sameness).
+
+    Plan shape at 100 TB: one exploded pass per corpus — total counts
+    are map-side combinable on the group key; the distinct count is
+    one (group, gram)-keyed dedup then a group rollup. The group join
+    is id-keyed against an id+group projection of the input (narrow
+    columns only). Nothing quadratic, nothing driver-side.
+    """
+    from .dedup import exploded_shingles
+
+    grams = exploded_shingles(df, text_col, id_col, n, distinct=False).join(
+        df.select(F.col(id_col), F.col(by)), id_col
+    )
+    per_group = grams.groupBy(by).agg(
+        F.count("*").cast("long").alias("total_grams"),
+        F.count_distinct("_sh").cast("long").alias("distinct_grams"),
+    )
+    docs_per_group = df.groupBy(by).agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        docs_per_group.join(per_group, by, "left")
+        .select(
+            by,
+            "n_docs",
+            F.coalesce("total_grams", F.lit(0).cast("long")).alias("total_grams"),
+            F.coalesce("distinct_grams", F.lit(0).cast("long")).alias(
+                "distinct_grams"
+            ),
+            F.round(
+                F.coalesce("distinct_grams", F.lit(0))
+                / F.greatest(F.coalesce("total_grams", F.lit(0)), F.lit(1))
+                + 1e-9,
+                round_digits,
+            ).alias("type_token_ratio"),
+        )
+        .orderBy(by)
+    )
+
+
 def c4_clean(
     df: DataFrame,
     text_col: str = "text",

@@ -1261,3 +1261,36 @@ def test_bucket_verify_arrow_never_emits_self_pairs(spark):
             df, threshold=0.9, num_planes=4, num_bands=2, dim=4, verify_impl=impl
         ).collect()
         assert all(r["id_a"] != r["id_b"] for r in pairs), (impl, pairs)
+
+
+def test_ngram_containment_pairs_catches_quoted_doc(spark):
+    """A short doc quoted inside a long one: containment ~1.0 while
+    Jaccard is small — the pair the Jaccard operator must miss at 0.8
+    and the containment operator must find."""
+    from facolos_data_pipelines_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = (
+        "one two three four five six seven eight nine ten "
+        + short
+        + " eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different words entirely here")],
+        "doc_id long, text string",
+    )
+    cont = ngram_containment_pairs(df, threshold=0.9, max_posting_size=None).collect()
+    assert [(r["id_a"], r["id_b"], r["contained_id"]) for r in cont] == [(1, 2, 1)]
+    assert cont[0]["containment"] == 1.0
+    jac = ngram_jaccard_pairs(df, threshold=0.8, max_posting_size=None).collect()
+    assert jac == []  # jaccard-only dedup keeps both copies
+
+    # ties on size: contained_id is the lesser id
+    df2 = spark.createDataFrame(
+        [(5, "x y z w"), (6, "x y z w")], "doc_id long, text string"
+    )
+    r = ngram_containment_pairs(df2, threshold=0.9, max_posting_size=None).first()
+    assert r["contained_id"] == 5

@@ -117,3 +117,29 @@ class TestTokenLengthHistogram:
         out = {r["bucket"]: r for r in token_length_histogram(df).collect()}
         assert out[-1]["n_docs"] == 2 and out[-1]["total_tokens"] == 0
         assert out[1]["n_docs"] == 1 and out[1]["total_tokens"] == 2
+
+
+class TestCorpusDiversity:
+    def test_ttr_separates_template_spam(self, spark):
+        from facolos_data_pipelines_spark.operators.text import corpus_diversity
+
+        rows = [(i, "the quick brown fox jumps over dog %d" % i, "fresh") for i in range(5)]
+        rows += [(100 + i, "buy cheap pills now buy cheap pills now", "spam") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r["source"]: r for r in corpus_diversity(df).collect()}
+        assert out["fresh"]["n_docs"] == 5 and out["spam"]["n_docs"] == 5
+        assert out["fresh"]["type_token_ratio"] > out["spam"]["type_token_ratio"]
+        # spam: every doc contributes the SAME shingles
+        assert out["spam"]["distinct_grams"] * 5 <= out["spam"]["total_grams"]
+
+    def test_empty_group_rows_kept(self, spark):
+        from facolos_data_pipelines_spark.operators.text import corpus_diversity
+
+        df = spark.createDataFrame(
+            [(1, "", "empty"), (2, "a b c d", "ok")],
+            "doc_id long, text string, source string",
+        )
+        out = {r["source"]: r for r in corpus_diversity(df).collect()}
+        assert out["empty"]["total_grams"] == 0
+        assert out["empty"]["type_token_ratio"] == 0.0
+        assert out["ok"]["distinct_grams"] == 2
