@@ -3378,6 +3378,10 @@ def q_quantile_bin_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     from facolos_data_pipelines_spark.operators.features import quantile_bin
 
     li = _t(spark, sf_dir, "lineitem")
+    # NULL prices are unbinnable and the oracle filters them up front;
+    # filter here too so query and oracle agree by construction, not by
+    # the accident that TPC-H prices happen to be non-null (ADVICE r7)
+    li = li.filter(F.col("l_extendedprice").isNotNull())
     binned = quantile_bin(li, "l_extendedprice", n_bins=8)
     return (
         binned.groupBy(F.col("l_extendedprice_bin").alias("price_bin"))

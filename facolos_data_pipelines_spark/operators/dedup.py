@@ -1334,7 +1334,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    num_planes: int | str = 6,
+    num_planes: int | str = "auto",
     num_bands: int = 4,
     dim: int | None = None,
     max_bucket_size: int | None = None,
@@ -1342,14 +1342,23 @@ def embedding_near_dup_pairs(
     exact_impl: str = "gemm",
     exact_tile_rows: int = 2048,
     auto_bucket_occupancy: int = 64,
-    verify_impl: str = "expr",
+    verify_impl: str = "auto",
+    arrow_verify_threshold: int = 100_000,
 ) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold, blocked by
     banded random-hyperplane LSH — the DEFAULT and the 100 TB path.
 
+    The DEFAULTS are the scale-safe configuration: ``num_planes='auto'``
+    and ``verify_impl='auto'`` (one column-pruned count of the corpus
+    dispatches both). The previously-fixed 6-plane / expr-verify
+    defaults were MEASURED dying quadratically at 2M vectors (38 GB of
+    shuffle spill, SCALE.md §6c) while auto is property-tested to
+    resolve to the identical configuration at small corpora — a scale
+    claim must not require the caller to know the magic kwargs.
+
     ``verify_impl`` picks how candidates are verified:
 
-    - ``'expr'`` (default, the oracle-certified plan): materialize the
+    - ``'expr'`` (the oracle-certified plan): materialize the
       deduplicated candidate id pairs, join the normalized vectors
       back by id, fold the dot product in codegen. Exactly
       reproducible by an external SQL engine — but the pair-keyed
@@ -1364,23 +1373,33 @@ def embedding_near_dup_pairs(
       inside ``applyInPandas`` (occupancy^2 dots at BLAS speed,
       measured orders of magnitude over the per-pair fold); only
       surviving pairs materialize, deduplicated across bands
-      afterwards. Same pair set; cosines may differ from the expr
-      fold in the last ulp (BLAS summation order), which the 4dp
-      oracle rounding absorbs — same certified-twin convention as
-      minhash's signature_impl.
+      afterwards. Cosine VALUES may differ from the expr fold in the
+      last ulp (BLAS summation order), which the 4dp oracle rounding
+      absorbs; the pair SET agrees except for pairs whose true cosine
+      sits within one ulp of ``threshold`` — membership is evaluated
+      on the unrounded value in both impls, so a knife-edge pair can
+      land on different sides (same certified-twin convention as
+      minhash's signature_impl; thresholds are corpus-level knobs,
+      not exact decision boundaries).
+    - ``'auto'`` (default): 'arrow' when the corpus exceeds
+      ``arrow_verify_threshold`` vectors (default 100k — past that
+      the candidate-keyed expr joins dominate and the measured-safe
+      bucket GEMM wins), else 'expr'. Same size-dispatch precedent as
+      :func:`connected_components`' driver union-find.
 
-    ``num_planes="auto"`` sizes the signature from the corpus itself
-    (one column-pruned count): planes = ceil(log2(n /
+    ``num_planes="auto"`` (default) sizes the signature from the corpus
+    itself (one column-pruned count): planes = ceil(log2(n /
     ``auto_bucket_occupancy``)), clamped to [6, 24] — see
     :func:`_auto_num_planes` for why a FIXED plane count degrades
     quadratically as the corpus grows (the bucket space doesn't grow
-    with it). Auto is the knob to reach for past ~10^5 vectors.
-    Tradeoff to know: per-band true-pair retention is
+    with it). Tradeoff to know: per-band true-pair retention is
     (1 - theta/pi)^planes, so longer signatures lower recall at a
     fixed band count — recall-critical jobs should raise ``num_bands``
     (OR-amplification) alongside. The certified oracle queries pin
     ``num_planes=6`` explicitly, so their results are reproducible at
-    any sf; at the oracle's sf0.01 corpus auto resolves to the same 6.
+    any sf; at the oracle's sf0.01 corpus auto resolves to the same 6
+    (property-tested, and the default path is tested pair-set-equal to
+    the pinned 6x4/expr config there).
 
     Each band hashes the vector against ``num_planes`` independent
     hyperplanes (plane family is deterministic by index, see
@@ -1419,14 +1438,28 @@ def embedding_near_dup_pairs(
     """
     from .similarity import banded_signatures
 
+    n_vectors: int | None = None
     if num_planes == "auto":
-        num_planes = _auto_num_planes(
-            df.select(id_col).count(), auto_bucket_occupancy
-        )
+        n_vectors = df.select(id_col).count()
+        num_planes = _auto_num_planes(n_vectors, auto_bucket_occupancy)
     elif isinstance(num_planes, str):
         raise ValueError(
             f"embedding_near_dup_pairs: num_planes must be an int or 'auto', "
             f"got {num_planes!r}"
+        )
+    if verify_impl == "auto":
+        if num_planes <= 0:
+            verify_impl = "expr"  # exact path: verify dispatch is moot
+        else:
+            if n_vectors is None:
+                n_vectors = df.select(id_col).count()
+            verify_impl = (
+                "arrow" if n_vectors > arrow_verify_threshold else "expr"
+            )
+    elif verify_impl not in ("expr", "arrow"):
+        raise ValueError(
+            f"embedding_near_dup_pairs: verify_impl must be 'expr', 'arrow' "
+            f"or 'auto', got {verify_impl!r}"
         )
     norm_sq = F.aggregate(
         F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
@@ -1473,11 +1506,6 @@ def embedding_near_dup_pairs(
         sigs = drop_oversized_groups(sigs, ["band", "sig"], max_bucket_size)
     if verify_impl == "arrow":
         return _bucket_verify_arrow(sigs, scaled, id_col, threshold)
-    if verify_impl != "expr":
-        raise ValueError(
-            f"embedding_near_dup_pairs: verify_impl must be 'expr' or "
-            f"'arrow', got {verify_impl!r}"
-        )
     a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
     cand = (
@@ -1499,24 +1527,28 @@ def embedding_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    num_planes: int | str = 6,
+    num_planes: int | str = "auto",
     num_bands: int = 4,
     dim: int | None = None,
     transitive: bool = False,
     signature_impl: str = "expr",
     score_col: str | None = None,
     descending: bool = True,
+    verify_impl: str = "auto",
 ) -> DataFrame:
     """Drop the higher id of every near-duplicate embedding pair (or,
     with ``transitive=True``, keep one vector per single-link
     component; with ``score_col``, the best-scoring member of each
-    component). Banded-LSH blocked by default; ``num_planes=0`` opts
-    into exact all-pairs for small frames. ``signature_impl`` passes
-    through to the blocking stage (``'arrow'`` = the numpy-matmul
-    scale path, see banded_signatures)."""
+    component). Banded-LSH blocked by default with the scale-safe
+    corpus-sized defaults (``num_planes='auto'``,
+    ``verify_impl='auto'`` — see embedding_near_dup_pairs);
+    ``num_planes=0`` opts into exact all-pairs for small frames.
+    ``signature_impl`` passes through to the blocking stage
+    (``'arrow'`` = the numpy-matmul scale path, see
+    banded_signatures)."""
     pairs = embedding_near_dup_pairs(
         df, vec_col, id_col, threshold, num_planes, num_bands, dim,
-        signature_impl=signature_impl,
+        signature_impl=signature_impl, verify_impl=verify_impl,
     )
     return _drop_pair_losers(
         df, pairs, id_col, transitive, score_col=score_col, descending=descending

@@ -368,8 +368,15 @@ def rrf_fuse(
             # NULL scores have no rank: the old desc-nulls-last window
             # put them LAST; ascending struct sort would put them FIRST
             # and hand the worst candidate the biggest RRF share — drop
-            # them outright (a NULL-scored row is not a retrieval hit)
-            df_i.filter(F.col(score_col).isNotNull())
+            # them outright (a NULL-scored row is not a retrieval hit).
+            # NaN is dropped for the same reason: Spark orders NaN above
+            # every double, so -NaN (still NaN) would sort LAST ascending
+            # while the old desc window ranked it FIRST — neither rank is
+            # meaningful for a non-comparable score, so it gets none.
+            df_i.filter(
+                F.col(score_col).isNotNull()
+                & ~F.isnan(F.col(score_col).cast("double"))
+            )
             .agg(ordered.alias("_l"))
             .select(F.posexplode("_l").alias("_pos", "_e"))
             .select(

@@ -275,13 +275,22 @@ def _hadoop_fs(spark, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
-def _read_store_meta(bucket_store_path: str, spark=None) -> dict | None:
+#: Sentinel distinguishing "meta file exists but could not be read/parsed"
+#: from "meta file absent" (None). A transient read failure of a VALID meta
+#: must never route into the adopt-and-overwrite branch — overwriting the
+#: true N with the configured one silently breaks cross-batch dedup.
+_META_UNREADABLE = object()
+
+
+def _read_store_meta(bucket_store_path: str, spark=None):
     """Read the bucket store's layout meta (underscore-prefixed, so Spark's
     parquet reader ignores it like _SUCCESS). Plain-local paths use the
     local filesystem directly; URI paths ('://' — HDFS, object stores,
     file://) go through the Hadoop FileSystem API and need ``spark``.
-    Returns None when the file is absent or unreadable (the caller
-    decides the fallback)."""
+    Returns the parsed dict, ``None`` when the file is provably ABSENT, or
+    the ``_META_UNREADABLE`` sentinel when it exists (or its existence can't
+    be established) but can't be read/parsed — callers must treat the
+    sentinel as "layout unknown, do NOT adopt/overwrite"."""
     import json
     import os
 
@@ -293,6 +302,10 @@ def _read_store_meta(bucket_store_path: str, spark=None) -> dict | None:
             fs, jpath = _hadoop_fs(spark, mp)
             if not fs.exists(jpath):
                 return None
+        except Exception:
+            # Can't even establish existence: ambiguous, not provably absent.
+            return _META_UNREADABLE
+        try:
             stream = fs.open(jpath)
             try:
                 reader = spark._jvm.java.io.BufferedReader(
@@ -307,11 +320,14 @@ def _read_store_meta(bucket_store_path: str, spark=None) -> dict | None:
                 stream.close()
             return json.loads("\n".join(chunks))
         except Exception:
-            return None
+            return _META_UNREADABLE
     if not os.path.isfile(mp):
         return None
-    with open(mp) as fh:
-        return json.load(fh)
+    try:
+        with open(mp) as fh:
+            return json.load(fh)
+    except Exception:
+        return _META_UNREADABLE
 
 
 def _write_store_meta(bucket_store_path: str, store_partitions: int, spark=None) -> None:
@@ -346,12 +362,28 @@ def _effective_store_partitions(spark, bucket_store_path: str, requested: int) -
     unpartitioned (mixing layouts makes Spark's partition-discovery read
     silently drop the root-level legacy rows); local partitioned layout
     without meta -> unrecoverable N, raise with a migration instruction.
-    REMOTE ('://') partitioned stores whose meta is absent or unreadable
+    REMOTE ('://') partitioned stores whose meta is provably ABSENT
     (pre-meta legacy stores, or object stores where the best-effort write
     failed) trust the configured value instead of raising — the pre-meta
     behavior, since a raise there is unrecoverable through this API — and
-    adopt it as the sticky layout by (re)writing the meta."""
+    adopt it as the sticky layout by (re)writing the meta, but only after a
+    data-level consistency proof: stored ``bucket_pmod`` must equal
+    ``pmod(band_hash, requested)`` on a row sample (any mismatch proves the
+    store was written with a DIFFERENT N — including a smaller one, which
+    the max-pmod bound alone can't detect). A meta file that EXISTS but
+    can't be read (transient store error, corrupt JSON) raises instead of
+    adopting: overwriting a valid-but-unreadable meta would silently pin
+    the wrong N."""
     meta = _read_store_meta(bucket_store_path, spark)
+    if meta is _META_UNREADABLE:
+        raise ValueError(
+            f"bucket store at {bucket_store_path!r} has a layout meta file "
+            f"({_STORE_META_NAME}) that exists but could not be read or "
+            "parsed; refusing to adopt the configured store_partitions over "
+            "a possibly-valid recorded layout — repair or remove the meta "
+            "file (its content should be {\"store_partitions\": N} with the "
+            "N the store was created with) and retry"
+        )
     if meta is not None:
         n = int(meta["store_partitions"])
         if n == 0:
@@ -383,6 +415,36 @@ def _effective_store_partitions(spark, bucket_store_path: str, requested: int) -
                     "the original N is larger and unrecoverable from data "
                     "alone — write the meta file with the original value "
                     '({"store_partitions": N}) before probing it'
+                )
+            # The max-pmod bound only rules out a LARGER original N. A
+            # store written with a SMALLER N (e.g. N=4, requested=8) has
+            # every pmod < requested and would pass it — so prove
+            # consistency on the data itself: recompute pmod(band_hash,
+            # requested) on a bounded row sample and compare to the stored
+            # partition value. Identical for every row iff the layouts
+            # agree (different moduli disagree on ~half of uniformly
+            # hashed rows, so 1000 rows make a false adopt vanishingly
+            # unlikely); one mismatching row proves a different N.
+            mismatch = (
+                store.select("band_hash", "bucket_pmod")
+                .where(F.col("band_hash").isNotNull())
+                .limit(1000)
+                .where(
+                    F.pmod(F.col("band_hash"), F.lit(requested)).cast("long")
+                    != F.col("bucket_pmod").cast("long")
+                )
+                .limit(1)
+                .count()
+            )
+            if mismatch:
+                raise ValueError(
+                    f"bucket store at {bucket_store_path!r} has rows whose "
+                    f"stored bucket_pmod != pmod(band_hash, {requested}): "
+                    "it was written with a different store_partitions than "
+                    "the configured value; the original N is unrecoverable "
+                    "from data alone — write the meta file with the "
+                    'original value ({"store_partitions": N}) before '
+                    "probing it"
                 )
             _write_store_meta(bucket_store_path, requested, spark)
             return requested

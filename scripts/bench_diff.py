@@ -26,22 +26,39 @@ medians came out ~2x SLOWER than the same query's contended number,
 inverting the adjudication. One warm subprocess reproduces the
 bench's own contended-sequential conditions for the flagged subset.
 Isolated-subset timings still differ systematically from full-bench
-ones, so the re-run is compared
-LIKE-FOR-LIKE against an isolated baseline, not the contended old
-number: NOISE-adjudicated isolated medians are persisted to
-``BENCH_ISOLATED.json`` (cumulative, keyed by scale factor so an sf1
-remeasure never becomes an sf0.1 baseline; confirmed regressions are
-NOT absorbed — a persistent regression must not ratchet itself into
-the baseline and self-clear on the next run), and a flag is confirmed
-when ``iso_new > threshold * iso_old`` for a query with a recorded
-isolated baseline. Queries with NO isolated baseline yet (first time
-flagged) are adjudicated conservatively: cleared as noise only when
-the isolated re-run beats even the CONTENDED old number
-(``iso_new <= old``) — anything slower than that stays a confirmed
-regression, because the contended old time is an upper bound on the
-unknown isolated old time. The exit code reflects CONFIRMED
-regressions only; adjudicated-noise rows stay in the report with
-their isolated number.
+ones, so the re-run is compared LIKE-FOR-LIKE against an isolated
+reference, never the contended old number.
+
+``BENCH_ISOLATED.json`` holds, per scale factor, two buckets:
+
+- ``baseline`` — isolated medians of queries adjudicated NOISE (or
+  ratcheted in by ``bench_ratchet.py``). A flag is CONFIRMED when
+  ``iso_new > threshold * baseline``.
+- ``pending`` — isolated medians of queries whose flag could NOT be
+  cleared (no baseline, and the isolated re-run did not beat the
+  contended old bound). A confirmed regression must NOT ratchet
+  itself into the baseline and self-clear — but throwing the
+  measurement away (the round-7 behavior) left the next round with
+  no reference either, so the flag re-fired forever with no way to
+  adjudicate it. Pending entries are REMEASURED on every
+  ``--remeasure`` run (whether or not the query flags again) and
+  compared like-for-like against the pending value: within the
+  threshold -> the isolated time is stable -> the original flag is
+  adjudicated noise/environment-drift and the smaller of the two
+  medians is PROMOTED to baseline; past the threshold -> still
+  regressing isolated-ly -> stays pending (keeping the smaller
+  reference so a regression can never ratchet the pending value up).
+
+Queries with NO record at all (first time flagged) are adjudicated
+conservatively: cleared as noise only when the isolated re-run beats
+even the CONTENDED old number (``iso_new <= old``) — the contended old
+time is an upper bound on the unknown isolated old time. The exit code
+reflects CONFIRMED regressions only; adjudicated-noise rows stay in
+the report with their isolated number.
+
+Baselines are keyed by the detail file's ``sf`` field; a detail file
+WITHOUT ``sf`` skips all persistence with a warning (an ad-hoc run at
+an unknown scale factor must never contaminate another sf's bucket).
 """
 
 from __future__ import annotations
@@ -92,22 +109,48 @@ def remeasure_isolated(queries: list[str]) -> dict[str, float]:
         os.unlink(detail_path)
 
 
-def load_isolated_baseline(sf) -> dict[str, float]:
-    """Baselines are keyed by scale factor — an sf1 ad-hoc remeasure
-    must never become the baseline an sf0.1 round adjudicates against."""
+def _load_isolated_file() -> dict:
     if not os.path.isfile(ISOLATED_BASELINE):
         return {}
     with open(ISOLATED_BASELINE) as f:
-        data = json.load(f)
-    return data.get(str(sf), {})
+        return json.load(f)
 
 
-def update_isolated_baseline(timings: dict[str, float], sf) -> None:
-    data = {}
-    if os.path.isfile(ISOLATED_BASELINE):
-        with open(ISOLATED_BASELINE) as f:
-            data = json.load(f)
-    data.setdefault(str(sf), {}).update(timings)
+def _sf_bucket(data: dict, sf) -> dict:
+    """The {'baseline': {...}, 'pending': {...}} bucket for ``sf``.
+    Legacy flat buckets ({query: median}) are read as baseline."""
+    bucket = data.get(str(sf), {})
+    if bucket and "baseline" not in bucket and "pending" not in bucket:
+        bucket = {"baseline": bucket}  # legacy format
+    return {
+        "baseline": dict(bucket.get("baseline", {})),
+        "pending": dict(bucket.get("pending", {})),
+    }
+
+
+def load_isolated(sf) -> dict:
+    """Baselines are keyed by scale factor — an sf1 ad-hoc remeasure
+    must never become the baseline an sf0.1 round adjudicates against.
+    A missing sf yields empty buckets (and persistence is skipped)."""
+    if sf is None:
+        return {"baseline": {}, "pending": {}}
+    return _sf_bucket(_load_isolated_file(), sf)
+
+
+def save_isolated(bucket: dict, sf) -> None:
+    if sf is None:
+        print(
+            "  WARNING: detail file has no 'sf' field — skipping "
+            "BENCH_ISOLATED.json persistence (unknown scale factor must "
+            "not contaminate another sf's baselines)",
+            file=sys.stderr,
+        )
+        return
+    data = _load_isolated_file()
+    data[str(sf)] = {
+        "baseline": dict(sorted(bucket["baseline"].items())),
+        "pending": dict(sorted(bucket["pending"].items())),
+    }
     with open(ISOLATED_BASELINE, "w") as f:
         json.dump(data, f, indent=1, sort_keys=True)
 
@@ -131,6 +174,7 @@ def write_report(
     added: list,
     removed: list,
     regressions: list,
+    pending_rows: list,
 ) -> None:
     flagged = {q: label for _, q, _, _, label in regressions}
     lines = [
@@ -155,6 +199,16 @@ def write_report(
         lines.append(f"| {q} | — | {new['queries'][q]} | new | |")
     for q in removed:
         lines.append(f"| {q} | {old['queries'][q]} | — | removed | |")
+    if pending_rows:
+        lines += [
+            "",
+            "## Pending adjudications (carried from a prior run)",
+            "",
+            "| query | pending iso s | fresh iso s | verdict |",
+            "|---|---|---|---|",
+        ]
+        for q, pend, iso, verdict in pending_rows:
+            lines.append(f"| {q} | {pend} | {iso} | {verdict} |")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
 
@@ -186,56 +240,114 @@ def main() -> int:
         and new["queries"][q] / old["queries"][q] > threshold
     ]
     sf = new.get("sf")
-    isolated = remeasure_isolated(flagged) if remeasure else {}
-    iso_baseline = load_isolated_baseline(sf) if remeasure else {}
+    iso_state = load_isolated(sf) if remeasure else {"baseline": {}, "pending": {}}
+    baseline, pending = iso_state["baseline"], iso_state["pending"]
+    # pending entries are re-adjudicated EVERY remeasure run, flagged or
+    # not — that's what makes the pending mechanism converge instead of
+    # leaving the query formally open forever
+    pending_only = sorted(
+        q for q in pending if q not in flagged and q in new["queries"]
+    )
+    isolated = remeasure_isolated(flagged + pending_only) if remeasure else {}
     regressions = []  # (ratio, query, old, new, label)
-    noise_timings: dict[str, float] = {}
+    pending_rows = []  # (query, pending_iso, fresh_iso, verdict) for the report
+    dirty = False
     confirmed = 0
-    for q in flagged:
-        a, b = old["queries"][q], new["queries"][q]
-        iso, iso_old = isolated.get(q), iso_baseline.get(q)
-        if not remeasure or iso is None:
-            label, is_real = "REGRESSION", True
-        elif iso_old is not None and iso_old > 0:
+
+    def adjudicate(q: str, iso: float, contended_old: float | None):
+        """(is_real, label) + baseline/pending bookkeeping."""
+        nonlocal dirty
+        iso_old = baseline.get(q)
+        pend_old = pending.get(q)
+        if iso_old is not None and iso_old > 0:
             # like-for-like: isolated re-run vs recorded isolated baseline
             is_real = iso / iso_old > threshold
+            if is_real:
+                label = f"REGRESSION (isolated: {iso} s vs baseline {iso_old} s)"
+                pending[q] = min(iso, pend_old) if pend_old else iso
+            else:
+                label = f"noise (isolated: {iso} s vs baseline {iso_old} s)"
+                baseline[q] = min(iso, iso_old)
+                pending.pop(q, None)
+            dirty = True
+            return is_real, label
+        if pend_old is not None and pend_old > 0:
+            # like-for-like vs the pending reference from the prior run:
+            # a stable isolated time means the original contended flag was
+            # environment, not code — promote the smaller median to baseline
+            is_real = iso / pend_old > threshold
+            if is_real:
+                label = (
+                    f"REGRESSION (isolated: {iso} s vs pending {pend_old} s)"
+                )
+                pending[q] = min(iso, pend_old)
+            else:
+                label = (
+                    f"noise (isolated: {iso} s stable vs pending {pend_old} s"
+                    " — promoted to baseline)"
+                )
+                baseline[q] = min(iso, pend_old)
+                pending.pop(q, None)
+            dirty = True
+            return is_real, label
+        # no record at all: the contended old time is an UPPER bound on the
+        # unknown isolated old time, so only an isolated re-run beating it
+        # outright is safely adjudicated as noise
+        is_real = contended_old is None or iso > contended_old
+        if is_real:
             label = (
-                f"REGRESSION (isolated: {iso} s vs baseline {iso_old} s)"
-                if is_real
-                else f"noise (isolated: {iso} s vs baseline {iso_old} s)"
+                f"REGRESSION (isolated: {iso} s > contended old, no iso "
+                "baseline — recorded as pending)"
             )
+            pending[q] = iso
         else:
-            # no isolated baseline yet: the contended old time is an UPPER
-            # bound on the unknown isolated old time, so only an isolated
-            # re-run beating it outright is safely adjudicated as noise
-            is_real = iso > a
-            label = (
-                f"REGRESSION (isolated: {iso} s > contended old, no iso baseline)"
-                if is_real
-                else f"noise (isolated: {iso} s <= contended old {a} s)"
-            )
+            label = f"noise (isolated: {iso} s <= contended old {contended_old} s)"
+            baseline[q] = iso
+        dirty = True
+        return is_real, label
+
+    for q in flagged:
+        a, b = old["queries"][q], new["queries"][q]
+        iso = isolated.get(q)
+        if not remeasure or iso is None:
+            label, is_real = "REGRESSION", True
+        else:
+            is_real, label = adjudicate(q, iso, a)
         regressions.append((b / a, q, a, b, label))
         confirmed += is_real
-        if iso is not None and not is_real:
-            # only NOISE-adjudicated timings enter the baseline — a
-            # confirmed regression must NOT ratchet itself in and
-            # self-clear on the next run
-            noise_timings[q] = iso
-    if noise_timings:
-        update_isolated_baseline(noise_timings, sf)
+    for q in pending_only:
+        iso = isolated.get(q)
+        if iso is None:
+            continue
+        pend_old = pending.get(q)
+        is_real, label = adjudicate(q, iso, None)
+        pending_rows.append((q, pend_old, iso, label))
+        confirmed += is_real
+    if dirty:
+        save_isolated({"baseline": baseline, "pending": pending}, sf)
     print(
         f"total: {old.get('value')} -> {new.get('value')} s | common {len(common)}"
         f" | added {len(added)} | removed {len(removed)}"
     )
     for ratio, q, a, b, label in sorted(regressions, reverse=True):
         print(f"  {ratio:4.1f}x  {q}: {a} -> {b} s — {label}")
+    for q, pend_old, iso, label in pending_rows:
+        print(f"  pending {q}: {pend_old} -> {iso} s isolated — {label}")
     for q in added:
         print(f"  new {q}: {new['queries'][q]} s")
     if removed:
         print(f"  removed: {', '.join(removed)}")
     if report_path:
         write_report(
-            report_path, old, new, threshold, common, added, removed, regressions
+            report_path,
+            old,
+            new,
+            threshold,
+            common,
+            added,
+            removed,
+            regressions,
+            pending_rows,
         )
         print(f"  report written: {report_path}")
     return 1 if confirmed else 0

@@ -1247,6 +1247,52 @@ def test_bucket_verify_arrow_matches_expr(spark):
         embedding_near_dup_pairs(df, dim=8, verify_impl="bogus")
 
 
+def test_embedding_near_dup_defaults_are_scale_safe(spark):
+    """Round-8 contract: the SHIPPED DEFAULTS are the scale-safe config.
+    num_planes defaults to 'auto' (>= 12 planes at 200k vectors — the
+    fixed 6-plane default was measured dying quadratically at 2M), and
+    verify_impl defaults to 'auto' (size-dispatched to the bucket-GEMM
+    arrow path past arrow_verify_threshold). At oracle scale the default
+    path must emit the SAME pair set as the previously-pinned
+    6-plane/4-band/expr config (which the certified queries still pin
+    explicitly) — tested on the real sf0.01 embeddings table."""
+    import inspect
+    import os
+
+    import pytest
+
+    from facolos_data_pipelines_spark.operators.dedup import (
+        _auto_num_planes,
+        embedding_near_dup_pairs,
+    )
+
+    # the shipped defaults ARE auto
+    sig = inspect.signature(embedding_near_dup_pairs)
+    assert sig.parameters["num_planes"].default == "auto"
+    assert sig.parameters["verify_impl"].default == "auto"
+    # auto scales the signature with the corpus: >= 12 planes at 200k
+    assert _auto_num_planes(200_000) >= 12
+
+    sf001 = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(sf001):
+        pytest.skip("sf0.01 testdata not present")
+    emb = spark.read.parquet(sf001)
+
+    def pairset(**kw):
+        return {
+            (r["id_a"], r["id_b"], round(r["cosine"], 4))
+            for r in embedding_near_dup_pairs(emb, threshold=0.4, **kw).collect()
+        }
+
+    pinned = pairset(num_planes=6, num_bands=4, verify_impl="expr")
+    defaults = pairset()
+    assert pinned, "sf0.01 fixture must produce pairs"
+    assert defaults == pinned
+    # force the arrow dispatch (500 rows > threshold=10): same pair set
+    arrow_dispatched = pairset(arrow_verify_threshold=10)
+    assert arrow_dispatched == pinned
+
+
 def test_bucket_verify_arrow_never_emits_self_pairs(spark):
     """Duplicate ids sharing a bucket must not produce id_a == id_b
     rows — the expr path's strict id_a < id_b drops them, and the

@@ -251,6 +251,25 @@ class TestRRFFusion:
         with pytest.raises(ValueError, match="ranked list"):
             rrf_fuse([])
 
+    def test_null_and_nan_scores_get_no_rank(self, spark):
+        """NULL- and NaN-scored rows are not retrieval hits: neither may
+        claim a rank. NaN matters because Spark orders NaN above every
+        double — the old desc window ranked a NaN row FIRST while the
+        sort_array rewrite would have ranked it LAST; dropping it is the
+        only rank that's stable and meaningful."""
+        from facolos_data_pipelines_spark.operators.similarity import rrf_fuse
+
+        lst = spark.createDataFrame(
+            [(1, 2.0), (2, None), (3, float("nan")), (4, 1.0)],
+            "doc_id long, s double",
+        )
+        out = rrf_fuse([(lst, "s")], topk=10).collect()
+        got = {r["doc_id"]: r["rrf_score"] for r in out}
+        assert set(got) == {1, 4}, "NULL and NaN rows must be dropped"
+        # and the surviving ranks are 1 and 2 (not 2 and 3, or 3 and 4)
+        assert got[1] == round(1 / 61 + 1e-9, 6)
+        assert got[4] == round(1 / 62 + 1e-9, 6)
+
 
 class TestContaminationFraction:
     def test_fraction_and_short_doc_zero(self, spark):

@@ -751,8 +751,9 @@ def test_uri_store_adopt_rejects_provably_wrong_n(spark, tmp_root):
 
     local = f"{tmp_root}/wrongn_store"
     store = f"file://{local}"
+    # band_hash=28 under N=16 -> pmod 12; consistent with an N=16 layout
     spark.createDataFrame(
-        [(12, 0, 999, 1)], "bucket_pmod int, band_id int, band_hash long, doc_id long"
+        [(12, 0, 28, 1)], "bucket_pmod int, band_id int, band_hash long, doc_id long"
     ).write.partitionBy("bucket_pmod").parquet(store)
     meta = os.path.join(local, _STORE_META_NAME)
     if os.path.exists(meta):
@@ -761,6 +762,73 @@ def test_uri_store_adopt_rejects_provably_wrong_n(spark, tmp_root):
     with pytest.raises(ValueError, match="impossible"):
         _effective_store_partitions(spark, store, 8)
     assert not os.path.exists(meta), "wrong N must not be pinned"
-    # requested 16 is consistent with pmod=12 -> adopted and pinned
+    # requested 16 is consistent with pmod=12 AND pmod(28,16)==12 -> adopted
     assert _effective_store_partitions(spark, store, 16) == 16
     assert os.path.exists(meta)
+
+
+def test_uri_store_adopt_rejects_smaller_original_n(spark, tmp_root):
+    """The max-pmod bound only rules out a LARGER original N. A store
+    written with a SMALLER N (here N=4, requested 8) has every pmod <
+    requested and used to slip through, pinning the wrong N and silently
+    leaking cross-batch duplicates. The adopt path now recomputes
+    pmod(band_hash, requested) on a row sample and raises on mismatch."""
+    import os
+
+    import pytest
+
+    from facolos_data_pipelines_spark.streaming.pipeline import (
+        _STORE_META_NAME,
+        _effective_store_partitions,
+    )
+
+    local = f"{tmp_root}/smalln_store"
+    store = f"file://{local}"
+    # Written with N=4: pmod(h, 4) for h in 5,6,7 -> 1,2,3 (all < 8, so the
+    # max-pmod check alone would wrongly accept requested=8).
+    rows = [(int(h % 4), 0, h, i) for i, h in enumerate([5, 6, 7])]
+    spark.createDataFrame(
+        rows, "bucket_pmod int, band_id int, band_hash long, doc_id long"
+    ).write.partitionBy("bucket_pmod").parquet(store)
+    meta = os.path.join(local, _STORE_META_NAME)
+    if os.path.exists(meta):
+        os.remove(meta)
+    with pytest.raises(ValueError, match="different store_partitions"):
+        _effective_store_partitions(spark, store, 8)
+    assert not os.path.exists(meta), "wrong N must not be pinned"
+    # the true N=4 recomputes consistently -> adopted and pinned
+    assert _effective_store_partitions(spark, store, 4) == 4
+    assert os.path.exists(meta)
+
+
+def test_store_meta_unreadable_is_not_absent(spark, tmp_root):
+    """A meta file that EXISTS but cannot be parsed must NOT route into the
+    adopt-and-overwrite branch: _read_store_meta returns the
+    _META_UNREADABLE sentinel (not None) and _effective_store_partitions
+    raises instead of overwriting a possibly-valid recorded layout."""
+    import os
+
+    import pytest
+
+    from facolos_data_pipelines_spark.streaming.pipeline import (
+        _META_UNREADABLE,
+        _STORE_META_NAME,
+        _effective_store_partitions,
+        _read_store_meta,
+    )
+
+    local = f"{tmp_root}/corrupt_meta_store"
+    store = f"file://{local}"
+    spark.createDataFrame(
+        [(1, 0, 17, 1)], "bucket_pmod int, band_id int, band_hash long, doc_id long"
+    ).write.partitionBy("bucket_pmod").parquet(store)
+    meta = os.path.join(local, _STORE_META_NAME)
+    with open(meta, "w") as fh:
+        fh.write("{not json")
+    # sentinel on both the local-path and Hadoop-FS read branches
+    assert _read_store_meta(local) is _META_UNREADABLE
+    assert _read_store_meta(store, spark) is _META_UNREADABLE
+    with pytest.raises(ValueError, match="could not be read"):
+        _effective_store_partitions(spark, store, 16)
+    with open(meta) as fh:
+        assert fh.read() == "{not json", "unreadable meta must not be overwritten"
