@@ -3358,6 +3358,28 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_overlap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus-overlap monitoring (text.corpus_overlap_delta,
+    round 8): docs with id%3==1 arrive as the NEW batch, the id%3==0
+    docs' distinct grams are the persisted state, the id%3==2 docs'
+    grams are the reference corpus — one row with the batch's distinct
+    grams, the genuinely-new subset, and the new-material contamination
+    against the reference. Each monitoring cycle costs O(batch) + two
+    gram-keyed joins against PERSISTED tables; no old document is ever
+    rescanned (the scale path corpus_overlap's docstring sketches)."""
+    from facolos_data_pipelines_spark.operators.text import (
+        corpus_gram_state,
+        corpus_overlap_delta,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = corpus_gram_state(docs.filter(F.col("doc_id") % 3 == 0), n=3)
+    ref = corpus_gram_state(docs.filter(F.col("doc_id") % 3 == 2), n=3)
+    return corpus_overlap_delta(
+        docs.filter(F.col("doc_id") % 3 == 1), seen, ref, n=3
+    )
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed whitespace-token-length histogram
     (text.token_length_histogram) over documents — the packing/bucket
@@ -3397,10 +3419,11 @@ def q_quantile_bin_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The full registry, insertion order immaterial — queries() below
     # reorders it so the driver's 50-entry sample window rotates each
-    # round (see _R7_WINDOW).
+    # round (see _R8_WINDOW).
     return {
         "bigram_lm_scores": q_bigram_lm_scores,
         "corpus_overlap": q_corpus_overlap,
+        "corpus_overlap_delta": q_corpus_overlap_delta,
         "length_histogram": q_length_histogram,
         "quantile_bin_prices": q_quantile_bin_prices,
         "cube_sales": q_cube_sales,
@@ -3569,30 +3592,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Round-7 driver window (the driver oracle-checks the FIRST 50 entries
-# of queries() each round; earlier windows live in the r1-r6
-# CORRECTNESS artifacts): the 4 new round-7 queries, the 4 whose
-# implementation changed this round (rrf rank path, dsir collect,
-# schedule_accuracy NULL counts), the 10 names whose newest driver
-# attestation is round-3 vintage, then the oldest 32 of the round-4
-# vintage names (alphabetical; the remaining 18 rotate in next round).
-_R7_WINDOW = [
-    "bigram_lm_scores", "corpus_overlap", "length_histogram",
-    "quantile_bin_prices", "cube_sales", "corpus_diversity",
-    "doc_containment",
-    "hybrid_search", "dsir_weights", "dsir_sample", "schedule_health",
-    "chunk_documents", "corpus_clean", "cycle_metrics", "dataset_split",
-    "embedding_near_dups", "embedding_near_dups_exact", "language_id",
-    "pii_redaction", "sample_per_group", "video_frame_sample",
-    "ann_recall", "anomaly_zscore", "approx_distinct", "c4_clean",
-    "cold_customers", "column_profile", "curriculum_order",
-    "daily_sales_summary", "decontaminate_bloom", "dedup_keep_best",
-    "disjunctive_revenue", "dup_cluster_sizes", "dup_components",
-    "duplicate_spans", "excess_suppliers", "expectations",
-    "forecast_revenue", "frequent_items", "fuzzy_match",
-    "important_parts", "ivfpq_topk", "key_skew", "knn_join",
-    "knn_join_lsh", "large_orders", "line_dedup", "market_share",
-    "min_cost_supplier", "minhash_dedup_portable",
+# Round-8 driver window (the driver oracle-checks the FIRST 50 entries
+# of queries() each round; earlier windows live in the r1-r7
+# CORRECTNESS artifacts): the new round-8 query, the 7 whose code path
+# changed this round (embedding-LSH auto defaults feed dup_components /
+# dup_cluster_sizes / dedup_keep_best / embedding_near_dups*, the rrf
+# NaN filter feeds hybrid_search, quantile_bin_prices gained the NULL
+# filter), the 3 [NQ] rows-only names (last refreshed r2), then the 21
+# round-4-vintage names the r7 rotation left over, then the oldest 18
+# of the round-5 band (alphabetical; the rest rotate next round).
+_R8_WINDOW = [
+    "corpus_overlap_delta",
+    "quantile_bin_prices", "hybrid_search", "dup_components",
+    "dup_cluster_sizes", "dedup_keep_best", "embedding_near_dups",
+    "embedding_near_dups_exact",
+    "ivf_topk", "minhash_dedup", "simhash_dedup",
+    "nation_profit", "nation_trade", "ngram_jaccard_dedup", "pq_topk",
+    "priority_shipclass", "promo_revenue", "psi_drift",
+    "repetition_stats", "returned_top_customers",
+    "semantic_decontaminate", "semantic_dedup", "simhash_dedup_portable",
+    "split_leakage", "strip_dup_spans", "supplier_variety",
+    "supplier_wait", "temperature_mix", "token_budget_mix",
+    "top_supplier", "tumbling_window", "unigram_scores",
+    "ann_recall_trained", "asof_join_events", "asof_join_forward",
+    "bm25_search", "char_entropy", "chi2_drift", "cluster_assign",
+    "cohort_retention", "customer_order_distribution", "decontaminate",
+    "dup_rate_by_source", "freq_encode_priority", "funnel",
+    "gap_fill_daily", "group_percentiles", "incremental_daily_sales",
+    "incremental_distinct", "interval_join",
 ]
 
 
@@ -3640,11 +3667,11 @@ def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = _all_queries()
-    missing = [n for n in _R7_WINDOW if n not in all_q]
+    missing = [n for n in _R8_WINDOW if n not in all_q]
     if missing:
-        raise KeyError(f"_R7_WINDOW names not in the registry: {missing}")
-    rest = [n for n in all_q if n not in set(_R7_WINDOW)]
-    return {n: all_q[n] for n in [*_R7_WINDOW, *rest]}
+        raise KeyError(f"_R8_WINDOW names not in the registry: {missing}")
+    rest = [n for n in all_q if n not in set(_R8_WINDOW)]
+    return {n: all_q[n] for n in [*_R8_WINDOW, *rest]}
 
 
 def _vec_sql() -> str:
@@ -4334,6 +4361,48 @@ def oracle_sql() -> dict[str, str]:
                          + 1e-9, 6) AS jaccard,
                    ROUND(n_common / greatest(n_grams_a, 1) + 1e-9, 6) AS containment_a,
                    ROUND(n_common / greatest(n_grams_b, 1) + 1e-9, 6) AS containment_b
+            FROM agg
+        """,
+        "corpus_overlap_delta": r"""
+            -- text.corpus_overlap_delta twin: same 3-shingle pipeline as
+            -- the corpus_overlap twin; delta batch = id%3==1 docs, seen
+            -- state = distinct grams of id%3==0 docs, reference = grams
+            -- of id%3==2 docs; two left joins + one aggregate row
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    list_filter([array_to_string(list_slice(words, i, i + 2), ' ')
+                                 for i in range(1, greatest(len(words) - 2, 1) + 1)],
+                                x -> x <> ''))) AS sh
+                FROM w
+            ), dg AS (
+                SELECT DISTINCT sh FROM g WHERE doc_id % 3 = 1
+            ), seen AS (
+                SELECT DISTINCT sh FROM g WHERE doc_id % 3 = 0
+            ), ref AS (
+                SELECT DISTINCT sh FROM g WHERE doc_id % 3 = 2
+            ), j AS (
+                SELECT seen.sh IS NOT NULL AS is_seen,
+                       ref.sh IS NOT NULL AS in_ref
+                FROM dg LEFT JOIN seen ON dg.sh = seen.sh
+                        LEFT JOIN ref ON dg.sh = ref.sh
+            ), agg AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_delta_grams,
+                       CAST(SUM(CASE WHEN NOT is_seen THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_new_grams,
+                       CAST(SUM(CASE WHEN NOT is_seen AND in_ref THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_new_common
+                FROM j
+            )
+            SELECT n_delta_grams, n_new_grams, n_new_common,
+                   ROUND(n_new_grams / greatest(n_delta_grams, 1) + 1e-9, 6)
+                       AS new_gram_ratio,
+                   ROUND(n_new_common / greatest(n_new_grams, 1) + 1e-9, 6)
+                       AS new_contamination
             FROM agg
         """,
         "length_histogram": r"""

@@ -278,6 +278,30 @@ def main() -> None:
         if name in STUB
     }
     total = round(sum(timings.values()), 3)
+    # The stable round-over-round signal: sum of the RECORDED isolated
+    # baselines (BENCH_ISOLATED.json, maintained by scripts/
+    # bench_ratchet.py — one warm quiet subprocess, min-ratcheted) over
+    # this run's 10 slowest queries. The contended total above swings
+    # 1.3x+ with machine state; the committed baselines don't. Reported
+    # as null until every one of the 10 has a recorded baseline, so a
+    # partially-covered figure can't masquerade as the full one.
+    iso_top10 = None
+    iso_missing: list[str] = []
+    iso_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_ISOLATED.json"
+    )
+    slowest10 = [
+        q for q, _ in sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    ][:10]
+    try:
+        with open(iso_path) as f:
+            iso_bucket = json.load(f).get(str(sf), {})
+        iso_baseline = iso_bucket.get("baseline", iso_bucket)
+        iso_missing = [q for q in slowest10 if q not in iso_baseline]
+        if slowest10 and not iso_missing:
+            iso_top10 = round(sum(iso_baseline[q] for q in slowest10), 3)
+    except (OSError, ValueError):
+        iso_missing = slowest10
     detail = {
         "metric": "headline_query_wall_seconds",
         "value": total,
@@ -291,6 +315,9 @@ def main() -> None:
         # (scripts/bench_diff.py protocol, reported in BENCH_DIFF.md)
         # are the apples-to-apples per-query numbers
         "timing_mode": "contended-sequential",
+        "isolated_top10": iso_top10,
+        "isolated_top10_source": "BENCH_ISOLATED.json baselines",
+        "isolated_top10_missing": iso_missing,
     }
     # Full per-query map goes to a file: round 4 proved that inlining 134
     # timings in the printed line overflows the driver's tail capture
@@ -315,6 +342,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "repeats": repeats,
                 "sf": sf,
+                "isolated_top10": iso_top10,
                 "detail": os.path.basename(detail_path),
             }
         )

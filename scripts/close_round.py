@@ -15,12 +15,17 @@ honest:
    ``queries()`` entry);
 5. **bench diff vs the last committed detail** (``git show
    HEAD:BENCH_DETAIL.json``) with ``--remeasure`` noise adjudication
-   → ``BENCH_DIFF.md``.
+   → ``BENCH_DIFF.md``;
+6. **isolated ratchet** (``bench_ratchet.py --top 15 --runs 2``) →
+   refreshed ``BENCH_ISOLATED.json`` baselines, which feed bench.py's
+   ``isolated_top10`` figure next run. Runs after the diff so
+   adjudication used the pre-refresh baselines; a ratchet flag warns
+   instead of aborting.
 
 Steps run sequentially; the first failure aborts (later artifacts
 would be describing a broken tree). Usage:
 
-    python scripts/close_round.py [--skip bench,oracle,pytest,plans,diff]
+    python scripts/close_round.py [--skip bench,oracle,pytest,plans,diff,ratchet]
 
 Environment: SPARK_GRAFT_SF_DIR (bench data, default sf0.1), plus
 everything bench.py / check_oracle.py already honor.
@@ -54,7 +59,8 @@ def _other_spark_procs() -> list[str]:
         # processes (e.g. the round driver) may quote these filenames
         # inside their argument text
         if exe.startswith("python") and re.search(
-            r"bench\.py|check_oracle\.py|bench_scale_growers\.py|-m pytest",
+            r"bench\.py|check_oracle\.py|bench_scale_growers\.py"
+            r"|bench_scale_postings\.py|bench_ratchet\.py|-m pytest",
             rest,
         ):
             hits.append(line.strip()[:160])
@@ -151,6 +157,27 @@ def main() -> int:
                 )
             finally:
                 os.unlink(prev_path)
+
+    if "ratchet" not in skip:
+        # standing isolated-median ratchet for the slowest queries
+        # (min-ratcheted BENCH_ISOLATED.json baselines feed bench.py's
+        # isolated_top10 figure — the stable round-over-round signal).
+        # Runs LAST so the diff step above adjudicated against the
+        # pre-refresh baselines. --top 15 covers contended-rank drift
+        # (the 10 slowest of the NEXT run may differ slightly). A flag
+        # here (rc=1) is a signal to adjudicate, not a broken tree —
+        # warn, don't abort.
+        print("== ratchet: scripts/bench_ratchet.py --top 15 --runs 2", flush=True)
+        r = subprocess.run(
+            [py, "scripts/bench_ratchet.py", "BENCH_DETAIL.json",
+             "--top", "15", "--runs", "2"],
+            cwd=REPO,
+        )
+        if r.returncode != 0:
+            print(
+                "   WARNING: ratchet flagged isolated regressions — "
+                "adjudicate before committing BENCH_ISOLATED.json"
+            )
 
     print("close_round: all steps green — commit the refreshed artifacts")
     return 0

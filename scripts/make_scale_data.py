@@ -12,11 +12,23 @@ scaling, not a change in problem character:
   per-user event density, so per-user windows/sessions stay the same
   size and a super-linear bench delta would indicate a plan problem,
   not fatter partitions.
-- ``documents``: doc ids shifted; for copies > 0 a copy-specific marker
-  token is spliced in every 5 words (rewrites ~3/5 of all 3-shingles,
-  so copies are NOT near-duplicates of their originals and the
-  dedup-pair density per doc stays flat instead of exploding 10x).
-  ``n_chars`` is recomputed from the perturbed text.
+- ``documents``: doc ids shifted; for copies > 0 a GROUP-specific
+  marker token is spliced after every second word — dense enough that
+  EVERY 3-shingle (and a fortiori every 5-gram) contains a marker, so
+  copies share ZERO shingles with their originals or with copies from
+  other groups; copies are grouped in threes sharing one marker, so
+  each (base doc, group) plants a 3-clique of EXACT duplicates. The
+  true near-dup pair set therefore grows LINEARLY with the factor
+  (more fixed-size duplicate clusters — how real corpora grow), and
+  per-gram posting-list sizes stay BOUNDED (each marker variant is
+  confined to its 3-copy group), keeping the exact posting-join
+  operators' Σ freq² linear in the corpus. The original round-7
+  perturbation (marker every 5 words) left ~half of each copy's
+  shingles shared with EVERY sibling copy: posting sizes grew with
+  the factor, Σ freq² quadratically, and the round-8 sf10 runs of
+  ngram_jaccard_pairs / ngram_containment_pairs timed out at 30 min
+  measuring that data artifact (SCALE.md §6d). ``n_chars`` is
+  recomputed from the perturbed text.
 - ``embeddings``: vec ids shifted; copies > 0 are REPLACED by
   deterministic pseudo-random directions (per-element shader-style
   hash of (vec_id, copy-group, element) — uniform in [-0.5, 0.5], so
@@ -82,11 +94,16 @@ def main() -> int:
         return out
 
     def perturb_documents(df, i: int):
+        # copies in groups of three share one marker -> 3-cliques of
+        # EXACT duplicates (pair count linear in the factor); the
+        # marker lands after EVERY SECOND word, so every 3-shingle
+        # contains one and cross-group copies share zero shingles
+        group = (i - 1) // 3
         words = F.split(F.col("text"), " ")
         marked = F.transform(
             words,
             lambda w, j: F.when(
-                j % 5 == F.lit(0), F.concat(w, F.lit(f" q{i}z"))
+                j % 2 == F.lit(0), F.concat(w, F.lit(f" q{group}z"))
             ).otherwise(w),
         )
         text = F.array_join(marked, " ")

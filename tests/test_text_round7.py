@@ -143,3 +143,61 @@ class TestCorpusDiversity:
         assert out["empty"]["total_grams"] == 0
         assert out["empty"]["type_token_ratio"] == 0.0
         assert out["ok"]["distinct_grams"] == 2
+
+
+class TestCorpusOverlapDelta:
+    def test_increments_match_full_recompute(self, spark):
+        """The associativity contract: running corpus_overlap_delta on a
+        batch and adding its increments to the pre-batch counters must
+        equal corpus_overlap recomputed over (old + batch) vs ref."""
+        from facolos_data_pipelines_spark.operators.text import (
+            corpus_gram_state,
+            corpus_overlap,
+            corpus_overlap_delta,
+        )
+
+        old = _docs(spark, [(1, "a b c d"), (2, "c d e f")])
+        batch = _docs(spark, [(3, "c d e f g"), (4, "x y z w")])
+        ref = _docs(spark, [(9, "b c d e f g h")])
+
+        seen = corpus_gram_state(old)
+        ref_grams = corpus_gram_state(ref)
+        delta = corpus_overlap_delta(batch, seen, ref_grams).first()
+
+        before = corpus_overlap(old, ref).first()
+        after = corpus_overlap(old.unionByName(batch), ref).first()
+        assert before["n_grams_a"] + delta["n_new_grams"] == after["n_grams_a"]
+        assert before["n_common"] + delta["n_new_common"] == after["n_common"]
+
+    def test_recrawl_batch_is_all_seen(self, spark):
+        from facolos_data_pipelines_spark.operators.text import (
+            corpus_gram_state,
+            corpus_overlap_delta,
+        )
+
+        old = _docs(spark, [(1, "a b c d e")])
+        recrawl = _docs(spark, [(2, "a b c d e")])  # exact re-crawl
+        ref = _docs(spark, [(9, "k l m n")])
+        r = corpus_overlap_delta(
+            recrawl, corpus_gram_state(old), corpus_gram_state(ref)
+        ).first()
+        assert r["n_delta_grams"] == 3  # {a b c, b c d, c d e}
+        assert r["n_new_grams"] == 0 and r["n_new_common"] == 0
+        assert r["new_gram_ratio"] == 0.0
+
+    def test_new_material_contamination(self, spark):
+        from facolos_data_pipelines_spark.operators.text import (
+            corpus_gram_state,
+            corpus_overlap_delta,
+        )
+
+        old = _docs(spark, [(1, "p q r s")])
+        # batch: 2 new grams {a b c, b c d}; one of them is in ref
+        batch = _docs(spark, [(2, "a b c d")])
+        ref = _docs(spark, [(9, "a b c")])
+        r = corpus_overlap_delta(
+            batch, corpus_gram_state(old), corpus_gram_state(ref)
+        ).first()
+        assert r["n_delta_grams"] == 2 and r["n_new_grams"] == 2
+        assert r["n_new_common"] == 1
+        assert r["new_contamination"] == pytest.approx(0.5, abs=1e-6)
