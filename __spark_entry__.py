@@ -669,6 +669,36 @@ def q_minhash_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup pairs (dedup.minhash_cross_corpus_pairs,
+    round 8) under the portable md5 family: odd-id documents are the
+    NEW batch, even-id documents the existing corpus — (left, right)
+    pairs whose verified shingle Jaccard >= 0.8, found via a
+    bucket-keyed join between the two sides' band frames with no
+    self-join anywhere. The decontaminate-new-crawl-against-eval-set /
+    dedup-against-training-set primitive; every stage (md5 lane minima,
+    band keys, cross-bucket candidates, exact Jaccard) is reproduced by
+    the DuckDB oracle."""
+    from facolos_data_pipelines_spark.operators.dedup import (
+        minhash_cross_corpus_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_cross_corpus_pairs(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        num_hashes=16,
+        bands=4,
+        threshold=0.8,
+        family="md5",
+    )
+    return pairs.select(
+        "left_id",
+        "right_id",
+        F.round(F.col("jaccard") + 1e-9, 6).alias("jaccard"),
+    ).orderBy("left_id", "right_id")
+
+
 def q_simhash_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable 60-bit SimHash near-dedup survivor set
     (dedup.simhash_dedup_md5): word-hash bits = the nibbles of the
@@ -3424,6 +3454,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_scores": q_bigram_lm_scores,
         "corpus_overlap": q_corpus_overlap,
         "corpus_overlap_delta": q_corpus_overlap_delta,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
         "length_histogram": q_length_histogram,
         "quantile_bin_prices": q_quantile_bin_prices,
         "cube_sales": q_cube_sales,
@@ -3602,7 +3633,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # round-4-vintage names the r7 rotation left over, then the oldest 18
 # of the round-5 band (alphabetical; the rest rotate next round).
 _R8_WINDOW = [
-    "corpus_overlap_delta",
+    "corpus_overlap_delta", "cross_corpus_dedup",
     "quantile_bin_prices", "hybrid_search", "dup_components",
     "dup_cluster_sizes", "dedup_keep_best", "embedding_near_dups",
     "embedding_near_dups_exact",
@@ -6622,6 +6653,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """,
+        "cross_corpus_dedup": f"""
+            -- minhash_cross_corpus_pairs twin under the portable md5
+            -- family: same lanes/bands as minhash_dedup_portable, but
+            -- candidates come from a bucket join of the ODD side's
+            -- bands against the EVEN side's — no self-join; verified
+            -- exact distinct-shingle Jaccard >= 0.8
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    list_filter([array_to_string(list_slice(words, i, i + 2), ' ')
+                                 for i in range(1, greatest(len(words) - 2, 1) + 1)],
+                                x -> x <> ''))) AS sh
+                FROM w
+            ), lanes AS (
+                SELECT doc_id,
+                   {_minhash_lanes_sql(16)}
+                FROM g GROUP BY doc_id
+            ), bands AS (
+                {_minhash_bands_sql(16, 4)}
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key
+                WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+            ), shared AS (
+                SELECT cand.left_id, cand.right_id, COUNT(*) AS c
+                FROM cand
+                JOIN g ga ON ga.doc_id = cand.left_id
+                JOIN g gb ON gb.doc_id = cand.right_id AND gb.sh = ga.sh
+                GROUP BY 1, 2
+            )
+            SELECT shared.left_id, shared.right_id,
+                   ROUND(c / (sa.n + sb.n - c) + 1e-9, 6) AS jaccard
+            FROM shared
+            JOIN sz sa ON sa.doc_id = left_id
+            JOIN sz sb ON sb.doc_id = right_id
+            WHERE c / (sa.n + sb.n - c) >= 0.8
+            ORDER BY left_id, right_id
         """,
         "simhash_dedup_portable": f"""
             -- portable 60-bit simhash: md5 hex-nibble bit votes,

@@ -227,6 +227,10 @@ HEADLINE = [
     "cube_sales",
     "corpus_diversity",
     "doc_containment",
+    # round-8 additions: incremental corpus-overlap monitoring and
+    # cross-corpus (new-batch vs existing/eval) near-dup pairs
+    "corpus_overlap_delta",
+    "cross_corpus_dedup",
 ]
 
 # Reported outside the headline wall (empty since round 6: the

@@ -32,6 +32,8 @@ from .dedup_common import (  # noqa: F401
     _check_lanes,
 )
 from .dedup_minhash import (  # noqa: F401
+    minhash_cross_corpus_pairs,
+    cross_corpus_dedup,
     exact_dedup,
     normalized_words,
     word_shingles,

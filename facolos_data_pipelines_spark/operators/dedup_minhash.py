@@ -423,3 +423,99 @@ def minhash_dedup(
         buckets.unpersist()
 
 
+
+
+def minhash_cross_corpus_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    family: str = "multiply_add",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN two corpora, never within one — the
+    dedup-new-data-against-existing-training-set / decontaminate-crawl-
+    against-eval-set primitive the self-join operators can't express
+    without paying for both corpora's internal pairs. Returns
+    (left_id, right_id, jaccard) for every cross pair whose verified
+    distinct-shingle Jaccard clears ``threshold``.
+
+    Plan shape: both sides reduce to (id, band_id, band_hash) bucket
+    rows under the SAME hash family (signatures from different
+    families never match — the persisted-store contract); the
+    candidate join is hash-partitioned on (band_id, band_hash) with no
+    self-join anywhere, so cost is one band shuffle of each corpus +
+    verification proportional to CROSS candidates only. When ``right``
+    is a benchmark/eval set (the decontamination case) its bucket side
+    is small enough that AQE broadcasts it — the new corpus then never
+    shuffles at all. ``max_bucket_size`` caps boilerplate buckets on
+    each side independently, same rationale as
+    :func:`lsh_candidate_pairs`. Ids may collide across corpora (both
+    sides can have a doc 17) — the output keeps the sides in separate
+    columns and never compares ids across sides."""
+    lb = minhash_lsh_buckets(
+        left, text_col, id_col, num_hashes, bands, shingle_n, family
+    ).select(F.col(id_col).alias("left_id"), "band_id", "band_hash")
+    rb = minhash_lsh_buckets(
+        right, text_col, id_col, num_hashes, bands, shingle_n, family
+    ).select(F.col(id_col).alias("right_id"), "band_id", "band_hash")
+    if max_bucket_size is not None:
+        from .skew import drop_oversized_groups
+
+        lb = drop_oversized_groups(lb, ["band_id", "band_hash"], max_bucket_size)
+        rb = drop_oversized_groups(rb, ["band_id", "band_hash"], max_bucket_size)
+    cand = (
+        lb.join(rb, ["band_id", "band_hash"])
+        .select("left_id", "right_id")
+        .dropDuplicates()
+    )
+
+    def side_shingles(df: DataFrame, out_id: str) -> DataFrame:
+        ids = cand.select(F.col(out_id).alias(id_col)).dropDuplicates()
+        return (
+            df.join(ids, id_col, "left_semi")
+            .select(
+                F.col(id_col).alias(out_id),
+                word_shingles(text_col, shingle_n).alias(f"_sh_{out_id}"),
+            )
+        )
+
+    joined = cand.join(side_shingles(left, "left_id"), "left_id").join(
+        side_shingles(right, "right_id"), "right_id"
+    )
+    jac = F.size(F.array_intersect("_sh_left_id", "_sh_right_id")) / F.size(
+        F.array_union("_sh_left_id", "_sh_right_id")
+    )
+    return joined.select("left_id", "right_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def cross_corpus_dedup(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    family: str = "multiply_add",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Keep only the ``left`` rows that near-duplicate NO ``right``
+    document (minhash-LSH blocked, Jaccard-verified) — incremental
+    corpus ingestion: ``right`` is what you already have (or must not
+    leak, for eval sets), ``left`` is the new batch; survivors are safe
+    to append. One left-anti join on the matched left ids; ``right``
+    is never mutated or copied."""
+    pairs = minhash_cross_corpus_pairs(
+        left, right, text_col, id_col, num_hashes, bands, shingle_n,
+        threshold, family, max_bucket_size,
+    )
+    losers = pairs.select(F.col("left_id").alias(id_col)).dropDuplicates()
+    return left.join(losers, id_col, "left_anti")

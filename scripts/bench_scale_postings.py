@@ -62,6 +62,9 @@ def main() -> int:
     cap_override: int | None | str = sys.argv[5] if len(sys.argv) > 5 else "unset"
     if cap_override != "unset":
         cap_override = None if str(cap_override).lower() == "none" else int(cap_override)
+    # hot_* ops: every doc with doc_id % hot_mod == 0 gets the hot
+    # sentence (default 10 -> 10% of the corpus)
+    hot_mod = int(sys.argv[6]) if len(sys.argv) > 6 else 10
 
     from pyspark.sql import functions as F
 
@@ -77,12 +80,12 @@ def main() -> int:
     n_docs = docs.count()
 
     if op.startswith("hot_"):
-        # plant ONE hot shingle family into 10% of docs (id % 10 == 0):
+        # plant ONE hot shingle family into 1/hot_mod of the docs:
         # a fixed sentence appended in-plan — deterministic, no data file
         docs = docs.withColumn(
             "text",
             F.when(
-                F.col("doc_id") % 10 == 0,
+                F.col("doc_id") % hot_mod == 0,
                 F.concat(F.col("text"), F.lit(HOT_SENTENCE)),
             ).otherwise(F.col("text")),
         )

@@ -1340,3 +1340,60 @@ def test_ngram_containment_pairs_catches_quoted_doc(spark):
     )
     r = ngram_containment_pairs(df2, threshold=0.9, max_posting_size=None).first()
     assert r["contained_id"] == 5
+
+
+def test_minhash_cross_corpus_pairs_and_dedup(spark):
+    """Cross-corpus near-dup: pairs connect the two sides only — two
+    IDENTICAL left docs must not pair with each other; a left doc
+    matching a right doc is found and dropped by cross_corpus_dedup;
+    ids may collide across sides without cross-side comparison."""
+    from facolos_data_pipelines_spark.operators.dedup import (
+        cross_corpus_dedup,
+        minhash_cross_corpus_pairs,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    other = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+    left = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different words about spark")],
+        "doc_id long, text string",
+    )
+    # right doc 1 shares an id with left doc 1 but has unrelated text —
+    # the id collision must not fabricate or suppress anything
+    right = spark.createDataFrame(
+        [(1, other), (9, base + " omega")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_cross_corpus_pairs(
+        left, right, threshold=0.8, family="xxhash"
+    ).collect()
+    got = {(r["left_id"], r["right_id"]) for r in pairs}
+    assert got == {(1, 9), (2, 9)}, got  # both identical left docs match right 9
+    assert all(r["jaccard"] >= 0.8 for r in pairs)
+
+    survivors = {
+        r["doc_id"]
+        for r in cross_corpus_dedup(
+            left, right, threshold=0.8, family="xxhash"
+        ).collect()
+    }
+    assert survivors == {3}
+
+
+def test_cross_corpus_pairs_empty_sides(spark):
+    from facolos_data_pipelines_spark.operators.dedup import (
+        minhash_cross_corpus_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_cross_corpus_pairs(docs, empty, family="xxhash").count() == 0
+    assert minhash_cross_corpus_pairs(empty, docs, family="xxhash").count() == 0
