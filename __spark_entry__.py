@@ -3630,8 +3630,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # dup_cluster_sizes / dedup_keep_best / embedding_near_dups*, the rrf
 # NaN filter feeds hybrid_search, quantile_bin_prices gained the NULL
 # filter), the 3 [NQ] rows-only names (last refreshed r2), then the 21
-# round-4-vintage names the r7 rotation left over, then the oldest 18
-# of the round-5 band (alphabetical; the rest rotate next round).
+# round-4-vintage names the r7 rotation left over, then the oldest 17
+# of the round-5 band (alphabetical; the rest — interval_join onward —
+# rotate next round). Exactly 50 entries: the driver samples the FIRST
+# 50, so a 51st name would silently miss its attestation.
 _R8_WINDOW = [
     "corpus_overlap_delta", "cross_corpus_dedup",
     "quantile_bin_prices", "hybrid_search", "dup_components",
@@ -3650,7 +3652,7 @@ _R8_WINDOW = [
     "cohort_retention", "customer_order_distribution", "decontaminate",
     "dup_rate_by_source", "freq_encode_priority", "funnel",
     "gap_fill_daily", "group_percentiles", "incremental_daily_sales",
-    "incremental_distinct", "interval_join",
+    "incremental_distinct",
 ]
 
 

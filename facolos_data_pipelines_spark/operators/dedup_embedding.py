@@ -381,6 +381,9 @@ def embedding_dedup(
     score_col: str | None = None,
     descending: bool = True,
     verify_impl: str = "auto",
+    max_bucket_size: int | None = None,
+    auto_bucket_occupancy: int = 64,
+    arrow_verify_threshold: int = 100_000,
 ) -> DataFrame:
     """Drop the higher id of every near-duplicate embedding pair (or,
     with ``transitive=True``, keep one vector per single-link
@@ -391,10 +394,16 @@ def embedding_dedup(
     ``num_planes=0`` opts into exact all-pairs for small frames.
     ``signature_impl`` passes through to the blocking stage
     (``'arrow'`` = the numpy-matmul scale path, see
-    banded_signatures)."""
+    banded_signatures); the scale knobs (``max_bucket_size``,
+    ``auto_bucket_occupancy``, ``arrow_verify_threshold``) pass
+    through to the pair search, so the wrapper never has to be
+    abandoned to reach them."""
     pairs = embedding_near_dup_pairs(
         df, vec_col, id_col, threshold, num_planes, num_bands, dim,
+        max_bucket_size=max_bucket_size,
         signature_impl=signature_impl, verify_impl=verify_impl,
+        auto_bucket_occupancy=auto_bucket_occupancy,
+        arrow_verify_threshold=arrow_verify_threshold,
     )
     return _drop_pair_losers(
         df, pairs, id_col, transitive, score_col=score_col, descending=descending

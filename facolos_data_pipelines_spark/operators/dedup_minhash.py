@@ -472,6 +472,12 @@ def minhash_cross_corpus_pairs(
         lb.join(rb, ["band_id", "band_hash"])
         .select("left_id", "right_id")
         .dropDuplicates()
+        # eagerly materialized: the plan references cand THREE times (the
+        # verify join + both side_shingles id sets) and the candidate DAG
+        # above it (two corpora's signatures + the band join) is the
+        # expensive subtree — same reasoning as minhash_dedup's persisted
+        # buckets. Checkpointed rows are id-pair-width only.
+        .localCheckpoint(eager=True)
     )
 
     def side_shingles(df: DataFrame, out_id: str) -> DataFrame:

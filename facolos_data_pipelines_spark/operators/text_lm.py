@@ -392,15 +392,8 @@ def corpus_overlap_delta(
     Oracle-expressible end-to-end (distinct sets + two joins + one
     aggregate), unlike streaming state: the 'state' is just a table.
     """
-    from .dedup import exploded_shingles
-
-    d = delta
-    if id_col not in d.columns:
-        d = d.withColumn(id_col, F.monotonically_increasing_id())
-    dg = (
-        exploded_shingles(d, text_col, id_col, n, distinct=False)
-        .select(F.col("_sh").alias("_g"))
-        .distinct()
+    dg = corpus_gram_state(delta, n, text_col, id_col).select(
+        F.col("gram").alias("_g")
     )
     seen = (
         seen_grams.select(F.col(seen_grams.columns[0]).alias("_g"))

@@ -42,12 +42,18 @@ reference, never the contended old number.
   no reference either, so the flag re-fired forever with no way to
   adjudicate it. Pending entries are REMEASURED on every
   ``--remeasure`` run (whether or not the query flags again) and
-  compared like-for-like against the pending value: within the
-  threshold -> the isolated time is stable -> the original flag is
-  adjudicated noise/environment-drift and the smaller of the two
-  medians is PROMOTED to baseline; past the threshold -> still
-  regressing isolated-ly -> stays pending (keeping the smaller
-  reference so a regression can never ratchet the pending value up).
+  compared like-for-like against the pending value. Promotion to
+  baseline requires BOTH a stable isolated time AND the contended
+  flag having cleared: stability alone cannot distinguish
+  environment drift from a real committed slowdown, but the two
+  diverge on the contended axis — a genuine regression keeps
+  re-flagging against the still-fast committed basis (the diff basis
+  only advances when a green close commits), while a drift flag
+  stops firing one round later when the basis catches up. A pending
+  query that re-flags stays confirmed (exit 1) no matter how stable
+  its isolated time; one that stopped flagging and is stable
+  promotes (min of the two medians); one still past the threshold
+  stays pending at the smaller reference.
 
 Queries with NO record at all (first time flagged) are adjudicated
 conservatively: cleared as noise only when the isolated re-run beats
@@ -254,40 +260,61 @@ def main() -> int:
     dirty = False
     confirmed = 0
 
-    def adjudicate(q: str, iso: float, contended_old: float | None):
+    def adjudicate(q: str, iso: float, contended_old: float | None,
+                   currently_flagged: bool):
         """(is_real, label) + baseline/pending bookkeeping."""
         nonlocal dirty
         iso_old = baseline.get(q)
         pend_old = pending.get(q)
         if iso_old is not None and iso_old > 0:
-            # like-for-like: isolated re-run vs recorded isolated baseline
+            # like-for-like: isolated re-run vs recorded isolated baseline.
+            # pending is NOT touched here — it exists only for queries
+            # with no baseline; a baselined regression keeps re-flagging
+            # against its baseline until fixed or deliberately re-based.
             is_real = iso / iso_old > threshold
             if is_real:
                 label = f"REGRESSION (isolated: {iso} s vs baseline {iso_old} s)"
-                pending[q] = min(iso, pend_old) if pend_old else iso
             else:
                 label = f"noise (isolated: {iso} s vs baseline {iso_old} s)"
                 baseline[q] = min(iso, iso_old)
                 pending.pop(q, None)
-            dirty = True
+                dirty = True
             return is_real, label
         if pend_old is not None and pend_old > 0:
-            # like-for-like vs the pending reference from the prior run:
-            # a stable isolated time means the original contended flag was
-            # environment, not code — promote the smaller median to baseline
-            is_real = iso / pend_old > threshold
-            if is_real:
+            # like-for-like vs the pending reference from the prior run.
+            # Stability alone cannot distinguish environment drift from a
+            # real committed slowdown, so promotion requires the contended
+            # flag to have CLEARED too: a genuine regression keeps
+            # re-flagging against the still-fast committed basis (the diff
+            # basis only advances when a green close commits), while a
+            # drift flag stops firing one round later when the basis
+            # catches up — only then does a stable isolated time prove
+            # noise and promote.
+            stable = iso / pend_old <= threshold
+            if currently_flagged:
+                is_real = True
+                label = (
+                    f"REGRESSION (isolated: {iso} s "
+                    f"{'stable vs' if stable else 'vs'} pending {pend_old} s, "
+                    "but the contended flag re-fired — a stable-but-slow "
+                    "time does not self-clear while the committed basis "
+                    "still disagrees)"
+                )
+                pending[q] = min(iso, pend_old)
+            elif stable:
+                is_real = False
+                label = (
+                    f"noise (isolated: {iso} s stable vs pending {pend_old} s"
+                    " and the contended flag cleared — promoted to baseline)"
+                )
+                baseline[q] = min(iso, pend_old)
+                pending.pop(q, None)
+            else:
+                is_real = True
                 label = (
                     f"REGRESSION (isolated: {iso} s vs pending {pend_old} s)"
                 )
                 pending[q] = min(iso, pend_old)
-            else:
-                label = (
-                    f"noise (isolated: {iso} s stable vs pending {pend_old} s"
-                    " — promoted to baseline)"
-                )
-                baseline[q] = min(iso, pend_old)
-                pending.pop(q, None)
             dirty = True
             return is_real, label
         # no record at all: the contended old time is an UPPER bound on the
@@ -312,7 +339,7 @@ def main() -> int:
         if not remeasure or iso is None:
             label, is_real = "REGRESSION", True
         else:
-            is_real, label = adjudicate(q, iso, a)
+            is_real, label = adjudicate(q, iso, a, currently_flagged=True)
         regressions.append((b / a, q, a, b, label))
         confirmed += is_real
     for q in pending_only:
@@ -320,7 +347,7 @@ def main() -> int:
         if iso is None:
             continue
         pend_old = pending.get(q)
-        is_real, label = adjudicate(q, iso, None)
+        is_real, label = adjudicate(q, iso, None, currently_flagged=False)
         pending_rows.append((q, pend_old, iso, label))
         confirmed += is_real
     if dirty:

@@ -91,10 +91,16 @@ def main() -> int:
         if any(m.get(q) for m in run_medians)
     }
     state = bench_diff.load_isolated(sf)
-    baseline = state["baseline"]
+    baseline, pending = state["baseline"], state["pending"]
     flagged = []
     for q, new in best.items():
         old = baseline.get(q)
+        if q in pending:
+            # an open pending adjudication belongs to bench_diff — seeding
+            # (or ratcheting) here would let a confirmed regression become
+            # the baseline with no adjudication at all
+            print(f"  skipping {q}: pending adjudication open ({pending[q]} s)")
+            continue
         if old is None:
             baseline[q] = new
         elif new > threshold * old:

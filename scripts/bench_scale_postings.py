@@ -91,7 +91,9 @@ def main() -> int:
         )
 
     def kw(default_thr: float, default_cap="unset") -> dict:
-        out: dict = {"threshold": thr_override or default_thr}
+        out: dict = {
+            "threshold": default_thr if thr_override is None else thr_override
+        }
         if cap_override != "unset":
             out["max_posting_size"] = cap_override
         elif default_cap != "unset":

@@ -94,6 +94,46 @@ def test_pending_is_remeasured_even_when_not_flagged(monkeypatch, tmp_path):
     assert state["0.1"]["pending"] == {}
 
 
+def test_pending_does_not_self_clear_while_still_flagged(monkeypatch, tmp_path):
+    """Stability alone must not promote: a REAL committed regression has
+    a stable isolated time too, but it keeps re-flagging against the
+    still-fast committed basis. Flagged + pending + stable => stays a
+    confirmed regression; only a cleared contended flag plus stability
+    proves drift (code-review r8 finding)."""
+    iso_file = tmp_path / "iso.json"
+    iso_file.write_text(json.dumps(
+        {"0.1": {"baseline": {}, "pending": {"q": 1.9}}}
+    ))
+    # contended 2x (re-flagged) and isolated stable vs pending
+    rc, state, _ = _run(
+        monkeypatch, tmp_path,
+        old_q={"q": 1.0}, new_q={"q": 2.0},
+        iso_by_query={"q": 1.85}, iso_file=iso_file,
+    )
+    assert rc == 1, "stable-but-still-flagged must stay confirmed"
+    assert state["0.1"]["baseline"] == {}
+    assert state["0.1"]["pending"] == {"q": 1.85}  # smaller reference kept
+
+
+def test_baselined_regression_never_pollutes_pending(monkeypatch, tmp_path):
+    """A query WITH a baseline that regresses must not also enter the
+    pending bucket — pending exists only for no-baseline flags
+    (code-review r8 finding: double-bookkeeping forced perpetual
+    remeasurement and double-counted the regression)."""
+    iso_file = tmp_path / "iso.json"
+    iso_file.write_text(json.dumps(
+        {"0.1": {"baseline": {"q": 1.0}, "pending": {}}}
+    ))
+    rc, state, _ = _run(
+        monkeypatch, tmp_path,
+        old_q={"q": 1.0}, new_q={"q": 2.0},
+        iso_by_query={"q": 2.0}, iso_file=iso_file,
+    )
+    assert rc == 1
+    assert state["0.1"]["pending"] == {}
+    assert state["0.1"]["baseline"] == {"q": 1.0}  # regression not absorbed
+
+
 def test_pending_still_regressing_stays_pending(monkeypatch, tmp_path):
     iso_file = tmp_path / "iso.json"
     iso_file.write_text(json.dumps(
