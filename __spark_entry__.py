@@ -2063,7 +2063,12 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(emb, threshold=0.4)
+    # certified sites pin the oracle's 6-plane/4-band/64-dim family
+    # explicitly (num_planes='auto' == 6 only while the table stays
+    # <= 4096 vectors; the DuckDB twin hard-codes 6 hyperplanes)
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=0.4, num_planes=6, num_bands=4, dim=64
+    )
     comp = connected_components(pairs.select("id_a", "id_b"))
     return comp.select(
         F.col("node").cast("long").alias("node"),
@@ -2087,7 +2092,10 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(emb, threshold=0.4)
+    # pinned to the oracle's 6-plane family (see q_dup_components)
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=0.4, num_planes=6, num_bands=4, dim=64
+    )
     out = leakage_safe_split(
         emb.select("vec_id"), pairs, id_col="vec_id"
     )
@@ -2444,7 +2452,10 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(emb, threshold=0.4)
+    # pinned to the oracle's 6-plane family (see q_dup_components)
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=0.4, num_planes=6, num_bands=4, dim=64
+    )
     comps = connected_components(pairs.select("id_a", "id_b"))
     sizes = comps.groupBy("component").agg(F.count("*").alias("sz"))
     return (

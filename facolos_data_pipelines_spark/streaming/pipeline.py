@@ -630,6 +630,21 @@ def compact_bucket_store(
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))  # ceil
 
+    # read the layout meta BEFORE any compaction work: a meta file that
+    # exists but can't be parsed must refuse up front (same contract as
+    # _effective_store_partitions) — compacting without it would strand
+    # the store's pinned partition count
+    meta = _read_store_meta(path, spark)
+    if meta is _META_UNREADABLE:
+        raise ValueError(
+            f"bucket store at {path!r} has a layout meta file "
+            f"({_STORE_META_NAME}) that exists but could not be read or "
+            "parsed; refusing to compact — the meta must travel with the "
+            "compacted store. Repair or remove the meta file (its content "
+            'should be {"store_partitions": N} with the N the store was '
+            "created with) and retry"
+        )
+
     store = spark.read.parquet(path)
     rows_before = store.count()
     partitioned = "bucket_pmod" in store.columns
@@ -652,7 +667,6 @@ def compact_bucket_store(
         writer = writer.partitionBy("bucket_pmod")
     writer.parquet(tmp)
     rows_after = spark.read.parquet(tmp).count()
-    meta = _read_store_meta(path, spark)
     if meta is not None:  # layout meta travels with the compacted store
         _write_store_meta(tmp, meta["store_partitions"], spark)
     os.rename(path, old)

@@ -254,6 +254,10 @@ def main() -> int:
     pending_only = sorted(
         q for q in pending if q not in flagged and q in new["queries"]
     )
+    # pending rows for queries no longer in the bench are dead — delete
+    # them now (not just skip them), or they'd squat in BENCH_ISOLATED
+    # forever and block bench_ratchet seeding if the name is ever reused
+    dead_pending = sorted(q for q in pending if q not in new["queries"])
     isolated = remeasure_isolated(flagged + pending_only) if remeasure else {}
     regressions = []  # (ratio, query, old, new, label)
     pending_rows = []  # (query, pending_iso, fresh_iso, verdict) for the report
@@ -350,6 +354,13 @@ def main() -> int:
         is_real, label = adjudicate(q, iso, None, currently_flagged=False)
         pending_rows.append((q, pend_old, iso, label))
         confirmed += is_real
+    if remeasure:
+        for q in dead_pending:
+            pending.pop(q, None)
+            pending_rows.append(
+                (q, None, None, "dropped (query no longer in the bench)")
+            )
+            dirty = True
     if dirty:
         save_isolated({"baseline": baseline, "pending": pending}, sf)
     print(

@@ -208,3 +208,28 @@ def test_sf_keys_do_not_cross_contaminate(monkeypatch, tmp_path):
     assert rc == 1  # no 0.1-key record: conservative contended-bound rule
     assert state["1"]["baseline"] == {"q": 0.1}  # untouched
     assert state["0.1"]["pending"] == {"q": 1.9}
+
+
+def test_dead_pending_rows_are_deleted(monkeypatch, tmp_path):
+    """ADVICE r8: pending entries for queries later REMOVED from the bench
+    were filtered out of remeasurement but never deleted — dead rows
+    accumulated in BENCH_ISOLATED.json and would block bench_ratchet
+    seeding for any future query reusing the name. A remeasure run must
+    drop them (and only them) on save."""
+    iso_file = tmp_path / "iso.json"
+    iso_file.write_text(json.dumps(
+        {"0.1": {"baseline": {"keep": 0.4},
+                 "pending": {"gone": 3.0, "live": 1.9}}}
+    ))
+    rc, state, measured = _run(
+        monkeypatch, tmp_path,
+        old_q={"keep": 0.5, "live": 2.0}, new_q={"keep": 0.5, "live": 2.0},
+        iso_by_query={"live": 1.85}, iso_file=iso_file,
+    )
+    # 'gone' is not in the new bench: never remeasured, deleted on save
+    assert measured == ["live"]
+    assert "gone" not in state["0.1"]["pending"]
+    # the live pending name still went through normal adjudication
+    assert state["0.1"]["baseline"] == {"keep": 0.4, "live": 1.85}
+    assert state["0.1"]["pending"] == {}
+    assert rc == 0

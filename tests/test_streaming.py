@@ -832,3 +832,34 @@ def test_store_meta_unreadable_is_not_absent(spark, tmp_root):
         _effective_store_partitions(spark, store, 16)
     with open(meta) as fh:
         assert fh.read() == "{not json", "unreadable meta must not be overwritten"
+
+
+def test_compact_refuses_unreadable_meta(spark, tmp_root):
+    """compact_bucket_store must refuse up front (clear ValueError) when the
+    layout meta EXISTS but can't be parsed — not crash with a TypeError on
+    meta["store_partitions"] mid-compaction, and not silently drop the meta
+    from the compacted store."""
+    import os
+
+    import pytest
+
+    from facolos_data_pipelines_spark.streaming.pipeline import (
+        _STORE_META_NAME,
+        compact_bucket_store,
+    )
+
+    local = f"{tmp_root}/corrupt_meta_compact"
+    store = f"file://{local}"
+    spark.createDataFrame(
+        [(0, 0, 17, 1), (1, 1, 23, 2)],
+        "bucket_pmod int, band_id int, band_hash long, doc_id long",
+    ).write.partitionBy("bucket_pmod").parquet(store)
+    meta = os.path.join(local, _STORE_META_NAME)
+    with open(meta, "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(ValueError, match="refusing to compact"):
+        compact_bucket_store(spark, local)
+    # the store itself is untouched (refusal happened before any rewrite)
+    assert spark.read.parquet(store).count() == 2
+    with open(meta) as fh:
+        assert fh.read() == "{not json", "refusal must not rewrite the meta"
