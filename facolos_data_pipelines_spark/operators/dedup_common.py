@@ -86,3 +86,55 @@ def _check_lanes(num_hashes: int) -> None:
             f"hash family size ({_MAX_LANES} lanes)"
         )
 
+
+
+# ---------------------------------------------------------------------------
+# Plan-only mode: disable eager mid-plan materialization for inspection.
+#
+# Several operators eagerly localCheckpoint an expensive subtree (pair
+# searches, LSH buckets, per-round component labels) because the plan
+# references it multiple times. Correct at runtime — but a checkpoint
+# truncates the logical plan, so `.explain()` / scripts/dump_plans.py
+# see only a LogicalRDD scan above the boundary and lose the pushdown /
+# join-strategy evidence for exactly the subtree that costs the most.
+#
+# `plan_only_mode()` flips a module switch that `materialize()` (the
+# shared checkpoint wrapper) consults: inside the context, frames flow
+# through un-checkpointed, so the full Catalyst plan stays visible and
+# nothing executes at build time. Iterative operators additionally
+# compile a single representative round instead of looping to
+# convergence (the convergence check itself is an action). INSPECTION
+# ONLY: collecting a frame built under plan-only mode recomputes shared
+# subtrees and, for iterative operators, returns un-converged labels.
+
+_PLAN_ONLY = False
+
+
+def plan_only_active() -> bool:
+    """True inside a :func:`plan_only_mode` context."""
+    return _PLAN_ONLY
+
+
+class plan_only_mode:
+    """Context manager: disable eager materialization inside operators
+    so the full logical plan stays visible for explain/plan dumps."""
+
+    def __enter__(self):
+        global _PLAN_ONLY
+        self._prev = _PLAN_ONLY
+        _PLAN_ONLY = True
+        return self
+
+    def __exit__(self, *exc):
+        global _PLAN_ONLY
+        _PLAN_ONLY = self._prev
+        return False
+
+
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager)`` — unless plan-only mode is active,
+    in which case ``df`` flows through untouched (plan stays visible,
+    nothing executes)."""
+    if _PLAN_ONLY:
+        return df
+    return df.localCheckpoint(eager=eager)

@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup_common import materialize, plan_only_active
+
 
 def _components_driver(pairs: DataFrame) -> DataFrame:
     """Driver-side union-find over a SMALL edge list (the caller has
@@ -102,7 +104,7 @@ def connected_components(
         raise ValueError(
             f"on_nonconverged={on_nonconverged!r}; expected 'warn' or 'raise'"
         )
-    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    pairs = materialize(pairs.select("id_a", "id_b"))
     # The "~80 MB at 5M pairs" driver-dispatch sizing only holds for
     # fixed-width integral ids. With string ids (supported everywhere in
     # the dedup family) each pandas cell is a Python object (~60+ bytes
@@ -117,21 +119,26 @@ def connected_components(
         id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     ):
         effective_threshold = min(effective_threshold, 1_000_000)
-    if effective_threshold and pairs.count() <= effective_threshold:
+    # plan-only mode compiles the DISTRIBUTED path (the size dispatch is
+    # itself an action) and a single representative round — see
+    # dedup_common.plan_only_mode
+    if (
+        not plan_only_active()
+        and effective_threshold
+        and pairs.count() <= effective_threshold
+    ):
         return _components_driver(pairs)
-    edges = (
+    edges = materialize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .dropDuplicates()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = materialize(
         edges.select(F.col("src").alias("node"))
         .dropDuplicates()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for _ in range(1 if plan_only_active() else max_iter):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["node"])
             .groupBy(F.col("dst").alias("node"))
@@ -147,7 +154,7 @@ def connected_components(
         parent = hopped.select(
             F.col("node").alias("_c"), F.col("component").alias("_cc")
         )
-        new_labels = (
+        new_labels = materialize(
             hopped.join(parent, hopped["component"] == parent["_c"], "left")
             .select(
                 "node",
@@ -155,8 +162,9 @@ def connected_components(
                     F.col("component"), F.coalesce("_cc", "component")
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
+        if plan_only_active():
+            return new_labels  # one representative round, no action
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -210,15 +218,14 @@ def _drop_pair_losers(
         return keep_best_per_cluster(df, comps, score_col, id_col, descending)
     if transitive:
         comps = connected_components(pairs)
-        losers = (
+        losers = materialize(
             comps.filter(F.col("node") != F.col("component"))
             .select(F.col("node").alias(id_col))
-            .localCheckpoint(eager=True)
         )
     else:
         losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
         if eager:
-            losers = losers.localCheckpoint(eager=True)
+            losers = materialize(losers)
     return df.join(losers, id_col, "left_anti")
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup_common import materialize
 from .dedup_components import _drop_pair_losers
 
 
@@ -342,10 +343,12 @@ def embedding_near_dup_pairs(
     # subtree — same reasoning as minhash_dedup's persisted buckets.
     # The checkpointed rows are only (id, band, sig) — id-width, never
     # vectors.
-    sigs = banded_signatures(
-        scaled, vec_col, id_col, num_planes, num_bands, dim, id_col,
-        impl=signature_impl,
-    ).localCheckpoint(eager=True)
+    sigs = materialize(
+        banded_signatures(
+            scaled, vec_col, id_col, num_planes, num_bands, dim, id_col,
+            impl=signature_impl,
+        )
+    )
     if max_bucket_size is not None:
         from .skew import drop_oversized_groups
 

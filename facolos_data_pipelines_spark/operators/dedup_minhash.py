@@ -436,6 +436,7 @@ def minhash_cross_corpus_pairs(
     threshold: float = 0.8,
     family: str = "multiply_add",
     max_bucket_size: int | None = None,
+    candidates: str = "checkpoint",
 ) -> DataFrame:
     """Near-dup pairs BETWEEN two corpora, never within one — the
     dedup-new-data-against-existing-training-set / decontaminate-crawl-
@@ -443,6 +444,24 @@ def minhash_cross_corpus_pairs(
     without paying for both corpora's internal pairs. Returns
     (left_id, right_id, jaccard) for every cross pair whose verified
     distinct-shingle Jaccard clears ``threshold``.
+
+    ``candidates`` picks how the (left_id, right_id) candidate set —
+    referenced three times downstream (verify join + both side-shingle
+    semi-joins) — is materialized:
+
+    - ``'checkpoint'`` (default): eager ``localCheckpoint``. Right for
+      single-box / bench runs: the expensive band-join subtree runs
+      once and the checkpointed rows are id-pair-width only. NOT the
+      right durability choice for a 1000-executor 100 TB run —
+      executor-local checkpoint blocks are lost with the executor.
+    - ``'persist'``: lazy MEMORY_AND_DISK persist, the gentler sibling
+      pattern (minhash_dedup's buckets). The caller owns unpersist.
+    - ``'lazy'``: no materialization — a pure Catalyst plan that
+      recomputes the band-join subtree at each reference. Use for plan
+      inspection/explain, or when the caller materializes candidates
+      itself. On a real cluster the recommended shape for huge corpora
+      is exactly that: write the candidate set to a bucketed table
+      (bucketed by left_id) once, then run verification from it.
 
     Plan shape: both sides reduce to (id, band_id, band_hash) bucket
     rows under the SAME hash family (signatures from different
@@ -472,13 +491,20 @@ def minhash_cross_corpus_pairs(
         lb.join(rb, ["band_id", "band_hash"])
         .select("left_id", "right_id")
         .dropDuplicates()
-        # eagerly materialized: the plan references cand THREE times (the
-        # verify join + both side_shingles id sets) and the candidate DAG
-        # above it (two corpora's signatures + the band join) is the
-        # expensive subtree — same reasoning as minhash_dedup's persisted
-        # buckets. Checkpointed rows are id-pair-width only.
-        .localCheckpoint(eager=True)
     )
+    if candidates == "checkpoint":
+        from .dedup_common import materialize
+
+        cand = materialize(cand)  # no-op under plan_only_mode
+    elif candidates == "persist":
+        from pyspark import StorageLevel
+
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    elif candidates != "lazy":
+        raise ValueError(
+            "candidates must be 'checkpoint', 'persist' or 'lazy', got "
+            f"{candidates!r}"
+        )
 
     def side_shingles(df: DataFrame, out_id: str) -> DataFrame:
         ids = cand.select(F.col(out_id).alias(id_col)).dropDuplicates()
@@ -512,16 +538,19 @@ def cross_corpus_dedup(
     threshold: float = 0.8,
     family: str = "multiply_add",
     max_bucket_size: int | None = None,
+    candidates: str = "checkpoint",
 ) -> DataFrame:
     """Keep only the ``left`` rows that near-duplicate NO ``right``
     document (minhash-LSH blocked, Jaccard-verified) — incremental
     corpus ingestion: ``right`` is what you already have (or must not
     leak, for eval sets), ``left`` is the new batch; survivors are safe
     to append. One left-anti join on the matched left ids; ``right``
-    is never mutated or copied."""
+    is never mutated or copied. ``candidates`` passes through to
+    :func:`minhash_cross_corpus_pairs` (materialization strategy for
+    the candidate pair set)."""
     pairs = minhash_cross_corpus_pairs(
         left, right, text_col, id_col, num_hashes, bands, shingle_n,
-        threshold, family, max_bucket_size,
+        threshold, family, max_bucket_size, candidates,
     )
     losers = pairs.select(F.col("left_id").alias(id_col)).dropDuplicates()
     return left.join(losers, id_col, "left_anti")

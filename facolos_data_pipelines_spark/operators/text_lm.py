@@ -9,6 +9,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalized_words
+from .dedup_common import materialize
 from .text_quality import token_count_whitespace
 
 
@@ -120,10 +121,9 @@ def bigram_logprob_scores(
     pairs = df.select(F.col(id_col), F.explode(pair_arr).alias("_p")).select(
         F.col(id_col), F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2")
     )
-    bg = (
+    bg = materialize(
         pairs.groupBy("_w1", "_w2")
         .agg(F.count("*").cast("long").alias("_c12"))
-        .localCheckpoint(eager=True)
     )
     ctx = bg.groupBy("_w1").agg(F.sum("_c12").cast("long").alias("_c1"))
     lm = bg.join(ctx, "_w1")

@@ -1397,3 +1397,92 @@ def test_cross_corpus_pairs_empty_sides(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert minhash_cross_corpus_pairs(docs, empty, family="xxhash").count() == 0
     assert minhash_cross_corpus_pairs(empty, docs, family="xxhash").count() == 0
+
+
+def test_cross_corpus_candidates_knob(spark):
+    """The candidate-set materialization strategy must not change the
+    answer: 'checkpoint' (default, bench-scale), 'persist' (cluster
+    sibling pattern) and 'lazy' (pure plan; the dump_plans /
+    write-your-own-candidate-table path) produce identical pair sets
+    with identical rounded jaccards. Unknown strategies refuse."""
+    import pytest
+
+    from facolos_data_pipelines_spark.operators.dedup import (
+        minhash_cross_corpus_pairs,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    left = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(9, base + " omega"), (10, "different right side corpus text")],
+        "doc_id long, text string",
+    )
+
+    def run(strategy):
+        return sorted(
+            (r["left_id"], r["right_id"], round(r["jaccard"], 6))
+            for r in minhash_cross_corpus_pairs(
+                left, right, threshold=0.5, family="xxhash",
+                candidates=strategy,
+            ).collect()
+        )
+
+    # plan purity first, BEFORE any persist run: a live persisted
+    # candidate set would be substituted into later matching plans by
+    # the cache manager and mask a non-lazy implementation
+    plan = minhash_cross_corpus_pairs(
+        left, right, threshold=0.5, family="xxhash", candidates="lazy"
+    )._jdf.queryExecution().toString()
+    assert "Checkpoint" not in plan and "InMemoryRelation" not in plan
+    ck, lz, ps = run("checkpoint"), run("lazy"), run("persist")
+    assert ck == ps == lz
+    assert ck, "expected at least one cross pair in the fixture"
+    spark.catalog.clearCache()  # drop the strategy='persist' cache
+    with pytest.raises(ValueError, match="candidates must be"):
+        minhash_cross_corpus_pairs(left, right, candidates="bogus")
+
+
+def test_plan_only_mode_exposes_pre_checkpoint_plan(spark):
+    """Under dedup_common.plan_only_mode, connected_components compiles a
+    full lazy plan (the pair subtree + one propagation round visible —
+    no opaque ExistingRDD scan, nothing executed); outside the context
+    behavior is unchanged (converged, driver-dispatched labels)."""
+    from facolos_data_pipelines_spark.operators.dedup import (
+        connected_components,
+    )
+    from facolos_data_pipelines_spark.operators.dedup_common import (
+        plan_only_active,
+        plan_only_mode,
+    )
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        ).write.parquet(f"{tmp}/pairs")
+        pairs = spark.read.parquet(f"{tmp}/pairs")
+        assert not plan_only_active()
+        with plan_only_mode():
+            assert plan_only_active()
+            lazy = connected_components(pairs)
+            plan = lazy._jdf.queryExecution().toString()
+            # no checkpoint boundary: the parquet source itself is
+            # visible through the whole compiled plan, not an opaque
+            # materialized-RDD scan
+            assert "ExistingRDD" not in plan, "plan-only must not checkpoint"
+            assert "parquet" in plan.lower(), "source must stay visible"
+            assert "Join" in plan, "propagation round must be visible"
+        assert not plan_only_active(), "mode must restore on exit"
+        # real execution still converges to min-reachable labels
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
