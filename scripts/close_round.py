@@ -25,7 +25,7 @@ honest:
 Steps run sequentially; the first failure aborts (later artifacts
 would be describing a broken tree). Usage:
 
-    python scripts/close_round.py [--skip bench,oracle,pytest,plans,diff,ratchet]
+    python scripts/close_round.py [--skip parity,bench,oracle,pytest,plans,diff,ratchet]
 
 Environment: SPARK_GRAFT_SF_DIR (bench data, default sf0.1), plus
 everything bench.py / check_oracle.py already honor.
@@ -83,6 +83,33 @@ def _run(step: str, argv: list[str], **kw) -> None:
         raise SystemExit(f"close_round: step '{step}' failed (rc={r.returncode})")
 
 
+def _check_parity_totals() -> None:
+    """PARITY.md's **Totals** line is the judge's checklist header; it
+    went stale in round 8 (said 165/162 while the surface was 167/164).
+    Parse it and compare against the live ``queries()``/``oracle_sql()``
+    counts so the header can never disagree with the code again."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry_mod
+
+    n_q = len(entry_mod.queries())
+    n_oracle = len(entry_mod.oracle_sql())
+    text = open(os.path.join(REPO, "PARITY.md")).read()
+    m = re.search(
+        r"\*\*Totals\*\*: (\d+) `queries\(\)` entries, (\d+) with DuckDB",
+        text,
+    )
+    if not m:
+        raise SystemExit("close_round: PARITY.md Totals line not found")
+    got = (int(m.group(1)), int(m.group(2)))
+    if got != (n_q, n_oracle):
+        raise SystemExit(
+            f"close_round: PARITY.md Totals line says {got[0]}/{got[1]} but "
+            f"the surface is {n_q} queries / {n_oracle} oracle twins — "
+            "update PARITY.md before closing"
+        )
+    print(f"== parity totals: {n_q} queries / {n_oracle} twins — header agrees")
+
+
 def main() -> int:
     skip = set()
     argv = sys.argv[1:]
@@ -90,6 +117,9 @@ def main() -> int:
         i = argv.index("--skip")
         skip = set(argv[i + 1].split(","))
     py = sys.executable
+
+    if "parity" not in skip:
+        _check_parity_totals()
 
     if "bench" not in skip:
         procs = _other_spark_procs()
