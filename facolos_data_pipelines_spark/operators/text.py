@@ -41,6 +41,7 @@ from .text_clean import (  # noqa: F401
 from .text_lm import (  # noqa: F401
     corpus_gram_state,
     corpus_overlap_delta,
+    corpus_state_append,
     unigram_logprob_scores,
     bigram_logprob_scores,
     corpus_overlap,

@@ -429,3 +429,27 @@ def corpus_overlap_delta(
             round_digits,
         ).alias("new_contamination"),
     )
+
+
+def corpus_state_append(
+    delta: DataFrame,
+    seen_grams: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The rows the monitoring loop appends to the persisted gram-state
+    table after a :func:`corpus_overlap_delta` cycle: the batch's
+    distinct grams NOT already in ``seen_grams`` (one ``gram`` column,
+    same schema as :func:`corpus_gram_state`). Count of the returned
+    frame == that cycle's ``n_new_grams`` — the anti-join here and the
+    ``_seen IS NULL`` arm of the delta aggregate are the same predicate,
+    which is what keeps the append and the counters consistent. Same
+    cost shape as the delta itself: O(batch grams) + one gram-keyed
+    join against the state table (co-located when the state is
+    bucketed by gram)."""
+    dg = corpus_gram_state(delta, n, text_col, id_col)
+    seen = seen_grams.select(
+        F.col(seen_grams.columns[0]).alias("gram")
+    ).distinct()
+    return dg.join(seen, "gram", "left_anti")

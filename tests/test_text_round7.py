@@ -201,3 +201,56 @@ class TestCorpusOverlapDelta:
         assert r["n_delta_grams"] == 2 and r["n_new_grams"] == 2
         assert r["n_new_common"] == 1
         assert r["new_contamination"] == pytest.approx(0.5, abs=1e-6)
+
+    def test_multi_cycle_persisted_state_loop(self, spark, tmp_path):
+        """The associativity contract ACROSS cycles with state that is
+        actually persisted and read back (text_lm.py's promise that the
+        running totals equal a from-scratch corpus_overlap of the
+        accumulated corpus): bootstrap a parquet gram-state table, run
+        two delta cycles — each appends corpus_state_append rows to the
+        table — and compare the running (n_grams_a, n_common) counters
+        against corpus_overlap(old + batch1 + batch2, ref). Batch 2
+        deliberately re-uses grams from batch 1, so the test fails if
+        the appended state is not really read back."""
+        from facolos_data_pipelines_spark.operators.text import (
+            corpus_gram_state,
+            corpus_overlap,
+            corpus_overlap_delta,
+            corpus_state_append,
+        )
+
+        old = _docs(spark, [(1, "a b c d"), (2, "c d e f")])
+        batch1 = _docs(spark, [(3, "c d e f g"), (4, "x y z w")])
+        # "e f g" and "x y z" re-appear from batch1; "m n o p" is new
+        batch2 = _docs(spark, [(5, "e f g x y z"), (6, "m n o p")])
+        ref = _docs(spark, [(9, "b c d e f g h m n o")])
+
+        state_path = str(tmp_path / "gram_state")
+        corpus_gram_state(old).write.parquet(state_path)
+        ref_grams = corpus_gram_state(ref)
+
+        start = corpus_overlap(old, ref).first()
+        totals = {"n_grams": start["n_grams_a"], "n_common": start["n_common"]}
+        corpus = old
+        for batch in (batch1, batch2):
+            seen = spark.read.parquet(state_path)
+            d = corpus_overlap_delta(batch, seen, ref_grams).first()
+            new_rows = corpus_state_append(batch, seen)
+            # the append IS the n_new_grams counter (same predicate)
+            assert new_rows.count() == d["n_new_grams"]
+            new_rows.write.mode("append").parquet(state_path)
+            totals["n_grams"] += d["n_new_grams"]
+            totals["n_common"] += d["n_new_common"]
+            corpus = corpus.unionByName(batch)
+
+        full = corpus_overlap(corpus, ref).first()
+        assert totals["n_grams"] == full["n_grams_a"]
+        assert totals["n_common"] == full["n_common"]
+        # the state table itself converged to the corpus' distinct grams
+        final_state = spark.read.parquet(state_path)
+        assert final_state.count() == full["n_grams_a"]
+        assert final_state.select("gram").distinct().count() == full["n_grams_a"]
+        # and batch2 really was deduped against batch1's appended grams:
+        # a cycle-2 recount without the cycle-1 append would have over-
+        # counted the shared "e f g"/"x y z" grams
+        assert full["n_grams_a"] < start["n_grams_a"] + 6 + 7
