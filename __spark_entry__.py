@@ -3460,7 +3460,7 @@ def q_quantile_bin_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The full registry, insertion order immaterial — queries() below
     # reorders it so the driver's 50-entry sample window rotates each
-    # round (see _R8_WINDOW).
+    # round (see _R9_WINDOW).
     return {
         "bigram_lm_scores": q_bigram_lm_scores,
         "corpus_overlap": q_corpus_overlap,
@@ -3634,36 +3634,43 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Round-8 driver window (the driver oracle-checks the FIRST 50 entries
-# of queries() each round; earlier windows live in the r1-r7
-# CORRECTNESS artifacts): the new round-8 query, the 7 whose code path
-# changed this round (embedding-LSH auto defaults feed dup_components /
-# dup_cluster_sizes / dedup_keep_best / embedding_near_dups*, the rrf
-# NaN filter feeds hybrid_search, quantile_bin_prices gained the NULL
-# filter), the 3 [NQ] rows-only names (last refreshed r2), then the 21
-# round-4-vintage names the r7 rotation left over, then the oldest 17
-# of the round-5 band (alphabetical; the rest — interval_join onward —
-# rotate next round). Exactly 50 entries: the driver samples the FIRST
-# 50, so a 51st name would silently miss its attestation.
-_R8_WINDOW = [
-    "corpus_overlap_delta", "cross_corpus_dedup",
-    "quantile_bin_prices", "hybrid_search", "dup_components",
-    "dup_cluster_sizes", "dedup_keep_best", "embedding_near_dups",
-    "embedding_near_dups_exact",
-    "ivf_topk", "minhash_dedup", "simhash_dedup",
-    "nation_profit", "nation_trade", "ngram_jaccard_dedup", "pq_topk",
-    "priority_shipclass", "promo_revenue", "psi_drift",
-    "repetition_stats", "returned_top_customers",
-    "semantic_decontaminate", "semantic_dedup", "simhash_dedup_portable",
-    "split_leakage", "strip_dup_spans", "supplier_variety",
-    "supplier_wait", "temperature_mix", "token_budget_mix",
-    "top_supplier", "tumbling_window", "unigram_scores",
-    "ann_recall_trained", "asof_join_events", "asof_join_forward",
-    "bm25_search", "char_entropy", "chi2_drift", "cluster_assign",
-    "cohort_retention", "customer_order_distribution", "decontaminate",
-    "dup_rate_by_source", "freq_encode_priority", "funnel",
-    "gap_fill_daily", "group_percentiles", "incremental_daily_sales",
-    "incremental_distinct",
+# Round-9 driver window (the driver oracle-checks the FIRST 50 entries
+# of queries() each round; earlier windows live in the r1-r8
+# CORRECTNESS artifacts): first the 28 round-5-vintage names whose
+# newest driver attestation crossed the 3-round staleness bar this
+# round (the whole r5 band, alphabetical); then the 12 [Q] names whose
+# code path changed in round 9 (the certified embedding-family queries
+# got explicit num_planes pins; every *_dedup survivor query flows
+# through the materialize()-routed _drop_pair_losers /
+# connected_components; bigram_lm_scores' bigram table and
+# cross_corpus_dedup's candidate set ride the same wrapper;
+# corpus_overlap_delta gained the corpus_state_append sibling); the
+# remaining 10 slots refresh the oldest round-6 names (alphabetical).
+# No [NQ] rows-only names this round — their row counts ride the local
+# artifact (round-8 verdict, What's wrong #3). Exactly 50 entries: the
+# driver samples the FIRST 50, so a 51st name would silently miss its
+# attestation.
+_R9_WINDOW = [
+    # 28 r5-vintage
+    "interval_join", "json_props_stats", "ks_drift", "leakage_safe_split",
+    "mix_corpus", "order_priority_check", "pack_documents", "pca_project",
+    "pivot_status", "referential_orphans", "repeat_buyers", "revenue_share",
+    "rolling_features", "rolling_user_value", "scd2_asof_lookup",
+    "scd2_history", "session_window_agg", "sessionization", "sliding_window",
+    "small_quantity_revenue", "snapshot_diff_cdc", "snapshot_drift",
+    "tfidf_top_terms", "top_ngrams", "weighted_sample", "window_percentiles",
+    "winsorize_prices", "zorder_key",
+    # 12 touched in round 9
+    "dup_components", "dup_cluster_sizes", "dedup_keep_best",
+    "embedding_near_dups", "embedding_near_dups_exact", "semantic_dedup",
+    "minhash_dedup_portable", "simhash_dedup_portable",
+    "ngram_jaccard_dedup", "bigram_lm_scores", "cross_corpus_dedup",
+    "corpus_overlap_delta",
+    # 10 oldest r6-vintage
+    "anti_join_new_keys", "audio_signal_features", "column_profile_approx",
+    "column_profile_tdigest", "compression_signal", "conditional_agg",
+    "contamination_score", "daily_revenue_delta", "date_parts",
+    "derived_columns",
 ]
 
 
@@ -3711,11 +3718,11 @@ def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = _all_queries()
-    missing = [n for n in _R8_WINDOW if n not in all_q]
+    missing = [n for n in _R9_WINDOW if n not in all_q]
     if missing:
-        raise KeyError(f"_R8_WINDOW names not in the registry: {missing}")
-    rest = [n for n in all_q if n not in set(_R8_WINDOW)]
-    return {n: all_q[n] for n in [*_R8_WINDOW, *rest]}
+        raise KeyError(f"_R9_WINDOW names not in the registry: {missing}")
+    rest = [n for n in all_q if n not in set(_R9_WINDOW)]
+    return {n: all_q[n] for n in [*_R9_WINDOW, *rest]}
 
 
 def _vec_sql() -> str:
