@@ -1,0 +1,203 @@
+"""Scale-decade measurement for the two round-8 operators.
+
+Round 8 shipped ``cross_corpus_dedup`` and ``corpus_overlap_delta``
+with 100 TB design arguments asserted from the plan shape; this script
+measures them the way §6c/§6d measured their siblings — one process
+per (op, sf_dir), median-of-N inside a warm JVM, JSON line out. Ops:
+
+- ``cross_corpus_dedup`` — the certified query's corpus split (odd ids
+  = new batch, even ids = existing corpus) under the PRODUCTION
+  configuration (xxhash64 multiply_add family, default 32 lanes / 8
+  bands, candidate checkpoint): end-to-end survivors count.
+- ``cross_corpus_smalleval`` — the decontamination case: the WHOLE
+  corpus as the new batch, a ~1k-doc eval set as the right side, run
+  with ``candidates='lazy'`` so the final AQE plan stays inspectable
+  end-to-end; reports wall time plus the final-plan join histogram
+  (the claim under test: AQE broadcasts the eval side's band frame, so
+  the big corpus never shuffles for the candidate join).
+- ``overlap_delta_loop`` — the monitoring loop: bootstrap a persisted
+  gram-state table (parquet under /tmp), run N delta cycles (delta
+  aggregate + corpus_state_append write-back), and after each cycle
+  run the from-scratch ``corpus_overlap`` of the accumulated corpus
+  the loop replaces; asserts the running totals match from-scratch
+  every cycle and reports both per-cycle wall times (the win under
+  test: delta cycles cost O(batch) while from-scratch grows with the
+  corpus).
+
+Usage:
+
+    python scripts/bench_scale_crosscorpus.py SF_DIR OP [reps]
+
+Corpus splits (documents.parquet): cross_corpus uses doc_id parity;
+the loop uses doc_id % 5 — {0,1} bootstrap, 2 and 3 the two batches,
+4 the reference corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _plan_counts(df) -> dict[str, int]:
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    out = {}
+    for key in ("BroadcastHashJoin", "SortMergeJoin", "Exchange",
+                "BroadcastExchange", "AQEShuffleRead"):
+        out[key] = plan.count(f") {key}")
+    return out
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        raise SystemExit("usage: bench_scale_crosscorpus.py SF_DIR OP [reps]")
+    sf_dir, op = sys.argv[1].rstrip("/"), sys.argv[2]
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    from pyspark.sql import functions as F
+
+    from facolos_data_pipelines_spark.session import build_spark
+
+    spark = build_spark(app_name=f"scale-{op}")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    result: dict = {"op": op, "sf_dir": sf_dir, "n_docs": n_docs}
+
+    if op == "cross_corpus_dedup":
+        from facolos_data_pipelines_spark.operators.dedup import (
+            cross_corpus_dedup,
+        )
+
+        left = docs.filter(F.col("doc_id") % 2 == 1)
+        right = docs.filter(F.col("doc_id") % 2 == 0)
+        times, n_out = [], None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            n_out = cross_corpus_dedup(left, right, threshold=0.8).count()
+            times.append(round(time.monotonic() - t0, 3))
+        result |= {"median": statistics.median(times), "times": times,
+                   "survivors": n_out, "n_left": left.count(),
+                   "n_right": right.count()}
+
+    elif op == "cross_corpus_smalleval":
+        from facolos_data_pipelines_spark.operators.dedup import (
+            minhash_cross_corpus_pairs,
+        )
+
+        # ~1k-doc eval side regardless of sf: ids divisible by n/1000
+        mod = max(2, n_docs // 1000)
+        evalset = docs.filter(F.col("doc_id") % mod == 0)
+        # both candidate modes: 'checkpoint' (the default — the
+        # materialized candidate id set has a KNOWN tiny size, so AQE
+        # broadcasts every downstream join including both corpus
+        # semi-joins: the big corpus is scan-only, never shuffled —
+        # the shape a 1000-executor run needs) and 'lazy' (pure plan,
+        # reused shuffle stages; cheaper single-box but the corpus
+        # semi-join stays a sort-merge shuffle). collect() (not
+        # count()) so the timed action executes THIS frame's own query
+        # execution and explain afterwards shows the final adaptive
+        # plan. Output is bounded: ~copies-per-group pairs per eval doc.
+        result |= {"n_eval": evalset.count(), "modes": {}}
+        for mode in ("checkpoint", "lazy"):
+            pairs = minhash_cross_corpus_pairs(
+                docs, evalset, threshold=0.8, candidates=mode
+            )
+            times, n_out = [], None
+            for _ in range(reps):
+                if mode == "checkpoint":  # checkpoint happens at build
+                    t0 = time.monotonic()
+                    p = minhash_cross_corpus_pairs(
+                        docs, evalset, threshold=0.8, candidates=mode
+                    )
+                    n_out = len(p.collect())
+                    pairs = p
+                else:
+                    t0 = time.monotonic()
+                    n_out = len(pairs.collect())
+                times.append(round(time.monotonic() - t0, 3))
+            result["modes"][mode] = {
+                "median": statistics.median(times), "times": times,
+                "pairs": n_out, "final_plan": _plan_counts(pairs),
+            }
+
+    elif op == "overlap_delta_loop":
+        from facolos_data_pipelines_spark.operators.text import (
+            corpus_gram_state,
+            corpus_overlap,
+            corpus_overlap_delta,
+            corpus_state_append,
+        )
+
+        state = f"/tmp/scale_gram_state_{os.getpid()}"
+        shutil.rmtree(state, ignore_errors=True)
+        bootstrap = docs.filter(F.col("doc_id") % 5 <= 1)
+        # the monitoring regime is a SMALL daily batch against a BIG
+        # accumulated corpus: thin the batch classes to ~2k docs at
+        # every sf so the decade isolates what grows (the from-scratch
+        # recompute) from what must not (the delta cycle)
+        thin = max(1, n_docs // 10_000)
+        batches = [
+            docs.filter(F.col("doc_id") % (5 * thin) == k) for k in (2, 3)
+        ]
+        ref_docs = docs.filter(F.col("doc_id") % 5 == 4)
+        ref_path = f"/tmp/scale_ref_grams_{os.getpid()}"
+        shutil.rmtree(ref_path, ignore_errors=True)
+        t0 = time.monotonic()
+        corpus_gram_state(bootstrap).write.parquet(state)
+        bootstrap_s = round(time.monotonic() - t0, 3)
+        # the reference gram set is persisted once too (in production a
+        # bucketed table) — a delta cycle that recomputes it from the
+        # reference corpus would smuggle a full corpus scan back into
+        # the O(batch) loop
+        corpus_gram_state(ref_docs).write.parquet(ref_path)
+        ref = spark.read.parquet(ref_path)
+        start = corpus_overlap(bootstrap, ref_docs).first()
+        n_grams, n_common = start["n_grams_a"], start["n_common"]
+        corpus = bootstrap
+        cycles = []
+        for batch in batches:
+            t0 = time.monotonic()
+            seen = spark.read.parquet(state)
+            d = corpus_overlap_delta(batch, seen, ref).first()
+            corpus_state_append(batch, seen).write.mode("append").parquet(state)
+            delta_s = round(time.monotonic() - t0, 3)
+            n_grams += d["n_new_grams"]
+            n_common += d["n_new_common"]
+            corpus = corpus.unionByName(batch)
+            t0 = time.monotonic()
+            full = corpus_overlap(corpus, ref_docs).first()
+            scratch_s = round(time.monotonic() - t0, 3)
+            assert (n_grams, n_common) == (
+                full["n_grams_a"], full["n_common"]
+            ), ((n_grams, n_common), (full["n_grams_a"], full["n_common"]))
+            cycles.append({
+                "batch_docs": batch.count(),
+                "delta_cycle_s": delta_s,
+                "from_scratch_s": scratch_s,
+                "n_new_grams": d["n_new_grams"],
+                "running_grams": n_grams,
+            })
+        result |= {"bootstrap_s": bootstrap_s, "cycles": cycles,
+                   "totals_match": True,
+                   "state_rows": spark.read.parquet(state).count()}
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.rmtree(ref_path, ignore_errors=True)
+    else:
+        raise SystemExit(f"unknown op {op!r}")
+
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
