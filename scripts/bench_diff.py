@@ -183,12 +183,22 @@ def write_report(
     pending_rows: list,
 ) -> None:
     flagged = {q: label for _, q, _, _, label in regressions}
+
+    def _iso10(d: dict) -> str:
+        v = d.get("isolated_top10")
+        return f"{v} s" if v is not None else "n/a"
+
     lines = [
         "# BENCH DIFF",
         "",
         f"old total: {old.get('value')} s ({len(old['queries'])} queries) | "
         f"new total: {new.get('value')} s ({len(new['queries'])} queries) | "
         f"threshold: {threshold}x",
+        "",
+        # the stable round-over-round ratchet: sum of isolated-median
+        # baselines over the run's 10 slowest queries — trust this over
+        # the contended total, which drifts with machine state
+        f"isolated_top10: {_iso10(old)} -> {_iso10(new)}",
         "",
         f"common {len(common)} | added {len(added)} | removed {len(removed)} | "
         f"**regressions past threshold: {len(regressions)}**",
