@@ -3421,6 +3421,28 @@ def q_corpus_overlap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gram_state_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-back half of the monitoring loop
+    (text.corpus_state_append, round 9): the rows a delta cycle appends
+    to the persisted gram-state table — the id%3==1 batch's distinct
+    3-shingles absent from the id%3==0 state. Count equals
+    corpus_overlap_delta's n_new_grams by construction (same anti
+    predicate), which is what keeps the appended state and the running
+    counters consistent across cycles (multi-cycle loop proven in
+    tests/test_text_round7.py and measured in SCALE.md §6e). One
+    O(batch) shingle pass + one gram-keyed anti-join."""
+    from facolos_data_pipelines_spark.operators.text import (
+        corpus_gram_state,
+        corpus_state_append,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = corpus_gram_state(docs.filter(F.col("doc_id") % 3 == 0), n=3)
+    return corpus_state_append(
+        docs.filter(F.col("doc_id") % 3 == 1), seen, n=3
+    ).orderBy("gram")
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed whitespace-token-length histogram
     (text.token_length_histogram) over documents — the packing/bucket
@@ -3465,6 +3487,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_scores": q_bigram_lm_scores,
         "corpus_overlap": q_corpus_overlap,
         "corpus_overlap_delta": q_corpus_overlap_delta,
+        "gram_state_append": q_gram_state_append,
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "length_histogram": q_length_histogram,
         "quantile_bin_prices": q_quantile_bin_prices,
@@ -3666,11 +3689,13 @@ _R9_WINDOW = [
     "minhash_dedup_portable", "simhash_dedup_portable",
     "ngram_jaccard_dedup", "bigram_lm_scores", "cross_corpus_dedup",
     "corpus_overlap_delta",
-    # 10 oldest r6-vintage
+    # the new round-9 query
+    "gram_state_append",
+    # 9 oldest r6-vintage (derived_columns yielded its slot to the new
+    # query; it rides the full-surface local artifact this round)
     "anti_join_new_keys", "audio_signal_features", "column_profile_approx",
     "column_profile_tdigest", "compression_signal", "conditional_agg",
     "contamination_score", "daily_revenue_delta", "date_parts",
-    "derived_columns",
 ]
 
 
@@ -4455,6 +4480,30 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(n_new_common / greatest(n_new_grams, 1) + 1e-9, 6)
                        AS new_contamination
             FROM agg
+        """,
+        "gram_state_append": r"""
+            -- text.corpus_state_append twin: the delta batch's distinct
+            -- 3-shingles ANTI-joined against the id%3==0 state grams —
+            -- the rows the monitoring loop appends to the state table
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    list_filter([array_to_string(list_slice(words, i, i + 2), ' ')
+                                 for i in range(1, greatest(len(words) - 2, 1) + 1)],
+                                x -> x <> ''))) AS sh
+                FROM w
+            ), dg AS (
+                SELECT DISTINCT sh FROM g WHERE doc_id % 3 = 1
+            ), seen AS (
+                SELECT DISTINCT sh FROM g WHERE doc_id % 3 = 0
+            )
+            SELECT dg.sh AS gram
+            FROM dg ANTI JOIN seen ON dg.sh = seen.sh
+            ORDER BY gram
         """,
         "length_histogram": r"""
             -- text.token_length_histogram twin: whitespace token count
