@@ -3667,11 +3667,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # through the materialize()-routed _drop_pair_losers /
 # connected_components; bigram_lm_scores' bigram table and
 # cross_corpus_dedup's candidate set ride the same wrapper;
-# corpus_overlap_delta gained the corpus_state_append sibling); the
-# remaining 10 slots refresh the oldest round-6 names (alphabetical).
-# No [NQ] rows-only names this round — their row counts ride the local
-# artifact (round-8 verdict, What's wrong #3). Exactly 50 entries: the
-# driver samples the FIRST 50, so a 51st name would silently miss its
+# corpus_overlap_delta gained the corpus_state_append sibling); then
+# the new round-9 query; the remaining 9 slots refresh the oldest
+# round-6 names (alphabetical). No [NQ] rows-only names this round —
+# their row counts ride the local artifact (round-8 verdict, What's
+# wrong #3); in particular minhash_dedup/simhash_dedup ALSO flow
+# through the materialize() rewrite, but their hash-certified
+# attestation is exactly their *_portable twins (same pipeline, md5
+# lanes), which ARE in the window. Exactly 50 entries: the driver
+# samples the FIRST 50, so a 51st name would silently miss its
 # attestation.
 _R9_WINDOW = [
     # 28 r5-vintage

@@ -107,12 +107,17 @@ def _check_lanes(num_hashes: int) -> None:
 # ONLY: collecting a frame built under plan-only mode recomputes shared
 # subtrees and, for iterative operators, returns un-converged labels.
 
-_PLAN_ONLY = False
+import contextvars as _contextvars
+
+# a ContextVar, not a module global: a thread (or async task) holding
+# the flag for a plan dump cannot leak it into sibling threads building
+# real operator plans concurrently
+_PLAN_ONLY = _contextvars.ContextVar("dedup_plan_only", default=False)
 
 
 def plan_only_active() -> bool:
-    """True inside a :func:`plan_only_mode` context."""
-    return _PLAN_ONLY
+    """True inside a :func:`plan_only_mode` context (current thread/task)."""
+    return _PLAN_ONLY.get()
 
 
 class plan_only_mode:
@@ -120,14 +125,11 @@ class plan_only_mode:
     so the full logical plan stays visible for explain/plan dumps."""
 
     def __enter__(self):
-        global _PLAN_ONLY
-        self._prev = _PLAN_ONLY
-        _PLAN_ONLY = True
+        self._token = _PLAN_ONLY.set(True)
         return self
 
     def __exit__(self, *exc):
-        global _PLAN_ONLY
-        _PLAN_ONLY = self._prev
+        _PLAN_ONLY.reset(self._token)
         return False
 
 
@@ -135,6 +137,6 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """``df.localCheckpoint(eager)`` — unless plan-only mode is active,
     in which case ``df`` flows through untouched (plan stays visible,
     nothing executes)."""
-    if _PLAN_ONLY:
+    if _PLAN_ONLY.get():
         return df
     return df.localCheckpoint(eager=eager)

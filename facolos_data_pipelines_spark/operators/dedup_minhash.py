@@ -547,7 +547,12 @@ def cross_corpus_dedup(
     to append. One left-anti join on the matched left ids; ``right``
     is never mutated or copied. ``candidates`` passes through to
     :func:`minhash_cross_corpus_pairs` (materialization strategy for
-    the candidate pair set)."""
+    the candidate pair set). Note for ``'persist'``: the cached
+    candidate frame is internal here and cannot be unpersisted by the
+    caller — it stays pinned for the session. In a loop over many
+    batches call :func:`minhash_cross_corpus_pairs` directly and own
+    the unpersist, or keep the default ``'checkpoint'`` (released by
+    the ContextCleaner when the frame drops)."""
     pairs = minhash_cross_corpus_pairs(
         left, right, text_col, id_col, num_hashes, bands, shingle_n,
         threshold, family, max_bucket_size, candidates,

@@ -282,6 +282,20 @@ def _hadoop_fs(spark, path: str):
 _META_UNREADABLE = object()
 
 
+def _raise_unreadable_meta(path: str, refusal: str) -> None:
+    """The one refusal message for a meta file that EXISTS but can't be
+    parsed — shared by every consumer of the _META_UNREADABLE sentinel
+    so the contract text (and its repair instructions) can't drift
+    between the adopt and compact sites."""
+    raise ValueError(
+        f"bucket store at {path!r} has a layout meta file "
+        f"({_STORE_META_NAME}) that exists but could not be read or "
+        f"parsed; {refusal}. Repair or remove the meta file (its content "
+        'should be {"store_partitions": N} with the N the store was '
+        "created with) and retry"
+    )
+
+
 def _read_store_meta(bucket_store_path: str, spark=None):
     """Read the bucket store's layout meta (underscore-prefixed, so Spark's
     parquet reader ignores it like _SUCCESS). Plain-local paths use the
@@ -376,13 +390,10 @@ def _effective_store_partitions(spark, bucket_store_path: str, requested: int) -
     the wrong N."""
     meta = _read_store_meta(bucket_store_path, spark)
     if meta is _META_UNREADABLE:
-        raise ValueError(
-            f"bucket store at {bucket_store_path!r} has a layout meta file "
-            f"({_STORE_META_NAME}) that exists but could not be read or "
-            "parsed; refusing to adopt the configured store_partitions over "
-            "a possibly-valid recorded layout — repair or remove the meta "
-            "file (its content should be {\"store_partitions\": N} with the "
-            "N the store was created with) and retry"
+        _raise_unreadable_meta(
+            bucket_store_path,
+            "refusing to adopt the configured store_partitions over a "
+            "possibly-valid recorded layout",
         )
     if meta is not None:
         n = int(meta["store_partitions"])
@@ -636,13 +647,10 @@ def compact_bucket_store(
     # the store's pinned partition count
     meta = _read_store_meta(path, spark)
     if meta is _META_UNREADABLE:
-        raise ValueError(
-            f"bucket store at {path!r} has a layout meta file "
-            f"({_STORE_META_NAME}) that exists but could not be read or "
-            "parsed; refusing to compact — the meta must travel with the "
-            "compacted store. Repair or remove the meta file (its content "
-            'should be {"store_partitions": N} with the N the store was '
-            "created with) and retry"
+        _raise_unreadable_meta(
+            path,
+            "refusing to compact — the meta must travel with the "
+            "compacted store",
         )
 
     store = spark.read.parquet(path)
