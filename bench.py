@@ -231,6 +231,8 @@ HEADLINE = [
     # cross-corpus (new-batch vs existing/eval) near-dup pairs
     "corpus_overlap_delta",
     "cross_corpus_dedup",
+    # round-9 addition: the monitoring loop's state write-back rows
+    "gram_state_append",
 ]
 
 # Reported outside the headline wall (empty since round 6: the
@@ -256,6 +258,15 @@ def main() -> None:
 
     qs = entry_mod.queries()
     names = HEADLINE + STUB
+    # coverage guard: the headline claims to time the COMPLETE surface;
+    # a queries() entry missing from HEADLINE (round 9 shipped one) was
+    # silently untimed — fail loudly instead
+    uncovered = sorted(set(qs) - set(names))
+    if uncovered:
+        raise SystemExit(
+            f"bench.py HEADLINE is missing queries() entries: {uncovered} — "
+            "add them to the HEADLINE list"
+        )
     # Optional subset (scale-curve runs): comma-separated query names.
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if subset:
