@@ -4431,9 +4431,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT ga.sh IS NOT NULL AS ina, gb.sh IS NOT NULL AS inb
                 FROM ga FULL OUTER JOIN gb ON ga.sh = gb.sh
             ), agg AS (
-                SELECT CAST(SUM(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS n_grams_a,
-                       CAST(SUM(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT) AS n_grams_b,
-                       CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+                SELECT CAST(COALESCE(SUM(CASE WHEN ina THEN 1 ELSE 0 END), 0)
+                            AS BIGINT) AS n_grams_a,
+                       CAST(COALESCE(SUM(CASE WHEN inb THEN 1 ELSE 0 END), 0)
+                            AS BIGINT) AS n_grams_b,
+                       CAST(COALESCE(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END), 0)
+                            AS BIGINT) AS n_common
                 FROM j
             )
             SELECT n_grams_a, n_grams_b, n_common,
@@ -4472,10 +4475,11 @@ def oracle_sql() -> dict[str, str]:
                         LEFT JOIN ref ON dg.sh = ref.sh
             ), agg AS (
                 SELECT CAST(COUNT(*) AS BIGINT) AS n_delta_grams,
-                       CAST(SUM(CASE WHEN NOT is_seen THEN 1 ELSE 0 END) AS BIGINT)
-                           AS n_new_grams,
-                       CAST(SUM(CASE WHEN NOT is_seen AND in_ref THEN 1 ELSE 0 END)
-                            AS BIGINT) AS n_new_common
+                       CAST(COALESCE(SUM(CASE WHEN NOT is_seen THEN 1 ELSE 0 END),
+                                     0) AS BIGINT) AS n_new_grams,
+                       CAST(COALESCE(SUM(CASE WHEN NOT is_seen AND in_ref
+                                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+                           AS n_new_common
                 FROM j
             )
             SELECT n_delta_grams, n_new_grams, n_new_common,

@@ -193,10 +193,17 @@ def corpus_overlap(
         )
 
     joined = gram_set(a, "_ina").join(gram_set(b, "_inb"), "_g", "full_outer")
-    n_a = F.sum(F.coalesce("_ina", F.lit(0))).cast("long")
-    n_b = F.sum(F.coalesce("_inb", F.lit(0))).cast("long")
-    n_common = F.sum(
-        F.when(F.col("_ina").isNotNull() & F.col("_inb").isNotNull(), 1).otherwise(0)
+    # outer coalesce: BOTH corpora empty -> the full-outer join has no
+    # rows and bare sums would emit NULL counters instead of zeros
+    n_a = F.coalesce(F.sum(F.coalesce("_ina", F.lit(0))), F.lit(0)).cast("long")
+    n_b = F.coalesce(F.sum(F.coalesce("_inb", F.lit(0))), F.lit(0)).cast("long")
+    n_common = F.coalesce(
+        F.sum(
+            F.when(
+                F.col("_ina").isNotNull() & F.col("_inb").isNotNull(), 1
+            ).otherwise(0)
+        ),
+        F.lit(0),
     ).cast("long")
     agg = joined.agg(
         n_a.alias("n_grams_a"), n_b.alias("n_grams_b"), n_common.alias("n_common")
@@ -407,10 +414,18 @@ def corpus_overlap_delta(
     )
     joined = dg.join(seen, "_g", "left").join(ref, "_g", "left")
     new = F.col("_seen").isNull()
+    # coalesce the sums: an EMPTY batch (no grams at all) must emit
+    # zero counters, not NULLs — the monitoring loop adds these to
+    # running totals every cycle and a quiet day is not an error
     agg = joined.agg(
         F.count(F.lit(1)).cast("long").alias("n_delta_grams"),
-        F.sum(F.when(new, 1).otherwise(0)).cast("long").alias("n_new_grams"),
-        F.sum(F.when(new & F.col("_ref").isNotNull(), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(new, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_new_grams"),
+        F.coalesce(
+            F.sum(F.when(new & F.col("_ref").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_new_common"),
     )

@@ -254,3 +254,58 @@ class TestCorpusOverlapDelta:
         # a cycle-2 recount without the cycle-1 append would have over-
         # counted the shared "e f g"/"x y z" grams
         assert full["n_grams_a"] < start["n_grams_a"] + 6 + 7
+
+
+class TestStateAppendProperty:
+    def test_append_count_equals_delta_counter_property(self, spark):
+        """Property (hypothesis): for ANY batch/state/ref word soup —
+        including empty docs, whitespace, repeated grams, unicode —
+        corpus_state_append's row count equals corpus_overlap_delta's
+        n_new_grams, appends are disjoint from the state, and
+        state ∪ appends == distinct grams of (state docs + batch).
+        Few examples (Spark jobs are slow); each example is a full
+        3-frame pipeline."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from facolos_data_pipelines_spark.operators.text import (
+            corpus_gram_state,
+            corpus_overlap_delta,
+            corpus_state_append,
+        )
+
+        word = st.sampled_from(
+            ["a", "b", "c", "dd", "é", "x1", "", "  ", "z"]
+        )
+        doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+        docset = st.lists(doc, min_size=0, max_size=4)
+
+        @settings(max_examples=8, deadline=None,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(state_docs=docset, batch_docs=docset, ref_docs=docset)
+        def check(state_docs, batch_docs, ref_docs):
+            def frame(texts):
+                return spark.createDataFrame(
+                    [(i, t) for i, t in enumerate(texts)],
+                    "doc_id long, text string",
+                )
+
+            state = corpus_gram_state(frame(state_docs))
+            ref = corpus_gram_state(frame(ref_docs))
+            batch = frame(batch_docs)
+            d = corpus_overlap_delta(batch, state, ref).first()
+            appended = {
+                r["gram"] for r in corpus_state_append(batch, state).collect()
+            }
+            assert len(appended) == d["n_new_grams"]
+            state_grams = {r["gram"] for r in state.collect()}
+            assert not (appended & state_grams), "appends must be new"
+            union_grams = {
+                r["gram"]
+                for r in corpus_gram_state(
+                    frame(state_docs + batch_docs)
+                ).collect()
+            }
+            assert state_grams | appended == union_grams
+
+        check()
