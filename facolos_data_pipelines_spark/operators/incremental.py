@@ -61,8 +61,12 @@ def not_null_filter(df: DataFrame, col: str) -> DataFrame:
 def negative_count(df: DataFrame, col: str) -> DataFrame:
     """F6 — negative-value sanity tally
     (tiktok_shop_staging_loader.py:239-243)."""
+    # coalesce: an EMPTY table has zero negative rows, not NULL — a
+    # NULL here makes a `negative_rows == 0` gate silently non-true
     return df.agg(
-        F.sum(F.when(F.col(col) < 0, 1).otherwise(0)).cast("long").alias("negative_rows")
+        F.coalesce(F.sum(F.when(F.col(col) < 0, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("negative_rows")
     )
 
 

@@ -120,7 +120,12 @@ def rows_last_hours(df: DataFrame, ts_col: str, hours: int = 24) -> DataFrame:
     """A5 — time-windowed conditional count
     (misa_crm_loader.py:357-362)."""
     cond = F.col(ts_col) >= F.current_timestamp() - F.expr(f"INTERVAL {hours} HOURS")
-    return df.agg(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("recent_rows"))
+    # coalesce: zero recent rows on an empty table, not NULL
+    return df.agg(
+        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("recent_rows")
+    )
 
 
 def multi_table_summary(tables: dict[str, DataFrame]) -> DataFrame:
@@ -169,19 +174,26 @@ def flatten_invariants(
     plus with/without-items tallies. Returns a one-row frame with
     booleans so pipelines can assert on it cheaply.
     """
+    # every sum coalesces to 0: an EMPTY extract cycle must yield
+    # 0==0 -> TRUE invariants, not NULL sums whose == comparison makes
+    # the preserved booleans NULL (an empty cycle would "fail" a gate
+    # that filters on them)
+    def _z(col):
+        return F.coalesce(F.sum(col), F.lit(0)).cast("long")
+
     raw_stats = raw_orders.agg(
         F.countDistinct(raw_order_key).alias("raw_orders"),
-        F.sum(F.size(F.coalesce(F.col(items_col), F.array()))).cast("long").alias("raw_items"),
-        F.sum(
+        _z(F.size(F.coalesce(F.col(items_col), F.array()))).alias("raw_items"),
+        _z(
             F.when(F.size(F.coalesce(F.col(items_col), F.array())) > 1, 1).otherwise(0)
-        ).cast("long").alias("raw_multi_item_orders"),
-        F.sum(
+        ).alias("raw_multi_item_orders"),
+        _z(
             F.when(F.size(F.coalesce(F.col(items_col), F.array())) == 0, 1).otherwise(0)
-        ).cast("long").alias("raw_empty_orders"),
+        ).alias("raw_empty_orders"),
     )
     flat_stats = flattened.agg(
         F.countDistinct(order_key).alias("flat_orders"),
-        F.sum(F.when(F.col(item_key).isNotNull(), 1).otherwise(0)).cast("long").alias("flat_items"),
+        _z(F.when(F.col(item_key).isNotNull(), 1).otherwise(0)).alias("flat_items"),
     )
     return raw_stats.crossJoin(flat_stats).select(
         "*",

@@ -43,7 +43,11 @@ def cycle_summary(metrics: DataFrame, last_n: int = 10) -> DataFrame:
     return recent.agg(
         F.count("*").cast("long").alias("cycles"),
         F.round(F.avg("duration_seconds"), 3).alias("avg_duration_seconds"),
-        F.sum("records_processed").cast("long").alias("total_records"),
+        # total is a counter -> 0 on an empty registry; the avg and the
+        # rate stay NULL there (an average over no cycles has no value)
+        F.coalesce(F.sum("records_processed"), F.lit(0))
+        .cast("long")
+        .alias("total_records"),
         F.round(
             F.sum(F.when(F.col("success"), 1).otherwise(0)) / F.count("*") * 100, 2
         ).alias("success_rate_pct"),

@@ -242,3 +242,33 @@ def test_align_to_schema(spark):
     assert out.columns == ["a", "b", "c"]
     row = out.first()
     assert row["a"] == 1 and row["b"] == 2.0 and row["c"] is None
+
+
+def test_flatten_invariants_empty_cycle_passes(spark):
+    """An EMPTY extract cycle trivially preserves orders and items:
+    the invariant booleans must be TRUE (0 == 0), not NULL (bare SUM
+    over zero rows) — a gate filtering on them would fail a quiet
+    cycle (round-9 quiet-day contract)."""
+    from pyspark.sql import types as T
+
+    raw = spark.createDataFrame(
+        [],
+        T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField(
+                "items",
+                T.ArrayType(T.StructType([T.StructField("sku", T.StringType())])),
+            ),
+        ]),
+    )
+    flat = spark.createDataFrame(
+        [], "order_id string, item_sku string"
+    )
+    inv = flatten_invariants(
+        raw, flat, raw_order_key="id", order_key="order_id",
+        items_col="items", item_key="item_sku",
+    ).first()
+    assert inv["raw_orders"] == 0 and inv["raw_items"] == 0
+    assert inv["flat_items"] == 0
+    assert inv["orders_preserved"] is True
+    assert inv["items_preserved"] is True

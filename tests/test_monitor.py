@@ -131,3 +131,14 @@ def test_record_cycle_roundtrip(spark, tmp_path):
     assert m.count() == 2
     s = cycle_summary(m).collect()[0]
     assert s["total_records"] == 42 and s["success_rate_pct"] == 50.0
+
+
+def test_cycle_summary_empty_registry(spark):
+    """First deploy, no cycles recorded yet: total_records is the
+    counter (0, not NULL); the average and rate stay NULL — an average
+    over no cycles has no honest value (round-9 quiet-day contract)."""
+    s = cycle_summary(_metrics(spark, []), last_n=10).collect()[0]
+    assert s["cycles"] == 0
+    assert s["total_records"] == 0
+    assert s["avg_duration_seconds"] is None
+    assert s["success_rate_pct"] is None

@@ -199,3 +199,16 @@ def test_c4_clean_line_and_doc_rules(spark):
 
     with pytest.raises(ValueError, match="min_lines"):
         c4_clean(df, min_lines=0)
+
+
+def test_empty_table_counters_are_zero_not_null(spark):
+    """The quiet-day contract (round 9): counter-shaped quality checks
+    over an EMPTY table emit 0, never NULL — a NULL poisons running
+    totals and makes `== 0` gate predicates silently non-true."""
+    from facolos_data_pipelines_spark.quality.checks import rows_last_hours
+
+    empty = spark.createDataFrame(
+        [], "create_time timestamp, order_status string, value double"
+    )
+    assert negative_count(empty, "value").first()["negative_rows"] == 0
+    assert rows_last_hours(empty, "create_time").first()["recent_rows"] == 0
