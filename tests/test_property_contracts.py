@@ -1,0 +1,200 @@
+"""Property-based contract sweeps (hypothesis) over the operators whose
+guarantees are stated as invariants — the round-9 empty-batch NULL bug
+was found by exactly this kind of sweep on the overlap family, so the
+other contract families get the same treatment:
+
+- hash_split: total assignment (every row gets exactly one declared
+  split name), determinism across invocations.
+- leakage_safe_split: no near-dup pair straddles splits; every id
+  assigned; members of one component share a split.
+- pack_documents: every doc packed exactly once; the next-fit bound
+  (pack total minus its one straddler fits the budget); empty-text
+  docs still packed.
+- quantile_bin: NULLs pass through; non-nulls get a bin in
+  [1, n_bins]; assignment is monotone in the value.
+- winsorize: clipped column within the [lo, hi] cut band; interior
+  values untouched; NULLs stay NULL.
+
+Few examples each (every example is a full Spark job); strategies bias
+toward the nasty inputs: empties, duplicates, ties, negatives, tiny
+corpora.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _ids(draw_list):
+    return st.lists(
+        st.integers(min_value=0, max_value=30), min_size=0, max_size=12,
+        unique=True,
+    )
+
+
+class TestHashSplitProperties:
+    def test_total_and_deterministic(self, spark):
+        from facolos_data_pipelines_spark.operators.sampling import hash_split
+
+        @settings(**SETTINGS)
+        @given(
+            ids=st.lists(st.integers(0, 1000), min_size=0, max_size=15,
+                         unique=True),
+            w=st.sampled_from([
+                {"train": 0.9, "val": 0.05, "test": 0.05},
+                {"train": 0.5, "test": 0.5},
+                {"only": 1.0},
+            ]),
+        )
+        def check(ids, w):
+            df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+            out = {r["doc_id"]: r["split"] for r in hash_split(df, splits=w).collect()}
+            assert set(out) == set(ids), "every row assigned"
+            assert set(out.values()) <= set(w), "only declared names"
+            again = {r["doc_id"]: r["split"] for r in hash_split(df, splits=w).collect()}
+            assert out == again, "same salt -> same deal"
+
+        check()
+
+
+class TestLeakageSafeSplitProperties:
+    def test_pairs_never_straddle(self, spark):
+        from facolos_data_pipelines_spark.operators.sampling import (
+            leakage_safe_split,
+        )
+
+        @settings(**SETTINGS)
+        @given(
+            n=st.integers(min_value=0, max_value=12),
+            edges=st.lists(
+                st.tuples(st.integers(0, 11), st.integers(0, 11)),
+                min_size=0, max_size=10,
+            ),
+        )
+        def check(n, edges):
+            ids = list(range(n))
+            df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+            pairs = spark.createDataFrame(
+                [(a, b) for a, b in edges if a < n and b < n and a != b],
+                "id_a long, id_b long",
+            )
+            out = {
+                r["doc_id"]: r["split"]
+                for r in leakage_safe_split(df, pairs).collect()
+            }
+            assert set(out) == set(ids), "every id assigned"
+            for a, b in edges:
+                if a < n and b < n and a != b:
+                    assert out[a] == out[b], f"pair ({a},{b}) straddles"
+
+        check()
+
+
+class TestPackDocumentsProperties:
+    def test_exactly_once_and_nextfit_bound(self, spark):
+        from facolos_data_pipelines_spark.operators.text import pack_documents
+
+        word = st.sampled_from(["w", "xx", ""])
+        doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+        @settings(**SETTINGS)
+        @given(
+            docs=st.lists(doc, min_size=0, max_size=10),
+            max_tokens=st.sampled_from([1, 3, 8]),
+        )
+        def check(docs, max_tokens):
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+            )
+            rows = pack_documents(
+                df, max_tokens=max_tokens, num_shards=2
+            ).collect()
+            assert sorted(r["doc_id"] for r in rows) == list(range(len(docs))), (
+                "every doc packed exactly once"
+            )
+            packs: dict = {}
+            for r in rows:
+                packs.setdefault((r["shard"], r["pack_id"]), []).append(
+                    r["n_tokens"]
+                )
+            for key, toks in packs.items():
+                # next-fit contract: at most ONE straddler per pack, so
+                # the pack minus its largest member fits the budget
+                assert sum(toks) - max(toks) < max_tokens, (key, toks)
+
+        check()
+
+
+class TestQuantileBinProperties:
+    def test_range_nulls_and_monotonicity(self, spark):
+        from facolos_data_pipelines_spark.operators.features import quantile_bin
+
+        val = st.one_of(
+            st.none(),
+            st.integers(-50, 50),
+            st.sampled_from([0, 0, 0, 7]),  # heavy ties -> merged bins
+        )
+
+        @settings(**SETTINGS)
+        @given(vals=st.lists(val, min_size=1, max_size=15),
+               n_bins=st.sampled_from([2, 4]))
+        def check(vals, n_bins):
+            df = spark.createDataFrame(
+                [(i, None if v is None else float(v)) for i, v in enumerate(vals)],
+                "id long, x double",
+            )
+            if all(v is None for v in vals):
+                return  # all-NULL column has no distribution to cut
+            out = {r["id"]: r["x_bin"] for r in quantile_bin(df, "x", n_bins).collect()}
+            by_val = []
+            for i, v in enumerate(vals):
+                if v is None:
+                    assert out[i] is None, "NULL passes through"
+                else:
+                    assert 1 <= out[i] <= n_bins
+                    by_val.append((float(v), out[i]))
+            by_val.sort()
+            for (v1, b1), (v2, b2) in zip(by_val, by_val[1:]):
+                assert b1 <= b2, "bin must be monotone in the value"
+                if v1 == v2:
+                    assert b1 == b2, "equal values share a bin"
+
+        check()
+
+
+class TestWinsorizeProperties:
+    def test_clip_band_and_interior_identity(self, spark):
+        from facolos_data_pipelines_spark.operators.features import winsorize
+
+        @settings(**SETTINGS)
+        @given(vals=st.lists(
+            st.one_of(st.none(), st.integers(-1000, 1000)),
+            min_size=1, max_size=15,
+        ))
+        def check(vals):
+            df = spark.createDataFrame(
+                [(i, None if v is None else float(v)) for i, v in enumerate(vals)],
+                "id long, x double",
+            )
+            non_null = sorted(float(v) for v in vals if v is not None)
+            if not non_null:
+                return
+            out = {r["id"]: r["x_w"] for r in winsorize(df, ["x"], 0.1, 0.9).collect()}
+            import numpy as np
+
+            lo = round(float(np.percentile(non_null, 10)) + 1e-8, 4)
+            hi = round(float(np.percentile(non_null, 90)) + 1e-8, 4)
+            for i, v in enumerate(vals):
+                if v is None:
+                    assert out[i] is None, "NULL stays NULL"
+                    continue
+                got = out[i]
+                assert lo - 1e-6 <= got <= hi + 1e-6, (v, got, lo, hi)
+                if lo + 1e-6 < float(v) < hi - 1e-6:
+                    assert got == float(v), "interior values untouched"
+
+        check()
