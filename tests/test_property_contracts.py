@@ -198,3 +198,118 @@ class TestWinsorizeProperties:
                     assert got == float(v), "interior values untouched"
 
         check()
+
+
+class TestDedupSurvivorProperties:
+    def test_exact_dedup_partition_and_min_id(self, spark):
+        """exact_dedup keeps exactly one survivor per distinct RAW
+        content value (the min id) — exact means byte equality, so
+        whitespace variants are different documents."""
+        from facolos_data_pipelines_spark.operators.dedup import exact_dedup
+
+        doc = st.sampled_from(["a b c", "a  b   c", "x", "", "a b c d"])
+
+        @settings(**SETTINGS)
+        @given(docs=st.lists(doc, min_size=0, max_size=12))
+        def check(docs):
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+            )
+            kept = {r["doc_id"]: r["text"] for r in exact_dedup(df).collect()}
+            groups: dict = {}
+            for i, t in enumerate(docs):
+                groups.setdefault(t, []).append(i)
+            assert sorted(kept) == sorted(min(g) for g in groups.values())
+
+        check()
+
+    def test_minhash_transitive_survivors_pair_free(self, spark):
+        """transitive minhash_dedup's survivor set contains NO verified
+        near-dup pair, and survivors+dropped partition the corpus."""
+        from facolos_data_pipelines_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_dedup,
+            minhash_lsh_buckets,
+            verified_near_dup_pairs,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        doc = st.sampled_from([
+            base, base, base + " iota", "one two three four five six",
+            "totally different words again here", "",
+        ])
+
+        @settings(max_examples=5, deadline=None,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(docs=st.lists(doc, min_size=0, max_size=8))
+        def check(docs):
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+            )
+            kept = {
+                r["doc_id"]
+                for r in minhash_dedup(
+                    df, threshold=0.8, transitive=True, family="xxhash"
+                ).collect()
+            }
+            assert kept <= set(range(len(docs)))
+            buckets = minhash_lsh_buckets(df, family="xxhash")
+            cand = lsh_candidate_pairs(buckets)
+            pairs = {
+                (r["id_a"], r["id_b"])
+                for r in verified_near_dup_pairs(
+                    df, cand, threshold=0.8
+                ).collect()
+            }
+            for a, b in pairs:
+                assert not (a in kept and b in kept), (
+                    f"near-dup pair ({a},{b}) both survived"
+                )
+            # nothing outside a pair may be dropped
+            paired = {x for p in pairs for x in p}
+            for i in range(len(docs)):
+                if i not in paired:
+                    assert i in kept, f"unpaired doc {i} was dropped"
+
+        check()
+
+
+class TestAsofJoinProperties:
+    def test_backward_matches_reference_scan(self, spark):
+        """asof_join(backward) equals the obvious per-row reference:
+        the greatest right ts <= left ts within the key (NULL when
+        none) — including tied timestamps and keys with no right rows."""
+        from facolos_data_pipelines_spark.operators.events import asof_join
+
+        @settings(**SETTINGS)
+        @given(
+            lefts=st.lists(
+                st.tuples(st.integers(0, 2), st.integers(0, 20)),
+                min_size=0, max_size=10,
+            ),
+            rights=st.lists(
+                st.tuples(st.integers(0, 2), st.integers(0, 20)),
+                min_size=0, max_size=10,
+                unique=True,  # unique (key, ts) -> no tiebreak needed
+            ),
+        )
+        def check(lefts, rights):
+            left = spark.createDataFrame(
+                [(i, k, t) for i, (k, t) in enumerate(lefts)],
+                "row long, k int, ts long",
+            )
+            right = spark.createDataFrame(
+                [(k, t, float(k * 100 + t)) for k, t in rights],
+                "k int, ts long, v double",
+            )
+            out = {
+                r["row"]: r["v_asof"]
+                for r in asof_join(left, right, "k", "ts", ["v"]).collect()
+            }
+            assert set(out) == set(range(len(lefts)))
+            for i, (k, t) in enumerate(lefts):
+                cand = [ts for (rk, ts) in rights if rk == k and ts <= t]
+                want = float(k * 100 + max(cand)) if cand else None
+                assert out[i] == want, (i, k, t, out[i], want)
+
+        check()
