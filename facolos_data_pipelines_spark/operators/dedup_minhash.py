@@ -461,7 +461,8 @@ def minhash_cross_corpus_pairs(
       inspection/explain, or when the caller materializes candidates
       itself. On a real cluster the recommended shape for huge corpora
       is exactly that: write the candidate set to a bucketed table
-      (bucketed by left_id) once, then run verification from it.
+      once (``sources.io.write_bucketed`` with left_id as the bucket
+      column), then run verification from it.
 
     Plan shape: both sides reduce to (id, band_id, band_hash) bucket
     rows under the SAME hash family (signatures from different
