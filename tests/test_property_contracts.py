@@ -313,3 +313,83 @@ class TestAsofJoinProperties:
                 assert out[i] == want, (i, k, t, out[i], want)
 
         check()
+
+
+class TestMergeUpsertProperties:
+    def test_matches_reference_merge(self, spark):
+        """merge_upsert equals the per-row MERGE reference: one row per
+        key; incoming wins on match (even on order ties); unmatched
+        existing rows survive; unmatched incoming rows insert."""
+        from facolos_data_pipelines_spark.operators.merge import merge_upsert
+
+        row = st.tuples(st.integers(0, 5), st.integers(0, 3), st.integers(0, 99))
+
+        @settings(**SETTINGS)
+        @given(
+            ex=st.lists(row, min_size=0, max_size=8,
+                        unique_by=lambda r: r[0]),
+            inc=st.lists(row, min_size=0, max_size=8,
+                         unique_by=lambda r: r[0]),
+        )
+        def check(ex, inc):
+            existing = spark.createDataFrame(
+                ex, "k long, etl_updated_at long, v long"
+            )
+            incoming = spark.createDataFrame(
+                inc, "k long, etl_updated_at long, v long"
+            )
+            out = {
+                r["k"]: r["v"]
+                for r in merge_upsert(existing, incoming, ["k"]).collect()
+            }
+            want = {k: v for k, _, v in ex}
+            want.update({k: v for k, _, v in inc})  # incoming always wins
+            assert out == want
+
+        check()
+
+
+class TestSessionizeProperties:
+    def test_matches_reference_gap_scan(self, spark):
+        """sessionize equals the obvious per-key sequential scan: the
+        session index increments exactly when the gap to the previous
+        event exceeds gap_minutes (unique tie-broken ordering)."""
+        from facolos_data_pipelines_spark.operators.events import sessionize
+
+        @settings(**SETTINGS)
+        @given(events=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 5000)),
+            min_size=0, max_size=12,
+        ))
+        def check(events):
+            import datetime as dt
+
+            base = dt.datetime(2024, 1, 1)
+            rows = [
+                (i, k, base + dt.timedelta(seconds=s))
+                for i, (k, s) in enumerate(events)
+            ]
+            df = spark.createDataFrame(rows, "eid long, user_id long, ts timestamp")
+            out = {
+                r["eid"]: r["session_idx"]
+                for r in sessionize(
+                    df, gap_minutes=1, tiebreak_cols=["eid"]
+                ).collect()
+            }
+            # reference: per-key scan in (ts, eid) order, new session
+            # when gap > 60 s
+            bykey: dict = {}
+            for i, (k, s) in enumerate(events):
+                bykey.setdefault(k, []).append((s, i))
+            want = {}
+            for k, evs in bykey.items():
+                evs.sort()
+                sess, prev = 0, None
+                for s, i in evs:
+                    if prev is None or s - prev > 60:
+                        sess += 1
+                    want[i] = sess
+                    prev = s
+            assert out == want
+
+        check()
