@@ -393,3 +393,86 @@ class TestSessionizeProperties:
             assert out == want
 
         check()
+
+
+class TestGapFillProperties:
+    def test_contiguous_spine_and_zero_fill(self, spark):
+        """gap_fill emits one row per (key, day in [min, max]) — a
+        contiguous spine with no duplicates — with n_rows=0 marking
+        the holes and fill='zero' making the measure additive-safe."""
+        import datetime as dt
+
+        from facolos_data_pipelines_spark.operators.timeseries import gap_fill
+
+        @settings(**SETTINGS)
+        @given(events=st.lists(
+            st.tuples(st.integers(0, 1), st.integers(0, 12), st.integers(1, 9)),
+            min_size=1, max_size=10,
+        ))
+        def check(events):
+            base = dt.datetime(2024, 3, 1)
+            df = spark.createDataFrame(
+                [(k, base + dt.timedelta(days=d), float(v)) for k, d, v in events],
+                "k long, ts timestamp, v double",
+            )
+            out = gap_fill(df, ["k"], "ts", ["v"], freq="day", fill="zero").collect()
+            spine: dict = {}
+            for r in out:
+                key = (r["k"], r["bucket"])
+                assert key not in spine, f"duplicate spine row {key}"
+                spine[key] = r
+            bykey: dict = {}
+            for k, d, v in events:
+                bykey.setdefault(k, []).append((d, v))
+            for k, evs in bykey.items():
+                days = [d for d, _ in evs]
+                for d in range(min(days), max(days) + 1):
+                    b = base + dt.timedelta(days=d)
+                    assert (k, b) in spine, f"hole in spine: key {k} day {d}"
+                    r = spine[(k, b)]
+                    want = sum(v for dd, v in evs if dd == d)
+                    assert r["v"] == want, (k, d, r["v"], want)
+                    assert r["n_rows"] == sum(1 for dd, _ in evs if dd == d)
+                # nothing outside the span
+                n_days = max(days) - min(days) + 1
+                assert sum(1 for kk, _ in spine if kk == k) == n_days
+
+        check()
+
+
+class TestScd2Properties:
+    def test_history_is_a_valid_partition_of_time(self, spark):
+        """scd2_history emits, per key: intervals ordered by
+        effective_from where each effective_to equals the next
+        effective_from (no gaps, no overlap), exactly one current row,
+        and consecutive versions differ in the tracked value."""
+        from facolos_data_pipelines_spark.operators.merge import scd2_history
+
+        @settings(**SETTINGS)
+        @given(snaps=st.lists(
+            st.tuples(st.integers(0, 1), st.integers(0, 20), st.integers(0, 2)),
+            min_size=1, max_size=12,
+            unique_by=lambda r: (r[0], r[1]),  # unique (key, order)
+        ))
+        def check(snaps):
+            df = spark.createDataFrame(
+                [(k, o, f"v{v}") for k, o, v in snaps],
+                "k long, o long, attr string",
+            )
+            hist = scd2_history(df, ["k"], ["attr"], "o").collect()
+            bykey: dict = {}
+            for r in hist:
+                bykey.setdefault(r["k"], []).append(r)
+            for k, rows in bykey.items():
+                rows.sort(key=lambda r: r["effective_from"])
+                currents = [r for r in rows if r["is_current"]]
+                assert len(currents) == 1, "exactly one current version"
+                assert rows[-1]["is_current"] and rows[-1]["effective_to"] is None
+                for a, b in zip(rows, rows[1:]):
+                    assert a["effective_to"] == b["effective_from"], "gap/overlap"
+                    assert a["attr"] != b["attr"], "no-change version emitted"
+                # first version starts at the key's first snapshot
+                first_o = min(o for kk, o, _ in snaps if kk == k)
+                assert rows[0]["effective_from"] == first_o
+
+        check()
