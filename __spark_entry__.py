@@ -699,6 +699,31 @@ def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("left_id", "right_id")
 
 
+def q_minhash_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One cycle of the incremental MinHash dedup loop
+    (dedup.minhash_dedup_delta, round 9) under the portable md5 family:
+    odd-id documents are the NEW batch, even-id documents the accepted
+    corpus whose PERSISTED band state (dedup.minhash_band_state — no
+    historical text is re-signed) the batch is probed against. Survivors
+    are batch docs with no verified near-dup (Jaccard >= 0.8) in history
+    AND not beaten by a smaller-id batch doc in the whole-batch internal
+    sweep. Every stage — md5 lane minima, band keys, the cross and
+    internal candidate joins, exact distinct-shingle Jaccard, both loser
+    rules — is reproduced by the DuckDB oracle."""
+    from facolos_data_pipelines_spark.operators.dedup import (
+        minhash_band_state,
+        minhash_dedup_delta,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    state = minhash_band_state(hist, num_hashes=16, bands=4, family="md5")
+    return minhash_dedup_delta(
+        batch, state, hist, num_hashes=16, bands=4, threshold=0.8, family="md5"
+    ).select("doc_id")
+
+
 def q_simhash_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable 60-bit SimHash near-dedup survivor set
     (dedup.simhash_dedup_md5): word-hash bits = the nibbles of the
@@ -1998,6 +2023,39 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") + 1e-9, 2).alias("value"),
             F.round(z + 1e-9, 4).alias("zscore"),
         )
+    )
+
+
+def q_robust_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-resistant per-event-type value profile
+    (quality.checks.robust_profile): median / quartiles / MAD and
+    Tukey-fence (1.5 IQR) outlier counts — the monitor a corrupted feed
+    can't re-center, unlike mean/stddev z-scores. Two fact scans total:
+    grouped exact percentiles, then one fused aggregation computing MAD
+    and the fence counts off the broadcast pass-1 row."""
+    from facolos_data_pipelines_spark.quality.checks import robust_profile
+
+    events = _t(spark, sf_dir, "events")
+    return robust_profile(events, "value", ["event_type"], k=1.5)
+
+
+def q_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay user value (events.time_decayed_sum,
+    half-life 30 days back from the frame's max timestamp): the
+    recency-weighted feature-store signal a trailing window can't
+    express (no abrupt forgetting) and a plain sum can't (stale events
+    dominate). One map-side-combinable hash aggregate per user — the
+    per-row weight is a scalar expression, no window sort, no join
+    beyond the 1-row ref-timestamp broadcast."""
+    from facolos_data_pipelines_spark.operators.events import time_decayed_sum
+
+    events = _t(spark, sf_dir, "events")
+    return time_decayed_sum(
+        events.select("user_id", "ts", "value"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        half_life_days=30.0,
     )
 
 
@@ -3489,6 +3547,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap_delta": q_corpus_overlap_delta,
         "gram_state_append": q_gram_state_append,
         "cross_corpus_dedup": q_cross_corpus_dedup,
+        "minhash_dedup_delta": q_minhash_dedup_delta,
+        "robust_profile": q_robust_profile,
+        "decayed_user_value": q_decayed_user_value,
         "length_histogram": q_length_histogram,
         "quantile_bin_prices": q_quantile_bin_prices,
         "cube_sales": q_cube_sales,
@@ -6775,6 +6836,105 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = right_id
             WHERE c / (sa.n + sb.n - c) >= 0.8
             ORDER BY left_id, right_id
+        """,
+        "minhash_dedup_delta": f"""
+            -- minhash_dedup_delta twin: odd docs are the batch, even
+            -- docs the persisted corpus state. A batch doc loses to
+            -- ANY verified (Jaccard >= 0.8) history match, and to any
+            -- SMALLER-id verified batch match (the whole-batch
+            -- internal sweep); survivors are everything else
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    list_filter([array_to_string(list_slice(words, i, i + 2), ' ')
+                                 for i in range(1, greatest(len(words) - 2, 1) + 1)],
+                                x -> x <> ''))) AS sh
+                FROM w
+            ), lanes AS (
+                SELECT doc_id,
+                   {_minhash_lanes_sql(16)}
+                FROM g GROUP BY doc_id
+            ), bands AS (
+                {_minhash_bands_sql(16, 4)}
+            ), cand AS (
+                SELECT a.doc_id AS loser, b.doc_id AS other
+                FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+                UNION
+                SELECT b.doc_id AS loser, a.doc_id AS other
+                FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+                  AND a.doc_id < b.doc_id
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+            ), shared AS (
+                SELECT cand.loser, cand.other, COUNT(*) AS c
+                FROM cand
+                JOIN g ga ON ga.doc_id = cand.loser
+                JOIN g gb ON gb.doc_id = cand.other AND gb.sh = ga.sh
+                GROUP BY 1, 2
+            ), losers AS (
+                SELECT DISTINCT loser FROM shared
+                JOIN sz sa ON sa.doc_id = loser
+                JOIN sz sb ON sb.doc_id = other
+                WHERE c / (sa.n + sb.n - c) >= 0.8
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id % 2 = 1
+              AND doc_id NOT IN (SELECT loser FROM losers)
+        """,
+        "robust_profile": """
+            -- quality.checks.robust_profile twin: grouped exact
+            -- quartiles (quantile_cont == Spark percentile), then MAD
+            -- and Tukey-fence (1.5 IQR) outlier counts off the joined
+            -- pass-1 stats; NULL values excluded everywhere
+            WITH s AS (
+                SELECT event_type, COUNT(value) AS n,
+                       quantile_cont(value, 0.25) AS q1x,
+                       quantile_cont(value, 0.5)  AS medx,
+                       quantile_cont(value, 0.75) AS q3x
+                FROM events WHERE value IS NOT NULL GROUP BY event_type
+            ), j AS (
+                SELECT e.event_type, e.value, s.n, s.q1x, s.medx, s.q3x
+                FROM events e JOIN s USING (event_type)
+                WHERE e.value IS NOT NULL
+            ), a AS (
+                SELECT event_type,
+                       any_value(n) AS n,
+                       ROUND(any_value(medx) + 1e-9, 4) AS median,
+                       ROUND(any_value(q1x) + 1e-9, 4) AS q1,
+                       ROUND(any_value(q3x) + 1e-9, 4) AS q3,
+                       ROUND(quantile_cont(abs(value - medx), 0.5) + 1e-9, 4) AS mad,
+                       CAST(COUNT(*) FILTER (
+                           WHERE value < q1x - 1.5 * (q3x - q1x)
+                              OR value > q3x + 1.5 * (q3x - q1x)
+                       ) AS BIGINT) AS n_outliers
+                FROM j GROUP BY event_type
+            )
+            SELECT event_type, n, median, q1, q3, mad, n_outliers,
+                   ROUND(n_outliers / n + 1e-9, 4) AS outlier_frac
+            FROM a
+        """,
+        "decayed_user_value": """
+            -- events.time_decayed_sum twin: weight = 0.5 ** (age_days
+            -- / 30) back from the frame's max timestamp; age is the
+            -- EXACT integer microsecond diff (== Spark timestamp_diff,
+            -- no epoch-double wobble) divided once to fractional days
+            WITH m AS (SELECT max(ts) AS ref FROM events)
+            SELECT user_id,
+                   ROUND(SUM(value * POWER(0.5,
+                       date_diff('microsecond', ts, ref)
+                       / 86400000000.0 / 30.0)) + 1e-9, 4)
+                       AS decayed_value,
+                   ROUND(SUM(value) + 1e-9, 4) AS raw_value,
+                   COUNT(value) AS n_events,
+                   MAX(ts) AS last_ts
+            FROM events, m
+            GROUP BY user_id
         """,
         "simhash_dedup_portable": f"""
             -- portable 60-bit simhash: md5 hex-nibble bit votes,

@@ -31,6 +31,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # round 9 session 2 additions
+    "minhash_dedup_delta",
+    "robust_profile",
+    "decayed_user_value",
     "daily_sales_summary",
     "flatten_explode",
     "derived_columns",

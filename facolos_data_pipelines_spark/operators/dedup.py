@@ -34,6 +34,10 @@ from .dedup_common import (  # noqa: F401
 from .dedup_minhash import (  # noqa: F401
     minhash_cross_corpus_pairs,
     cross_corpus_dedup,
+    minhash_band_state,
+    minhash_delta_pairs,
+    minhash_dedup_delta,
+    minhash_state_append,
     exact_dedup,
     normalized_words,
     word_shingles,

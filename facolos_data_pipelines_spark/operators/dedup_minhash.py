@@ -483,6 +483,31 @@ def minhash_cross_corpus_pairs(
     rb = minhash_lsh_buckets(
         right, text_col, id_col, num_hashes, bands, shingle_n, family
     ).select(F.col(id_col).alias("right_id"), "band_id", "band_hash")
+    return _cross_verified_pairs(
+        lb, rb, left, right, text_col, id_col, shingle_n, threshold,
+        max_bucket_size, candidates,
+    )
+
+
+def _cross_verified_pairs(
+    lb: DataFrame,
+    rb: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    threshold: float,
+    max_bucket_size: int | None,
+    candidates: str,
+) -> DataFrame:
+    """Shared tail of the cross-corpus pair search: band-bucket join of
+    two precomputed band frames (``lb``: left_id/band_id/band_hash,
+    ``rb``: right_id/...), candidate materialization per ``candidates``,
+    then exact distinct-shingle Jaccard verification reading only the
+    matched ids' text from each side. Factored out so the persisted-
+    state delta path (:func:`minhash_delta_pairs`) can feed a band frame
+    LOADED from storage instead of recomputing it from text."""
     if max_bucket_size is not None:
         from .skew import drop_oversized_groups
 
@@ -560,3 +585,167 @@ def cross_corpus_dedup(
     )
     losers = pairs.select(F.col("left_id").alias(id_col)).dropDuplicates()
     return left.join(losers, id_col, "left_anti")
+
+
+def minhash_band_state(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    family: str = "multiply_add",
+) -> DataFrame:
+    """The persistable LSH index rows for a corpus — (id, band_id,
+    band_hash), one row per document per band — i.e. exactly
+    :func:`minhash_lsh_buckets`, named for the persisted-store role.
+
+    This is the state table of the incremental dedup loop
+    (:func:`minhash_dedup_delta`): write it ONCE for the existing
+    corpus, then each ingestion cycle signs only its own batch and
+    joins against these rows — no historical document is ever re-read
+    or re-signed. The store contract: ``family`` / ``num_hashes`` /
+    ``bands`` / ``shingle_n`` are part of the schema — rows computed
+    under different parameters never match and must never share a
+    table. At cluster scale write it bucketed on ``band_hash``
+    (``sources.io.write_bucketed``) so every cycle's candidate join
+    needs to shuffle only the batch side; band_hash is a 64-bit hash,
+    so bucket skew mirrors bucket-occupancy skew and the
+    ``max_bucket_size`` cap downstream bounds it."""
+    return minhash_lsh_buckets(
+        df, text_col, id_col, num_hashes, bands, shingle_n, family
+    )
+
+
+def minhash_delta_pairs(
+    batch: DataFrame,
+    state: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    family: str = "multiply_add",
+    max_bucket_size: int | None = None,
+    candidates: str = "checkpoint",
+    batch_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and the PERSISTED corpus
+    state — (left_id: batch doc, right_id: historical doc, jaccard) —
+    without recomputing a single historical signature.
+
+    The incremental sibling of :func:`minhash_cross_corpus_pairs`:
+    where that operator signs both corpora from text every call (right
+    side cost grows with the corpus), this one takes the history as
+    ``state`` rows already on disk (:func:`minhash_band_state`), so the
+    per-cycle cost is O(batch) signature compute + one band-keyed join
+    of the batch's band rows against the state table + verification
+    proportional to cross candidates only. ``corpus`` (the historical
+    documents table) is touched ONLY to fetch the text of matched
+    candidate ids for exact-Jaccard verification — an id-pruned
+    semi-join read (<<1% of the corpus; at cluster scale keep the
+    corpus bucketed on ``id_col`` so this read never full-scans).
+
+    ``state`` must carry (id_col, band_id, band_hash) computed under
+    the SAME family/num_hashes/bands/shingle_n (the persisted-store
+    contract — parameters are part of the schema). ``batch_buckets``
+    optionally supplies the batch's precomputed band rows so a loop
+    that also appends them to the state (:func:`minhash_state_append`)
+    computes them once. ``candidates`` and ``max_bucket_size`` behave
+    as in :func:`minhash_cross_corpus_pairs`."""
+    lb = (
+        batch_buckets
+        if batch_buckets is not None
+        else minhash_band_state(
+            batch, text_col, id_col, num_hashes, bands, shingle_n, family
+        )
+    ).select(F.col(id_col).alias("left_id"), "band_id", "band_hash")
+    rb = state.select(F.col(id_col).alias("right_id"), "band_id", "band_hash")
+    return _cross_verified_pairs(
+        lb, rb, batch, corpus, text_col, id_col, shingle_n, threshold,
+        max_bucket_size, candidates,
+    )
+
+
+def minhash_dedup_delta(
+    batch: DataFrame,
+    state: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    family: str = "multiply_add",
+    max_bucket_size: int | None = None,
+    candidates: str = "checkpoint",
+) -> DataFrame:
+    """One cycle of the incremental MinHash dedup loop: the batch rows
+    that survive BOTH history (no verified near-dup in the persisted
+    corpus state) and the batch-internal sweep (not a verified near-dup
+    of a smaller-id batch doc) — i.e. exactly what is safe to append to
+    an already-deduplicated corpus.
+
+    Semantics are order-free within the batch and history-first across
+    batches: a historical match kills a batch doc regardless of ids
+    (history was already accepted), while batch-internal ties resolve
+    by min id, the same rule as :func:`minhash_dedup`. The internal
+    sweep runs over the WHOLE batch (a batch doc that loses to history
+    still kills its own batch near-dups — its content is represented in
+    the corpus by the historical doc that beat it), so the survivor set
+    of a batch never depends on the order its members are inspected.
+
+    Per-cycle cost: the batch's band rows are computed ONCE (persisted
+    across the history join and the internal self-join), the state is
+    probed by one band-keyed join, and text verification touches only
+    candidate ids from either side. No historical document is re-signed;
+    the loop's running cost is pinned to batch size, not corpus size
+    (measured in SCALE.md §6g). Append :func:`minhash_state_append` of
+    the survivors to the state table to complete the cycle."""
+    bb = minhash_band_state(
+        batch, text_col, id_col, num_hashes, bands, shingle_n, family
+    )
+    bb.persist()
+    try:
+        hist = minhash_delta_pairs(
+            batch, state, corpus, text_col, id_col, num_hashes, bands,
+            shingle_n, threshold, family, max_bucket_size, candidates,
+            batch_buckets=bb,
+        )
+        hist_losers = hist.select(F.col("left_id").alias(id_col)).dropDuplicates()
+        ipairs = lsh_candidate_pairs(bb, id_col, max_bucket_size)
+        idups = verified_near_dup_pairs(
+            batch, ipairs, text_col, id_col, shingle_n, threshold
+        )
+        from .dedup_components import _drop_pair_losers
+
+        internal_survivors = _drop_pair_losers(
+            batch, idups, id_col, transitive=False, eager=True
+        )
+        return internal_survivors.join(hist_losers, id_col, "left_anti")
+    finally:
+        bb.unpersist()
+
+
+def minhash_state_append(
+    survivors: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    family: str = "multiply_add",
+) -> DataFrame:
+    """The state rows a completed cycle appends: the band rows of the
+    batch docs that survived :func:`minhash_dedup_delta` (losers need no
+    representation — their content is represented by whichever doc beat
+    them, historical or batch-internal, which IS in the state). Row
+    count is ``bands`` x survivors by construction. Same persisted-store
+    contract as :func:`minhash_band_state`: identical parameters, same
+    family, appended to the same bucketed table."""
+    return minhash_band_state(
+        survivors, text_col, id_col, num_hashes, bands, shingle_n, family
+    )

@@ -319,3 +319,53 @@ def rolling_stats(
         F.max(v).over(w).alias("roll_max"),
         F.count(v).over(w).cast("long").alias("roll_n"),
     )
+
+
+def time_decayed_sum(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_days: float = 30.0,
+    ref_ts: str | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exponential time-decay aggregate per key: each event contributes
+    ``value * 0.5 ** (age_days / half_life_days)``, where age is
+    measured back from ``ref_ts`` (an ISO timestamp string; default =
+    the frame's max ``ts_col``). The standard recency-weighted user
+    value / feature-store signal: unlike a trailing window it never
+    forgets abruptly, and unlike a plain sum it can be maintained
+    incrementally (a cycle at time t1 rescales a stored total from t0
+    by 0.5 ** ((t1 - t0)/h) and adds the new batch — the decay law is
+    associative under rescaling, same loop contract as
+    corpus_overlap_delta).
+
+    One scan + one map-side-combinable groupBy on the key: the weight
+    is a per-row scalar expression (age in fractional days from the
+    timestamp difference in seconds), so the whole operator is a single
+    hash aggregate — no window sort, no join. When ``ref_ts`` is None
+    the max timestamp costs one extra tiny agg whose scalar joins in by
+    a 1-row broadcast cross join (never a shuffle of the fact).
+    Emits per key: decayed_value (rounded, engine-comparable),
+    raw_value, n_events, last_ts."""
+    if ref_ts is not None:
+        ref = F.lit(ref_ts).cast("timestamp")
+        base = df.withColumn("_ref", ref)
+    else:
+        mx = df.agg(F.max(ts_col).alias("_ref"))
+        base = df.crossJoin(F.broadcast(mx))
+    # exact integer microsecond age (works on NTZ and LTZ timestamps,
+    # no epoch-double wobble), then ONE division to fractional days —
+    # bit-identical across engines computing the same integer diff
+    age_days = F.timestamp_diff("MICROSECOND", F.col(ts_col), F.col("_ref")) / F.lit(
+        86400000000.0
+    )
+    w = F.pow(F.lit(0.5), age_days / F.lit(half_life_days))
+    v = F.col(value_col)
+    return base.groupBy(key_col).agg(
+        F.round(F.sum(v * w) + F.lit(1e-9), round_digits).alias("decayed_value"),
+        F.round(F.sum(v) + F.lit(1e-9), round_digits).alias("raw_value"),
+        F.count(v).cast("long").alias("n_events"),
+        F.max(ts_col).alias("last_ts"),
+    )

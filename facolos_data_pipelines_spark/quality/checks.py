@@ -639,3 +639,66 @@ def chi2_categorical(
         )
         .orderBy("category")
     )
+
+
+def robust_profile(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 1.5,
+    approx: bool = False,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Outlier-resistant per-group profile: median, quartiles, MAD
+    (median absolute deviation) and Tukey-fence outlier counts — the
+    robust sibling of the mean/stddev z-score monitor, which a single
+    corrupted feed can silently re-center (every breakdown statistic
+    here tolerates up to 50% contamination).
+
+    Exactly TWO scans of the fact regardless of group count: pass 1
+    aggregates (q1, median, q3, n) per group; pass 2 joins those rows
+    back (a broadcast — the group dimension is tiny by construction)
+    and computes, in ONE aggregation, the MAD (median of |x - median|)
+    and the count outside the Tukey fences [q1 - k*IQR, q3 + k*IQR].
+    The fences depend only on pass-1 stats, so outlier classification
+    fuses into the MAD pass instead of costing a third scan.
+
+    ``approx=True`` swaps exact ``percentile`` (sort-based per group —
+    the oracle-comparable path) for ``approx_percentile`` t-digest
+    sketches (map-side combinable, the 100 TB path; same envelope
+    contract as column_profile). NULL values carry no evidence either
+    way and are excluded from n and every statistic."""
+    groups = [c for c in (group_cols or []) if c in df.columns]
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull())
+    pct = (
+        (lambda c, p: F.approx_percentile(c, p, 10000))
+        if approx
+        else F.percentile
+    )
+    stats = base.groupBy(*groups).agg(
+        F.count(v).alias("n"),
+        pct(v, 0.25).alias("_q1"),
+        pct(v, 0.5).alias("_med"),
+        pct(v, 0.75).alias("_q3"),
+    )
+    joined = base.join(F.broadcast(stats), groups) if groups else base.crossJoin(
+        F.broadcast(stats)
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    lo = F.col("_q1") - F.lit(k) * iqr
+    hi = F.col("_q3") + F.lit(k) * iqr
+    out = joined.groupBy(*groups).agg(
+        F.first("n").alias("n"),
+        F.round(F.first("_med") + F.lit(1e-9), round_digits).alias("median"),
+        F.round(F.first("_q1") + F.lit(1e-9), round_digits).alias("q1"),
+        F.round(F.first("_q3") + F.lit(1e-9), round_digits).alias("q3"),
+        F.round(
+            pct(F.abs(v - F.col("_med")), 0.5) + F.lit(1e-9), round_digits
+        ).alias("mad"),
+        F.sum(((v < lo) | (v > hi)).cast("long")).alias("n_outliers"),
+    )
+    return out.withColumn(
+        "outlier_frac",
+        F.round(F.col("n_outliers") / F.col("n") + F.lit(1e-9), round_digits),
+    )

@@ -1486,3 +1486,182 @@ def test_plan_only_mode_exposes_pre_checkpoint_plan(spark):
             for r in connected_components(pairs).collect()
         }
         assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup against persisted band state (round 9)
+
+
+def _delta_fixture(spark):
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    other = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+    corpus = spark.createDataFrame(
+        [(100, base), (101, other)], "doc_id long, text string"
+    )
+    # 11: near-dup of history 100; 12: identical to 11 (internal dup of a
+    # history loser); 13/14: internal dup pair with no history match;
+    # 15: unique
+    third = (
+        "red orange yellow green blue indigo violet cyan magenta "
+        "crimson amber teal olive maroon navy coral ivory pearl"
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, base + " omega"),
+            (12, base + " omega"),
+            (13, third),
+            (14, third + " extra"),
+            (15, "totally unrelated words about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, batch
+
+
+def test_minhash_dedup_delta_semantics(spark):
+    """History kills regardless of id; the internal min-id sweep runs
+    over the WHOLE batch (a history loser still kills its own batch
+    near-dups); survivors are exactly what is safe to append."""
+    from facolos_data_pipelines_spark.operators.dedup import (
+        minhash_band_state,
+        minhash_delta_pairs,
+        minhash_dedup_delta,
+        minhash_state_append,
+    )
+
+    corpus, batch = _delta_fixture(spark)
+    state = minhash_band_state(corpus, family="xxhash")
+    pairs = minhash_delta_pairs(
+        batch, state, corpus, threshold=0.8, family="xxhash"
+    ).collect()
+    got = {(r["left_id"], r["right_id"]) for r in pairs}
+    assert got == {(11, 100), (12, 100)}, got
+    assert all(r["jaccard"] >= 0.8 for r in pairs)
+
+    survivors = minhash_dedup_delta(
+        batch, state, corpus, threshold=0.8, family="xxhash"
+    )
+    ids = {r["doc_id"] for r in survivors.collect()}
+    # 11, 12 lose to history; 14 loses to 13 internally; 13, 15 survive
+    assert ids == {13, 15}, ids
+
+    append = minhash_state_append(survivors, family="xxhash")
+    rows = append.collect()
+    assert {r["doc_id"] for r in rows} == {13, 15}
+    assert len(rows) == 8 * 2  # bands x survivors
+    assert set(append.columns) == {"doc_id", "band_id", "band_hash"}
+
+
+def test_minhash_delta_pairs_equal_cross_corpus_recompute(spark):
+    """The persisted-state path is EXACTLY the recompute path: feeding
+    minhash_band_state rows (round-tripped through parquet) yields the
+    same verified pair set as minhash_cross_corpus_pairs signing the
+    history from text."""
+    import tempfile
+
+    from facolos_data_pipelines_spark.operators.dedup import (
+        minhash_band_state,
+        minhash_cross_corpus_pairs,
+        minhash_delta_pairs,
+    )
+
+    corpus, batch = _delta_fixture(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        minhash_band_state(corpus, family="xxhash").write.parquet(f"{tmp}/st")
+        state = spark.read.parquet(f"{tmp}/st")
+        via_state = sorted(
+            (r["left_id"], r["right_id"], round(r["jaccard"], 9))
+            for r in minhash_delta_pairs(
+                batch, state, corpus, threshold=0.5, family="xxhash"
+            ).collect()
+        )
+    recompute = sorted(
+        (r["left_id"], r["right_id"], round(r["jaccard"], 9))
+        for r in minhash_cross_corpus_pairs(
+            batch, corpus, threshold=0.5, family="xxhash"
+        ).collect()
+    )
+    assert via_state == recompute
+    assert via_state, "fixture must produce cross pairs"
+
+
+def test_minhash_delta_multi_cycle_loop(spark, tmp_path):
+    """Three ingestion cycles with the state round-tripped through an
+    appended parquet store each cycle; every cycle's survivor set must
+    equal the from-scratch reference (batch-internal minhash_dedup
+    intersected with cross_corpus_dedup against the ACCEPTED corpus),
+    and the state row count must stay bands x accepted-docs."""
+    from facolos_data_pipelines_spark.operators.dedup import (
+        cross_corpus_dedup,
+        minhash_band_state,
+        minhash_dedup,
+        minhash_dedup_delta,
+        minhash_state_append,
+    )
+
+    sents = {
+        "a": "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+        "b": "one two three four five six seven eight nine ten eleven twelve",
+        "c": "red orange yellow green blue indigo violet cyan magenta crimson amber teal",
+        "d": "north south east west up down left right front back inner outer",
+    }
+    cycles = [
+        [(1, sents["a"]), (2, sents["b"])],
+        # 3 dups cycle-1 doc 1; 4 is new; 5 dups 4 in-batch
+        [(3, sents["a"] + " nu"), (4, sents["c"]), (5, sents["c"] + " olive")],
+        # 6 dups cycle-2 survivor 4; 7 is new; 8 dups cycle-1 doc 2
+        [(6, sents["c"]), (7, sents["d"]), (8, sents["b"] + " thirteen")],
+    ]
+    store = str(tmp_path / "state")
+    accepted = None
+    bands = 4
+    for i, rows in enumerate(cycles):
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        if i == 0:
+            survivors = minhash_dedup(
+                batch, num_hashes=16, bands=bands, family="xxhash"
+            )
+            minhash_band_state(
+                survivors, num_hashes=16, bands=bands, family="xxhash"
+            ).write.mode("overwrite").parquet(store)
+            accepted = batch.join(
+                survivors.select("doc_id"), "doc_id", "left_semi"
+            )
+            continue
+        state = spark.read.parquet(store)
+        survivors = minhash_dedup_delta(
+            batch, state, accepted,
+            num_hashes=16, bands=bands, threshold=0.8, family="xxhash",
+        )
+        got = {r["doc_id"] for r in survivors.collect()}
+        # from-scratch reference: internal sweep over the whole batch,
+        # then drop anything near-dupping the accepted corpus
+        ref_internal = {
+            r["doc_id"]
+            for r in minhash_dedup(
+                batch, num_hashes=16, bands=bands, family="xxhash"
+            ).collect()
+        }
+        ref_cross = {
+            r["doc_id"]
+            for r in cross_corpus_dedup(
+                batch, accepted,
+                num_hashes=16, bands=bands, threshold=0.8, family="xxhash",
+            ).collect()
+        }
+        assert got == (ref_internal & ref_cross), (i, got)
+        minhash_state_append(
+            survivors, num_hashes=16, bands=bands, family="xxhash"
+        ).write.mode("append").parquet(store)
+        accepted = accepted.unionByName(
+            batch.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        )
+    assert {r["doc_id"] for r in accepted.collect()} == {1, 2, 4, 7}
+    n_accepted = accepted.count()
+    assert spark.read.parquet(store).count() == bands * n_accepted

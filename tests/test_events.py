@@ -387,3 +387,65 @@ def test_asof_join_null_timestamps_never_match(spark):
             assert got[1] == 901  # real prior row, not the null-ts one
         else:
             assert got[1] is None  # nothing at-or-after 12:10
+
+
+def test_time_decayed_sum_known_weights(spark):
+    """Exact half-life checkpoints: an event AT the reference weighs 1,
+    one exactly one half-life older weighs 0.5; raw sum, counts and
+    last_ts come from the same aggregate."""
+    from facolos_data_pipelines_spark.operators.events import time_decayed_sum
+
+    rows = [
+        (1, datetime(2024, 1, 3, 0, 0, 0), 10.0),
+        (1, datetime(2024, 1, 1, 0, 0, 0), 4.0),  # 2 days = 1 half-life
+        (2, datetime(2024, 1, 3, 0, 0, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        r["user_id"]: r.asDict()
+        for r in time_decayed_sum(
+            df, "user_id", "ts", "value", half_life_days=2.0
+        ).collect()
+    }
+    assert got[1]["decayed_value"] == 12.0  # 10*1 + 4*0.5
+    assert got[1]["raw_value"] == 14.0
+    assert got[1]["n_events"] == 2
+    assert got[1]["last_ts"] == datetime(2024, 1, 3)
+    assert got[2]["decayed_value"] == 7.0  # at ref -> weight exactly 1
+
+    # explicit ref_ts: one more half-life in the past halves everything
+    got5 = {
+        r["user_id"]: r["decayed_value"]
+        for r in time_decayed_sum(
+            df, "user_id", "ts", "value", half_life_days=2.0,
+            ref_ts="2024-01-05 00:00:00",
+        ).collect()
+    }
+    assert got5[1] == 6.0 and got5[2] == 3.5
+
+
+def test_time_decayed_sum_incremental_rescale(spark):
+    """The associativity contract the docstring promises: a stored
+    total from t0 rescaled by 0.5**((t1-t0)/h) plus the new batch's
+    decayed sum at t1 equals the from-scratch recompute at t1."""
+    from facolos_data_pipelines_spark.operators.events import time_decayed_sum
+
+    old = [(1, datetime(2024, 1, 1), 8.0), (1, datetime(2024, 1, 2), 6.0)]
+    new = [(1, datetime(2024, 1, 5), 2.0)]
+    schema = "user_id long, ts timestamp, value double"
+    h = 2.0
+    t0, t1 = "2024-01-03 00:00:00", "2024-01-05 00:00:00"
+    at_t0 = time_decayed_sum(
+        spark.createDataFrame(old, schema), "user_id", "ts", "value",
+        half_life_days=h, ref_ts=t0, round_digits=9,
+    ).first()["decayed_value"]
+    batch_at_t1 = time_decayed_sum(
+        spark.createDataFrame(new, schema), "user_id", "ts", "value",
+        half_life_days=h, ref_ts=t1, round_digits=9,
+    ).first()["decayed_value"]
+    scratch = time_decayed_sum(
+        spark.createDataFrame(old + new, schema), "user_id", "ts", "value",
+        half_life_days=h, ref_ts=t1, round_digits=9,
+    ).first()["decayed_value"]
+    rescaled = at_t0 * 0.5 ** (2.0 / h) + batch_at_t1
+    assert abs(rescaled - scratch) < 1e-6

@@ -212,3 +212,53 @@ def test_empty_table_counters_are_zero_not_null(spark):
     )
     assert negative_count(empty, "value").first()["negative_rows"] == 0
     assert rows_last_hours(empty, "create_time").first()["recent_rows"] == 0
+
+
+def test_robust_profile_known_values(spark):
+    """Hand-computed MAD / quartile / Tukey-fence profile: group 'a'
+    holds [1,2,3,4,100] -> q1=2, med=3, q3=4, IQR=2, fences [-1, 7],
+    one outlier (100), MAD = median(|x-3|) = 1. NULLs carry no
+    evidence: group 'b' has a NULL that must not count anywhere."""
+    from facolos_data_pipelines_spark.quality.checks import robust_profile
+
+    rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0, 100.0]] + [
+        ("b", 10.0),
+        ("b", 20.0),
+        ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = {r["g"]: r.asDict() for r in robust_profile(df, "value", ["g"]).collect()}
+    a = got["a"]
+    assert (a["n"], a["median"], a["q1"], a["q3"]) == (5, 3.0, 2.0, 4.0)
+    assert a["mad"] == 1.0
+    assert a["n_outliers"] == 1 and a["outlier_frac"] == 0.2
+    b = got["b"]
+    assert b["n"] == 2 and b["n_outliers"] == 0
+    assert b["median"] == 15.0  # interpolated, NULL excluded
+
+    # ungrouped path: one global row
+    g = robust_profile(df, "value").collect()
+    assert len(g) == 1 and g[0]["n"] == 7
+
+    # approx path keeps the schema and the exact counts
+    ap = {r["g"]: r.asDict() for r in robust_profile(df, "value", ["g"], approx=True).collect()}
+    assert ap["a"]["n"] == 5 and set(ap["a"].keys()) == set(a.keys())
+
+
+def test_robust_profile_resists_contamination(spark):
+    """The point of the operator: 20% wild contamination moves the mean
+    by orders of magnitude but the median/MAD profile barely moves."""
+    from facolos_data_pipelines_spark.quality.checks import robust_profile
+
+    clean = [("x", float(i % 10)) for i in range(40)]
+    dirty = clean + [("x", 1e9)] * 10
+    p_clean = robust_profile(
+        spark.createDataFrame(clean, "g string, value double"), "value", ["g"]
+    ).first()
+    p_dirty = robust_profile(
+        spark.createDataFrame(dirty, "g string, value double"), "value", ["g"]
+    ).first()
+    # mean shifts by ~2e8 under this contamination; the median shifts
+    # within the clean data's own spread
+    assert abs(p_dirty["median"] - p_clean["median"]) <= 2.0
+    assert p_dirty["n_outliers"] == 10
