@@ -3754,13 +3754,19 @@ _R9_WINDOW = [
     "minhash_dedup_portable", "simhash_dedup_portable",
     "ngram_jaccard_dedup", "bigram_lm_scores", "cross_corpus_dedup",
     "corpus_overlap_delta",
-    # the new round-9 query
-    "gram_state_append",
-    # 9 oldest r6-vintage (derived_columns yielded its slot to the new
-    # query; it rides the full-surface local artifact this round)
+    # the new round-9 queries (gram_state_append from the first r9
+    # session; the three from the second session — the incremental
+    # minhash state loop and the two robust/decay aggregates — take
+    # the slots of three r6-vintage refresh fillers, which ride the
+    # full-surface local artifact instead: new-query attestation
+    # outranks an early refresh of names that aren't stale yet)
+    "gram_state_append", "minhash_dedup_delta", "robust_profile",
+    "decayed_user_value",
+    # 6 oldest r6-vintage (derived_columns, contamination_score,
+    # daily_revenue_delta and date_parts yielded their slots; all ride
+    # the full-surface local artifact this round)
     "anti_join_new_keys", "audio_signal_features", "column_profile_approx",
     "column_profile_tdigest", "compression_signal", "conditional_agg",
-    "contamination_score", "daily_revenue_delta", "date_parts",
 ]
 
 

@@ -195,6 +195,74 @@ def main() -> int:
                    "state_rows": spark.read.parquet(state).count()}
         shutil.rmtree(state, ignore_errors=True)
         shutil.rmtree(ref_path, ignore_errors=True)
+    elif op == "minhash_delta_loop":
+        from facolos_data_pipelines_spark.operators.dedup import (
+            cross_corpus_dedup,
+            minhash_band_state,
+            minhash_dedup,
+            minhash_dedup_delta,
+            minhash_state_append,
+        )
+
+        # continuous-ingestion regime: a FIXED ~2k-doc daily batch
+        # against a corpus that grows with sf. doc_id % (2*thin) == 1
+        # keeps batch size constant across decades so the measured
+        # growth isolates what the state probe costs as the corpus
+        # (and its persisted band state) grows 10x and 100x — the
+        # claim under test: the delta cycle is pinned to the batch,
+        # while the from-scratch recompute (re-signing the corpus via
+        # cross_corpus_dedup) grows with the corpus.
+        thin = max(1, n_docs // 5_000)
+        batch = docs.filter(F.col("doc_id") % (2 * thin) == 1)
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        state_path = f"/tmp/scale_minhash_state_{os.getpid()}"
+        shutil.rmtree(state_path, ignore_errors=True)
+        t0 = time.monotonic()
+        minhash_band_state(corpus).write.parquet(state_path)
+        bootstrap_s = round(time.monotonic() - t0, 3)
+        n_batch = batch.count()
+        cycles = []
+        survivors = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            state = spark.read.parquet(state_path)
+            survivors = minhash_dedup_delta(batch, state, corpus, threshold=0.8)
+            n_surv = survivors.count()
+            delta_s = round(time.monotonic() - t0, 3)
+            cycles.append({"delta_cycle_s": delta_s, "survivors": n_surv})
+        # write-back leg, once (the loop's other per-cycle cost)
+        t0 = time.monotonic()
+        minhash_state_append(survivors).write.mode("append").parquet(state_path)
+        append_s = round(time.monotonic() - t0, 3)
+        # consistency: the delta survivors equal the from-scratch
+        # reference (internal sweep ∩ cross-corpus survivors), timed
+        # as the recompute this loop replaces
+        t0 = time.monotonic()
+        ref_internal = minhash_dedup(batch).select("doc_id")
+        ref = (
+            cross_corpus_dedup(batch, corpus, threshold=0.8)
+            .select("doc_id")
+            .join(ref_internal, "doc_id", "left_semi")
+        )
+        n_ref = ref.count()
+        scratch_s = round(time.monotonic() - t0, 3)
+        assert n_ref == cycles[-1]["survivors"], (n_ref, cycles)
+        mismatch = survivors.select("doc_id").exceptAll(ref).count()
+        assert mismatch == 0, mismatch
+        result |= {
+            "bootstrap_s": bootstrap_s,
+            "n_batch": n_batch,
+            "n_corpus": corpus.count(),
+            "state_rows": spark.read.parquet(state_path).count(),
+            "cycles": cycles,
+            "delta_median_s": statistics.median(
+                c["delta_cycle_s"] for c in cycles
+            ),
+            "state_append_s": append_s,
+            "from_scratch_s": scratch_s,
+            "survivors_match_reference": True,
+        }
+        shutil.rmtree(state_path, ignore_errors=True)
     else:
         raise SystemExit(f"unknown op {op!r}")
 
