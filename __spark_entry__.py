@@ -848,6 +848,31 @@ def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One cycle of the incremental EMBEDDING dedup loop
+    (dedup.embedding_dedup_delta, round 9): odd vec_ids are the new
+    batch, even vec_ids the accepted corpus whose persisted hyperplane
+    band state (dedup.embedding_band_state — pinned 6 planes x 4 bands,
+    the certified plane family; no historical vector re-signed) the
+    batch probes. Survivors: batch vectors with no cross near-dup
+    (cosine >= 0.4) in history AND not beaten by a smaller-id batch
+    vector in the whole-batch internal sweep; zero-norm vectors pass
+    through. The DuckDB oracle reproduces the plane literals, both
+    candidate joins and both loser rules exactly."""
+    from facolos_data_pipelines_spark.operators.dedup import (
+        embedding_band_state,
+        embedding_dedup_delta,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    hist = emb.filter(F.col("vec_id") % 2 == 0)
+    state = embedding_band_state(hist, num_planes=6, num_bands=4, dim=64)
+    return embedding_dedup_delta(
+        batch, state, hist, threshold=0.4, num_planes=6, num_bands=4, dim=64
+    ).select("vec_id")
+
+
 def q_cycle_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 — rolling last-10-cycle summary (quality.monitor.cycle_summary)
     over a per-day metrics frame derived from events: duration = span of
@@ -3608,6 +3633,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- outside the 50-entry driver window: previously
         # driver-certified (r1-r5) and re-certified locally --
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_dedup_delta": q_embedding_dedup_delta,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "sessionization": q_sessionization,
         "asof_join_events": q_asof_join_events,
@@ -3761,12 +3787,12 @@ _R9_WINDOW = [
     # full-surface local artifact instead: new-query attestation
     # outranks an early refresh of names that aren't stale yet)
     "gram_state_append", "minhash_dedup_delta", "robust_profile",
-    "decayed_user_value",
-    # 6 oldest r6-vintage (derived_columns, contamination_score,
-    # daily_revenue_delta and date_parts yielded their slots; all ride
-    # the full-surface local artifact this round)
+    "decayed_user_value", "embedding_dedup_delta",
+    # 5 oldest r6-vintage (derived_columns, contamination_score,
+    # daily_revenue_delta, date_parts and conditional_agg yielded their
+    # slots; all ride the full-surface local artifact this round)
     "anti_join_new_keys", "audio_signal_features", "column_profile_approx",
-    "column_profile_tdigest", "compression_signal", "conditional_agg",
+    "column_profile_tdigest", "compression_signal",
 ]
 
 
@@ -6322,6 +6348,53 @@ def oracle_sql() -> dict[str, str]:
                 JOIN e ea ON ea.vec_id = c.id_a
                 JOIN e eb ON eb.vec_id = c.id_b
             ) WHERE d >= 0.4
+        """,
+        "embedding_dedup_delta": f"""
+            -- embedding_dedup_delta twin: odd vec_ids the batch, even
+            -- the persisted state. Same plane literals and signature
+            -- math as embedding_near_dups; a batch vector loses to ANY
+            -- verified (cosine >= 0.4) history match and to any
+            -- smaller-id verified batch match; zero-norm vectors are
+            -- never candidates and pass through
+            WITH e AS (
+                SELECT vec_id, embedding,
+                       list_transform(embedding,
+                           x -> x::DOUBLE * (1.0 / sqrt(list_sum(
+                               list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))))
+                           AS sv
+                FROM embeddings
+                WHERE list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)) > 0
+            ), p(band, bitval, plane) AS (
+                VALUES {_hyperplane_values_sql(6, 4, 64)}
+            ), s AS (
+                SELECT e.vec_id, p.band,
+                       SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+                                   i -> e.embedding[i]::DOUBLE * p.plane[i])) > 0
+                                THEN p.bitval ELSE 0 END) AS sig
+                FROM e CROSS JOIN p
+                GROUP BY e.vec_id, p.band
+            ), cand AS (
+                SELECT a.vec_id AS loser, b.vec_id AS other
+                FROM s a JOIN s b ON a.band = b.band AND a.sig = b.sig
+                WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+                UNION
+                SELECT b.vec_id AS loser, a.vec_id AS other
+                FROM s a JOIN s b ON a.band = b.band AND a.sig = b.sig
+                WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 1
+                  AND a.vec_id < b.vec_id
+            ), v AS (
+                SELECT cand.loser,
+                       list_sum(list_transform(range(1, 65),
+                           i -> ea.sv[i] * eb.sv[i])) AS d
+                FROM cand
+                JOIN e ea ON ea.vec_id = cand.loser
+                JOIN e eb ON eb.vec_id = cand.other
+            ), losers AS (
+                SELECT DISTINCT loser FROM v WHERE d >= 0.4
+            )
+            SELECT vec_id FROM embeddings
+            WHERE vec_id % 2 = 1
+              AND vec_id NOT IN (SELECT loser FROM losers)
         """,
         "embedding_near_dups_exact": """
             -- mirrors the Spark op order exactly: scale each element by

@@ -35,6 +35,7 @@ HEADLINE = [
     "minhash_dedup_delta",
     "robust_profile",
     "decayed_user_value",
+    "embedding_dedup_delta",
     "daily_sales_summary",
     "flatten_explode",
     "derived_columns",

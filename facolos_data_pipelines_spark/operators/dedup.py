@@ -77,6 +77,10 @@ from .dedup_simhash import (  # noqa: F401
     simhash_dedup_md5,
 )
 from .dedup_embedding import (  # noqa: F401
+    embedding_band_state,
+    embedding_delta_pairs,
+    embedding_dedup_delta,
+    embedding_state_append,
     cosine_similarity,
     _exact_pairs_gemm,
     _auto_num_planes,

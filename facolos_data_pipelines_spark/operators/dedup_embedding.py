@@ -592,3 +592,235 @@ def semantic_dedup(
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Incremental embedding dedup against persisted band state (round 9) —
+# the embedding sibling of dedup_minhash.minhash_dedup_delta: history's
+# LSH index rows live on disk; each cycle signs only its batch.
+# ---------------------------------------------------------------------------
+
+
+def _normalized_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, _sv): L2-normalized double vectors, zero-norm rows dropped
+    (no defined cosine) — the shared verify-side projection."""
+    norm_sq = F.aggregate(
+        F.col(vec_col), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    inv_norm = 1.0 / F.sqrt(F.col("_nsq"))
+    return (
+        df.select(F.col(id_col), F.col(vec_col), norm_sq.alias("_nsq"))
+        .filter(F.col("_nsq") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") * inv_norm
+            ).alias("_sv"),
+        )
+    )
+
+
+def embedding_band_state(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 12,
+    num_bands: int = 4,
+    dim: int | None = None,
+    signature_impl: str = "expr",
+) -> DataFrame:
+    """The persistable hyperplane-LSH index rows for an embedding
+    corpus — (id, band, sig), one row per vector per band — the state
+    table of :func:`embedding_dedup_delta`'s ingestion loop.
+
+    ``num_planes`` must be an explicit int here, never ``'auto'``: the
+    store contract pins the plane family across cycles (signatures
+    under different plane counts never match), so size it for the
+    corpus you EXPECT to accumulate — ceil(log2(N_target/occupancy)),
+    :func:`_auto_num_planes` applied to the target, not the bootstrap —
+    and re-index (one pass over the accepted corpus) if the corpus
+    outgrows it; occupancy, and with it per-cycle probe cost, degrades
+    gradually, not abruptly. Zero-norm vectors are excluded (no defined
+    cosine — same rule as the batch operators). At cluster scale write
+    the state bucketed on ``sig`` so each cycle's probe join shuffles
+    only the batch's band rows."""
+    if not isinstance(num_planes, int):
+        raise ValueError(
+            "embedding_band_state: num_planes must be an explicit int — "
+            "'auto' would let the plane family drift between cycles, and "
+            "signatures under different plane counts never match. Size it "
+            "for the TARGET corpus (ceil(log2(N_target/occupancy)))."
+        )
+    from .similarity import banded_signatures
+
+    norm_sq = F.aggregate(
+        F.col(vec_col), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    nonzero = df.filter(norm_sq > 0)
+    return banded_signatures(
+        nonzero, vec_col, id_col, num_planes, num_bands, dim, id_col,
+        impl=signature_impl,
+    )
+
+
+def embedding_delta_pairs(
+    batch: DataFrame,
+    state: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    num_bands: int = 4,
+    dim: int | None = None,
+    signature_impl: str = "expr",
+    max_bucket_size: int | None = None,
+    batch_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs between a NEW embedding batch and the PERSISTED
+    corpus state — (left_id: batch vector, right_id: historical vector,
+    cosine >= threshold) — without recomputing a single historical
+    signature.
+
+    Per-cycle cost: O(batch) signature compute, one (band, sig)-keyed
+    join of the batch's band rows against the state table (bucketed on
+    sig at cluster scale — only the batch side shuffles), then cosine
+    verification proportional to CROSS candidates: the historical
+    vectors are read back id-pruned from ``corpus`` (<<1% semi-join —
+    keep the corpus bucketed on ``id_col``). Verification is the
+    certified expr dot fold; a candidate flood past ~10^8 pairs wants
+    the tiled-GEMM pattern of :func:`_exact_pairs_gemm` instead — at
+    that point the real problem is plane count, not verify speed (see
+    :func:`embedding_band_state` on re-indexing).
+
+    ``num_planes``/``num_bands``/``dim``/``signature_impl`` must match
+    the state's pinned store contract. ``batch_sigs`` optionally feeds
+    precomputed batch band rows so a loop that also appends them
+    (:func:`embedding_state_append`) signs the batch once."""
+    sigs = (
+        batch_sigs
+        if batch_sigs is not None
+        else embedding_band_state(
+            batch, vec_col, id_col, num_planes, num_bands, dim, signature_impl
+        )
+    ).select(F.col(id_col).alias("left_id"), "band", "sig")
+    rb = state.select(F.col(id_col).alias("right_id"), "band", "sig")
+    if max_bucket_size is not None:
+        from .skew import drop_oversized_groups
+
+        sigs = drop_oversized_groups(sigs, ["band", "sig"], max_bucket_size)
+        rb = drop_oversized_groups(rb, ["band", "sig"], max_bucket_size)
+    cand = materialize(
+        sigs.join(rb, ["band", "sig"]).select("left_id", "right_id").dropDuplicates()
+    )
+    va = _normalized_vectors(batch, vec_col, id_col).select(
+        F.col(id_col).alias("left_id"), F.col("_sv").alias("va")
+    )
+    hist_ids = cand.select(F.col("right_id").alias(id_col)).dropDuplicates()
+    vb = _normalized_vectors(
+        corpus.join(hist_ids, id_col, "left_semi"), vec_col, id_col
+    ).select(F.col(id_col).alias("right_id"), F.col("_sv").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(va, "left_id")
+        .join(vb, "right_id")
+        .select("left_id", "right_id", dot.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_dedup_delta(
+    batch: DataFrame,
+    state: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    num_bands: int = 4,
+    dim: int | None = None,
+    signature_impl: str = "expr",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """One cycle of the incremental embedding dedup loop: the batch
+    vectors that near-duplicate NO historical vector (persisted state,
+    history-first — ids never decide against history) and are not
+    beaten by a smaller-id batch vector in the whole-batch internal
+    sweep — the same two loser rules, same order-free semantics, as
+    :func:`dedup_minhash.minhash_dedup_delta`, over cosine instead of
+    Jaccard. The batch is signed ONCE (persisted band rows feed both
+    the history probe and the internal self-join); append
+    :func:`embedding_state_append` of the survivors to complete the
+    cycle. Zero-norm vectors have no cosine to anyone and pass through
+    as survivors."""
+    sigs = embedding_band_state(
+        batch, vec_col, id_col, num_planes, num_bands, dim, signature_impl
+    )
+    sigs.persist()
+    try:
+        hist = embedding_delta_pairs(
+            batch, state, corpus, vec_col, id_col, threshold,
+            num_planes, num_bands, dim, signature_impl, max_bucket_size,
+            batch_sigs=sigs,
+        )
+        hist_losers = materialize(
+            hist.select(F.col("left_id").alias(id_col)).dropDuplicates()
+        )
+        a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
+        b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
+        if max_bucket_size is not None:
+            from .skew import drop_oversized_groups
+
+            a = drop_oversized_groups(a, ["band", "sig"], max_bucket_size)
+            b = drop_oversized_groups(b, ["band", "sig"], max_bucket_size)
+        cand = materialize(
+            a.join(b, ["band", "sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates()
+        )
+        sv = _normalized_vectors(batch, vec_col, id_col)
+        va = sv.select(F.col(id_col).alias("id_a"), F.col("_sv").alias("va"))
+        vb = sv.select(F.col(id_col).alias("id_b"), F.col("_sv").alias("vb"))
+        dot = F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        idups = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select("id_a", "id_b", dot.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+        internal_survivors = _drop_pair_losers(
+            batch, idups, id_col, transitive=False, eager=True
+        )
+        return internal_survivors.join(hist_losers, id_col, "left_anti")
+    finally:
+        sigs.unpersist()
+
+
+def embedding_state_append(
+    survivors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 12,
+    num_bands: int = 4,
+    dim: int | None = None,
+    signature_impl: str = "expr",
+) -> DataFrame:
+    """The state rows a completed cycle appends: band rows of the batch
+    vectors that survived :func:`embedding_dedup_delta` (``num_bands``
+    rows per non-zero-norm survivor). Same pinned plane-family contract
+    as :func:`embedding_band_state`; appended to the same
+    sig-bucketed table."""
+    return embedding_band_state(
+        survivors, vec_col, id_col, num_planes, num_bands, dim, signature_impl
+    )

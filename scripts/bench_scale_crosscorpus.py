@@ -263,6 +263,56 @@ def main() -> int:
             "survivors_match_reference": True,
         }
         shutil.rmtree(state_path, ignore_errors=True)
+    elif op == "embedding_delta_loop":
+        from facolos_data_pipelines_spark.operators.dedup import (
+            embedding_band_state,
+            embedding_dedup_delta,
+            embedding_state_append,
+        )
+
+        # same regime as minhash_delta_loop: fixed ~2k-vector batch,
+        # corpus (and its persisted band state) growing with sf. Planes
+        # pinned at 12 (the store contract: sized for the target
+        # corpus, auto rejected); production signature impl.
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_vec = emb.count()
+        thin = max(1, n_vec // 5_000)
+        batch = emb.filter(F.col("vec_id") % (2 * thin) == 1)
+        corpus = emb.filter(F.col("vec_id") % 2 == 0)
+        kw = dict(num_planes=12, num_bands=4, dim=64)
+        state_path = f"/tmp/scale_emb_state_{os.getpid()}"
+        shutil.rmtree(state_path, ignore_errors=True)
+        t0 = time.monotonic()
+        embedding_band_state(corpus, **kw).write.parquet(state_path)
+        bootstrap_s = round(time.monotonic() - t0, 3)
+        cycles, surv = [], None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            state = spark.read.parquet(state_path)
+            surv = embedding_dedup_delta(
+                batch, state, corpus, threshold=0.8, **kw
+            )
+            n_surv = surv.count()
+            cycles.append({
+                "delta_cycle_s": round(time.monotonic() - t0, 3),
+                "survivors": n_surv,
+            })
+        t0 = time.monotonic()
+        embedding_state_append(surv, **kw).write.mode("append").parquet(state_path)
+        append_s = round(time.monotonic() - t0, 3)
+        result |= {
+            "n_vectors": n_vec,
+            "n_batch": batch.count(),
+            "n_corpus": corpus.count(),
+            "state_rows": spark.read.parquet(state_path).count(),
+            "bootstrap_s": bootstrap_s,
+            "cycles": cycles,
+            "delta_median_s": statistics.median(
+                c["delta_cycle_s"] for c in cycles
+            ),
+            "state_append_s": append_s,
+        }
+        shutil.rmtree(state_path, ignore_errors=True)
     else:
         raise SystemExit(f"unknown op {op!r}")
 

@@ -1665,3 +1665,168 @@ def test_minhash_delta_multi_cycle_loop(spark, tmp_path):
     assert {r["doc_id"] for r in accepted.collect()} == {1, 2, 4, 7}
     n_accepted = accepted.count()
     assert spark.read.parquet(store).count() == bands * n_accepted
+
+
+# ---------------------------------------------------------------------------
+# Incremental embedding dedup against persisted band state (round 9)
+
+
+def _edelta_fixture(spark):
+    e1, e2, e3, e4 = (
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    )
+    hist = spark.createDataFrame(
+        [(100, e1), (101, e2)], "vec_id long, embedding array<float>"
+    )
+    # 11/12: dups of history 100 (and of each other); 13: new, 14: a
+    # scaled copy of 13 (cosine 1, internal dup); 15: new unique;
+    # 16: zero-norm (no cosine to anyone -> survivor by rule)
+    batch = spark.createDataFrame(
+        [
+            (11, e1),
+            (12, e1),
+            (13, e3),
+            (14, [x * 2.0 for x in e3]),
+            (15, e4),
+            (16, [0.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    return hist, batch
+
+
+def test_embedding_dedup_delta_semantics(spark):
+    """History kills regardless of id; internal min-id sweep over the
+    whole batch; zero-norm vectors pass through; state append is
+    bands x non-zero-norm survivors."""
+    from facolos_data_pipelines_spark.operators.dedup import (
+        embedding_band_state,
+        embedding_delta_pairs,
+        embedding_dedup_delta,
+        embedding_state_append,
+    )
+
+    hist, batch = _edelta_fixture(spark)
+    kw = dict(num_planes=6, num_bands=4, dim=4)
+    state = embedding_band_state(hist, **kw)
+    pairs = embedding_delta_pairs(batch, state, hist, threshold=0.95, **kw).collect()
+    got = {(r["left_id"], r["right_id"]) for r in pairs}
+    assert got == {(11, 100), (12, 100)}, got
+    assert all(r["cosine"] >= 0.95 for r in pairs)
+
+    surv = embedding_dedup_delta(batch, state, hist, threshold=0.95, **kw)
+    ids = {r["vec_id"] for r in surv.collect()}
+    # 11, 12 lose to history; 14 loses to 13 internally; 13, 15, 16 survive
+    assert ids == {13, 15, 16}, ids
+
+    app = embedding_state_append(surv, **kw)
+    rows = app.collect()
+    assert {r["vec_id"] for r in rows} == {13, 15}  # zero-norm 16 has no sig
+    assert len(rows) == 4 * 2
+    assert set(app.columns) == {"vec_id", "band", "sig"}
+
+
+def test_embedding_band_state_rejects_auto(spark):
+    import pytest
+
+    from facolos_data_pipelines_spark.operators.dedup import embedding_band_state
+
+    hist, _ = _edelta_fixture(spark)
+    with pytest.raises(ValueError, match="explicit int"):
+        embedding_band_state(hist, num_planes="auto", dim=4)
+
+
+def test_embedding_delta_pairs_equal_union_recompute(spark):
+    """The persisted-state path (parquet round-trip) finds exactly the
+    cross-side subset of what embedding_near_dup_pairs finds on the
+    union under the same pinned plane family."""
+    import tempfile
+
+    from facolos_data_pipelines_spark.operators.dedup import (
+        embedding_band_state,
+        embedding_delta_pairs,
+        embedding_near_dup_pairs,
+    )
+
+    hist, batch = _edelta_fixture(spark)
+    kw = dict(num_planes=6, num_bands=4, dim=4)
+    with tempfile.TemporaryDirectory() as tmp:
+        embedding_band_state(hist, **kw).write.parquet(f"{tmp}/st")
+        state = spark.read.parquet(f"{tmp}/st")
+        via_state = sorted(
+            (r["left_id"], r["right_id"], round(r["cosine"], 6))
+            for r in embedding_delta_pairs(
+                batch, state, hist, threshold=0.95, **kw
+            ).collect()
+        )
+    union = batch.unionByName(hist)
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    cross = sorted(
+        (
+            (r["id_a"], r["id_b"]) if r["id_b"] not in batch_ids else (r["id_b"], r["id_a"])
+        ) + (round(r["cosine"], 6),)
+        for r in embedding_near_dup_pairs(
+            union, threshold=0.95, verify_impl="expr", **kw
+        ).collect()
+        if (r["id_a"] in batch_ids) != (r["id_b"] in batch_ids)
+    )
+    assert via_state == cross
+    assert via_state, "fixture must produce cross pairs"
+
+
+def test_embedding_delta_multi_cycle_loop(spark, tmp_path):
+    """Two delta cycles with the state round-tripped through an
+    appended parquet store; each cycle's survivors equal the
+    from-scratch reference (internal embedding_dedup of the batch,
+    minus batch vectors cross-matched to the accepted corpus under the
+    same pinned planes); final state rows = bands x accepted non-zero
+    vectors."""
+    from facolos_data_pipelines_spark.operators.dedup import (
+        embedding_band_state,
+        embedding_dedup,
+        embedding_dedup_delta,
+        embedding_delta_pairs,
+        embedding_state_append,
+    )
+
+    kw = dict(num_planes=6, num_bands=4, dim=4)
+    e = lambda i: [1.0 if j == i else 0.0 for j in range(4)]
+    cycles = [
+        [(1, e(0)), (2, e(1))],
+        [(3, e(0)), (4, e(2)), (5, [x * 3.0 for x in e(2)])],  # 3 dups 1; 5 dups 4
+        [(6, e(2)), (7, e(3)), (8, e(1))],  # 6 dups accepted 4; 8 dups accepted 2
+    ]
+    schema = "vec_id long, embedding array<float>"
+    store = str(tmp_path / "estate")
+    accepted = None
+    for i, rows in enumerate(cycles):
+        batch = spark.createDataFrame(rows, schema)
+        if i == 0:
+            surv = embedding_dedup(batch, threshold=0.95, **kw)
+            embedding_band_state(surv, **kw).write.mode("overwrite").parquet(store)
+            accepted = batch.join(surv.select("vec_id"), "vec_id", "left_semi")
+            continue
+        state = spark.read.parquet(store)
+        surv = embedding_dedup_delta(batch, state, accepted, threshold=0.95, **kw)
+        got = {r["vec_id"] for r in surv.collect()}
+        ref_internal = {
+            r["vec_id"]
+            for r in embedding_dedup(batch, threshold=0.95, **kw).collect()
+        }
+        fresh_state = embedding_band_state(accepted, **kw)
+        cross_losers = {
+            r["left_id"]
+            for r in embedding_delta_pairs(
+                batch, fresh_state, accepted, threshold=0.95, **kw
+            ).collect()
+        }
+        assert got == (ref_internal - cross_losers), (i, got)
+        embedding_state_append(surv, **kw).write.mode("append").parquet(store)
+        accepted = accepted.unionByName(
+            batch.join(surv.select("vec_id"), "vec_id", "left_semi")
+        )
+    assert {r["vec_id"] for r in accepted.collect()} == {1, 2, 4, 7}
+    assert spark.read.parquet(store).count() == 4 * accepted.count()
