@@ -476,3 +476,130 @@ class TestScd2Properties:
                 assert rows[0]["effective_from"] == first_o
 
         check()
+
+
+class TestRobustProfileProperties:
+    def test_invariants_vs_numpy(self, spark):
+        """q1 <= median <= q3; MAD >= 0; outliers within [0, n];
+        fraction = outliers/n; exact percentiles match numpy's linear
+        interpolation (the quantile_cont definition both engines pin)."""
+        import numpy as np
+
+        from facolos_data_pipelines_spark.quality.checks import robust_profile
+
+        @settings(**SETTINGS)
+        @given(
+            vals=st.lists(
+                st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False,
+                          width=32),
+                min_size=1, max_size=25,
+            ),
+            nulls=st.integers(0, 3),
+            k=st.sampled_from([0.0, 1.5, 3.0]),
+        )
+        def check(vals, nulls, k):
+            rows = [("g", float(v)) for v in vals] + [("g", None)] * nulls
+            df = spark.createDataFrame(rows, "g string, value double")
+            r = robust_profile(df, "value", ["g"], k=k).first()
+            assert r["n"] == len(vals)
+            assert r["q1"] <= r["median"] <= r["q3"]
+            assert r["mad"] >= 0
+            assert 0 <= r["n_outliers"] <= len(vals)
+            assert abs(r["outlier_frac"] - round(r["n_outliers"] / len(vals) + 1e-9, 4)) < 1e-9
+            a = np.array(vals, dtype=float)
+            for got, p in ((r["q1"], 25), (r["median"], 50), (r["q3"], 75)):
+                want = round(float(np.percentile(a, p)) + 1e-9, 4)
+                assert abs(got - want) <= 1e-4, (p, got, want)
+            med = float(np.percentile(a, 50))
+            want_mad = round(float(np.percentile(np.abs(a - med), 50)) + 1e-9, 4)
+            assert abs(r["mad"] - want_mad) <= 1e-4
+
+        check()
+
+
+class TestTimeDecayProperties:
+    def test_bounds_and_reference(self, spark):
+        """For non-negative values: 0 <= decayed <= raw (weights in
+        (0, 1]); exact agreement with a python reference at 9dp
+        rounding; n_events counts non-null values only."""
+        import math
+        from datetime import datetime, timedelta
+
+        from facolos_data_pipelines_spark.operators.events import time_decayed_sum
+
+        @settings(**SETTINGS)
+        @given(
+            offs=st.lists(
+                st.integers(0, 10_000_000),  # seconds back from ref
+                min_size=1, max_size=12,
+            ),
+            half_life=st.sampled_from([0.5, 7.0, 30.0]),
+        )
+        def check(offs, half_life):
+            ref = datetime(2024, 6, 1)
+            rows = [
+                (1, ref - timedelta(seconds=s), float(i + 1))
+                for i, s in enumerate(offs)
+            ]
+            df = spark.createDataFrame(
+                rows, "user_id long, ts timestamp, value double"
+            )
+            r = time_decayed_sum(
+                df, "user_id", "ts", "value", half_life_days=half_life,
+                ref_ts="2024-06-01 00:00:00", round_digits=9,
+            ).first()
+            assert r["n_events"] == len(offs)
+            assert -1e-6 <= r["decayed_value"] <= r["raw_value"] + 1e-6
+            want = sum(
+                (i + 1) * math.pow(0.5, s / 86400.0 / half_life)
+                for i, s in enumerate(offs)
+            )
+            assert abs(r["decayed_value"] - round(want + 1e-9, 9)) < 1e-6
+
+        check()
+
+
+class TestDeltaLoopProperties:
+    def test_minhash_delta_never_reintroduces_history_dup(self, spark):
+        """Random small corpora: every minhash_dedup_delta survivor,
+        appended, leaves the accepted corpus free of cross near-dups —
+        probing the survivors against the pre-cycle state finds
+        nothing (the fixed-point contract of the loop)."""
+        from facolos_data_pipelines_spark.operators.dedup import (
+            minhash_band_state,
+            minhash_dedup_delta,
+            minhash_delta_pairs,
+        )
+
+        WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+                 "eta", "theta", "iota", "kappa"]
+
+        @settings(max_examples=4, deadline=None,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(
+            picks=st.lists(st.integers(0, 3), min_size=2, max_size=6),
+            seed=st.integers(0, 3),
+        )
+        def check(picks, seed):
+            # 4 sentence templates; duplicates appear whenever two rows
+            # share a template index
+            sents = [
+                " ".join(WORDS[(seed + t + j) % 10] for j in range(8))
+                for t in range(4)
+            ]
+            hist_rows = [(100 + i, sents[i % 4]) for i in range(2)]
+            batch_rows = [(i + 1, sents[p]) for i, p in enumerate(picks)]
+            hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+            batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+            kw = dict(num_hashes=16, bands=4, family="xxhash", threshold=0.8)
+            state = minhash_band_state(
+                hist, num_hashes=16, bands=4, family="xxhash"
+            )
+            surv = minhash_dedup_delta(batch, state, hist, **kw)
+            # fixed point: survivors re-probed against the same state
+            # match nothing
+            again = minhash_delta_pairs(surv, state, hist, **kw)
+            assert again.count() == 0
+
+        check()
