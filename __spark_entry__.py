@@ -2064,6 +2064,43 @@ def q_robust_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_profile(events, "value", ["event_type"], k=1.5)
 
 
+def q_rolling_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day PSI drift series (quality.checks.rolling_psi_drift,
+    round 9): one PSI total per calendar day of events.value scored
+    against the previous day under a shared whole-window 10-bin
+    quantile bucketization — the temporal drift monitor, ONE scan of
+    the fact + a tiny per-day histogram self-join. The DuckDB oracle
+    reproduces edges, buckets, epsilon floors and the per-day sums
+    exactly."""
+    from facolos_data_pipelines_spark.quality.checks import rolling_psi_drift
+
+    events = _t(spark, sf_dir, "events")
+    return rolling_psi_drift(events, "ts", "value", num_bins=10)
+
+
+def q_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level robust outliers (quality.checks.robust_anomaly): the
+    modified z-score 0.6745*(x - median)/MAD per event_type at the
+    standard |score| > 3.5 cut (Iglewicz-Hoaglin) — flags the
+    exponential tail of events.value that the mean/stddev z-score's
+    own corrupted inputs under-flag. Returns the flagged rows."""
+    from facolos_data_pipelines_spark.quality.checks import robust_anomaly
+
+    events = _t(spark, sf_dir, "events")
+    out = robust_anomaly(
+        events.select("event_id", "event_type", "value"),
+        "value",
+        ["event_type"],
+        threshold=3.5,
+    )
+    return out.filter(F.col("is_outlier")).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") + 1e-9, 2).alias("value"),
+        "mod_zscore",
+    )
+
+
 def q_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential time-decay user value (events.time_decayed_sum,
     half-life 30 days back from the frame's max timestamp): the
@@ -3574,6 +3611,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "minhash_dedup_delta": q_minhash_dedup_delta,
         "robust_profile": q_robust_profile,
+        "rolling_psi_drift": q_rolling_psi_drift,
+        "robust_anomaly": q_robust_anomaly,
         "decayed_user_value": q_decayed_user_value,
         "length_histogram": q_length_histogram,
         "quantile_bin_prices": q_quantile_bin_prices,
@@ -3787,12 +3826,14 @@ _R9_WINDOW = [
     # full-surface local artifact instead: new-query attestation
     # outranks an early refresh of names that aren't stale yet)
     "gram_state_append", "minhash_dedup_delta", "robust_profile",
-    "decayed_user_value", "embedding_dedup_delta",
-    # 5 oldest r6-vintage (derived_columns, contamination_score,
-    # daily_revenue_delta, date_parts and conditional_agg yielded their
-    # slots; all ride the full-surface local artifact this round)
-    "anti_join_new_keys", "audio_signal_features", "column_profile_approx",
-    "column_profile_tdigest", "compression_signal",
+    "decayed_user_value", "embedding_dedup_delta", "rolling_psi_drift",
+    "robust_anomaly",
+    # 3 oldest r6-vintage (derived_columns, contamination_score,
+    # daily_revenue_delta, date_parts, conditional_agg,
+    # audio_signal_features and compression_signal yielded their slots
+    # to the seven new round-9 queries; all ride the full-surface
+    # local artifact this round and rotate back in round 10)
+    "anti_join_new_keys", "column_profile_approx", "column_profile_tdigest",
 ]
 
 
@@ -6965,6 +7006,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id % 2 = 1
               AND doc_id NOT IN (SELECT loser FROM losers)
+        """,
+        "rolling_psi_drift": """
+            -- quality.checks.rolling_psi_drift twin: whole-window
+            -- 10-quantile edges (quantile_cont == Spark percentile),
+            -- strict-> boundary bucketing, dense days x bins scaffold,
+            -- calendar day-1 inner join, epsilon-floored PSI terms
+            WITH v AS (
+                SELECT CAST(ts AS DATE) AS day, value::DOUBLE AS v
+                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            ), b AS (
+                SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+                FROM v
+            ), c AS (
+                SELECT day,
+                       CAST(len(list_filter(bs, e -> v > e)) AS INT) AS bin,
+                       COUNT(*) AS n
+                FROM v CROSS JOIN b GROUP BY 1, 2
+            ), days AS (
+                SELECT DISTINCT day FROM c
+            ), hist AS (
+                SELECT days.day, r.bin, COALESCE(c.n, 0) AS n
+                FROM days
+                CROSS JOIN (SELECT CAST(UNNEST(range(10)) AS INT) AS bin) r
+                LEFT JOIN c ON c.day = days.day AND c.bin = r.bin
+            ), pair AS (
+                SELECT cur.day AS day, cur.bin,
+                       prv.n AS n_prev, cur.n AS n_curr
+                FROM hist cur JOIN hist prv
+                  ON prv.day + 1 = cur.day AND prv.bin = cur.bin
+            ), t AS (
+                SELECT day, n_prev, n_curr,
+                       GREATEST(n_prev / SUM(n_prev) OVER (PARTITION BY day), 1e-4) AS pp,
+                       GREATEST(n_curr / SUM(n_curr) OVER (PARTITION BY day), 1e-4) AS pc
+                FROM pair
+            ), agg AS (
+                SELECT day,
+                       CAST(SUM(n_prev) AS BIGINT) AS n_prev,
+                       CAST(SUM(n_curr) AS BIGINT) AS n_curr,
+                       ROUND(SUM((pc - pp) * ln(pc / pp)) + 1e-12, 6) AS psi
+                FROM t GROUP BY day
+            )
+            SELECT day, n_prev, n_curr, psi,
+                   psi > 0.25 AS shifted,
+                   psi > 0.1 AND psi <= 0.25 AS drifting
+            FROM agg
+        """,
+        "robust_anomaly": """
+            -- quality.checks.robust_anomaly twin: per-type median and
+            -- MAD (quantile_cont), modified z-score 0.6745*(x-med)/mad,
+            -- |score| > 3.5 rows only; mad=0 groups never flag
+            WITH b AS (
+                SELECT event_id, event_type, value::DOUBLE AS v
+                FROM events WHERE value IS NOT NULL
+            ), m AS (
+                SELECT event_type, quantile_cont(v, 0.5) AS med
+                FROM b GROUP BY event_type
+            ), d AS (
+                SELECT b.event_type, quantile_cont(abs(b.v - m.med), 0.5) AS mad,
+                       any_value(m.med) AS med
+                FROM b JOIN m USING (event_type) GROUP BY b.event_type
+            )
+            SELECT b.event_id, b.event_type,
+                   ROUND(b.v + 1e-9, 2) AS value,
+                   ROUND(0.6745 * (b.v - d.med) / d.mad + 1e-9, 4) AS mod_zscore
+            FROM b JOIN d USING (event_type)
+            WHERE d.mad > 0
+              AND abs(0.6745 * (b.v - d.med) / d.mad) > 3.5
         """,
         "robust_profile": """
             -- quality.checks.robust_profile twin: grouped exact

@@ -36,6 +36,8 @@ HEADLINE = [
     "robust_profile",
     "decayed_user_value",
     "embedding_dedup_delta",
+    "rolling_psi_drift",
+    "robust_anomaly",
     "daily_sales_summary",
     "flatten_explode",
     "derived_columns",

@@ -11,7 +11,7 @@ and counts can run on partition metadata where exactness isn't needed
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -701,4 +701,156 @@ def robust_profile(
     return out.withColumn(
         "outlier_frac",
         F.round(F.col("n_outliers") / F.col("n") + F.lit(1e-9), round_digits),
+    )
+
+
+def rolling_psi_drift(
+    df: DataFrame,
+    ts_col: str,
+    col: str,
+    num_bins: int = 10,
+    approx: bool = False,
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """Day-over-day Population Stability Index time series — the
+    TEMPORAL drift monitor: one PSI total per calendar day scored
+    against the previous calendar day, flagging WHEN a feed's
+    distribution moved (:func:`population_stability_index` answers
+    whether two chosen snapshots differ; a daily pipeline wants the
+    whole trend without picking snapshots by hand).
+
+    Binning convention differs from the two-snapshot operator
+    deliberately: edges are the WHOLE WINDOW's ``num_bins``-quantiles
+    (one 1-row aggregate, broadcast), not each day's — every
+    day-over-day comparison then shares a single bucketization, so the
+    series is comparable across days and, crucially, the whole
+    operator is ONE scan of the fact: bucket (narrow codegen) →
+    (day, bin) grouped counts → a days x bins scaffold join → one
+    tiny self-join of the per-day histogram against calendar day - 1.
+    Scoring each day against its predecessor's own quantiles would
+    cost a scan per day or a giant per-day percentile shuffle. Days
+    with no previous CALENDAR day (gaps) emit no row — a gap day has
+    no adjacent baseline to drift from. NULL values carry no position
+    and are excluded; ``approx=True`` swaps the exact interpolated
+    percentile for the KLL sketch at scale (same convention as
+    :func:`population_stability_index`). psi = sum over bins of
+    (p_curr - p_prev) * ln(p_curr / p_prev), probabilities floored at
+    ``epsilon``.
+    """
+    if num_bins < 2:
+        raise ValueError("rolling_psi_drift: num_bins must be >= 2")
+    qs = [i / num_bins for i in range(1, num_bins)]
+    vals = df.select(
+        F.to_date(F.col(ts_col)).alias("_day"),
+        F.col(col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_day").isNotNull())
+    fn = (
+        F.percentile_approx("_v", qs, 10000) if approx else F.percentile("_v", qs)
+    )
+    bounds = vals.agg(fn.alias("_bs"))
+    bucket = F.aggregate(
+        F.col("_bs"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("_v") > b, 1).otherwise(0),
+    ).cast("int")
+    counts = (
+        vals.join(F.broadcast(bounds))
+        .select("_day", bucket.alias("bin"))
+        .groupBy("_day", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    days = counts.select("_day").dropDuplicates()
+    bins = df.sparkSession.range(num_bins).select(F.col("id").cast("int").alias("bin"))
+    hist = (
+        days.crossJoin(F.broadcast(bins))
+        .join(counts, ["_day", "bin"], "left")
+        .select("_day", "bin", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    curr = hist.select(
+        F.col("_day").alias("day"), "bin", F.col("n").alias("n_curr")
+    )
+    prev = hist.select(
+        F.date_add(F.col("_day"), 1).alias("day"),
+        "bin",
+        F.col("n").alias("n_prev"),
+    )
+    joined = curr.join(prev, ["day", "bin"])
+    p_prev = F.greatest(
+        F.col("n_prev") / F.sum("n_prev").over(Window.partitionBy("day")),
+        F.lit(epsilon),
+    )
+    p_curr = F.greatest(
+        F.col("n_curr") / F.sum("n_curr").over(Window.partitionBy("day")),
+        F.lit(epsilon),
+    )
+    term = (p_curr - p_prev) * F.log(p_curr / p_prev)
+    per_day = joined.select(
+        "day",
+        F.col("n_prev"),
+        F.col("n_curr"),
+        term.alias("_t"),
+    ).groupBy("day").agg(
+        F.sum("n_prev").cast("long").alias("n_prev"),
+        F.sum("n_curr").cast("long").alias("n_curr"),
+        F.round(F.sum("_t") + F.lit(1e-12), 6).alias("psi"),
+    )
+    return per_day.select(
+        "day",
+        "n_prev",
+        "n_curr",
+        "psi",
+        (F.col("psi") > 0.25).alias("shifted"),
+        ((F.col("psi") > 0.1) & (F.col("psi") <= 0.25)).alias("drifting"),
+    )
+
+
+def robust_anomaly(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    threshold: float = 3.5,
+    approx: bool = False,
+) -> DataFrame:
+    """Row-level robust outlier flags: the modified z-score
+    0.6745 * (x - median) / MAD (Iglewicz & Hoaglin; |score| > 3.5 is
+    the standard cut) — the row-level companion of
+    :func:`robust_profile` and the robust sibling of the mean/stddev
+    z-score monitor, whose own inputs an outlier burst corrupts.
+
+    Two fact scans like robust_profile: one grouped aggregate for the
+    median, a second joined pass aggregating the MAD, then the flag is
+    a broadcast-joined narrow projection — per-row work never
+    shuffles. Groups whose MAD is 0 (>= 50% identical values) have no
+    robust scale to score against: their rows get a NULL score and are
+    never flagged (flagging all-or-nothing on a degenerate scale is a
+    policy choice the caller makes, not this operator). NULL values
+    get NULL scores and no flag. ``approx`` swaps exact percentiles
+    for t-digest sketches at scale."""
+    groups = [c for c in (group_cols or []) if c in df.columns]
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull())
+    pct = (
+        (lambda c, p: F.approx_percentile(c, p, 10000))
+        if approx
+        else F.percentile
+    )
+    med = base.groupBy(*groups).agg(pct(v, 0.5).alias("_med"))
+    j1 = base.join(F.broadcast(med), groups) if groups else base.crossJoin(
+        F.broadcast(med)
+    )
+    mad = j1.groupBy(*groups).agg(
+        F.first("_med").alias("_med"),
+        pct(F.abs(v - F.col("_med")), 0.5).alias("_mad"),
+    )
+    j2 = df.join(F.broadcast(mad), groups) if groups else df.crossJoin(
+        F.broadcast(mad)
+    )
+    score = F.when(
+        v.isNotNull() & (F.col("_mad") > 0),
+        F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad"),
+    )
+    return j2.select(
+        *df.columns,
+        F.round(score + F.lit(1e-9), 4).alias("mod_zscore"),
+        F.coalesce(F.abs(score) > threshold, F.lit(False)).alias("is_outlier"),
     )

@@ -262,3 +262,57 @@ def test_robust_profile_resists_contamination(spark):
     # within the clean data's own spread
     assert abs(p_dirty["median"] - p_clean["median"]) <= 2.0
     assert p_dirty["n_outliers"] == 10
+
+
+def test_rolling_psi_drift_shift_detection(spark):
+    """Day 2 repeats day 1's distribution (psi ~ 0); day 3 shifts it
+    hard (psi large, flagged); day 5 follows a calendar gap and emits
+    no row (no adjacent baseline). NULL values and NULL ts excluded."""
+    from datetime import datetime
+
+    from facolos_data_pipelines_spark.quality.checks import rolling_psi_drift
+
+    rows = []
+    # days 1 and 2: values 0..99 (identical histograms)
+    for d in (1, 2):
+        rows += [(datetime(2024, 3, d, 12), float(i)) for i in range(100)]
+    # day 3: all mass in the top decile
+    rows += [(datetime(2024, 3, 3, 12), 95.0 + (i % 5)) for i in range(100)]
+    # day 5 (gap on day 4): same as day 1
+    rows += [(datetime(2024, 3, 5, 12), float(i)) for i in range(100)]
+    rows += [(datetime(2024, 3, 1, 1), None), (None, 50.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {str(r["day"]): r.asDict() for r in rolling_psi_drift(df, "ts", "value").collect()}
+    assert set(got) == {"2024-03-02", "2024-03-03"}  # day 5 has no baseline
+    assert got["2024-03-02"]["psi"] < 0.01
+    assert not got["2024-03-02"]["shifted"]
+    assert got["2024-03-03"]["psi"] > 0.25 and got["2024-03-03"]["shifted"]
+    assert got["2024-03-03"]["n_prev"] == 100 and got["2024-03-03"]["n_curr"] == 100
+
+
+def test_robust_anomaly_known_scores(spark):
+    """Hand-computed modified z-scores: group 'a' = [0..9]x4 + one 1e9
+    row (41 non-null values) -> med 5.0, MAD 3.0; the contaminant
+    scores 0.6745*(1e9-5)/3 and is the ONLY flag at 3.5; a constant
+    group (MAD 0) never flags and scores NULL; NULL values score NULL
+    and never flag."""
+    from facolos_data_pipelines_spark.quality.checks import robust_anomaly
+
+    rows = (
+        [("a", float(i % 10)) for i in range(40)]
+        + [("a", 1e9), ("a", None)]
+        + [("b", 7.0)] * 5
+    )
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = robust_anomaly(df, "value", ["g"], threshold=3.5).collect()
+    flagged = [r for r in out if r["is_outlier"]]
+    assert len(flagged) == 1 and flagged[0]["value"] == 1e9
+    want = round(0.6745 * (1e9 - 5.0) / 3.0 + 1e-9, 4)
+    assert abs(flagged[0]["mod_zscore"] - want) < 1e-6
+    for r in out:
+        if r["g"] == "b":
+            assert r["mod_zscore"] is None and not r["is_outlier"]
+        if r["value"] is None:
+            assert r["mod_zscore"] is None and not r["is_outlier"]
+    # every input row survives the projection (flags, not filters)
+    assert len(out) == len(rows)
