@@ -863,3 +863,87 @@ def test_compact_refuses_unreadable_meta(spark, tmp_root):
     assert spark.read.parquet(store).count() == 2
     with open(meta) as fh:
         assert fh.read() == "{not json", "refusal must not rewrite the meta"
+
+
+def test_minhash_state_loop_under_foreachbatch(spark, tmp_root):
+    """The round-9 incremental dedup loop driven by Structured
+    Streaming: a parquet document stream drained with availableNow,
+    each micro-batch deduplicated against the persisted band state via
+    minhash_dedup_delta inside foreachBatch, survivors appended to
+    both the accepted-corpus table and the state table. After two
+    drains the accepted corpus holds exactly the first-seen copy of
+    every distinct text and the state stays bands x accepted rows —
+    the batch operators ARE the streaming operators, no parallel
+    implementation."""
+    import pyspark.sql.types as T2
+
+    from facolos_data_pipelines_spark.operators.dedup import (
+        minhash_band_state,
+        minhash_dedup,
+        minhash_dedup_delta,
+        minhash_state_append,
+    )
+
+    DOC_SCHEMA = T2.StructType(
+        [
+            T2.StructField("doc_id", T2.LongType()),
+            T2.StructField("text", T2.StringType()),
+        ]
+    )
+    src = f"{tmp_root}/docs_src"
+    state = f"{tmp_root}/mh_state"
+    accepted = f"{tmp_root}/accepted"
+    ckpt = f"{tmp_root}/ckpt"
+    sents = {
+        "a": "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "b": "one two three four five six seven eight nine ten",
+        "c": "red orange yellow green blue indigo violet cyan magenta pink",
+    }
+    bands = 4
+    kw = dict(num_hashes=16, bands=bands, family="xxhash", threshold=0.8)
+
+    def cycle(batch_df, _epoch):
+        import os
+
+        if not os.path.exists(state):
+            surv = minhash_dedup(batch_df, **{k: v for k, v in kw.items() if k != "threshold"}, threshold=0.8)
+            surv = surv.localCheckpoint()
+            minhash_band_state(
+                surv, num_hashes=16, bands=bands, family="xxhash"
+            ).write.parquet(state)
+            surv.write.mode("append").parquet(accepted)
+            return
+        st = batch_df.sparkSession.read.parquet(state)
+        corpus = batch_df.sparkSession.read.parquet(accepted)
+        surv = minhash_dedup_delta(batch_df, st, corpus, **kw).localCheckpoint()
+        minhash_state_append(
+            surv, num_hashes=16, bands=bands, family="xxhash"
+        ).write.mode("append").parquet(state)
+        surv.write.mode("append").parquet(accepted)
+
+    def drain():
+        q = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(cycle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, sents["a"]), (2, sents["b"])], DOC_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    # second wave: 3 dups accepted 1; 4 is new; 5 dups 4 in-batch
+    spark.createDataFrame(
+        [(3, sents["a"] + " mu"), (4, sents["c"]), (5, sents["c"] + " gray")],
+        DOC_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
+    assert got == {1, 2, 4}, got
+    assert spark.read.parquet(state).count() == bands * len(got)
