@@ -3794,8 +3794,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # connected_components; bigram_lm_scores' bigram table and
 # cross_corpus_dedup's candidate set ride the same wrapper;
 # corpus_overlap_delta gained the corpus_state_append sibling); then
-# the new round-9 query; the remaining 9 slots refresh the oldest
-# round-6 names (alphabetical). No [NQ] rows-only names this round —
+# the SEVEN new round-9 queries (gram_state_append from the first r9
+# session; the incremental state-loop pair, the robust/decay
+# aggregates and the two monitors from the second); the remaining 3
+# slots refresh the oldest round-6 names (alphabetical — the other 7
+# r6-vintage names yielded their slots to the new queries and ride
+# the full-surface local artifact). No [NQ] rows-only names this round —
 # their row counts ride the local artifact (round-8 verdict, What's
 # wrong #3); in particular minhash_dedup/simhash_dedup ALSO flow
 # through the materialize() rewrite, but their hash-certified

@@ -875,8 +875,6 @@ def test_minhash_state_loop_under_foreachbatch(spark, tmp_root):
     every distinct text and the state stays bands x accepted rows —
     the batch operators ARE the streaming operators, no parallel
     implementation."""
-    import pyspark.sql.types as T2
-
     from facolos_data_pipelines_spark.operators.dedup import (
         minhash_band_state,
         minhash_dedup,
@@ -884,10 +882,10 @@ def test_minhash_state_loop_under_foreachbatch(spark, tmp_root):
         minhash_state_append,
     )
 
-    DOC_SCHEMA = T2.StructType(
+    DOC_SCHEMA = T.StructType(
         [
-            T2.StructField("doc_id", T2.LongType()),
-            T2.StructField("text", T2.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
         ]
     )
     src = f"{tmp_root}/docs_src"
@@ -906,7 +904,7 @@ def test_minhash_state_loop_under_foreachbatch(spark, tmp_root):
         import os
 
         if not os.path.exists(state):
-            surv = minhash_dedup(batch_df, **{k: v for k, v in kw.items() if k != "threshold"}, threshold=0.8)
+            surv = minhash_dedup(batch_df, **kw)
             surv = surv.localCheckpoint()
             minhash_band_state(
                 surv, num_hashes=16, bands=bands, family="xxhash"
@@ -931,7 +929,10 @@ def test_minhash_state_loop_under_foreachbatch(spark, tmp_root):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        try:
+            assert q.awaitTermination(120), "drain did not finish in 120s"
+        finally:
+            q.stop()
 
     spark.createDataFrame(
         [(1, sents["a"]), (2, sents["b"])], DOC_SCHEMA
