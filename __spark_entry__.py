@@ -3610,6 +3610,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_state_append": q_gram_state_append,
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "minhash_dedup_delta": q_minhash_dedup_delta,
+        "embedding_dedup_delta": q_embedding_dedup_delta,
         "robust_profile": q_robust_profile,
         "rolling_psi_drift": q_rolling_psi_drift,
         "robust_anomaly": q_robust_anomaly,
@@ -3672,7 +3673,6 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- outside the 50-entry driver window: previously
         # driver-certified (r1-r5) and re-certified locally --
         "embedding_near_dups": q_embedding_near_dups,
-        "embedding_dedup_delta": q_embedding_dedup_delta,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "sessionization": q_sessionization,
         "asof_join_events": q_asof_join_events,
@@ -7067,14 +7067,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type, quantile_cont(v, 0.5) AS med
                 FROM b GROUP BY event_type
             ), d AS (
+                -- null-safe group joins throughout, mirroring the
+                -- operator's eqNullSafe stats joins (NULL event_type
+                -- is a real group and its rows must not vanish)
                 SELECT b.event_type, quantile_cont(abs(b.v - m.med), 0.5) AS mad,
                        any_value(m.med) AS med
-                FROM b JOIN m USING (event_type) GROUP BY b.event_type
+                FROM b JOIN m
+                  ON b.event_type IS NOT DISTINCT FROM m.event_type
+                GROUP BY b.event_type
             )
             SELECT b.event_id, b.event_type,
                    ROUND(b.v + 1e-9, 2) AS value,
                    ROUND(0.6745 * (b.v - d.med) / d.mad + 1e-9, 4) AS mod_zscore
-            FROM b JOIN d USING (event_type)
+            FROM b JOIN d
+              ON b.event_type IS NOT DISTINCT FROM d.event_type
             WHERE d.mad > 0
               AND abs(0.6745 * (b.v - d.med) / d.mad) > 3.5
         """,
@@ -7090,8 +7096,11 @@ def oracle_sql() -> dict[str, str]:
                        quantile_cont(value, 0.75) AS q3x
                 FROM events WHERE value IS NOT NULL GROUP BY event_type
             ), j AS (
+                -- null-safe group join (a NULL event_type is a real
+                -- group), mirroring the operator's eqNullSafe pass 2
                 SELECT e.event_type, e.value, s.n, s.q1x, s.medx, s.q3x
-                FROM events e JOIN s USING (event_type)
+                FROM events e JOIN s
+                  ON e.event_type IS NOT DISTINCT FROM s.event_type
                 WHERE e.value IS NOT NULL
             ), a AS (
                 SELECT event_type,

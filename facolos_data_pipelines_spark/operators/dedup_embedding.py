@@ -601,6 +601,32 @@ def semantic_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _verified_cosine_pairs(
+    cand: DataFrame,
+    va: DataFrame,
+    vb: DataFrame,
+    a_id: str,
+    b_id: str,
+    threshold: float,
+) -> DataFrame:
+    """Shared candidate verification: join normalized vectors onto the
+    id pairs, fold the dot product in codegen, keep pairs at or above
+    ``threshold``. ``va``/``vb`` carry (a_id, va) / (b_id, vb). Used by
+    both the history probe and the internal sweep of the delta loop so
+    the verify math lives in exactly one place."""
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(va, a_id)
+        .join(vb, b_id)
+        .select(a_id, b_id, dot.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _normalized_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """(id, _sv): L2-normalized double vectors, zero-norm rows dropped
     (no defined cosine) — the shared verify-side projection."""
@@ -715,24 +741,19 @@ def embedding_delta_pairs(
     cand = materialize(
         sigs.join(rb, ["band", "sig"]).select("left_id", "right_id").dropDuplicates()
     )
-    va = _normalized_vectors(batch, vec_col, id_col).select(
-        F.col(id_col).alias("left_id"), F.col("_sv").alias("va")
-    )
+    # BOTH sides are id-pruned to the candidate set before the
+    # vector-width verify joins (the minhash twin's side_shingles
+    # semi-join discipline): the shuffle then carries
+    # O(candidates * dim) bytes, not O(batch * dim)
+    batch_ids = cand.select(F.col("left_id").alias(id_col)).dropDuplicates()
+    va = _normalized_vectors(
+        batch.join(batch_ids, id_col, "left_semi"), vec_col, id_col
+    ).select(F.col(id_col).alias("left_id"), F.col("_sv").alias("va"))
     hist_ids = cand.select(F.col("right_id").alias(id_col)).dropDuplicates()
     vb = _normalized_vectors(
         corpus.join(hist_ids, id_col, "left_semi"), vec_col, id_col
     ).select(F.col(id_col).alias("right_id"), F.col("_sv").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        cand.join(va, "left_id")
-        .join(vb, "right_id")
-        .select("left_id", "right_id", dot.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    return _verified_cosine_pairs(cand, va, vb, "left_id", "right_id", threshold)
 
 
 def embedding_dedup_delta(
@@ -785,20 +806,19 @@ def embedding_dedup_delta(
             .select("id_a", "id_b")
             .dropDuplicates()
         )
-        sv = _normalized_vectors(batch, vec_col, id_col)
+        # id-pruned to the internal candidate set, same discipline as
+        # the history probe above
+        iids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .unionByName(cand.select(F.col("id_b").alias(id_col)))
+            .dropDuplicates()
+        )
+        sv = _normalized_vectors(
+            batch.join(iids, id_col, "left_semi"), vec_col, id_col
+        )
         va = sv.select(F.col(id_col).alias("id_a"), F.col("_sv").alias("va"))
         vb = sv.select(F.col(id_col).alias("id_b"), F.col("_sv").alias("vb"))
-        dot = F.aggregate(
-            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        idups = (
-            cand.join(va, "id_a")
-            .join(vb, "id_b")
-            .select("id_a", "id_b", dot.alias("cosine"))
-            .filter(F.col("cosine") >= threshold)
-        )
+        idups = _verified_cosine_pairs(cand, va, vb, "id_a", "id_b", threshold)
         internal_survivors = _drop_pair_losers(
             batch, idups, id_col, transitive=False, eager=True
         )
@@ -815,12 +835,21 @@ def embedding_state_append(
     num_bands: int = 4,
     dim: int | None = None,
     signature_impl: str = "expr",
+    batch_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """The state rows a completed cycle appends: band rows of the batch
     vectors that survived :func:`embedding_dedup_delta` (``num_bands``
     rows per non-zero-norm survivor). Same pinned plane-family contract
     as :func:`embedding_band_state`; appended to the same
-    sig-bucketed table."""
+    sig-bucketed table. ``batch_sigs`` accepts the whole batch's
+    precomputed band rows (compute :func:`embedding_band_state` once
+    per cycle, share with :func:`embedding_delta_pairs`) — the append
+    is then a survivor-id semi-join instead of re-signing; identical
+    output either way."""
+    if batch_sigs is not None:
+        return batch_sigs.join(
+            survivors.select(id_col).dropDuplicates(), id_col, "left_semi"
+        )
     return embedding_band_state(
         survivors, vec_col, id_col, num_planes, num_bands, dim, signature_impl
     )

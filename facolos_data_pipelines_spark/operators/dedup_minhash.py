@@ -698,13 +698,17 @@ def minhash_dedup_delta(
     the corpus by the historical doc that beat it), so the survivor set
     of a batch never depends on the order its members are inspected.
 
-    Per-cycle cost: the batch's band rows are computed ONCE (persisted
-    across the history join and the internal self-join), the state is
-    probed by one band-keyed join, and text verification touches only
-    candidate ids from either side. No historical document is re-signed;
-    the loop's running cost is pinned to batch size, not corpus size
-    (measured in SCALE.md §6g). Append :func:`minhash_state_append` of
-    the survivors to the state table to complete the cycle."""
+    Per-cycle cost: within THIS operator the batch's band rows are
+    computed once (persisted across the history join and the internal
+    self-join), the state is probed by one band-keyed join, and text
+    verification touches only candidate ids from either side. No
+    historical document is re-signed; the loop's running cost is pinned
+    to batch size, not corpus size (measured in SCALE.md §6g). Append
+    :func:`minhash_state_append` of the survivors to the state table to
+    complete the cycle — and a loop that wants the append leg join-only
+    computes ``minhash_band_state(batch)`` itself once and passes it to
+    both steps via their ``batch_buckets`` parameters, instead of the
+    append re-signing survivor text."""
     bb = minhash_band_state(
         batch, text_col, id_col, num_hashes, bands, shingle_n, family
     )
@@ -715,7 +719,15 @@ def minhash_dedup_delta(
             shingle_n, threshold, family, max_bucket_size, candidates,
             batch_buckets=bb,
         )
-        hist_losers = hist.select(F.col("left_id").alias(id_col)).dropDuplicates()
+        from .dedup_common import materialize
+
+        # materialized: the survivors frame is acted on several times
+        # per cycle (count/inspect, state-append write) and the Jaccard
+        # verification tail above it is the expensive part — same
+        # reasoning as the embedding sibling's hist_losers
+        hist_losers = materialize(
+            hist.select(F.col("left_id").alias(id_col)).dropDuplicates()
+        )
         ipairs = lsh_candidate_pairs(bb, id_col, max_bucket_size)
         idups = verified_near_dup_pairs(
             batch, ipairs, text_col, id_col, shingle_n, threshold
@@ -738,6 +750,7 @@ def minhash_state_append(
     bands: int = 8,
     shingle_n: int = 3,
     family: str = "multiply_add",
+    batch_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """The state rows a completed cycle appends: the band rows of the
     batch docs that survived :func:`minhash_dedup_delta` (losers need no
@@ -745,7 +758,18 @@ def minhash_state_append(
     them, historical or batch-internal, which IS in the state). Row
     count is ``bands`` x survivors by construction. Same persisted-store
     contract as :func:`minhash_band_state`: identical parameters, same
-    family, appended to the same bucketed table."""
+    family, appended to the same bucketed table.
+
+    ``batch_buckets`` accepts the WHOLE batch's precomputed band rows
+    (:func:`minhash_band_state` of the batch — compute them once per
+    cycle and share them with :func:`minhash_delta_pairs`); the append
+    rows are then a survivor-id semi-join instead of re-signing the
+    survivors' text. Identical output either way — the band rows of a
+    doc don't depend on which frame they're selected from."""
+    if batch_buckets is not None:
+        return batch_buckets.join(
+            survivors.select(id_col).dropDuplicates(), id_col, "left_semi"
+        )
     return minhash_band_state(
         survivors, text_col, id_col, num_hashes, bands, shingle_n, family
     )

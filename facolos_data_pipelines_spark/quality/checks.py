@@ -641,6 +641,42 @@ def chi2_categorical(
     )
 
 
+def _require_group_cols(
+    df: DataFrame, group_cols: list[str] | None, op: str
+) -> list[str]:
+    """Validate grouping columns up front: a typo'd name must raise,
+    not silently fall back to a global (or partially-grouped) result
+    that looks plausible and is wrong."""
+    groups = list(group_cols or [])
+    missing = [c for c in groups if c not in df.columns]
+    if missing:
+        raise ValueError(f"{op}: group columns not in the frame: {missing}")
+    return groups
+
+
+def _null_safe_group_join(
+    left: DataFrame, right: DataFrame, groups: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join per-group stats back onto rows with NULL-SAFE key equality
+    (a NULL group key is a real group; plain equi-joins silently drop
+    its rows). ``right``'s group columns are renamed before the join —
+    both frames share lineage, so same-named/same-id columns would
+    trip Spark's ambiguous-self-join detection — then dropped."""
+    if not groups:
+        return left.crossJoin(F.broadcast(right))
+    renamed = right.select(
+        *[F.col(c).alias(f"_g_{c}") for c in groups],
+        *[c for c in right.columns if c not in groups],
+    )
+    cond = None
+    for c in groups:
+        e = F.col(c).eqNullSafe(F.col(f"_g_{c}"))
+        cond = e if cond is None else (cond & e)
+    return left.join(F.broadcast(renamed), cond, how).drop(
+        *[f"_g_{c}" for c in groups]
+    )
+
+
 def robust_profile(
     df: DataFrame,
     value_col: str,
@@ -667,8 +703,13 @@ def robust_profile(
     the oracle-comparable path) for ``approx_percentile`` t-digest
     sketches (map-side combinable, the 100 TB path; same envelope
     contract as column_profile). NULL values carry no evidence either
-    way and are excluded from n and every statistic."""
-    groups = [c for c in (group_cols or []) if c in df.columns]
+    way and are excluded from n and every statistic. A NULL GROUP KEY
+    is a real group (often exactly the corrupted-feed segment this
+    monitor watches) — the pass-2 join is null-safe so its row appears
+    in the profile. A ``group_cols`` name missing from the frame
+    raises (a typo'd config must not silently degrade to a merged
+    profile)."""
+    groups = _require_group_cols(df, group_cols, "robust_profile")
     v = F.col(value_col)
     base = df.filter(v.isNotNull())
     pct = (
@@ -682,9 +723,7 @@ def robust_profile(
         pct(v, 0.5).alias("_med"),
         pct(v, 0.75).alias("_q3"),
     )
-    joined = base.join(F.broadcast(stats), groups) if groups else base.crossJoin(
-        F.broadcast(stats)
-    )
+    joined = _null_safe_group_join(base, stats, groups)
     iqr = F.col("_q3") - F.col("_q1")
     lo = F.col("_q1") - F.lit(k) * iqr
     hi = F.col("_q3") + F.lit(k) * iqr
@@ -724,7 +763,8 @@ def rolling_psi_drift(
     (one 1-row aggregate, broadcast), not each day's — every
     day-over-day comparison then shares a single bucketization, so the
     series is comparable across days and, crucially, the whole
-    operator is ONE scan of the fact: bucket (narrow codegen) →
+    operator is TWO scans of the fact — one 1-row quantile aggregate
+    for the edges, then bucket (narrow codegen) →
     (day, bin) grouped counts → a days x bins scaffold join → one
     tiny self-join of the per-day histogram against calendar day - 1.
     Scoring each day against its predecessor's own quantiles would
@@ -824,9 +864,13 @@ def robust_anomaly(
     robust scale to score against: their rows get a NULL score and are
     never flagged (flagging all-or-nothing on a degenerate scale is a
     policy choice the caller makes, not this operator). NULL values
-    get NULL scores and no flag. ``approx`` swaps exact percentiles
-    for t-digest sketches at scale."""
-    groups = [c for c in (group_cols or []) if c in df.columns]
+    get NULL scores and no flag. EVERY input row appears in the output
+    exactly once — the final stats join is LEFT and null-safe, so rows
+    whose group key is NULL (or whose group has no scoreable values)
+    are annotated, never dropped. A missing ``group_cols`` name
+    raises. ``approx`` swaps exact percentiles for t-digest sketches
+    at scale."""
+    groups = _require_group_cols(df, group_cols, "robust_anomaly")
     v = F.col(value_col).cast("double")
     base = df.filter(v.isNotNull())
     pct = (
@@ -835,16 +879,12 @@ def robust_anomaly(
         else F.percentile
     )
     med = base.groupBy(*groups).agg(pct(v, 0.5).alias("_med"))
-    j1 = base.join(F.broadcast(med), groups) if groups else base.crossJoin(
-        F.broadcast(med)
-    )
+    j1 = _null_safe_group_join(base, med, groups)
     mad = j1.groupBy(*groups).agg(
         F.first("_med").alias("_med"),
         pct(F.abs(v - F.col("_med")), 0.5).alias("_mad"),
     )
-    j2 = df.join(F.broadcast(mad), groups) if groups else df.crossJoin(
-        F.broadcast(mad)
-    )
+    j2 = _null_safe_group_join(df, mad, groups, how="left")
     score = F.when(
         v.isNotNull() & (F.col("_mad") > 0),
         F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad"),

@@ -1830,3 +1830,36 @@ def test_embedding_delta_multi_cycle_loop(spark, tmp_path):
         )
     assert {r["vec_id"] for r in accepted.collect()} == {1, 2, 4, 7}
     assert spark.read.parquet(store).count() == 4 * accepted.count()
+
+
+def test_state_append_bucket_reuse_identity(spark):
+    """The batch_buckets/batch_sigs fast path of the two state-append
+    operators (survivor-id semi-join on precomputed band rows) returns
+    exactly the rows the re-signing path returns."""
+    from facolos_data_pipelines_spark.operators.dedup import (
+        embedding_band_state,
+        embedding_state_append,
+        minhash_band_state,
+        minhash_state_append,
+    )
+
+    corpus, batch = _delta_fixture(spark)
+    surv = batch.filter("doc_id in (13, 15)")
+    bb = minhash_band_state(batch, family="xxhash")
+    resign = sorted(
+        map(tuple, minhash_state_append(surv, family="xxhash").collect())
+    )
+    reuse = sorted(
+        map(tuple, minhash_state_append(surv, batch_buckets=bb).collect())
+    )
+    assert resign == reuse and resign
+
+    ehist, ebatch = _edelta_fixture(spark)
+    kw = dict(num_planes=6, num_bands=4, dim=4)
+    esurv = ebatch.filter("vec_id in (13, 15)")
+    esigs = embedding_band_state(ebatch, **kw)
+    eresign = sorted(map(tuple, embedding_state_append(esurv, **kw).collect()))
+    ereuse = sorted(
+        map(tuple, embedding_state_append(esurv, batch_sigs=esigs).collect())
+    )
+    assert eresign == ereuse and eresign

@@ -316,3 +316,36 @@ def test_robust_anomaly_known_scores(spark):
             assert r["mod_zscore"] is None and not r["is_outlier"]
     # every input row survives the projection (flags, not filters)
     assert len(out) == len(rows)
+
+
+def test_robust_operators_null_group_and_typo_contract(spark):
+    """Round-9 review fixes: a NULL group key is a real group — its
+    rows appear in robust_profile's output and stay (annotated) in
+    robust_anomaly's; a typo'd group column raises instead of silently
+    merging groups."""
+    from facolos_data_pipelines_spark.quality.checks import (
+        robust_anomaly,
+        robust_profile,
+    )
+
+    rows = [("a", float(i)) for i in range(5)] + [
+        (None, 50.0),
+        (None, 51.0),
+        (None, 52.0),
+        (None, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+
+    prof = {r["g"]: r for r in robust_profile(df, "value", ["g"]).collect()}
+    assert None in prof and prof[None]["n"] == 3
+    assert prof[None]["median"] == 51.0
+
+    out = robust_anomaly(df, "value", ["g"])
+    assert out.count() == len(rows)  # every row annotated, none dropped
+    nulls = [r for r in out.collect() if r["g"] is None]
+    assert len(nulls) == 4 and all(not r["is_outlier"] for r in nulls)
+
+    with pytest.raises(ValueError, match="group columns not in the frame"):
+        robust_profile(df, "value", ["typo"])
+    with pytest.raises(ValueError, match="group columns not in the frame"):
+        robust_anomaly(df, "value", ["typo"])
