@@ -2068,8 +2068,10 @@ def q_rolling_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day PSI drift series (quality.checks.rolling_psi_drift,
     round 9): one PSI total per calendar day of events.value scored
     against the previous day under a shared whole-window 10-bin
-    quantile bucketization — the temporal drift monitor, ONE scan of
-    the fact + a tiny per-day histogram self-join. The DuckDB oracle
+    quantile bucketization — the temporal drift monitor, TWO scans of
+    the fact (the 1-row whole-window quantile aggregate, then the
+    bucketing pass) + a tiny per-day histogram self-join. The DuckDB
+    oracle
     reproduces edges, buckets, epsilon floors and the per-day sums
     exactly."""
     from facolos_data_pipelines_spark.quality.checks import rolling_psi_drift

@@ -5,10 +5,14 @@ re-exports the surface."""
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup_common import materialize, plan_only_active
+
+log = logging.getLogger(__name__)
 
 
 def _components_driver(pairs: DataFrame) -> DataFrame:
@@ -122,12 +126,20 @@ def connected_components(
     # plan-only mode compiles the DISTRIBUTED path (the size dispatch is
     # itself an action) and a single representative round — see
     # dedup_common.plan_only_mode
-    if (
-        not plan_only_active()
-        and effective_threshold
-        and pairs.count() <= effective_threshold
-    ):
-        return _components_driver(pairs)
+    if not plan_only_active() and effective_threshold:
+        n_pairs = pairs.count()
+        if n_pairs <= effective_threshold:
+            # observable dispatch: post-hoc debugging of driver memory
+            # pressure needs to know this path fired, with how many
+            # pairs and which id dtype sized the threshold
+            log.info(
+                "connected_components: driver union-find dispatch "
+                "(%d pairs <= effective threshold %d, id type %s)",
+                n_pairs,
+                effective_threshold,
+                id_type.simpleString(),
+            )
+            return _components_driver(pairs)
     edges = materialize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

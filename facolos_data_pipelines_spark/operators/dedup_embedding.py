@@ -669,9 +669,14 @@ def embedding_band_state(
     outgrows it; occupancy, and with it per-cycle probe cost, degrades
     gradually, not abruptly. Zero-norm vectors are excluded (no defined
     cosine — same rule as the batch operators). At cluster scale write
-    the state bucketed on ``sig`` so each cycle's probe join shuffles
-    only the batch's band rows."""
-    if not isinstance(num_planes, int):
+    the state bucketed on ``("band", "sig")`` — the probe join's keys,
+    in join order, so the bucketed scan's HashPartitioning satisfies
+    the join's required distribution and each cycle's probe join
+    shuffles only the batch's band rows (plan-asserted in
+    tests/test_bucketed_state.py)."""
+    # bool subclasses int: True would silently build a degenerate
+    # one-plane family, exactly the config drift this guard exists for
+    if not isinstance(num_planes, int) or isinstance(num_planes, bool):
         raise ValueError(
             "embedding_band_state: num_planes must be an explicit int — "
             "'auto' would let the plane family drift between cycles, and "
@@ -712,7 +717,8 @@ def embedding_delta_pairs(
 
     Per-cycle cost: O(batch) signature compute, one (band, sig)-keyed
     join of the batch's band rows against the state table (bucketed on
-    sig at cluster scale — only the batch side shuffles), then cosine
+    ``("band", "sig")`` at cluster scale — only the batch side
+    shuffles), then cosine
     verification proportional to CROSS candidates: the historical
     vectors are read back id-pruned from ``corpus`` (<<1% semi-join —
     keep the corpus bucketed on ``id_col``). Verification is the

@@ -607,11 +607,15 @@ def minhash_band_state(
     or re-signed. The store contract: ``family`` / ``num_hashes`` /
     ``bands`` / ``shingle_n`` are part of the schema — rows computed
     under different parameters never match and must never share a
-    table. At cluster scale write it bucketed on ``band_hash``
-    (``sources.io.write_bucketed``) so every cycle's candidate join
-    needs to shuffle only the batch side; band_hash is a 64-bit hash,
-    so bucket skew mirrors bucket-occupancy skew and the
-    ``max_bucket_size`` cap downstream bounds it."""
+    table. At cluster scale write it bucketed on
+    ``("band_id", "band_hash")`` — the probe join's keys, in join
+    order, which is what lets the bucketed scan's HashPartitioning
+    satisfy the join's required distribution
+    (``sources.io.write_bucketed``) — so every cycle's candidate join
+    shuffles only the batch side, into the state's bucket count
+    (proven as a plan assertion in tests/test_bucketed_state.py);
+    band_hash is a 64-bit hash, so bucket skew mirrors bucket-occupancy
+    skew and the ``max_bucket_size`` cap downstream bounds it."""
     return minhash_lsh_buckets(
         df, text_col, id_col, num_hashes, bands, shingle_n, family
     )

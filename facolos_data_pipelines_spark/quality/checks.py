@@ -661,7 +661,18 @@ def _null_safe_group_join(
     (a NULL group key is a real group; plain equi-joins silently drop
     its rows). ``right``'s group columns are renamed before the join —
     both frames share lineage, so same-named/same-id columns would
-    trip Spark's ambiguous-self-join detection — then dropped."""
+    trip Spark's ambiguous-self-join detection — then dropped. The
+    right side's PAYLOAD (stat) columns keep their names, so a left
+    frame that already carries one of them would yield duplicate
+    column names and a downstream ambiguous-reference failure — that
+    collision is rejected up front with a clear error instead."""
+    clash = [c for c in right.columns if c not in groups and c in left.columns]
+    if clash:
+        raise ValueError(
+            "null-safe group join: internal stat column name(s) "
+            f"{clash} already exist on the input frame — rename those "
+            "input columns before profiling"
+        )
     if not groups:
         return left.crossJoin(F.broadcast(right))
     renamed = right.select(

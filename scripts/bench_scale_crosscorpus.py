@@ -263,6 +263,83 @@ def main() -> int:
             "survivors_match_reference": True,
         }
         shutil.rmtree(state_path, ignore_errors=True)
+    elif op == "minhash_delta_loop_bucketed":
+        from facolos_data_pipelines_spark.operators.dedup import (
+            minhash_band_state,
+            minhash_delta_pairs,
+        )
+        from facolos_data_pipelines_spark.sources.io import write_bucketed
+
+        # the §6g state-LAYOUT question, measured: the SAME fixed
+        # ~2k-doc batch probed against (a) plain parquet state and
+        # (b) the bucketed layout the store contract pins
+        # (band_id, band_hash — the probe join's keys). Broadcast is
+        # disabled so the probe takes the large-large sort-merge path
+        # a 100 TB state forces (at bench sf AQE would broadcast the
+        # small side and hide the layout difference entirely); the
+        # structural win shows as the Exchange-count drop in the lazy
+        # probe plan (state side scan-only), the wall-clock win as the
+        # per-cycle medians.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        thin = max(1, n_docs // 5_000)
+        batch = docs.filter(F.col("doc_id") % (2 * thin) == 1)
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        plain_path = f"/tmp/scale_mh_plain_{os.getpid()}"
+        buck_path = f"/tmp/scale_mh_buck_{os.getpid()}"
+        tbl = f"scale_mh_state_{os.getpid()}"
+        shutil.rmtree(plain_path, ignore_errors=True)
+        shutil.rmtree(buck_path, ignore_errors=True)
+        state_df = minhash_band_state(corpus)
+        t0 = time.monotonic()
+        state_df.write.parquet(plain_path)
+        plain_write_s = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        write_bucketed(
+            state_df, tbl, ["band_id", "band_hash"], num_buckets=32,
+            sort_cols=["band_id", "band_hash"], path=buck_path,
+        )
+        buck_write_s = round(time.monotonic() - t0, 3)
+        legs = {}
+        pair_sets = {}
+        for leg, state in (
+            ("plain", spark.read.parquet(plain_path)),
+            ("bucketed", spark.table(tbl)),
+        ):
+            times, n_pairs = [], None
+            for _ in range(reps):
+                t0 = time.monotonic()
+                pairs = minhash_delta_pairs(
+                    batch, state, corpus, threshold=0.8
+                )
+                n_pairs = pairs.count()
+                times.append(round(time.monotonic() - t0, 3))
+            pair_sets[leg] = sorted(
+                (r["left_id"], r["right_id"])
+                for r in minhash_delta_pairs(
+                    batch, state, corpus, threshold=0.8
+                ).collect()
+            )
+            lazy = minhash_delta_pairs(
+                batch, state, corpus, threshold=0.8, candidates="lazy"
+            )
+            legs[leg] = {
+                "median": statistics.median(times), "times": times,
+                "pairs": n_pairs, "lazy_plan": _plan_counts(lazy),
+            }
+        assert pair_sets["plain"] == pair_sets["bucketed"], (
+            len(pair_sets["plain"]), len(pair_sets["bucketed"])
+        )
+        result |= {
+            "n_batch": batch.count(), "n_corpus": corpus.count(),
+            "state_rows": spark.read.parquet(plain_path).count(),
+            "state_write_s": {"plain": plain_write_s,
+                              "bucketed": buck_write_s},
+            "legs": legs, "pairs_match": True,
+        }
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(plain_path, ignore_errors=True)
+        shutil.rmtree(buck_path, ignore_errors=True)
     elif op == "embedding_delta_loop":
         from facolos_data_pipelines_spark.operators.dedup import (
             embedding_band_state,
@@ -300,6 +377,24 @@ def main() -> int:
         t0 = time.monotonic()
         embedding_state_append(surv, **kw).write.mode("append").parquet(state_path)
         append_s = round(time.monotonic() - t0, 3)
+        # consistency (the minhash leg's survivors_match_reference
+        # twin): the persisted-state survivors must equal a recompute
+        # that re-signs the corpus from vectors every cycle — timed as
+        # the from-scratch cost the loop eliminates. The deeper
+        # algebraic check (delta pairs == union-recompute cross pairs)
+        # lives in tests/test_dedup_similarity.py.
+        t0 = time.monotonic()
+        ref = embedding_dedup_delta(
+            batch, embedding_band_state(corpus, **kw), corpus,
+            threshold=0.8, **kw,
+        )
+        n_ref = ref.count()
+        scratch_s = round(time.monotonic() - t0, 3)
+        assert n_ref == cycles[-1]["survivors"], (n_ref, cycles)
+        mismatch = (
+            surv.select("vec_id").exceptAll(ref.select("vec_id")).count()
+        )
+        assert mismatch == 0, mismatch
         result |= {
             "n_vectors": n_vec,
             "n_batch": batch.count(),
@@ -311,6 +406,8 @@ def main() -> int:
                 c["delta_cycle_s"] for c in cycles
             ),
             "state_append_s": append_s,
+            "from_scratch_s": scratch_s,
+            "survivors_match_reference": True,
         }
         shutil.rmtree(state_path, ignore_errors=True)
     else:

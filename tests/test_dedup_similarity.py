@@ -1028,6 +1028,31 @@ def test_connected_components_driver_dispatch_matches_distributed(spark):
     assert via_driver == expected and via_loop == expected
 
 
+def test_connected_components_driver_dispatch_logs(spark, caplog):
+    """The driver union-find dispatch must announce itself (pair count
+    + id dtype) at INFO — the observability hook for post-hoc driver
+    memory-pressure debugging — and stay silent on the distributed
+    arm."""
+    import logging
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    logger = "facolos_data_pipelines_spark.operators.dedup_components"
+    with caplog.at_level(logging.INFO, logger=logger):
+        dedup.connected_components(pairs).collect()
+    hits = [
+        r for r in caplog.records if "driver union-find dispatch" in r.message
+    ]
+    assert len(hits) == 1
+    assert "2 pairs" in hits[0].message and "bigint" in hits[0].message
+
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger=logger):
+        dedup.connected_components(pairs, driver_threshold=0).collect()
+    assert not [
+        r for r in caplog.records if "driver union-find dispatch" in r.message
+    ]
+
+
 def test_topk_ivfpq_rerank_refinement(spark, sf_dir):
     """IVFADC-with-refinement: exact rerank of the widened ADC
     candidate list returns true distances (matches a brute-force
