@@ -767,19 +767,54 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[NQ] IVF-bucketed approximate top-k (coarse-quantization scale
-    path). The codebook comes from ivf_train, the size-dispatching
-    default trainer; small_threshold=0 forces the DISTRIBUTED k-means
-    rounds here so the gate certifies the 100 TB training path, not
-    just the driver-side small-data shortcut."""
-    from facolos_data_pipelines_spark.operators.similarity import ivf_train, topk_ivf
+    """IVF approximate top-k, certified as a BOUNDED oracle (round 10,
+    retiring this query's former [NQ] status the way round 6 retired
+    compression_signal): recall@10 of `topk_ivf` — coarse quantizer
+    trained by the DISTRIBUTED k-means rounds (small_threshold=0, so
+    the gate still certifies the 100 TB training path, not the
+    driver-side shortcut), 2 of 8 cells probed — against the exact
+    cosine top-10 (`topk_bruteforce`) computed in the SAME query, with
+    the >= 0.8 recall bound hash-pinned.
+
+    The corpus is the ann_recall_trained blob derivation (vector =
+    10*e_{id%8} + 0.5*embedding, query drawn from blob 0): coarse
+    quantization on the raw isotropic synthetic embeddings is the
+    documented worst case (see ann_recall's docstring), so the gate
+    proves the USEFUL pairing — trained cells on clusterable data —
+    while the trained centroid floats stay engine-local.
+
+    Bounded oracle: the Spark row is (n_exact, meets_gate) and the
+    DuckDB row is the static (10, TRUE) — the value hash matches iff
+    the distributed-trained IVF actually clears recall@10 >= 0.8
+    probing 2 of 8 cells."""
+    from facolos_data_pipelines_spark.operators.similarity import (
+        ann_recall_at_k,
+        ivf_train,
+        topk_bruteforce,
+        topk_ivf,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = ivf_train(
-        emb, k=8, small_threshold=0, init_sample_fraction=0.5
+    blob = F.pmod(F.col("vec_id"), F.lit(8))
+    vec = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double") * 0.5
+        + F.when(F.pmod(i, F.lit(8)) == blob, F.lit(10.0)).otherwise(F.lit(0.0)),
     )
-    out = topk_ivf(emb, QUERY_VEC, centroids, k=10, n_probe=3)
-    return out.select("vec_id", F.round((F.col("cosine")) + 1e-8, 4).alias("cosine"))
+    clustered = emb.select("vec_id", vec.alias("embedding"))
+    centroids = ivf_train(
+        clustered, k=8, small_threshold=0, init_sample_fraction=0.5
+    )
+    query = [
+        float(x)
+        for x in clustered.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    approx = topk_ivf(clustered, query, centroids, k=10, n_probe=2)
+    exact = topk_bruteforce(clustered, query, k=10)
+    rec = ann_recall_at_k(approx, exact)
+    return rec.select(
+        "n_exact", (F.col("recall") >= F.lit(0.8)).alias("meets_gate")
+    )
 
 
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3604,7 +3639,7 @@ def q_quantile_bin_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The full registry, insertion order immaterial — queries() below
     # reorders it so the driver's 50-entry sample window rotates each
-    # round (see _R9_WINDOW).
+    # round (see _R10_WINDOW).
     return {
         "bigram_lm_scores": q_bigram_lm_scores,
         "corpus_overlap": q_corpus_overlap,
@@ -3785,61 +3820,45 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Round-9 driver window (the driver oracle-checks the FIRST 50 entries
-# of queries() each round; earlier windows live in the r1-r8
-# CORRECTNESS artifacts): first the 28 round-5-vintage names whose
-# newest driver attestation crossed the 3-round staleness bar this
-# round (the whole r5 band, alphabetical); then the 12 [Q] names whose
-# code path changed in round 9 (the certified embedding-family queries
-# got explicit num_planes pins; every *_dedup survivor query flows
-# through the materialize()-routed _drop_pair_losers /
-# connected_components; bigram_lm_scores' bigram table and
-# cross_corpus_dedup's candidate set ride the same wrapper;
-# corpus_overlap_delta gained the corpus_state_append sibling); then
-# the SEVEN new round-9 queries (gram_state_append from the first r9
-# session; the incremental state-loop pair, the robust/decay
-# aggregates and the two monitors from the second); the remaining 3
-# slots refresh the oldest round-6 names (alphabetical — the other 7
-# r6-vintage names yielded their slots to the new queries and ride
-# the full-surface local artifact). No [NQ] rows-only names this round —
-# their row counts ride the local artifact (round-8 verdict, What's
-# wrong #3); in particular minhash_dedup/simhash_dedup ALSO flow
-# through the materialize() rewrite, but their hash-certified
-# attestation is exactly their *_portable twins (same pipeline, md5
-# lanes), which ARE in the window. Exactly 50 entries: the driver
+# Round-10 driver window (the driver oracle-checks the FIRST 50
+# entries of queries() each round; earlier windows live in the r1-r9
+# CORRECTNESS artifacts): the whole 43-name round-6-vintage band —
+# every [Q] name whose newest driver attestation is CORRECTNESS_r06
+# (it would be 4 rounds old after r10, crossing the 3-round staleness
+# bar; this is exactly VERDICT r9 next-round ask #3) — then
+# `ivf_topk`, certified THIS round as a bounded oracle (recall@10 of
+# the distributed-trained IVF probe vs the exact top-10, >= 0.8
+# hash-pinned; formerly [NQ] rows-only), which needs its first
+# hash-green attestation; the remaining 6 slots early-refresh the
+# oldest round-7 names (alphabetical) since the whole 41-name r7 band
+# crosses the bar in round 11 — every early refresh now shrinks that
+# rotation. No [NQ] rows-only names (their row counts ride the
+# full-surface local artifact; their hash-certified attestations are
+# the *_portable twins, r9-fresh). Exactly 50 entries: the driver
 # samples the FIRST 50, so a 51st name would silently miss its
 # attestation.
-_R9_WINDOW = [
-    # 28 r5-vintage
-    "interval_join", "json_props_stats", "ks_drift", "leakage_safe_split",
-    "mix_corpus", "order_priority_check", "pack_documents", "pca_project",
-    "pivot_status", "referential_orphans", "repeat_buyers", "revenue_share",
-    "rolling_features", "rolling_user_value", "scd2_asof_lookup",
-    "scd2_history", "session_window_agg", "sessionization", "sliding_window",
-    "small_quantity_revenue", "snapshot_diff_cdc", "snapshot_drift",
-    "tfidf_top_terms", "top_ngrams", "weighted_sample", "window_percentiles",
-    "winsorize_prices", "zorder_key",
-    # 12 touched in round 9
-    "dup_components", "dup_cluster_sizes", "dedup_keep_best",
-    "embedding_near_dups", "embedding_near_dups_exact", "semantic_dedup",
-    "minhash_dedup_portable", "simhash_dedup_portable",
-    "ngram_jaccard_dedup", "bigram_lm_scores", "cross_corpus_dedup",
-    "corpus_overlap_delta",
-    # the new round-9 queries (gram_state_append from the first r9
-    # session; the three from the second session — the incremental
-    # minhash state loop and the two robust/decay aggregates — take
-    # the slots of three r6-vintage refresh fillers, which ride the
-    # full-surface local artifact instead: new-query attestation
-    # outranks an early refresh of names that aren't stale yet)
-    "gram_state_append", "minhash_dedup_delta", "robust_profile",
-    "decayed_user_value", "embedding_dedup_delta", "rolling_psi_drift",
-    "robust_anomaly",
-    # 3 oldest r6-vintage (derived_columns, contamination_score,
-    # daily_revenue_delta, date_parts, conditional_agg,
-    # audio_signal_features and compression_signal yielded their slots
-    # to the seven new round-9 queries; all ride the full-surface
-    # local artifact this round and rotate back in round 10)
-    "anti_join_new_keys", "column_profile_approx", "column_profile_tdigest",
+_R10_WINDOW = [
+    # the 43 r6-vintage names (alphabetical)
+    "audio_signal_features", "compression_signal", "conditional_agg",
+    "contamination_score", "daily_revenue_delta", "date_parts",
+    "derived_columns", "dim_enrichment_join", "doc_fingerprint",
+    "doc_length_stats", "embedding_outliers", "exact_dedup",
+    "flatten_explode", "flatten_invariants", "json_construct",
+    "latest_by_key", "lookback_filter", "merge_stats",
+    "multi_table_summary", "multimodal_features", "negative_count",
+    "pricing_summary", "quality_gate", "quality_model_score",
+    "quality_quantile_filter", "quality_scores", "region_volume",
+    "retention_filter", "rollup_sales", "safe_cast", "script_profile",
+    "shipping_priority", "similarity_threshold", "similarity_topk",
+    "status_filter", "string_funcs", "table_stats", "time_range_filter",
+    "token_counts", "topk_orders", "union_sources", "value_buckets",
+    "window_rank",
+    # certified this round (NQ -> bounded oracle)
+    "ivf_topk",
+    # 6 early r7 refreshes (oldest alphabetical; swapped out one-for-one
+    # if new round-10 queries land later in the round)
+    "ann_recall", "anomaly_zscore", "approx_distinct", "c4_clean",
+    "chunk_documents", "cold_customers",
 ]
 
 
@@ -3887,11 +3906,11 @@ def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = _all_queries()
-    missing = [n for n in _R9_WINDOW if n not in all_q]
+    missing = [n for n in _R10_WINDOW if n not in all_q]
     if missing:
-        raise KeyError(f"_R9_WINDOW names not in the registry: {missing}")
-    rest = [n for n in all_q if n not in set(_R9_WINDOW)]
-    return {n: all_q[n] for n in [*_R9_WINDOW, *rest]}
+        raise KeyError(f"_R10_WINDOW names not in the registry: {missing}")
+    rest = [n for n in all_q if n not in set(_R10_WINDOW)]
+    return {n: all_q[n] for n in [*_R10_WINDOW, *rest]}
 
 
 def _vec_sql() -> str:
@@ -5007,6 +5026,14 @@ def oracle_sql() -> dict[str, str]:
             -- CONTRACT — 10 exact neighbors, recall@10 >= 0.8 — and
             -- the value hash matches iff Spark's trained IVF-PQ
             -- actually clears it on the clusterable corpus.
+            SELECT CAST(10 AS BIGINT) AS n_exact, TRUE AS meets_gate
+        """,
+        "ivf_topk": """
+            -- bounded oracle (round 10, same pattern): topk_ivf's
+            -- recall@10 vs the exact cosine top-10 probing 2 of 8
+            -- DISTRIBUTED-trained cells on the blob-clusterable
+            -- corpus must clear 0.8; the centroid floats themselves
+            -- are engine-local, the contract is not.
             SELECT CAST(10 AS BIGINT) AS n_exact, TRUE AS meets_gate
         """,
         "ann_recall": rf"""
