@@ -2115,6 +2115,54 @@ def q_rolling_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_psi_drift(events, "ts", "value", num_bins=10)
 
 
+def q_hist_state_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-state delta rows (quality.checks.hist_state, round
+    10): the (day, bin, n) rows ONE ingestion day appends to the
+    persisted drift-state table — events.value of 2024-01-20 bucketed
+    under 10-quantile edges PINNED from the bootstrap window (days <=
+    2024-01-15), the store contract that keeps every append cycle's
+    counts comparable (edges are part of the schema, like the band
+    states' hash families). One narrow scan of the batch; the appended
+    state is days x bins rows, so the monitoring loop never re-reads
+    history (gram_state_append's drift-monitor sibling; loop measured
+    in SCALE.md §6i). The DuckDB oracle reproduces the bootstrap edges
+    (quantile_cont == Spark percentile), the strict-> bucketing and
+    the grouped counts exactly."""
+    from facolos_data_pipelines_spark.quality.checks import hist_edges, hist_state
+
+    events = _t(spark, sf_dir, "events")
+    boot = events.filter(F.to_date("ts") <= F.lit("2024-01-15"))
+    batch = events.filter(F.to_date("ts") == F.lit("2024-01-20"))
+    edges = hist_edges(boot, "value", num_bins=10)
+    return hist_state(batch, "ts", "value", edges).orderBy("day", "bin")
+
+
+def q_psi_state_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental drift loop scored end-to-end
+    (quality.checks.psi_from_hist_state, round 10): day-over-day PSI
+    of events.value under edges pinned from the bootstrap window (days
+    <= 2024-01-15) with the whole window's (day, bin, n) state rows
+    built under those edges — the series a daily pipeline reads from
+    the persisted state table WITHOUT ever rescanning historical facts
+    (the parquet append loop itself is pytest-pinned and measured in
+    SCALE.md §6i; this certified twin builds the same state in-query
+    so the oracle can see it). Differs from rolling_psi_drift by the
+    store contract: edges anchor to the REFERENCE distribution instead
+    of re-centering on the whole window, so a persistent shift keeps
+    scoring against where the data started, not where it drifted to."""
+    from facolos_data_pipelines_spark.quality.checks import (
+        hist_edges,
+        hist_state,
+        psi_from_hist_state,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    boot = events.filter(F.to_date("ts") <= F.lit("2024-01-15"))
+    edges = hist_edges(boot, "value", num_bins=10)
+    state = hist_state(events, "ts", "value", edges)
+    return psi_from_hist_state(state, num_bins=10).orderBy("day")
+
+
 def q_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level robust outliers (quality.checks.robust_anomaly): the
     modified z-score 0.6745*(x - median)/MAD per event_type at the
@@ -3650,6 +3698,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_delta": q_embedding_dedup_delta,
         "robust_profile": q_robust_profile,
         "rolling_psi_drift": q_rolling_psi_drift,
+        "hist_state_append": q_hist_state_append,
+        "psi_state_series": q_psi_state_series,
         "robust_anomaly": q_robust_anomaly,
         "decayed_user_value": q_decayed_user_value,
         "length_histogram": q_length_histogram,
@@ -3855,10 +3905,12 @@ _R10_WINDOW = [
     "window_rank",
     # certified this round (NQ -> bounded oracle)
     "ivf_topk",
-    # 6 early r7 refreshes (oldest alphabetical; swapped out one-for-one
-    # if new round-10 queries land later in the round)
+    # new round-10 queries (the incremental drift-state loop)
+    "hist_state_append", "psi_state_series",
+    # 4 early r7 refreshes (oldest alphabetical; chunk_documents and
+    # cold_customers yielded their slots to the new queries and rotate
+    # with the rest of the r7 band in round 11)
     "ann_recall", "anomaly_zscore", "approx_distinct", "c4_clean",
-    "chunk_documents", "cold_customers",
 ]
 
 
@@ -7084,6 +7136,80 @@ def oracle_sql() -> dict[str, str]:
                    psi > 0.25 AS shifted,
                    psi > 0.1 AND psi <= 0.25 AS drifting
             FROM agg
+        """,
+        "hist_state_append": """
+            -- quality.checks.hist_state twin (round 10): bootstrap
+            -- 10-quantile edges (quantile_cont == Spark percentile)
+            -- pinned from days <= 2024-01-15, strict-> bucketing of
+            -- the 2024-01-20 batch, grouped counts
+            WITH bv AS (
+                SELECT value::DOUBLE AS v FROM events
+                WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
+                  AND value IS NOT NULL
+            ), b AS (
+                SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+                FROM bv
+            ), batch AS (
+                SELECT CAST(ts AS DATE) AS day, value::DOUBLE AS v
+                FROM events
+                WHERE CAST(ts AS DATE) = DATE '2024-01-20'
+                  AND value IS NOT NULL
+            )
+            SELECT day,
+                   CAST(len(list_filter(bs, e -> v > e)) AS INT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM batch CROSS JOIN b
+            GROUP BY 1, 2
+            ORDER BY day, bin
+        """,
+        "psi_state_series": """
+            -- quality.checks.psi_from_hist_state twin (round 10):
+            -- rolling_psi_drift's tail under BOOTSTRAP-pinned edges
+            -- (the store contract) instead of whole-window edges
+            WITH bv AS (
+                SELECT value::DOUBLE AS v FROM events
+                WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
+                  AND value IS NOT NULL
+            ), b AS (
+                SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+                FROM bv
+            ), v AS (
+                SELECT CAST(ts AS DATE) AS day, value::DOUBLE AS v
+                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            ), c AS (
+                SELECT day,
+                       CAST(len(list_filter(bs, e -> v > e)) AS INT) AS bin,
+                       COUNT(*) AS n
+                FROM v CROSS JOIN b GROUP BY 1, 2
+            ), days AS (
+                SELECT DISTINCT day FROM c
+            ), hist AS (
+                SELECT days.day, r.bin, COALESCE(c.n, 0) AS n
+                FROM days
+                CROSS JOIN (SELECT CAST(UNNEST(range(10)) AS INT) AS bin) r
+                LEFT JOIN c ON c.day = days.day AND c.bin = r.bin
+            ), pair AS (
+                SELECT cur.day AS day, cur.bin,
+                       prv.n AS n_prev, cur.n AS n_curr
+                FROM hist cur JOIN hist prv
+                  ON prv.day + 1 = cur.day AND prv.bin = cur.bin
+            ), t AS (
+                SELECT day, n_prev, n_curr,
+                       GREATEST(n_prev / SUM(n_prev) OVER (PARTITION BY day), 1e-4) AS pp,
+                       GREATEST(n_curr / SUM(n_curr) OVER (PARTITION BY day), 1e-4) AS pc
+                FROM pair
+            ), agg AS (
+                SELECT day,
+                       CAST(SUM(n_prev) AS BIGINT) AS n_prev,
+                       CAST(SUM(n_curr) AS BIGINT) AS n_curr,
+                       ROUND(SUM((pc - pp) * ln(pc / pp)) + 1e-12, 6) AS psi
+                FROM t GROUP BY day
+            )
+            SELECT day, n_prev, n_curr, psi,
+                   psi > 0.25 AS shifted,
+                   psi > 0.1 AND psi <= 0.25 AS drifting
+            FROM agg
+            ORDER BY day
         """,
         "robust_anomaly": """
             -- quality.checks.robust_anomaly twin: per-type median and

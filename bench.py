@@ -31,6 +31,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # round 10 additions (incremental drift-state loop)
+    "hist_state_append",
+    "psi_state_series",
     # round 9 session 2 additions
     "minhash_dedup_delta",
     "robust_profile",

@@ -11,7 +11,7 @@ and counts can run on partition metadata where exactness isn't needed
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -795,23 +795,46 @@ def rolling_psi_drift(
         F.to_date(F.col(ts_col)).alias("_day"),
         F.col(col).cast("double").alias("_v"),
     ).filter(F.col("_v").isNotNull() & F.col("_day").isNotNull())
+    # edges from the SAME day-filtered values (a NULL-day row carries
+    # no position in the series, so it must not move the edges either
+    # — hist_edges has no day column and can't make that cut)
     fn = (
         F.percentile_approx("_v", qs, 10000) if approx else F.percentile("_v", qs)
     )
     bounds = vals.agg(fn.alias("_bs"))
-    bucket = F.aggregate(
+    counts = (
+        vals.join(F.broadcast(bounds))
+        .select("_day", _hist_bucket().alias("bin"))
+        .groupBy("_day", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return _psi_series(counts, num_bins, epsilon)
+
+
+def _hist_bucket() -> Column:
+    """Bin index of a ``_v`` value under a broadcast ``_bs`` edge
+    array: the count of edges strictly below the value (strict-``>``
+    boundary convention — a value equal to an edge falls in the lower
+    bin), matching DuckDB ``len(list_filter(bs, e -> v > e))``."""
+    return F.aggregate(
         F.col("_bs"),
         F.lit(0),
         lambda acc, b: acc + F.when(F.col("_v") > b, 1).otherwise(0),
     ).cast("int")
-    counts = (
-        vals.join(F.broadcast(bounds))
-        .select("_day", bucket.alias("bin"))
-        .groupBy("_day", "bin")
-        .agg(F.count("*").cast("long").alias("n"))
-    )
+
+
+def _psi_series(counts: DataFrame, num_bins: int, epsilon: float) -> DataFrame:
+    """Shared PSI tail of :func:`rolling_psi_drift` and
+    :func:`psi_from_hist_state`: (_day, bin, n) per-day histogram rows
+    → one PSI total per day scored against calendar day - 1. Dense
+    days x bins scaffold (a day missing a bin is n=0, not absent), so
+    the day-1 self-join never drops a bin pair; gap days (no previous
+    calendar day) emit no row. All inputs here are day x bin sized —
+    the fact never reaches this tail."""
     days = counts.select("_day").dropDuplicates()
-    bins = df.sparkSession.range(num_bins).select(F.col("id").cast("int").alias("bin"))
+    bins = counts.sparkSession.range(num_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
     hist = (
         days.crossJoin(F.broadcast(bins))
         .join(counts, ["_day", "bin"], "left")
@@ -853,6 +876,87 @@ def rolling_psi_drift(
         (F.col("psi") > 0.25).alias("shifted"),
         ((F.col("psi") > 0.1) & (F.col("psi") <= 0.25)).alias("drifting"),
     )
+
+
+def hist_edges(
+    df: DataFrame, col: str, num_bins: int = 10, approx: bool = False
+) -> DataFrame:
+    """The PINNED bucketization of a histogram state store: a 1-row
+    frame (``_bs``: array of the ``num_bins``-quantile edges of
+    ``col``) — compute it ONCE from the bootstrap/reference window and
+    persist it next to the counts. The store contract mirrors the
+    band-state families (minhash_band_state, embedding_band_state):
+    edges are part of the schema — counts bucketed under different
+    edges never compare, so every append cycle re-reads the SAME
+    persisted edge row, and a distribution that outgrows its edges
+    (mass piling into the open end bins) re-bootstraps and re-bins in
+    one pass. ``approx=True`` uses the KLL sketch at scale; both are
+    one 1-row aggregate."""
+    if num_bins < 2:
+        raise ValueError("hist_edges: num_bins must be >= 2")
+    qs = [i / num_bins for i in range(1, num_bins)]
+    vals = df.select(F.col(col).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    fn = (
+        F.percentile_approx("_v", qs, 10000) if approx else F.percentile("_v", qs)
+    )
+    return vals.agg(fn.alias("_bs"))
+
+
+def hist_state(
+    df: DataFrame, ts_col: str, col: str, edges: DataFrame
+) -> DataFrame:
+    """The appendable histogram-state rows of a batch: (day, bin, n)
+    counts of ``col`` under the PINNED ``edges``
+    (:func:`hist_edges`) — ONE narrow scan of the batch (broadcast
+    edge row → bin expression → grouped count), nothing else. This is
+    the drift-monitoring sibling of the corpus gram state
+    (text.corpus_gram_state) and the incremental answer to
+    :func:`rolling_psi_drift`'s two full-fact scans: bootstrap the
+    edges once, append each ingestion cycle's (day, bin, n) rows to a
+    persisted state table, and score drift from the state alone
+    (:func:`psi_from_hist_state`) — no historical fact row is ever
+    re-read. Appends are MERGEABLE by construction: duplicate
+    (day, bin) rows from multiple appends of the same day (late data,
+    replays of disjoint slices) sum in the reader. At cluster scale
+    the state table is days x bins rows — trivially small — so the
+    only per-cycle cost is the batch scan itself. NULL values and
+    NULL days carry no position and are excluded, matching
+    rolling_psi_drift."""
+    vals = df.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("day").isNotNull())
+    return (
+        vals.join(F.broadcast(edges))
+        .select("day", _hist_bucket().alias("bin"))
+        .groupBy("day", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def psi_from_hist_state(
+    state: DataFrame, num_bins: int = 10, epsilon: float = 1e-4
+) -> DataFrame:
+    """Day-over-day PSI series computed ENTIRELY from persisted
+    histogram-state rows (:func:`hist_state`) — the fact table is
+    never touched. Same output contract as :func:`rolling_psi_drift`
+    (day, n_prev, n_curr, psi, shifted, drifting; gap days emit no
+    row; probabilities floored at ``epsilon``), and EQUAL to it when
+    the state covers the same window under whole-window edges (the
+    shared :func:`_psi_series` tail makes that structural, and the
+    equivalence is pytest-pinned). Duplicate (day, bin) rows — late
+    data appended to an existing day — are summed first, which is what
+    makes the store append-only: no read-modify-write, ever. Input is
+    days x bins sized, so this whole query is broadcast-tiny at any
+    corpus scale; the monitoring loop's per-cycle cost is pinned to
+    the BATCH scan in :func:`hist_state`, not to history (measured in
+    SCALE.md §6i)."""
+    counts = state.groupBy(
+        F.col("day").alias("_day"), "bin"
+    ).agg(F.sum("n").cast("long").alias("n"))
+    return _psi_series(counts, num_bins, epsilon)
 
 
 def robust_anomaly(

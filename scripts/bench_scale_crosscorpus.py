@@ -263,6 +263,86 @@ def main() -> int:
             "survivors_match_reference": True,
         }
         shutil.rmtree(state_path, ignore_errors=True)
+    elif op == "hist_state_loop":
+        from facolos_data_pipelines_spark.quality.checks import (
+            hist_edges,
+            hist_state,
+            psi_from_hist_state,
+            rolling_psi_drift,
+        )
+        from facolos_data_pipelines_spark.session import load_tables
+
+        # the round-10 drift-state loop, measured AS a loop: edges
+        # pinned once from the bootstrap window (days <= 01-15), then
+        # one append cycle per later day — hist_state(batch) append +
+        # the psi series read from the state table — against the
+        # from-scratch recompute the loop replaces (rolling_psi_drift
+        # over the ACCUMULATED fact, which rescans history every day).
+        # Consistency: the appended state's series must equal a
+        # single-shot hist_state of the accumulated fact under the
+        # same pinned edges, every cycle.
+        events = load_tables(spark, sf_dir, ["events"])["events"]
+        n_events = events.count()
+        boot = events.filter(F.to_date("ts") <= F.lit("2024-01-15"))
+        edges_path = f"/tmp/scale_hist_edges_{os.getpid()}"
+        state_path = f"/tmp/scale_hist_state_{os.getpid()}"
+        shutil.rmtree(edges_path, ignore_errors=True)
+        shutil.rmtree(state_path, ignore_errors=True)
+        t0 = time.monotonic()
+        hist_edges(boot, "value", num_bins=10).write.parquet(edges_path)
+        pinned = spark.read.parquet(edges_path)
+        hist_state(boot, "ts", "value", pinned).write.parquet(state_path)
+        bootstrap_s = round(time.monotonic() - t0, 3)
+        corpus = boot
+        cycles = []
+        for d in range(16, 16 + reps):
+            day = f"2024-01-{d:02d}"
+            batch = events.filter(F.to_date("ts") == F.lit(day))
+            t0 = time.monotonic()
+            pinned = spark.read.parquet(edges_path)
+            hist_state(batch, "ts", "value", pinned).write.mode(
+                "append"
+            ).parquet(state_path)
+            series = psi_from_hist_state(
+                spark.read.parquet(state_path), num_bins=10
+            )
+            n_series = series.count()
+            delta_s = round(time.monotonic() - t0, 3)
+            corpus = corpus.unionByName(batch)
+            t0 = time.monotonic()
+            n_scratch = rolling_psi_drift(corpus, "ts", "value").count()
+            scratch_s = round(time.monotonic() - t0, 3)
+            got = sorted(tuple(r) for r in series.collect())
+            ref = sorted(
+                tuple(r)
+                for r in psi_from_hist_state(
+                    hist_state(corpus, "ts", "value", pinned), num_bins=10
+                ).collect()
+            )
+            assert got == ref, (day, len(got), len(ref))
+            cycles.append({
+                "day": day,
+                "batch_rows": batch.count(),
+                "delta_cycle_s": delta_s,
+                "from_scratch_s": scratch_s,
+                "series_days": n_series,
+                "scratch_days": n_scratch,
+            })
+        result |= {
+            "n_events": n_events,
+            "bootstrap_s": bootstrap_s,
+            "cycles": cycles,
+            "delta_median_s": statistics.median(
+                c["delta_cycle_s"] for c in cycles
+            ),
+            "scratch_median_s": statistics.median(
+                c["from_scratch_s"] for c in cycles
+            ),
+            "state_rows": spark.read.parquet(state_path).count(),
+            "series_match_reference": True,
+        }
+        shutil.rmtree(edges_path, ignore_errors=True)
+        shutil.rmtree(state_path, ignore_errors=True)
     elif op == "minhash_delta_loop_bucketed":
         from facolos_data_pipelines_spark.operators.dedup import (
             minhash_band_state,

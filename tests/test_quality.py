@@ -290,6 +290,118 @@ def test_rolling_psi_drift_shift_detection(spark):
     assert got["2024-03-03"]["n_prev"] == 100 and got["2024-03-03"]["n_curr"] == 100
 
 
+def test_hist_state_loop_equals_rolling_psi(spark, tmp_path):
+    """The incremental drift loop's keystone contract: psi_from_
+    hist_state over a state built under whole-window edges must EQUAL
+    rolling_psi_drift of the same window, row for row — and the state
+    must be buildable as an append-only parquet loop (bootstrap +
+    per-day appends through disk, duplicates from a split append
+    summing) without changing a single output value."""
+    from datetime import datetime
+
+    from facolos_data_pipelines_spark.quality.checks import (
+        hist_edges,
+        hist_state,
+        psi_from_hist_state,
+        rolling_psi_drift,
+    )
+
+    rows = []
+    for d in (1, 2):
+        rows += [(datetime(2024, 3, d, 12), float(i)) for i in range(100)]
+    rows += [(datetime(2024, 3, 3, 12), 95.0 + (i % 5)) for i in range(100)]
+    rows += [(datetime(2024, 3, 5, 12), float(i)) for i in range(100)]
+    rows += [(datetime(2024, 3, 1, 1), None), (None, 50.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+
+    want = sorted(
+        tuple(r) for r in rolling_psi_drift(df, "ts", "value").collect()
+    )
+
+    # one-shot: whole window, whole-window edges
+    edges = hist_edges(df, "value")
+    got = sorted(
+        tuple(r)
+        for r in psi_from_hist_state(hist_state(df, "ts", "value", edges)).collect()
+    )
+    assert got == want and want
+
+    # append-only loop through parquet: edges persisted once, day 1+2
+    # bootstrap, then day 3 appended in two DISJOINT halves (duplicate
+    # (day, bin) rows must sum), then day 5
+    edges.write.parquet(str(tmp_path / "edges"))
+    pinned = spark.read.parquet(str(tmp_path / "edges"))
+    state_path = str(tmp_path / "state")
+    boot = df.filter(F.col("ts") < "2024-03-03")
+    hist_state(boot, "ts", "value", pinned).write.parquet(state_path)
+    d3 = df.filter(
+        (F.col("ts") >= "2024-03-03") & (F.col("ts") < "2024-03-04")
+    )
+    for half in (0, 1):
+        hist_state(
+            d3.filter(F.pmod(F.col("value").cast("int"), F.lit(2)) == half),
+            "ts", "value", pinned,
+        ).write.mode("append").parquet(state_path)
+    hist_state(
+        df.filter(F.col("ts") >= "2024-03-05"), "ts", "value", pinned
+    ).write.mode("append").parquet(state_path)
+    via_loop = sorted(
+        tuple(r)
+        for r in psi_from_hist_state(spark.read.parquet(state_path)).collect()
+    )
+    assert via_loop == want
+    # the split-append day really did land as duplicate rows that sum
+    state = spark.read.parquet(state_path)
+    assert (
+        state.groupBy("day", "bin").count().filter("count > 1").count() > 0
+    )
+    # an empty batch appends nothing and changes nothing
+    hist_state(
+        df.filter(F.lit(False)), "ts", "value", pinned
+    ).write.mode("append").parquet(state_path)
+    assert sorted(
+        tuple(r)
+        for r in psi_from_hist_state(spark.read.parquet(state_path)).collect()
+    ) == want
+
+
+def test_hist_state_pinned_edges_differ_from_whole_window(spark):
+    """The store contract cuts the other way too: a state bucketed
+    under BOOTSTRAP edges is a different (deliberately so) series from
+    rolling_psi_drift's whole-window edges when the later days shift —
+    the pinned edges keep day-over-day comparisons anchored to the
+    reference distribution. Day 3's shifted mass lands in the top
+    bootstrap bin instead of re-centering the edges."""
+    from datetime import datetime
+
+    from facolos_data_pipelines_spark.quality.checks import (
+        hist_edges,
+        hist_state,
+        psi_from_hist_state,
+    )
+
+    rows = []
+    for d in (1, 2):
+        rows += [(datetime(2024, 3, d, 12), float(i)) for i in range(100)]
+    rows += [(datetime(2024, 3, 3, 12), 1000.0 + i) for i in range(100)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    boot = df.filter(F.col("ts") < "2024-03-03")
+    edges = hist_edges(boot, "value")
+    out = {
+        str(r["day"]): r.asDict()
+        for r in psi_from_hist_state(
+            hist_state(df, "ts", "value", edges)
+        ).collect()
+    }
+    assert out["2024-03-02"]["psi"] < 0.01
+    # all of day 3 falls past the bootstrap's top edge -> max drift
+    assert out["2024-03-03"]["shifted"]
+    from facolos_data_pipelines_spark.quality.checks import hist_edges as he
+
+    with pytest.raises(ValueError, match="num_bins"):
+        he(df, "value", num_bins=1)
+
+
 def test_robust_anomaly_known_scores(spark):
     """Hand-computed modified z-scores: group 'a' = [0..9]x4 + one 1e9
     row (41 non-null values) -> med 5.0, MAD 3.0; the contaminant
