@@ -34,6 +34,24 @@ SHIP_START, SHIP_END = "1996-01-01", "1996-12-31"
 QUERY_VEC = [1.0 if i % 8 == 0 else (0.5 if i % 3 == 0 else 0.0) for i in range(64)]
 
 
+def _clustered_embeddings(emb: "DataFrame") -> "DataFrame":
+    """The shared blob derivation of the trained-index gates
+    (q_ann_recall_trained, q_ivf_topk): a mixture of 8 well-separated
+    blobs built deterministically from the embeddings table — vector =
+    10·e_c + 0.5·embedding with c = vec_id % 8 picking the
+    one-hot-ish center (10.0 at dims where d % 8 == c) and the
+    isotropic synthetic embedding supplying within-cluster noise.
+    Both gates MUST score the identical corpus (their docstrings claim
+    the same derivation), so the expression lives once."""
+    blob = F.pmod(F.col("vec_id"), F.lit(8))
+    vec = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double") * 0.5
+        + F.when(F.pmod(i, F.lit(8)) == blob, F.lit(10.0)).otherwise(F.lit(0.0)),
+    )
+    return emb.select("vec_id", vec.alias("embedding"))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from facolos_data_pipelines_spark.session import load_tables
 
@@ -795,13 +813,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    blob = F.pmod(F.col("vec_id"), F.lit(8))
-    vec = F.transform(
-        F.col("embedding"),
-        lambda x, i: x.cast("double") * 0.5
-        + F.when(F.pmod(i, F.lit(8)) == blob, F.lit(10.0)).otherwise(F.lit(0.0)),
-    )
-    clustered = emb.select("vec_id", vec.alias("embedding"))
+    clustered = _clustered_embeddings(emb)
     centroids = ivf_train(
         clustered, k=8, small_threshold=0, init_sample_fraction=0.5
     )
@@ -3143,13 +3155,7 @@ def q_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    blob = F.pmod(F.col("vec_id"), F.lit(8))
-    vec = F.transform(
-        F.col("embedding"),
-        lambda x, i: x.cast("double") * 0.5
-        + F.when(F.pmod(i, F.lit(8)) == blob, F.lit(10.0)).otherwise(F.lit(0.0)),
-    )
-    clustered = emb.select("vec_id", vec.alias("embedding"))
+    clustered = _clustered_embeddings(emb)
     coarse = ivf_train(clustered, k=8)
     # PQ coarseness vs rerank width, measured at sf0.1: 32 subspaces x
     # 5 iters with rerank_factor=4 scores recall 1.0 in ~9s; halving
@@ -3879,10 +3885,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # `ivf_topk`, certified THIS round as a bounded oracle (recall@10 of
 # the distributed-trained IVF probe vs the exact top-10, >= 0.8
 # hash-pinned; formerly [NQ] rows-only), which needs its first
-# hash-green attestation; the remaining 6 slots early-refresh the
-# oldest round-7 names (alphabetical) since the whole 41-name r7 band
-# crosses the bar in round 11 — every early refresh now shrinks that
-# rotation. No [NQ] rows-only names (their row counts ride the
+# hash-green attestation; then the TWO new round-10 queries (the
+# incremental drift-state loop: hist_state_append, psi_state_series —
+# new-query attestation outranks early refreshes, the r9 convention);
+# the remaining 4 slots early-refresh the oldest round-7 names
+# (alphabetical) since the whole 41-name r7 band crosses the bar in
+# round 11 — every early refresh now shrinks that rotation. No [NQ]
+# rows-only names (their row counts ride the
 # full-surface local artifact; their hash-certified attestations are
 # the *_portable twins, r9-fresh). Exactly 50 entries: the driver
 # samples the FIRST 50, so a 51st name would silently miss its

@@ -829,11 +829,20 @@ def _psi_series(counts: DataFrame, num_bins: int, epsilon: float) -> DataFrame:
     → one PSI total per day scored against calendar day - 1. Dense
     days x bins scaffold (a day missing a bin is n=0, not absent), so
     the day-1 self-join never drops a bin pair; gap days (no previous
-    calendar day) emit no row. All inputs here are day x bin sized —
+    calendar day) emit no row. The scaffold is range(num_bins) UNION
+    the bins actually observed — a state carrying bins >= num_bins
+    (edges pinned under a larger family than the caller's num_bins)
+    keeps its mass instead of being silently dropped by a too-small
+    scaffold, and phantom scaffold rows are harmless (a bin with zero
+    mass on both days floors to epsilon on both sides and contributes
+    exactly 0 to the PSI sum). All inputs here are day x bin sized —
     the fact never reaches this tail."""
     days = counts.select("_day").dropDuplicates()
-    bins = counts.sparkSession.range(num_bins).select(
-        F.col("id").cast("int").alias("bin")
+    bins = (
+        counts.sparkSession.range(num_bins)
+        .select(F.col("id").cast("int").alias("bin"))
+        .unionByName(counts.select("bin"))
+        .dropDuplicates()
     )
     hist = (
         days.crossJoin(F.broadcast(bins))
@@ -948,11 +957,16 @@ def psi_from_hist_state(
     shared :func:`_psi_series` tail makes that structural, and the
     equivalence is pytest-pinned). Duplicate (day, bin) rows — late
     data appended to an existing day — are summed first, which is what
-    makes the store append-only: no read-modify-write, ever. Input is
-    days x bins sized, so this whole query is broadcast-tiny at any
-    corpus scale; the monitoring loop's per-cycle cost is pinned to
-    the BATCH scan in :func:`hist_state`, not to history (measured in
-    SCALE.md §6i)."""
+    makes the store append-only: no read-modify-write, ever. A
+    ``num_bins`` smaller than the edge family the state was built
+    under cannot drop mass: the scaffold unions the observed bins
+    (:func:`_psi_series`), so the series comes out right even on a
+    mismatched call — but pass the store's real bin count anyway; the
+    dense-zero floor below ``num_bins`` is what keeps a day that lost
+    a whole bin scored against it. Input is days x bins sized, so
+    this whole query is broadcast-tiny at any corpus scale; the
+    monitoring loop's per-cycle cost is pinned to the BATCH scan in
+    :func:`hist_state`, not to history (measured in SCALE.md §6i)."""
     counts = state.groupBy(
         F.col("day").alias("_day"), "bin"
     ).agg(F.sum("n").cast("long").alias("n"))

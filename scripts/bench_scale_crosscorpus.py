@@ -295,8 +295,17 @@ def main() -> int:
         bootstrap_s = round(time.monotonic() - t0, 3)
         corpus = boot
         cycles = []
-        for d in range(16, 16 + reps):
-            day = f"2024-01-{d:02d}"
+        # testdata events span 2024-01-01..30: 15 post-bootstrap days
+        # exist; a string-formatted 2024-01-32 would cast to NULL and
+        # silently time empty batches, so use real date arithmetic and
+        # refuse reps the data can't back
+        if reps > 15:
+            raise SystemExit("hist_state_loop: reps > 15 exceeds the "
+                             "post-bootstrap day range (01-16..01-30)")
+        import datetime as _dt
+
+        for i in range(reps):
+            day = str(_dt.date(2024, 1, 16) + _dt.timedelta(days=i))
             batch = events.filter(F.to_date("ts") == F.lit(day))
             t0 = time.monotonic()
             pinned = spark.read.parquet(edges_path)

@@ -149,9 +149,9 @@ def test_minhash_bucketed_state_elides_state_side_shuffle(
 
 
 def test_embedding_bucketed_state_elides_state_side_shuffle(
-    spark, tmp_path, no_broadcast
+    spark, sf_dir, tmp_path, no_broadcast
 ):
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
     batch = emb.filter(F.col("vec_id") % 10 == 1)
     kw = dict(num_planes=6, num_bands=4, dim=64)

@@ -365,6 +365,37 @@ def test_hist_state_loop_equals_rolling_psi(spark, tmp_path):
     ) == want
 
 
+def test_psi_from_hist_state_keeps_mass_on_mismatched_num_bins(spark):
+    """A state built under a LARGER edge family than the caller's
+    num_bins must not silently drop its upper bins: scoring a 20-bin
+    state with the default num_bins=10 returns the same series as
+    scoring it with the matching 20 (the scaffold unions observed
+    bins), and the totals account for every row."""
+    from datetime import datetime
+
+    from facolos_data_pipelines_spark.quality.checks import (
+        hist_edges,
+        hist_state,
+        psi_from_hist_state,
+    )
+
+    rows = []
+    for d in (1, 2):
+        rows += [(datetime(2024, 3, d, 12), float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    edges20 = hist_edges(df, "value", num_bins=20)
+    state = hist_state(df, "ts", "value", edges20)
+    right = sorted(
+        tuple(r) for r in psi_from_hist_state(state, num_bins=20).collect()
+    )
+    mismatched = sorted(
+        tuple(r) for r in psi_from_hist_state(state, num_bins=10).collect()
+    )
+    assert mismatched == right
+    # the totals see all 100 rows per day — nothing dropped
+    assert mismatched[0][1] == 100 and mismatched[0][2] == 100
+
+
 def test_hist_state_pinned_edges_differ_from_whole_window(spark):
     """The store contract cuts the other way too: a state bucketed
     under BOOTSTRAP edges is a different (deliberately so) series from
