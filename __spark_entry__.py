@@ -2175,6 +2175,53 @@ def q_psi_state_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_hist_state(state, num_bins=10).orderBy("day")
 
 
+def q_profile_state_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments-profile state delta rows (quality.checks.profile_state,
+    round 10): the (day, column, moments) rows one ingestion day
+    appends — events 2024-01-20, a numeric column (value: real sums /
+    squares / min / max) and a non-numeric one (event_type: real
+    counts, NULL moments) — the mergeable sufficient statistics of the
+    incremental column-profile loop (count/mean/std/min/max merge
+    exactly; distinct and percentiles need sketches and keep the
+    one-shot column_profile twins). ONE narrow scan of the batch. Sums
+    are rounded to 2 decimals HERE, in the certified projection — the
+    state itself stays raw so it can keep merging; 2 (not 4) because a
+    whole-day Σv² reaches ~1e6 and cross-engine summation order is
+    only identical to ~5e-5."""
+    from facolos_data_pipelines_spark.quality.checks import profile_state
+
+    events = _t(spark, sf_dir, "events")
+    batch = events.filter(F.to_date("ts") == F.lit("2024-01-20"))
+    out = profile_state(batch, "ts", ["value", "event_type"])
+    r2 = lambda c: F.round(F.col(c) + F.lit(1e-9), 2)  # noqa: E731
+    return out.select(
+        "day", "column_name", "n_rows", "n_null",
+        r2("sum_v").alias("sum_v"), r2("sum_sq").alias("sum_sq"),
+        r2("min_v").alias("min_v"), r2("max_v").alias("max_v"),
+    ).orderBy("day", "column_name")
+
+
+def q_incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The moments-profile loop scored end-to-end
+    (quality.checks.profile_from_state, round 10): global per-column
+    profile (n_rows, n_null, mean, std, min, max) merged from the
+    whole window's per-day state rows — the profile a daily pipeline
+    reads from the persisted moments table without rescanning history
+    (the parquet append loop with duplicate-day merges is
+    pytest-pinned; this certified twin builds the same state in-query
+    so the oracle can see it). std is the sample standard deviation
+    from raw moments, the formula mirrored exactly in the DuckDB twin
+    rather than stddev_samp so both engines round the same number."""
+    from facolos_data_pipelines_spark.quality.checks import (
+        profile_from_state,
+        profile_state,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    state = profile_state(events, "ts", ["value", "event_type"])
+    return profile_from_state(state, round_digits=4).orderBy("column_name")
+
+
 def q_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level robust outliers (quality.checks.robust_anomaly): the
     modified z-score 0.6745*(x - median)/MAD per event_type at the
@@ -3706,6 +3753,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_psi_drift": q_rolling_psi_drift,
         "hist_state_append": q_hist_state_append,
         "psi_state_series": q_psi_state_series,
+        "profile_state_append": q_profile_state_append,
+        "incremental_profile": q_incremental_profile,
         "robust_anomaly": q_robust_anomaly,
         "decayed_user_value": q_decayed_user_value,
         "length_histogram": q_length_histogram,
@@ -3885,13 +3934,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # `ivf_topk`, certified THIS round as a bounded oracle (recall@10 of
 # the distributed-trained IVF probe vs the exact top-10, >= 0.8
 # hash-pinned; formerly [NQ] rows-only), which needs its first
-# hash-green attestation; then the TWO new round-10 queries (the
-# incremental drift-state loop: hist_state_append, psi_state_series —
-# new-query attestation outranks early refreshes, the r9 convention);
-# the remaining 4 slots early-refresh the oldest round-7 names
-# (alphabetical) since the whole 41-name r7 band crosses the bar in
-# round 11 — every early refresh now shrinks that rotation. No [NQ]
-# rows-only names (their row counts ride the
+# hash-green attestation; then the FOUR new round-10 queries (the
+# incremental drift-state loop: hist_state_append, psi_state_series;
+# and the moments-profile loop: profile_state_append,
+# incremental_profile — new-query attestation outranks early
+# refreshes, the r9 convention); the remaining 2 slots early-refresh
+# the oldest round-7 names (alphabetical) since the whole 41-name r7
+# band crosses the bar in round 11 — every early refresh now shrinks
+# that rotation. No [NQ] rows-only names (their row counts ride the
 # full-surface local artifact; their hash-certified attestations are
 # the *_portable twins, r9-fresh). Exactly 50 entries: the driver
 # samples the FIRST 50, so a 51st name would silently miss its
@@ -3914,12 +3964,15 @@ _R10_WINDOW = [
     "window_rank",
     # certified this round (NQ -> bounded oracle)
     "ivf_topk",
-    # new round-10 queries (the incremental drift-state loop)
+    # new round-10 queries (the incremental drift-state and
+    # moments-profile loops)
     "hist_state_append", "psi_state_series",
-    # 4 early r7 refreshes (oldest alphabetical; chunk_documents and
-    # cold_customers yielded their slots to the new queries and rotate
-    # with the rest of the r7 band in round 11)
-    "ann_recall", "anomaly_zscore", "approx_distinct", "c4_clean",
+    "profile_state_append", "incremental_profile",
+    # 2 early r7 refreshes (oldest alphabetical; approx_distinct,
+    # c4_clean, chunk_documents and cold_customers yielded their slots
+    # to the new queries and rotate with the rest of the r7 band in
+    # round 11)
+    "ann_recall", "anomaly_zscore",
 ]
 
 
@@ -7170,6 +7223,70 @@ def oracle_sql() -> dict[str, str]:
             FROM batch CROSS JOIN b
             GROUP BY 1, 2
             ORDER BY day, bin
+        """,
+        "profile_state_append": """
+            -- quality.checks.profile_state twin (round 10): per-day
+            -- mergeable moments of the 2024-01-20 batch — value gets
+            -- real sums/squares/min/max, event_type real counts and
+            -- NULL moments; sums rounded at 2 (summation-order margin)
+            WITH batch AS (
+                SELECT CAST(ts AS DATE) AS day, value, event_type
+                FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-20'
+            ), v AS (
+                SELECT day, 'value' AS column_name,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                       ROUND(SUM(value::DOUBLE) + 1e-9, 2) AS sum_v,
+                       ROUND(SUM(value::DOUBLE * value::DOUBLE) + 1e-9, 2) AS sum_sq,
+                       ROUND(MIN(value::DOUBLE) + 1e-9, 2) AS min_v,
+                       ROUND(MAX(value::DOUBLE) + 1e-9, 2) AS max_v
+                FROM batch GROUP BY day
+            ), e AS (
+                SELECT day, 'event_type' AS column_name,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                       CAST(NULL AS DOUBLE) AS sum_v,
+                       CAST(NULL AS DOUBLE) AS sum_sq,
+                       CAST(NULL AS DOUBLE) AS min_v,
+                       CAST(NULL AS DOUBLE) AS max_v
+                FROM batch GROUP BY day
+            )
+            SELECT * FROM v UNION ALL SELECT * FROM e
+            ORDER BY day, column_name
+        """,
+        "incremental_profile": """
+            -- quality.checks.profile_from_state twin (round 10): the
+            -- merged global profile with std from the SAME raw-moment
+            -- formula the operator uses (not stddev_samp), so both
+            -- engines round the identical number
+            WITH m AS (
+                SELECT 'value' AS column_name,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                       SUM(value::DOUBLE) AS s,
+                       SUM(value::DOUBLE * value::DOUBLE) AS q,
+                       MIN(value::DOUBLE) AS mn,
+                       MAX(value::DOUBLE) AS mx,
+                       COUNT(value)::DOUBLE AS n
+                FROM events WHERE ts IS NOT NULL
+                UNION ALL
+                SELECT 'event_type',
+                       CAST(COUNT(*) AS BIGINT),
+                       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                       NULL, NULL, NULL, NULL,
+                       COUNT(event_type)::DOUBLE
+                FROM events WHERE ts IS NOT NULL
+            )
+            SELECT column_name, n_rows, n_null,
+                   CASE WHEN n = 0 THEN NULL
+                        ELSE ROUND(s / n + 1e-9, 4) END AS mean,
+                   -- DuckDB's GREATEST skips NULLs like Spark's, so
+                   -- the NULL-moment guard must be explicit here too
+                   CASE WHEN q IS NULL OR n <= 1 THEN NULL
+                        ELSE ROUND(sqrt(GREATEST((q - s * s / n) / (n - 1), 0.0)) + 1e-9, 4) END AS std,
+                   ROUND(mn + 1e-9, 4) AS min_value,
+                   ROUND(mx + 1e-9, 4) AS max_value
+            FROM m ORDER BY column_name
         """,
         "psi_state_series": """
             -- quality.checks.psi_from_hist_state twin (round 10):

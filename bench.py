@@ -31,9 +31,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
-    # round 10 additions (incremental drift-state loop)
+    # round 10 additions (incremental drift-state + moments-profile loops)
     "hist_state_append",
     "psi_state_series",
+    "profile_state_append",
+    "incremental_profile",
     # round 9 session 2 additions
     "minhash_dedup_delta",
     "robust_profile",

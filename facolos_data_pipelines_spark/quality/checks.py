@@ -973,6 +973,119 @@ def psi_from_hist_state(
     return _psi_series(counts, num_bins, epsilon)
 
 
+def profile_state(
+    df: DataFrame, ts_col: str, columns: list[str]
+) -> DataFrame:
+    """The appendable MOMENTS-profile rows of a batch: one row per
+    (day, column) with the mergeable sufficient statistics
+    (n_rows, n_null, sum_v, sum_sq, min_v, max_v) — the incremental
+    sibling of :func:`column_profile` for the stats that merge exactly
+    (count / mean / std / min / max). ONE narrow scan of the batch:
+    a single grouped aggregation with every column's moments as
+    aliased aggregates, reshaped to rows with an array-of-structs
+    explode (column_profile's pass shape, grouped by day).
+
+    The store contract is lighter than the histogram state's — moments
+    need no pinned edges — but the same append-only mechanics hold:
+    duplicate (day, column) rows from multiple appends of the same day
+    merge in the reader (sums add, min/min and max/max), so late data
+    never needs a read-modify-write. Rows are RAW moments on purpose:
+    rounding belongs to the reading side (:func:`profile_from_state`),
+    never to state that will be merged again. Non-numeric columns
+    carry real n_rows/n_null and NULL moments (column_profile's
+    convention); NULL days are excluded (no position in a daily
+    store); a column name missing from the frame raises. What does
+    NOT merge: distinct counts and percentiles — those need sketch
+    state (HLL / t-digest), and the one-shot
+    :func:`column_profile` (``exact_distinct=False,
+    approx_percentiles=True``) is the documented scale path for them.
+    """
+    from pyspark.sql.types import NumericType
+
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_state: columns not in the frame: {missing}")
+    base = df.select(
+        F.to_date(F.col(ts_col)).alias("day"), *columns
+    ).filter(F.col("day").isNotNull())
+    aggs = [F.count("*").cast("long").alias("__n")]
+    for i, c in enumerate(columns):
+        numeric = isinstance(df.schema[c].dataType, NumericType)
+        num = F.col(c).cast("double") if numeric else F.lit(None).cast("double")
+        aggs.extend(
+            [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"__null_{i}"),
+                F.sum(num).alias(f"__sum_{i}"),
+                F.sum(num * num).alias(f"__sq_{i}"),
+                F.min(num).alias(f"__min_{i}"),
+                F.max(num).alias(f"__max_{i}"),
+            ]
+        )
+    one_row_per_day = base.groupBy("day").agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__null_{i}").alias("n_null"),
+            F.col(f"__sum_{i}").alias("sum_v"),
+            F.col(f"__sq_{i}").alias("sum_sq"),
+            F.col(f"__min_{i}").alias("min_v"),
+            F.col(f"__max_{i}").alias("max_v"),
+        )
+        for i, c in enumerate(columns)
+    ]
+    return one_row_per_day.select(
+        "day", F.explode(F.array(*structs)).alias("_p")
+    ).select("day", "_p.*")
+
+
+def profile_from_state(
+    state: DataFrame, round_digits: int = 4
+) -> DataFrame:
+    """Global per-column profile merged ENTIRELY from persisted
+    moments-state rows (:func:`profile_state`) — (column_name, n_rows,
+    n_null, mean, std, min_value, max_value), no fact rescan ever.
+    Sums add, mins min, maxes max; mean = sum/(n_rows - n_null) and
+    std is the sample standard deviation from the raw moments
+    (sqrt((sum_sq - sum²/n) / (n - 1)), clamped at 0 against float
+    cancellation — fine for data whose spread is not vanishingly small
+    relative to its magnitude; re-profile from the fact if you need
+    digits the moment form can't carry). A column with no non-null
+    values has NULL mean/std; n = 1 has NULL std. Output rounds to
+    ``round_digits`` — the STATE stays raw so it can keep merging."""
+    merged = state.groupBy("column_name").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_null").cast("long").alias("n_null"),
+        F.sum("sum_v").alias("_sum"),
+        F.sum("sum_sq").alias("_sq"),
+        F.min("min_v").alias("_min"),
+        F.max("max_v").alias("_max"),
+    )
+    n = (F.col("n_rows") - F.col("n_null")).cast("double")
+    mean = F.when(n > 0, F.col("_sum") / n)
+    # the isNotNull guard matters: greatest(NULL, 0.0) is 0.0, which
+    # would turn a non-numeric column's NULL moments into std = 0.0
+    var = F.when(
+        (n > 1) & F.col("_sq").isNotNull(),
+        F.greatest(
+            (F.col("_sq") - F.col("_sum") * F.col("_sum") / n) / (n - 1),
+            F.lit(0.0),
+        ),
+    )
+    r = lambda c: F.round(c + F.lit(1e-9), round_digits)  # noqa: E731
+    return merged.select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        r(mean).alias("mean"),
+        r(F.sqrt(var)).alias("std"),
+        r(F.col("_min")).alias("min_value"),
+        r(F.col("_max")).alias("max_value"),
+    )
+
+
 def robust_anomaly(
     df: DataFrame,
     value_col: str,

@@ -1,6 +1,7 @@
 from .pipeline import (
     compact_bucket_store,
     dedup_stream,
+    hist_state_sink,
     near_dup_filter_sink,
     merge_upsert_sink,
     read_parquet_stream,
@@ -14,6 +15,7 @@ from .pipeline import (
 __all__ = [
     "compact_bucket_store",
     "dedup_stream",
+    "hist_state_sink",
     "near_dup_filter_sink",
     "merge_upsert_sink",
     "read_parquet_stream",

@@ -602,6 +602,53 @@ def near_dup_filter_sink(
     return filter_batch
 
 
+def hist_state_sink(
+    store_path: str,
+    edges_path: str,
+    ts_col: str = "ts",
+    col: str = "value",
+):
+    """foreachBatch factory: the STREAMING writer of the incremental
+    drift loop (quality.checks.hist_state) — each micro-batch appends
+    its (day, bin, n) histogram rows, bucketed under the edges PINNED
+    at ``edges_path`` (quality.checks.hist_edges, written once at
+    bootstrap — the store contract: counts under different edges never
+    compare). Downstream, quality.checks.psi_from_hist_state scores
+    day-over-day drift from the state table alone: a live PSI monitor
+    whose per-batch cost is one narrow scan of the batch and whose
+    scoring query never touches a historical fact row.
+
+    REPLAY-IDEMPOTENT the way a counting sink must be: unlike the
+    near-dup sink (where redelivery is naturally absorbed by the
+    bucket probe), recounting a redelivered micro-batch would DOUBLE
+    its mass, so rows land partitioned by ``_batch_id`` with dynamic
+    partition overwrite — a replayed batch id overwrites its own
+    partition instead of appending next to it (the standard
+    exactly-once-effect pattern for foreachBatch under at-least-once
+    delivery). Readers are unaffected: psi_from_hist_state sums
+    duplicate (day, bin) rows ACROSS batch partitions by design, and
+    the extra column is ignored."""
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..quality.checks import hist_state
+
+        spark = batch_df.sparkSession
+        if not batch_df.head(1):
+            return
+        edges = spark.read.parquet(edges_path)
+        rows = hist_state(batch_df, ts_col, col, edges).withColumn(
+            "_batch_id", F.lit(int(batch_id))
+        )
+        (
+            rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(store_path)
+        )
+
+    return append_batch
+
+
 def compact_bucket_store(
     spark: SparkSession,
     bucket_store_path: str,

@@ -352,6 +352,76 @@ def main() -> int:
         }
         shutil.rmtree(edges_path, ignore_errors=True)
         shutil.rmtree(state_path, ignore_errors=True)
+    elif op == "profile_state_loop":
+        from facolos_data_pipelines_spark.quality.checks import (
+            profile_from_state,
+            profile_state,
+        )
+        from facolos_data_pipelines_spark.session import load_tables
+
+        # the moments-profile loop, measured AS a loop: same regime as
+        # hist_state_loop (bootstrap days <= 01-15, one append cycle
+        # per later day), delta = profile_state(batch) append + the
+        # merged profile read from state, scratch = the direct
+        # aggregate over the ACCUMULATED fact. Consistency: merged
+        # profile == direct profile_from_state(profile_state(corpus))
+        # every cycle.
+        events = load_tables(spark, sf_dir, ["events"])["events"]
+        n_events = events.count()
+        boot = events.filter(F.to_date("ts") <= F.lit("2024-01-15"))
+        state_path = f"/tmp/scale_prof_state_{os.getpid()}"
+        shutil.rmtree(state_path, ignore_errors=True)
+        cols = ["value", "event_type"]
+        t0 = time.monotonic()
+        profile_state(boot, "ts", cols).write.parquet(state_path)
+        bootstrap_s = round(time.monotonic() - t0, 3)
+        corpus = boot
+        cycles = []
+        if reps > 15:
+            raise SystemExit("profile_state_loop: reps > 15 exceeds the "
+                             "post-bootstrap day range (01-16..01-30)")
+        import datetime as _dt
+
+        for i in range(reps):
+            day = str(_dt.date(2024, 1, 16) + _dt.timedelta(days=i))
+            batch = events.filter(F.to_date("ts") == F.lit(day))
+            t0 = time.monotonic()
+            profile_state(batch, "ts", cols).write.mode("append").parquet(
+                state_path
+            )
+            merged = profile_from_state(spark.read.parquet(state_path))
+            got = sorted(tuple(r) for r in merged.collect())
+            delta_s = round(time.monotonic() - t0, 3)
+            corpus = corpus.unionByName(batch)
+            t0 = time.monotonic()
+            ref = sorted(
+                tuple(r)
+                for r in profile_from_state(
+                    profile_state(corpus, "ts", cols)
+                ).collect()
+            )
+            scratch_s = round(time.monotonic() - t0, 3)
+            assert got == ref, (day, got, ref)
+            cycles.append({
+                "day": day,
+                "batch_rows": batch.count(),
+                "delta_cycle_s": delta_s,
+                "from_scratch_s": scratch_s,
+            })
+        result |= {
+            "n_events": n_events,
+            "bootstrap_s": bootstrap_s,
+            "cycles": cycles,
+            "delta_median_s": statistics.median(
+                c["delta_cycle_s"] for c in cycles
+            ),
+            "scratch_median_s": statistics.median(
+                c["from_scratch_s"] for c in cycles
+            ),
+            "state_rows": spark.read.parquet(state_path).count(),
+            "profile_match_reference": True,
+        }
+        shutil.rmtree(state_path, ignore_errors=True)
     elif op == "minhash_delta_loop_bucketed":
         from facolos_data_pipelines_spark.operators.dedup import (
             minhash_band_state,

@@ -433,6 +433,104 @@ def test_hist_state_pinned_edges_differ_from_whole_window(spark):
         he(df, "value", num_bins=1)
 
 
+def test_profile_state_loop_matches_direct(spark, tmp_path):
+    """The moments-profile loop contract: profile_from_state over
+    appended state rows equals a direct one-shot aggregate of the
+    accumulated fact — through a parquet append loop with a split-day
+    duplicate append, a non-numeric column (NULL moments, real
+    counts), NULL values and an empty batch."""
+    from datetime import datetime
+
+    from facolos_data_pipelines_spark.quality.checks import (
+        profile_from_state,
+        profile_state,
+    )
+
+    rows = []
+    for d in (1, 2, 3):
+        rows += [
+            (datetime(2024, 3, d, 12), float(d * 10 + i), f"s{i % 2}")
+            for i in range(10)
+        ]
+    rows += [(datetime(2024, 3, 2, 1), None, None), (None, 77.0, "gone")]
+    df = spark.createDataFrame(rows, "ts timestamp, value double, src string")
+    # NULL ts rows carry no day and are excluded from the store
+    stored = df.filter(F.col("ts").isNotNull())
+
+    def direct():
+        n = F.count("value").cast("double")
+        agg = stored.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.sum("value").alias("_s"),
+            F.sum(F.col("value") * F.col("value")).alias("_q"),
+            F.min("value").alias("_mn"),
+            F.max("value").alias("_mx"),
+            n.alias("_n"),
+        )
+        r = lambda c: F.round(c + F.lit(1e-9), 4)  # noqa: E731
+        return agg.select(
+            "n_rows", "n_null",
+            r(F.col("_s") / F.col("_n")).alias("mean"),
+            r(F.sqrt(
+                (F.col("_q") - F.col("_s") * F.col("_s") / F.col("_n"))
+                / (F.col("_n") - 1)
+            )).alias("std"),
+            r(F.col("_mn")).alias("min_value"),
+            r(F.col("_mx")).alias("max_value"),
+        ).first()
+
+    want = direct()
+
+    # one-shot
+    prof = {
+        r["column_name"]: r
+        for r in profile_from_state(
+            profile_state(df, "ts", ["value", "src"])
+        ).collect()
+    }
+    v = prof["value"]
+    assert (
+        v["n_rows"], v["n_null"], v["mean"], v["std"],
+        v["min_value"], v["max_value"],
+    ) == tuple(want)
+    s = prof["src"]
+    assert s["n_rows"] == v["n_rows"] and s["n_null"] == 1
+    assert s["mean"] is None and s["std"] is None
+
+    # parquet append loop: day 1+2 bootstrap, day 3 in two halves
+    # (duplicate (day, column) rows must merge), plus an empty batch
+    state_path = str(tmp_path / "pstate")
+    boot = df.filter(F.col("ts") < "2024-03-03")
+    profile_state(boot, "ts", ["value", "src"]).write.parquet(state_path)
+    d3 = df.filter(F.col("ts") >= "2024-03-03")
+    for half in (0, 1):
+        profile_state(
+            d3.filter(F.pmod(F.col("value").cast("int"), F.lit(2)) == half),
+            "ts", ["value", "src"],
+        ).write.mode("append").parquet(state_path)
+    profile_state(
+        df.filter(F.lit(False)), "ts", ["value", "src"]
+    ).write.mode("append").parquet(state_path)
+    via_loop = {
+        r["column_name"]: r
+        for r in profile_from_state(spark.read.parquet(state_path)).collect()
+    }
+    v2 = via_loop["value"]
+    assert (
+        v2["n_rows"], v2["n_null"], v2["mean"], v2["std"],
+        v2["min_value"], v2["max_value"],
+    ) == tuple(want)
+    # duplicate day rows really exist pre-merge
+    st = spark.read.parquet(state_path)
+    assert st.groupBy("day", "column_name").count().filter("count > 1").count() > 0
+
+    with pytest.raises(ValueError, match="not in the frame"):
+        profile_state(df, "ts", ["value", "typo"])
+
+
 def test_robust_anomaly_known_scores(spark):
     """Hand-computed modified z-scores: group 'a' = [0..9]x4 + one 1e9
     row (41 non-null values) -> med 5.0, MAD 3.0; the contaminant

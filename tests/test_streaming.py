@@ -948,3 +948,97 @@ def test_minhash_state_loop_under_foreachbatch(spark, tmp_root):
     got = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
     assert got == {1, 2, 4}, got
     assert spark.read.parquet(state).count() == bands * len(got)
+
+
+def test_hist_state_sink_streaming_and_replay_idempotent(spark, tmp_root):
+    """The drift loop's streaming writer: micro-batches append their
+    (day, bin, n) rows under pinned edges via foreachBatch, the scored
+    series equals the batch operator over the full corpus, and a
+    REPLAYED batch id overwrites its own partition instead of
+    double-counting (dynamic partition overwrite — the counting sink's
+    idempotence mechanism)."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from facolos_data_pipelines_spark.quality.checks import (
+        hist_edges,
+        hist_state,
+        psi_from_hist_state,
+    )
+    from facolos_data_pipelines_spark.streaming import hist_state_sink
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rows1 = [(datetime(2024, 3, 1, 12), float(i)) for i in range(100)]
+    rows2 = [(datetime(2024, 3, 2, 12), float(i)) for i in range(100)]
+    rows3 = [(datetime(2024, 3, 3, 12), 95.0 + (i % 5)) for i in range(100)]
+    src = f"{tmp_root}/hs_src"
+    store = f"{tmp_root}/hs_store"
+    ckpt = f"{tmp_root}/hs_ckpt"
+    edges_path = f"{tmp_root}/hs_edges"
+    boot = spark.createDataFrame(rows1 + rows2, schema)
+    hist_edges(boot, "value").write.parquet(edges_path)
+
+    fold = hist_state_sink(store, edges_path, "ts", "value")
+
+    def run_cycle():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(rows1 + rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_cycle()
+    spark.createDataFrame(rows3, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_cycle()
+
+    pinned = spark.read.parquet(edges_path)
+    full = spark.createDataFrame(rows1 + rows2 + rows3, schema)
+    want = sorted(
+        tuple(r)
+        for r in psi_from_hist_state(
+            hist_state(full, "ts", "value", pinned)
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in psi_from_hist_state(spark.read.parquet(store)).collect()
+    )
+    assert got == want and want
+    # day 3 shifted hard under the pinned edges
+    by_day = {str(r[0]): r for r in got}
+    assert by_day["2024-03-03"][4] is True  # shifted
+
+    # replay: re-deliver an already-seen batch id with the same rows —
+    # its partition is overwritten, nothing double-counts
+    seen_ids = sorted(
+        int(d.split("=")[1])
+        for d in __import__("os").listdir(store)
+        if d.startswith("_batch_id=")
+    )
+    fold(spark.createDataFrame(rows3, schema), seen_ids[-1])
+    after = sorted(
+        tuple(r)
+        for r in psi_from_hist_state(spark.read.parquet(store)).collect()
+    )
+    assert after == want
+    # an empty batch is a no-op
+    fold(spark.createDataFrame([], schema), 999)
+    assert sorted(
+        tuple(r)
+        for r in psi_from_hist_state(spark.read.parquet(store)).collect()
+    ) == want
