@@ -200,6 +200,15 @@ def write_report(
         # the contended total, which drifts with machine state
         f"isolated_top10: {_iso10(old)} -> {_iso10(new)}",
         "",
+        # round-9 verdict nit: the committed BENCH_r{N}.json headline and
+        # this diff's totals come from DIFFERENT runs of the same surface
+        # (~2% run-to-run JVM noise) — name the provenance so the ratchet
+        # is unambiguous about which run each number describes
+        "provenance: totals above are this diff run's remeasure of "
+        "BENCH_DETAIL.json (old = last committed detail, new = the "
+        "fresh close run); the driver's BENCH_r{N}.json headline is a "
+        "separate run and may differ by run-to-run noise.",
+        "",
         f"common {len(common)} | added {len(added)} | removed {len(removed)} | "
         f"**regressions past threshold: {len(regressions)}**",
         "",
