@@ -260,22 +260,12 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
-    # periodicGC 60s: a bench session executes 178 queries x 3 passes
-    # in one JVM; the ContextCleaner only reaps unreferenced
-    # localCheckpoint/broadcast blocks after a driver GC, and the
-    # default periodic-GC interval (30 MINUTES) never fires inside the
-    # run — blocks from every dedup checkpoint pile up until the memory
-    # store evicts working data and the checkpoint-heavy queries crawl.
-    # Measured on the full 178-query surface at sf0.1: 326.7 s without
-    # the knob -> 247.7 s with it (same tree, back-to-back solo runs);
-    # ks_drift alone 6.9 -> 2.5 s. The UI stays off for the same
-    # reason: its SQL store retains every execution's plan graph.
-    # The same knob matters for any long-lived driver looping over
-    # many actions (CLUSTER.md §0).
-    spark = build_spark(app_name="bench", extra_conf={
-        "spark.cleaner.periodicGC.interval": "60s",
-        "spark.ui.enabled": "false",
-    })
+    # build_spark's periodicGC=60s default is load-bearing here: the
+    # bench executes 178 queries x 3 passes in one JVM, and without it
+    # checkpoint/broadcast blocks accumulate until the memory store
+    # evicts working data (measured 326.7 -> 247.7 s on this surface;
+    # ks_drift alone 6.9 -> 2.5 s — see session.build_spark).
+    spark = build_spark(app_name="bench")
     # Warm-up: touch every table once so first timed query doesn't pay
     # filesystem/codegen cold-start.
     from facolos_data_pipelines_spark.session import load_tables

@@ -70,6 +70,18 @@ def build_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
+        # Long-lived-driver hygiene: the ContextCleaner reaps
+        # unreferenced localCheckpoint/broadcast blocks only after a
+        # driver GC, and its periodic-GC default is 30 MINUTES — a
+        # driver looping over hundreds of actions (the bench, the
+        # oracle sweep, the scale-loop harnesses, a monitoring cycle
+        # in production) accumulates blocks until the memory store
+        # evicts working data. Measured on the 178-query bench at
+        # sf0.1: 326.7 s without this knob -> 247.7 s with it, same
+        # tree, back-to-back solo runs (CLUSTER.md §0). Override via
+        # extra_conf / SPARK_GRAFT_EXTRA_CONF if a run needs the
+        # stock interval.
+        .config("spark.cleaner.periodicGC.interval", "60s")
     )
     if master is not None:
         builder = builder.master(master)

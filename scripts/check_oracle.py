@@ -60,13 +60,9 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
-    # same long-lived-driver hygiene as bench.py: 178 executions in one
-    # JVM need the ContextCleaner's periodic GC more often than the
-    # 30-minute default, or checkpoint blocks crowd the memory store
-    spark = build_spark(app_name="oracle-check", extra_conf={
-        "spark.cleaner.periodicGC.interval": "60s",
-        "spark.ui.enabled": "false",
-    })
+    # 178 executions in one JVM — relies on build_spark's
+    # periodicGC=60s default (long-lived-driver hygiene; see session.py)
+    spark = build_spark(app_name="oracle-check")
     load_tables(spark, sf_dir)
     con = duckdb.connect()
     for t in TABLES:
