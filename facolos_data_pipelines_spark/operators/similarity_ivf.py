@@ -120,7 +120,9 @@ def ivf_train_distributed(
     """Distributed k-means codebook trainer — the full-scale path the
     bounded :func:`ivf_train_lite` stands in for.
 
-    Initialization draws k centroids from a tiny bounded sample; each
+    Initialization draws k centroids from a tiny bounded sample whose
+    membership and order derive from a content hash (see the inline
+    note — partition layout can never change the draw); each
     iteration then (1) assigns cells executor-side via the Arrow matmul
     (:func:`ivf_assign`) and (2) updates centroids with ``dim``
     per-element AVG aggregates — map-side partial aggregation means the
@@ -132,11 +134,26 @@ def ivf_train_distributed(
     """
     import numpy as np
 
+    # ORDER-STABLE init draw (r10 advice): rows are gated by a content
+    # hash of the vector (xxhash64 pmod fraction — the deterministic
+    # twin of a Bernoulli sample) and the cap keeps the hash-smallest
+    # survivors (TakeOrderedAndProject — per-partition top-K, no global
+    # sort materializes). sample(seed).limit(n) would keep whichever
+    # rows arrived first, which depends on partition layout: a
+    # repartitioned corpus would draw different init centroids and
+    # could flake hash-pinned recall gates (ivf_topk) with no real
+    # regression. The seed still perturbs the draw via the gate offset.
+    gate = max(1, int(init_sample_fraction * 1_000_000))
+    offset = int(seed) % 1_000_000
+    h = F.pmod(F.xxhash64(F.col(vec_col)) + F.lit(offset), F.lit(1_000_000))
     init = [
         list(r[0])
-        for r in df.select(vec_col)
-        .sample(fraction=init_sample_fraction, seed=seed)
+        for r in df.select(F.col(vec_col), h.alias("_h"))
+        .filter(F.col(vec_col).isNotNull())
+        .filter(F.col("_h") < gate)
+        .orderBy("_h", F.col(vec_col))
         .limit(max(k * 8, 64))
+        .select(vec_col)
         .collect()
     ]
     if not init:

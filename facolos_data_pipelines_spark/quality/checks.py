@@ -728,8 +728,12 @@ def robust_profile(
         if approx
         else F.percentile
     )
+    # every internal pass-1 alias is underscore-prefixed (the final
+    # select restores the public "n") so the only names the pass-2
+    # join's clash guard can reject are genuinely internal ones — a
+    # user frame carrying a column named "n" is common and must profile
     stats = base.groupBy(*groups).agg(
-        F.count(v).alias("n"),
+        F.count(v).alias("_n"),
         pct(v, 0.25).alias("_q1"),
         pct(v, 0.5).alias("_med"),
         pct(v, 0.75).alias("_q3"),
@@ -739,7 +743,7 @@ def robust_profile(
     lo = F.col("_q1") - F.lit(k) * iqr
     hi = F.col("_q3") + F.lit(k) * iqr
     out = joined.groupBy(*groups).agg(
-        F.first("n").alias("n"),
+        F.first("_n").alias("n"),
         F.round(F.first("_med") + F.lit(1e-9), round_digits).alias("median"),
         F.round(F.first("_q1") + F.lit(1e-9), round_digits).alias("q1"),
         F.round(F.first("_q3") + F.lit(1e-9), round_digits).alias("q3"),
@@ -918,8 +922,9 @@ def hist_state(
 ) -> DataFrame:
     """The appendable histogram-state rows of a batch: (day, bin, n)
     counts of ``col`` under the PINNED ``edges``
-    (:func:`hist_edges`) — ONE narrow scan of the batch (broadcast
-    edge row → bin expression → grouped count), nothing else. This is
+    (:func:`hist_edges`) — ONE narrow scan of the batch (validated
+    literal edge array → bin expression → grouped count), nothing
+    else. This is
     the drift-monitoring sibling of the corpus gram state
     (text.corpus_gram_state) and the incremental answer to
     :func:`rolling_psi_drift`'s two full-fact scans: bootstrap the
@@ -932,13 +937,39 @@ def hist_state(
     the state table is days x bins rows — trivially small — so the
     only per-cycle cost is the batch scan itself. NULL values and
     NULL days carry no position and are excluded, matching
-    rolling_psi_drift."""
+    rolling_psi_drift.
+
+    The edges frame is VALIDATED before it touches the batch: it must
+    be exactly one row (an edge store accidentally re-bootstrapped with
+    mode('append') carries two — cross-applying both would silently
+    multiply every count and corrupt the PSI series) and its ``_bs``
+    array must be non-NULL (a bootstrap window that filtered to zero
+    values propagates a NULL edge array, whose NULL bins the PSI
+    equi-joins would silently drop — all mass lost with no error).
+    Both corruptions raise here with the fix spelled out. The validated
+    edges inline as a literal array, so the batch plan is one narrow
+    scan with no join at all."""
+    head = edges.select("_bs").limit(2).collect()
+    if len(head) != 1:
+        raise ValueError(
+            f"hist_state: the edges frame has {len(head)} rows, must be "
+            "exactly 1 — a multi-row edge store was re-bootstrapped with "
+            "mode('append'); rewrite it with mode('overwrite') from a "
+            "single hist_edges call"
+        )
+    bs = head[0]["_bs"]
+    if bs is None:
+        raise ValueError(
+            "hist_state: the edges row carries a NULL _bs array — "
+            "hist_edges was bootstrapped from an empty or all-NULL "
+            "window; re-bootstrap from a window that actually has values"
+        )
     vals = df.select(
         F.to_date(F.col(ts_col)).alias("day"),
         F.col(col).cast("double").alias("_v"),
     ).filter(F.col("_v").isNotNull() & F.col("day").isNotNull())
     return (
-        vals.join(F.broadcast(edges))
+        vals.withColumn("_bs", F.lit([float(b) for b in bs]))
         .select("day", _hist_bucket().alias("bin"))
         .groupBy("day", "bin")
         .agg(F.count("*").cast("long").alias("n"))
