@@ -2175,6 +2175,99 @@ def q_psi_state_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_hist_state(state, num_bins=10).orderBy("day")
 
 
+def q_hist_edges_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The histogram store's re-bootstrap guard
+    (quality.checks.hist_edges_drift, round 11): per-day share of mass
+    landing in the two open-end terminal bins of the edge family
+    PINNED from the bootstrap window (days <= 2024-01-15), flagged at
+    threshold 0.4 (~2x the 10-bin bootstrap expectation) — the signal
+    that the monitored distribution has OUTGROWN its edges and PSI's
+    resolution over the drifted region is gone (mass past either edge
+    piles into an unbounded bin invisibly; two differently-shifted
+    days can even look alike). Closes the loop on the store contract:
+    hist_edges pins, hist_state appends, psi_from_hist_state scores,
+    and THIS is what tells the loop to re-bootstrap. Reads only
+    days x bins state rows — broadcast-tiny at any corpus scale. The
+    reference anchor is the alert-on-degradation contract of
+    src/monitoring/production_monitor.py:84-125 (threshold rules over
+    monitor series)."""
+    from facolos_data_pipelines_spark.quality.checks import (
+        hist_edges,
+        hist_edges_drift,
+        hist_state,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    boot = events.filter(F.to_date("ts") <= F.lit("2024-01-15"))
+    edges = hist_edges(boot, "value", num_bins=10)
+    state = hist_state(events, "ts", "value", edges)
+    return hist_edges_drift(state, num_bins=10, threshold=0.4).orderBy("day")
+
+
+def q_hist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates merged from histogram state
+    (quality.checks.quantiles_from_hist_state, round 11), certified as
+    a BOUNDED oracle (the ann_recall pattern): the pinned-edges
+    histogram is a mergeable quantile sketch — cumulative bin mass is
+    EXACTLY the count of values <= each edge under the strict-``>``
+    bucketing — so the incremental profile loop answers percentile
+    questions from days x bins state rows with error bounded by bin
+    width, never rescanning a fact. This query reads q in {0.1, 0.5,
+    0.9} of events.value from in-query state under bootstrap-pinned
+    edges AND computes the exact discrete quantile (the value at
+    1-based index ceil(q*n) of the sorted non-null values — the
+    deliberate exact comparator, a global sort at certification scale
+    only), then pins the containment bound: the true quantile provably
+    lands in the picked bin's edge interval (strict > lo, <= hi; an
+    open-end terminal bin bounds one side only — the case
+    hist_edges_drift exists to flag). The DuckDB twin reproduces the
+    identical state arithmetic (same cumulative fractions, same
+    interpolation expression, quantile_cont == Spark percentile for
+    the edges) and the same in_bin booleans, so the value hash matches
+    iff both the estimates AND the bound hold on both engines."""
+    from facolos_data_pipelines_spark.quality.checks import (
+        hist_edges,
+        hist_state,
+        quantiles_from_hist_state,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    boot = events.filter(F.to_date("ts") <= F.lit("2024-01-15"))
+    edges = hist_edges(boot, "value", num_bins=10)
+    state = hist_state(events, "ts", "value", edges)
+    qs = [0.1, 0.5, 0.9]
+    est = quantiles_from_hist_state(state, edges, qs)
+
+    vals = events.select(F.col("value").cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull() & F.to_date("ts").isNotNull()
+    )
+    n = vals.count()
+    import math
+
+    qidx = spark.createDataFrame(
+        [(q, int(math.ceil(q * n))) for q in qs], "q double, rn long"
+    )
+    ranked = vals.withColumn(
+        "rn", F.row_number().over(Window.orderBy("_v"))
+    )
+    exact = ranked.join(F.broadcast(qidx), "rn").select(
+        "q", F.col("_v").alias("_exact")
+    )
+    out = est.join(exact, "q").withColumn(
+        "exact_disc", F.round(F.col("_exact") + F.lit(1e-9), 6)
+    )
+    # the bound compares the SAME rounded columns the twin compares
+    in_bin = (
+        F.col("lo_edge").isNull() | (F.col("exact_disc") > F.col("lo_edge"))
+    ) & (
+        F.col("hi_edge").isNull() | (F.col("exact_disc") <= F.col("hi_edge"))
+    )
+    return out.select(
+        "q", "bin", "lo_edge", "hi_edge", "estimate", "exact_disc",
+        in_bin.alias("in_bin"),
+    ).orderBy("q")
+
+
 def q_profile_state_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moments-profile state delta rows (quality.checks.profile_state,
     round 10): the (day, column, moments) rows one ingestion day
@@ -3753,6 +3846,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_psi_drift": q_rolling_psi_drift,
         "hist_state_append": q_hist_state_append,
         "psi_state_series": q_psi_state_series,
+        "hist_edges_drift": q_hist_edges_drift,
+        "hist_percentiles": q_hist_percentiles,
         "profile_state_append": q_profile_state_append,
         "incremental_profile": q_incremental_profile,
         "robust_anomaly": q_robust_anomaly,
@@ -7287,6 +7382,104 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(mn + 1e-9, 4) AS min_value,
                    ROUND(mx + 1e-9, 4) AS max_value
             FROM m ORDER BY column_name
+        """,
+        "hist_edges_drift": """
+            -- quality.checks.hist_edges_drift twin (round 11): per-day
+            -- share of mass in the two open-end terminal bins of the
+            -- bootstrap-pinned 10-bin edge family, flagged past 0.4
+            WITH bv AS (
+                SELECT value::DOUBLE AS v FROM events
+                WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
+                  AND value IS NOT NULL
+            ), b AS (
+                SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+                FROM bv
+            ), v AS (
+                SELECT CAST(ts AS DATE) AS day, value::DOUBLE AS v
+                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            ), c AS (
+                SELECT day,
+                       CAST(len(list_filter(bs, e -> v > e)) AS INT) AS bin,
+                       COUNT(*) AS n
+                FROM v CROSS JOIN b GROUP BY 1, 2
+            ), d AS (
+                SELECT day,
+                       CAST(SUM(n) AS BIGINT) AS n_total,
+                       CAST(SUM(CASE WHEN bin IN (0, 9) THEN n ELSE 0 END) AS BIGINT) AS n_edge
+                FROM c GROUP BY day
+            )
+            SELECT day, n_total, n_edge,
+                   ROUND(n_edge::DOUBLE / n_total + 1e-9, 6) AS edge_share,
+                   (n_edge::DOUBLE / n_total) > 0.4 AS re_bootstrap
+            FROM d ORDER BY day
+        """,
+        "hist_percentiles": """
+            -- quality.checks.quantiles_from_hist_state twin (round
+            -- 11), bounded oracle: identical state arithmetic (same
+            -- cumulative fractions and interpolation expression,
+            -- quantile_cont == Spark percentile for the edges) PLUS
+            -- the containment bound of the exact discrete quantile
+            -- (1-based index ceil(q*n) of the sorted values) inside
+            -- the picked bin's edge interval
+            WITH bv AS (
+                SELECT value::DOUBLE AS v FROM events
+                WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
+                  AND value IS NOT NULL
+            ), b AS (
+                SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+                FROM bv
+            ), v AS (
+                SELECT value::DOUBLE AS v
+                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            ), c AS (
+                SELECT CAST(len(list_filter(bs, e -> v > e)) AS INT) AS bin,
+                       COUNT(*)::DOUBLE AS n
+                FROM v CROSS JOIN b GROUP BY 1
+            ), cum0 AS (
+                SELECT bin,
+                       SUM(n) OVER (ORDER BY bin) / SUM(n) OVER () AS cf
+                FROM c
+            ), cum AS (
+                SELECT bin, cf,
+                       COALESCE(LAG(cf) OVER (ORDER BY bin), 0.0) AS pcf
+                FROM cum0
+            ), qs AS (
+                SELECT UNNEST([0.1, 0.5, 0.9]) AS q
+            ), pick AS (
+                SELECT q, MIN(bin) AS bin
+                FROM qs JOIN cum ON cum.cf >= qs.q GROUP BY q
+            ), pe AS (
+                SELECT p.q, p.bin, cum.cf, cum.pcf, b.bs,
+                       CASE WHEN p.bin >= 1 THEN b.bs[p.bin] END AS lo,
+                       CASE WHEN p.bin <= 8 THEN b.bs[p.bin + 1] END AS hi
+                FROM pick p JOIN cum ON cum.bin = p.bin CROSS JOIN b
+            ), est AS (
+                SELECT q, bin, lo, hi,
+                       CASE WHEN bin = 0 THEN hi
+                            WHEN bin = 9 THEN lo
+                            ELSE lo + (hi - lo) * (q - pcf) / (cf - pcf)
+                       END AS estimate
+                FROM pe
+            ), n1 AS (
+                SELECT COUNT(*)::BIGINT AS n FROM v
+            ), ranked AS (
+                SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v
+            ), ex AS (
+                SELECT q, r.v AS exact
+                FROM qs CROSS JOIN n1
+                JOIN ranked r ON r.rn = CAST(CEIL(q * n) AS BIGINT)
+            ), rounded AS (
+                SELECT e.q, CAST(e.bin AS INT) AS bin,
+                       ROUND(e.lo + 1e-9, 6) AS lo_edge,
+                       ROUND(e.hi + 1e-9, 6) AS hi_edge,
+                       ROUND(e.estimate + 1e-9, 6) AS estimate,
+                       ROUND(ex.exact + 1e-9, 6) AS exact_disc
+                FROM est e JOIN ex ON ex.q = e.q
+            )
+            SELECT q, bin, lo_edge, hi_edge, estimate, exact_disc,
+                   ((lo_edge IS NULL OR exact_disc > lo_edge)
+                    AND (hi_edge IS NULL OR exact_disc <= hi_edge)) AS in_bin
+            FROM rounded ORDER BY q
         """,
         "psi_state_series": """
             -- quality.checks.psi_from_hist_state twin (round 10):

@@ -901,10 +901,12 @@ def hist_edges(
     band-state families (minhash_band_state, embedding_band_state):
     edges are part of the schema — counts bucketed under different
     edges never compare, so every append cycle re-reads the SAME
-    persisted edge row, and a distribution that outgrows its edges
-    (mass piling into the open end bins) re-bootstraps and re-bins in
-    one pass. ``approx=True`` uses the KLL sketch at scale; both are
-    one 1-row aggregate."""
+    persisted edge row. A distribution that outgrows its edges (mass
+    piling into the open-end bins) is DETECTED by
+    :func:`hist_edges_drift` — the store's certified self-policing
+    guard — and recovers by re-bootstrapping here on a fresh reference
+    window and re-binning in one pass. ``approx=True`` uses the KLL
+    sketch at scale; both are one 1-row aggregate."""
     if num_bins < 2:
         raise ValueError("hist_edges: num_bins must be >= 2")
     qs = [i / num_bins for i in range(1, num_bins)]
@@ -949,10 +951,31 @@ def hist_state(
     Both corruptions raise here with the fix spelled out. The validated
     edges inline as a literal array, so the batch plan is one narrow
     scan with no join at all."""
+    bs = _pinned_edges(edges, "hist_state")
+    vals = df.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("day").isNotNull())
+    return (
+        vals.withColumn("_bs", F.lit(bs))
+        .select("day", _hist_bucket().alias("bin"))
+        .groupBy("day", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _pinned_edges(edges: DataFrame, op: str) -> list[float]:
+    """Validate and materialize a pinned edge store (1-row ``_bs``
+    frame from :func:`hist_edges`) into a literal float list. Raises on
+    a multi-row store (an accidental mode('append') re-bootstrap would
+    silently multiply every count) and on a NULL array (a bootstrap
+    window that filtered to zero values — its NULL bins would be
+    silently dropped by the PSI equi-joins). The 1-row collect is a
+    bootstrap-store read, trivially cheap at any scale."""
     head = edges.select("_bs").limit(2).collect()
     if len(head) != 1:
         raise ValueError(
-            f"hist_state: the edges frame has {len(head)} rows, must be "
+            f"{op}: the edges frame has {len(head)} rows, must be "
             "exactly 1 — a multi-row edge store was re-bootstrapped with "
             "mode('append'); rewrite it with mode('overwrite') from a "
             "single hist_edges call"
@@ -960,20 +983,11 @@ def hist_state(
     bs = head[0]["_bs"]
     if bs is None:
         raise ValueError(
-            "hist_state: the edges row carries a NULL _bs array — "
-            "hist_edges was bootstrapped from an empty or all-NULL "
-            "window; re-bootstrap from a window that actually has values"
+            f"{op}: the edges row carries a NULL _bs array — hist_edges "
+            "was bootstrapped from an empty or all-NULL window; "
+            "re-bootstrap from a window that actually has values"
         )
-    vals = df.select(
-        F.to_date(F.col(ts_col)).alias("day"),
-        F.col(col).cast("double").alias("_v"),
-    ).filter(F.col("_v").isNotNull() & F.col("day").isNotNull())
-    return (
-        vals.withColumn("_bs", F.lit([float(b) for b in bs]))
-        .select("day", _hist_bucket().alias("bin"))
-        .groupBy("day", "bin")
-        .agg(F.count("*").cast("long").alias("n"))
-    )
+    return [float(b) for b in bs]
 
 
 def psi_from_hist_state(
@@ -1004,6 +1018,152 @@ def psi_from_hist_state(
     return _psi_series(counts, num_bins, epsilon)
 
 
+def hist_edges_drift(
+    state: DataFrame, num_bins: int = 10, threshold: float = 0.4
+) -> DataFrame:
+    """The histogram store's SELF-POLICING guard: per-day share of mass
+    landing in the two open-end terminal bins of the pinned edge family
+    (:func:`hist_edges`), flagged when it exceeds ``threshold`` — the
+    signal that the monitored distribution has OUTGROWN its bootstrap
+    edges and the store needs the re-bootstrap the edge contract
+    prescribes (recompute :func:`hist_edges` on a fresh reference
+    window, re-bin in one pass). Terminal bins are unbounded (bin 0 is
+    (-inf, e_0], bin ``num_bins``-1 is (e_last, +inf)), so mass that
+    drifts past either end piles into them invisibly: PSI keeps scoring
+    — two shifted days can even look alike — while its resolution over
+    the drifted region is gone. Under quantile bootstrap edges each
+    terminal bin starts near 1/num_bins of the mass, so the default
+    threshold 0.4 is ~2x the 10-bin bootstrap expectation of 0.2; tune
+    it to the false-positive cost of a re-bootstrap pass (the same
+    alert-on-degradation contract as the cycle-metric monitors).
+    Reads ONLY state rows (days x bins — broadcast-tiny at any corpus
+    scale); output one row per day: (day, n_total, n_edge, edge_share,
+    re_bootstrap). Rows whose day had no in-range mass at all cannot
+    occur (a day with rows has counts); a mismatched ``num_bins``
+    smaller than the store's real family would misread interior bins
+    as terminal, so pass the store's real bin count — bins past
+    ``num_bins``-1 raise as a family mismatch."""
+    if num_bins < 2:
+        raise ValueError("hist_edges_drift: num_bins must be >= 2")
+    overflow = state.filter(F.col("bin") > num_bins - 1).limit(1).count()
+    if overflow:
+        raise ValueError(
+            f"hist_edges_drift: the state has bin indexes past "
+            f"num_bins-1={num_bins - 1} — it was built under a larger "
+            "edge family; pass the store's real bin count"
+        )
+    per_day = state.groupBy("day").agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(
+            F.when(
+                (F.col("bin") == 0) | (F.col("bin") == num_bins - 1),
+                F.col("n"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_edge"),
+    )
+    share = F.col("n_edge") / F.col("n_total")
+    return per_day.select(
+        "day",
+        "n_total",
+        "n_edge",
+        F.round(share + F.lit(1e-9), 6).alias("edge_share"),
+        (share > F.lit(threshold)).alias("re_bootstrap"),
+    )
+
+
+def quantiles_from_hist_state(
+    state: DataFrame,
+    edges: DataFrame,
+    qs: list[float] = (0.25, 0.5, 0.75),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Quantile estimates merged ENTIRELY from persisted histogram
+    state (:func:`hist_state`) — the percentile companion the moments
+    store (:func:`profile_state`) explicitly defers to "sketch
+    territory": the pinned-edges histogram IS a mergeable quantile
+    sketch whose error is bounded by bin geometry, so the incremental
+    profile loop can answer quantile questions without ever rescanning
+    a fact row.
+
+    For each ``q``: total the state's per-bin mass (duplicate
+    (day, bin) appends sum, same merge rule as the PSI reader), take
+    the cumulative fraction at each edge — exact by the strict-``>``
+    bucketing, cum mass through bin i is exactly the count of values
+    <= e_i — pick the first bin whose cumulative fraction reaches
+    ``q``, and linearly interpolate within that bin's edge interval.
+    The TRUE quantile provably lies in the same interval
+    ([lo_edge, hi_edge] of the picked bin), so the estimate's error is
+    bounded by the bin width; terminal bins are open-ended and bound
+    one side only (lo_edge/hi_edge NULL there, estimate clamped to the
+    known edge) — if mass has drifted into them, that is exactly what
+    :func:`hist_edges_drift` flags for re-bootstrap. Output one row per
+    q: (q, bin, lo_edge, hi_edge, estimate), everything from days x
+    bins state rows + the 1-row edge store — broadcast-tiny at any
+    corpus scale. The certified twin (``hist_percentiles``) pins the
+    containment bound against the exact in-query percentile, the
+    ann_recall bounded-oracle pattern."""
+    qs = [float(q) for q in qs]
+    if not qs or any(not (0.0 < q < 1.0) for q in qs):
+        raise ValueError(
+            f"quantiles_from_hist_state: every q must be in (0, 1), got {qs}"
+        )
+    bs = _pinned_edges(edges, "quantiles_from_hist_state")
+    k = len(bs) + 1  # bin count of the pinned family
+    overflow = state.filter(F.col("bin") > k - 1).limit(1).count()
+    if overflow:
+        raise ValueError(
+            "quantiles_from_hist_state: the state has bin indexes past "
+            f"the pinned family's last bin ({k - 1}) — it was built "
+            "under different edges; state and edge store must share one "
+            "bootstrap"
+        )
+    spark = state.sparkSession
+    merged = state.groupBy("bin").agg(F.sum("n").cast("double").alias("n"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = merged.select(
+        "bin",
+        (F.sum("n").over(w) / F.sum("n").over(wall)).alias("cf"),
+    ).withColumn(
+        "pcf", F.coalesce(F.lag("cf").over(Window.orderBy("bin")), F.lit(0.0))
+    )
+    qdf = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in qs])).alias("q")
+    )
+    picked = (
+        qdf.join(F.broadcast(cum), F.col("cf") >= F.col("q"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = picked.join(F.broadcast(cum), "bin")
+    bsl = F.lit(bs)
+    lo = F.when(F.col("bin") >= 1, F.element_at(bsl, F.col("bin").cast("int")))
+    hi = F.when(
+        F.col("bin") <= k - 2,
+        F.element_at(bsl, (F.col("bin") + 1).cast("int")),
+    )
+    interp = lo + (hi - lo) * (F.col("q") - F.col("pcf")) / (
+        F.col("cf") - F.col("pcf")
+    )
+    estimate = (
+        F.when(F.col("bin") == 0, hi)
+        .when(F.col("bin") == k - 1, lo)
+        .otherwise(interp)
+    )
+    r = lambda c: F.round(c + F.lit(1e-9), round_digits)  # noqa: E731
+    return est.select(
+        "q",
+        F.col("bin").cast("int").alias("bin"),
+        r(lo).alias("lo_edge"),
+        r(hi).alias("hi_edge"),
+        r(estimate).alias("estimate"),
+    )
+
+
 def profile_state(
     df: DataFrame, ts_col: str, columns: list[str]
 ) -> DataFrame:
@@ -1026,10 +1186,13 @@ def profile_state(
     carry real n_rows/n_null and NULL moments (column_profile's
     convention); NULL days are excluded (no position in a daily
     store); a column name missing from the frame raises. What does
-    NOT merge: distinct counts and percentiles — those need sketch
-    state (HLL / t-digest), and the one-shot
-    :func:`column_profile` (``exact_distinct=False,
-    approx_percentiles=True``) is the documented scale path for them.
+    NOT merge here: distinct counts (the mergeable HLL loop in
+    operators.merge.incremental_distinct covers them) and percentiles
+    — for those, :func:`quantiles_from_hist_state` reads bounded-error
+    quantile estimates straight out of the pinned-edges histogram
+    state, and the one-shot :func:`column_profile`
+    (``exact_distinct=False, approx_percentiles=True``) remains the
+    fact-scan path.
     """
     from pyspark.sql.types import NumericType
 

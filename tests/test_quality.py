@@ -590,3 +590,134 @@ def test_robust_operators_null_group_and_typo_contract(spark):
         robust_profile(df, "value", ["typo"])
     with pytest.raises(ValueError, match="group columns not in the frame"):
         robust_anomaly(df, "value", ["typo"])
+
+
+def test_hist_state_rejects_corrupt_edge_stores(spark, tmp_path):
+    """The edge-store contract is self-policing at read time: a store
+    re-bootstrapped with mode('append') (two edge rows — every count
+    would silently multiply) and a store bootstrapped from an empty
+    window (NULL _bs — all mass would silently vanish through the PSI
+    equi-joins) both raise with the fix spelled out."""
+    from datetime import datetime
+
+    import pytest
+
+    from facolos_data_pipelines_spark.quality.checks import hist_edges, hist_state
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 3, 1, 12), float(i)) for i in range(50)],
+        "ts timestamp, value double",
+    )
+    path = str(tmp_path / "edges")
+    hist_edges(df, "value").write.parquet(path)
+    hist_edges(df, "value").write.mode("append").parquet(path)  # corrupt
+    with pytest.raises(ValueError, match="must be.*exactly 1"):
+        hist_state(df, "ts", "value", spark.read.parquet(path))
+
+    empty_edges = hist_edges(df.filter(F.lit(False)), "value")
+    with pytest.raises(ValueError, match="NULL _bs"):
+        hist_state(df, "ts", "value", empty_edges)
+
+
+def test_hist_edges_drift_flags_outgrown_edges(spark):
+    """The histogram store's re-bootstrap guard: a day whose mass has
+    drifted past the pinned edge family piles into the open-end
+    terminal bins and gets flagged; an in-family day does not; a
+    num_bins smaller than the store's real edge family raises instead
+    of silently misreading interior bins as terminal."""
+    from datetime import datetime
+
+    import pytest
+
+    from facolos_data_pipelines_spark.quality.checks import (
+        hist_edges,
+        hist_edges_drift,
+        hist_state,
+    )
+
+    boot = spark.createDataFrame(
+        [(datetime(2024, 3, 1, 12), float(i % 100)) for i in range(300)],
+        "ts timestamp, value double",
+    )
+    # day 2 is in-family; day 3 drifted entirely past the last edge
+    drifted = spark.createDataFrame(
+        [(datetime(2024, 3, 2, 12), float(i % 100)) for i in range(100)]
+        + [(datetime(2024, 3, 3, 12), 500.0 + i) for i in range(100)],
+        "ts timestamp, value double",
+    )
+    edges = hist_edges(boot, "value", num_bins=10)
+    state = hist_state(boot.unionByName(drifted), "ts", "value", edges)
+    got = {str(r["day"]): r.asDict() for r in hist_edges_drift(state).collect()}
+    assert not got["2024-03-02"]["re_bootstrap"]
+    assert got["2024-03-02"]["edge_share"] < 0.3
+    assert got["2024-03-03"]["re_bootstrap"]
+    assert got["2024-03-03"]["edge_share"] == 1.0
+    assert got["2024-03-03"]["n_edge"] == got["2024-03-03"]["n_total"] == 100
+
+    with pytest.raises(ValueError, match="larger edge family"):
+        hist_edges_drift(state, num_bins=5).collect()
+    with pytest.raises(ValueError, match="num_bins must be >= 2"):
+        hist_edges_drift(state, num_bins=1)
+
+
+def test_quantiles_from_hist_state_bounded_and_mergeable(spark, tmp_path):
+    """The histogram state IS a mergeable quantile sketch: estimates
+    read from persisted (day, bin, n) rows land inside the picked
+    bin's edge interval, the TRUE discrete quantile lands in the same
+    interval (the bounded-error contract the certified twin pins), a
+    split append (duplicate (day, bin) rows) changes nothing, and
+    mismatched inputs raise."""
+    from datetime import datetime
+
+    import pytest
+
+    from facolos_data_pipelines_spark.quality.checks import (
+        hist_edges,
+        hist_state,
+        quantiles_from_hist_state,
+    )
+
+    rows = [
+        (datetime(2024, 3, 1 + (i % 3), 12), float(i % 200)) for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    edges = hist_edges(df, "value", num_bins=10)
+    state_path = str(tmp_path / "qstate")
+    # split append: two disjoint halves of the same window
+    for half in (0, 1):
+        hist_state(
+            df.filter(F.pmod(F.col("value").cast("int"), F.lit(2)) == half),
+            "ts", "value", edges,
+        ).write.mode("append").parquet(state_path)
+    state = spark.read.parquet(state_path)
+    assert state.groupBy("day", "bin").count().filter("count > 1").count() > 0
+
+    qs = [0.1, 0.5, 0.9]
+    got = {r["q"]: r.asDict() for r in
+           quantiles_from_hist_state(state, edges, qs).collect()}
+    assert set(got) == set(qs)
+    n = df.count()
+    vals = sorted(r["value"] for r in df.collect())
+    for q in qs:
+        import math
+
+        exact = vals[math.ceil(q * n) - 1]  # discrete quantile, 1-based
+        lo, hi, est = got[q]["lo_edge"], got[q]["hi_edge"], got[q]["estimate"]
+        if lo is not None:
+            assert exact > lo and est >= lo, (q, lo, hi, est, exact)
+        if hi is not None:
+            assert exact <= hi and est <= hi, (q, lo, hi, est, exact)
+        # bounded error: estimate and truth share a bin
+        if lo is not None and hi is not None:
+            assert abs(est - exact) <= (hi - lo) + 1e-9
+
+    # single-shot state (no duplicates) gives identical estimates
+    one = {r["q"]: r.asDict() for r in quantiles_from_hist_state(
+        hist_state(df, "ts", "value", edges), edges, qs).collect()}
+    assert one == got
+
+    with pytest.raises(ValueError, match="q must be in"):
+        quantiles_from_hist_state(state, edges, [0.5, 1.5])
+    small = hist_edges(df, "value", num_bins=4)
+    with pytest.raises(ValueError, match="different edges"):
+        quantiles_from_hist_state(state, small, qs).collect()
