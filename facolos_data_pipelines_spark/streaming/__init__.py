@@ -1,6 +1,7 @@
 from .pipeline import (
     compact_bucket_store,
     dedup_stream,
+    embedding_near_dup_sink,
     hist_state_sink,
     near_dup_filter_sink,
     merge_upsert_sink,
@@ -15,6 +16,7 @@ from .pipeline import (
 __all__ = [
     "compact_bucket_store",
     "dedup_stream",
+    "embedding_near_dup_sink",
     "hist_state_sink",
     "near_dup_filter_sink",
     "merge_upsert_sink",

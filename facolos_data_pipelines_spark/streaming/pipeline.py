@@ -344,10 +344,18 @@ def _read_store_meta(bucket_store_path: str, spark=None):
         return _META_UNREADABLE
 
 
-def _write_store_meta(bucket_store_path: str, store_partitions: int, spark=None) -> None:
+def _write_store_meta(
+    bucket_store_path: str,
+    store_partitions: int,
+    spark=None,
+    extra: dict | None = None,
+) -> None:
     import json
 
-    payload = json.dumps({"store_partitions": int(store_partitions)})
+    record = {"store_partitions": int(store_partitions)}
+    if extra:
+        record.update(extra)
+    payload = json.dumps(record)
     mp = _store_meta_path(bucket_store_path)
     if "://" in bucket_store_path:
         if spark is None:
@@ -366,12 +374,21 @@ def _write_store_meta(bucket_store_path: str, store_partitions: int, spark=None)
         fh.write(payload)
 
 
-def _effective_store_partitions(spark, bucket_store_path: str, requested: int) -> int:
+def _effective_store_partitions(
+    spark,
+    bucket_store_path: str,
+    requested: int,
+    hash_col: str = "band_hash",
+    adopt_extra: dict | None = None,
+) -> int:
     """Layout of an EXISTING bucket store is sticky: the partition count it
     was created with wins, and a mismatched request raises instead of
     silently probing the wrong pmod space (a wrong N computes
-    pmod(band_hash, N_new) != stored bucket_pmod, so every probe misses
-    and cross-batch duplicates leak through). Legacy stores written
+    pmod(``hash_col``, N_new) != stored bucket_pmod, so every probe
+    misses and cross-batch duplicates leak through). ``hash_col`` is
+    the store's bucket-hash column (band_hash for the minhash store,
+    sig for the embedding band store); ``adopt_extra`` travels into the
+    meta when a remote legacy store adopts the configured layout. Legacy stores written
     before the meta file: unpartitioned layout -> keep writing
     unpartitioned (mixing layouts makes Spark's partition-discovery read
     silently drop the root-level legacy rows); local partitioned layout
@@ -437,11 +454,11 @@ def _effective_store_partitions(spark, bucket_store_path: str, requested: int) -
             # hashed rows, so 1000 rows make a false adopt vanishingly
             # unlikely); one mismatching row proves a different N.
             mismatch = (
-                store.select("band_hash", "bucket_pmod")
-                .where(F.col("band_hash").isNotNull())
+                store.select(hash_col, "bucket_pmod")
+                .where(F.col(hash_col).isNotNull())
                 .limit(1000)
                 .where(
-                    F.pmod(F.col("band_hash"), F.lit(requested)).cast("long")
+                    F.pmod(F.col(hash_col), F.lit(requested)).cast("long")
                     != F.col("bucket_pmod").cast("long")
                 )
                 .limit(1)
@@ -450,14 +467,14 @@ def _effective_store_partitions(spark, bucket_store_path: str, requested: int) -
             if mismatch:
                 raise ValueError(
                     f"bucket store at {bucket_store_path!r} has rows whose "
-                    f"stored bucket_pmod != pmod(band_hash, {requested}): "
+                    f"stored bucket_pmod != pmod({hash_col}, {requested}): "
                     "it was written with a different store_partitions than "
                     "the configured value; the original N is unrecoverable "
                     "from data alone — write the meta file with the "
                     'original value ({"store_partitions": N}) before '
                     "probing it"
                 )
-            _write_store_meta(bucket_store_path, requested, spark)
+            _write_store_meta(bucket_store_path, requested, spark, adopt_extra)
             return requested
         raise ValueError(
             f"bucket store at {bucket_store_path!r} is bucket_pmod-"
@@ -649,15 +666,205 @@ def hist_state_sink(
     return append_batch
 
 
+def embedding_near_dup_sink(
+    docs_sink_path: str,
+    band_store_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    num_bands: int = 4,
+    dim: int | None = None,
+    signature_impl: str = "expr",
+    store_partitions: int = 16,
+):
+    """foreachBatch factory: streaming EMBEDDING ingestion with
+    near-dup dedup against everything already ingested — the
+    hyperplane-LSH twin of :func:`near_dup_filter_sink`, completing
+    the dedup-family matrix (the embedding family's batch delta loop
+    is operators.dedup_embedding.embedding_dedup_delta; this is its
+    streaming sink). Per micro-batch:
+
+    1. WITHIN-batch near-dedup with the full verified pipeline
+       (embedding_dedup — vectors are at hand, so candidates get the
+       exact cosine check at ``threshold``);
+    2. CROSS-batch dedup against the persisted band-signature store
+       (embedding_band_state rows): a vector sharing ANY (band, sig)
+       bucket with prior ingests is dropped. Bucket-level on purpose —
+       the hyperplane collision curve IS the dedup criterion here
+       (P[band match] = (1 - theta/pi)^num_planes per band), because
+       cosine-verifying would require keeping every historical vector
+       online; keep the accepted corpus queryable and verify in a
+       second join if your pipeline needs exactness (that IS
+       embedding_dedup_delta — run it as the foreachBatch body
+       instead, at the cost of the corpus-side vector fetch per
+       batch);
+    3. survivors append to ``docs_sink_path``; their band rows append
+       to ``band_store_path`` (band, sig, id — id kept for lineage).
+
+    REPLAY-IDEMPOTENT by construction: a redelivered micro-batch finds
+    its own buckets already in the store and drops every vector, so
+    at-least-once delivery never duplicates the sink. ZERO-NORM
+    vectors are DROPPED (logged per batch): they have no defined
+    cosine and no bucket identity, so they carry no replay protection
+    — a policy difference from the batch operators (which pass them
+    through as survivors) that the streaming contract forces.
+
+    SCALE SHAPE: identical to the minhash sink — the store is written
+    PARTITIONED by ``bucket_pmod = pmod(sig, store_partitions)`` and
+    probed by broadcasting the micro-batch's band rows against the
+    store scan (inner broadcast-hash join on (bucket_pmod, band, sig))
+    so the per-batch cost is a MAP-ONLY store scan with zero
+    store-side shuffle, and the partition-column key lets dynamic
+    partition pruning skip untouched store partitions. Duplicate
+    bucket rows are harmless to the probe; ``compact_bucket_store``
+    (id_col=...) re-files partitions at maintenance time. The layout
+    AND the plane family are STICKY and PERSISTED in the store meta
+    (``_NEAR_DUP_STORE_META.json``: store_partitions + num_planes +
+    num_bands): signatures under a different plane family never match,
+    so re-opening the store with mismatched ``num_planes``/``num_bands``
+    raises instead of silently missing every historical bucket — the
+    pinned-family contract of embedding_band_state, enforced at the
+    sink boundary. ``num_planes`` must be an explicit int sized for
+    the TARGET corpus (embedding_band_state rejects 'auto'/bool);
+    ``store_partitions=0`` keeps an unpartitioned layout."""
+    from ..operators.dedup_embedding import (
+        embedding_band_state,
+        embedding_dedup,
+    )
+    from ..sources.io import table_exists
+
+    # fail fast on a drifting plane family (bool subclasses int)
+    if not isinstance(num_planes, int) or isinstance(num_planes, bool):
+        raise ValueError(
+            "embedding_near_dup_sink: num_planes must be an explicit int "
+            "— the store pins one plane family across the stream's whole "
+            "life; size it for the TARGET corpus"
+        )
+
+    def filter_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import logging
+
+        spark = batch_df.sparkSession
+        if not batch_df.head(1):
+            return
+        store_exists = table_exists(spark, band_store_path)
+        family = {"num_planes": int(num_planes), "num_bands": int(num_bands)}
+        if store_exists:
+            meta = _read_store_meta(band_store_path, spark)
+            if meta is _META_UNREADABLE:
+                _raise_unreadable_meta(
+                    band_store_path,
+                    "refusing to probe — the recorded plane family and "
+                    "layout must be readable before any signature can "
+                    "be trusted",
+                )
+            if meta is not None and "num_planes" in meta:
+                stored = (int(meta["num_planes"]), int(meta.get("num_bands", -1)))
+                if stored != (num_planes, num_bands):
+                    raise ValueError(
+                        f"embedding band store at {band_store_path!r} was "
+                        f"created with num_planes={stored[0]}, "
+                        f"num_bands={stored[1]} but the sink was configured "
+                        f"with num_planes={num_planes}, num_bands={num_bands}; "
+                        "signatures under different plane families never "
+                        "match — pass the stored family, or re-index the "
+                        "accepted corpus into a new store"
+                    )
+            n_parts = _effective_store_partitions(
+                spark, band_store_path, store_partitions,
+                hash_col="sig", adopt_extra=family,
+            )
+        else:
+            n_parts = store_partitions
+
+        # zero-norm vectors: no cosine, no bucket identity, no replay
+        # protection — drop loudly, not silently
+        norm_sq = F.aggregate(
+            F.col(vec_col), F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+        scoped = batch_df.withColumn("_nsq", norm_sq)
+        n_zero = scoped.filter(
+            F.col(vec_col).isNull() | (F.col("_nsq") <= 0)
+        ).count()
+        if n_zero:
+            logging.getLogger(__name__).info(
+                "embedding_near_dup_sink batch %s: dropping %d zero-norm/"
+                "NULL vector(s) — no bucket identity, not replay-protectable",
+                batch_id, n_zero,
+            )
+        batch = scoped.filter(F.col("_nsq") > 0).drop("_nsq")
+
+        survivors = embedding_dedup(
+            batch, vec_col, id_col, threshold, num_planes, num_bands, dim,
+            signature_impl=signature_impl,
+        ).localCheckpoint(eager=True)
+
+        def with_pmod(b: DataFrame) -> DataFrame:
+            if n_parts:
+                return b.withColumn(
+                    "bucket_pmod", F.pmod(F.col("sig"), F.lit(n_parts))
+                )
+            return b
+
+        sigs = with_pmod(
+            embedding_band_state(
+                survivors, vec_col, id_col, num_planes, num_bands, dim,
+                signature_impl,
+            )
+        )
+        if store_exists:
+            store = spark.read.parquet(band_store_path)
+            probe_keys = (
+                ["bucket_pmod", "band", "sig"]
+                if n_parts and "bucket_pmod" in store.columns
+                else ["band", "sig"]
+            )
+            # broadcast the (small) batch side; the store is scanned
+            # map-side only — no store shuffle, and the partition-column
+            # equi-join key enables dynamic partition pruning
+            hit_ids = (
+                store.join(
+                    F.broadcast(
+                        sigs.select(*probe_keys, F.col(id_col).alias("_probe_id"))
+                    ),
+                    probe_keys,
+                )
+                .select(F.col("_probe_id").alias(id_col))
+                .dropDuplicates()
+            )
+            survivors = survivors.join(hit_ids, id_col, "left_anti")
+            sigs = sigs.join(
+                survivors.select(id_col).dropDuplicates(), id_col, "left_semi"
+            )
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(docs_sink_path)
+        out = sigs.select(
+            *(["bucket_pmod"] if n_parts else []), "band", "sig", id_col
+        )
+        writer = out.write.mode("append")
+        if n_parts:
+            writer = writer.partitionBy("bucket_pmod")
+        writer.parquet(band_store_path)
+        if _read_store_meta(band_store_path, spark) is None:
+            _write_store_meta(band_store_path, n_parts, spark, family)
+
+    return filter_batch
+
+
 def compact_bucket_store(
     spark: SparkSession,
     bucket_store_path: str,
     id_col: str = "doc_id",
     target_file_mb: int = 128,
+    key_cols: tuple[str, ...] = ("band_id", "band_hash"),
 ) -> dict[str, int]:
-    """Maintenance compaction for ``near_dup_filter_sink``'s band-bucket
-    store: dedup bucket rows (one row per (band_id, band_hash) bucket,
-    min-id owner kept for lineage) and rewrite with bounded file counts,
+    """Maintenance compaction for a streaming band-bucket store: dedup
+    bucket rows (one row per ``key_cols`` bucket — (band_id, band_hash)
+    for ``near_dup_filter_sink``'s minhash store, ("band", "sig") with
+    ``id_col="vec_id"`` for ``embedding_near_dup_sink``'s store — min-id
+    owner kept for lineage) and rewrite with bounded file counts,
     preserving the ``bucket_pmod`` partition layout when present.
 
     Run this between micro-batch cycles (single-writer contract and
@@ -704,7 +911,7 @@ def compact_bucket_store(
     rows_before = store.count()
     partitioned = "bucket_pmod" in store.columns
     part_cols = ["bucket_pmod"] if partitioned else []
-    deduped = store.groupBy(*part_cols, "band_id", "band_hash").agg(
+    deduped = store.groupBy(*part_cols, *key_cols).agg(
         F.min(id_col).alias(id_col)
     )
     if partitioned:

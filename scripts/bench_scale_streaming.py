@@ -1,37 +1,49 @@
-"""Scale measurement for the streaming near-dup sink, run AS a stream
-(VERDICT r9 ask #5): the batch state loops got §6g's wall-time curves;
-this gives the streaming twin (`streaming.near_dup_filter_sink` +
-`compact_bucket_store`) its own — per-batch latency vs batch index
-while the bucket store grows under continuous ingestion, the
-compaction cost that bounds the store's file count, and the replay
-leg that certifies at-least-once idempotence at scale.
+"""Scale measurements for the STREAMING sinks, run AS streams: the
+batch state loops got §6g's wall-time curves; these give the streaming
+twins their own — per-batch latency vs batch index while the persisted
+state grows under continuous ingestion, the maintenance cost that
+bounds store file counts, and the replay legs that certify
+at-least-once idempotence at scale.
 
-Protocol: documents.parquet split into ``n_batches`` batches by
-``pmod(xxhash64(doc_id), n_batches)`` — deterministic, even-sized,
-and (crucially) it SPREADS the scale generator's near-dup copies
-(same base id offset by 10^7 per copy) across different batches, so
-the cross-batch store probe does real dedup work instead of the
-within-batch sweep catching everything. Batches are fed to the
-foreachBatch callable in order (exactly how run_available_now drives
-it, minus the stream plumbing — the sink function is the unit under
-test and the timings exclude Kafka/files source overhead by
-construction). Every batch is timed; every
-``compact_every`` batches the store is compacted (timed separately —
-maintenance, not ingest latency); after the last batch, batch 0 is
-REPLAYED and the sink must not grow. One JSON line out.
+Three ops (SCALE.md §6h/§6j):
 
-The claim under test (SCALE.md §6h): per-batch latency stays flat as
-the store grows, because the probe is a broadcast of the batch's
-bucket rows against a map-only store scan — no store-side shuffle
-ever — and compaction keeps the per-partition file count (and with it
-the scan's open/footer overhead) bounded. The store SCAN is the one
-term that grows with corpus size; it is columnar, id-width, and
-partition-pruned, so its slope is shallow — the measurement shows the
-slope, not just asserts it.
+- ``minhash`` — `streaming.near_dup_filter_sink` + `compact_bucket_store`
+  over ``documents``: the r9 measurement (batch-bucket broadcast vs
+  map-only store scan; claim: per-batch latency flat as the store
+  grows).
+- ``embedding`` — `streaming.embedding_near_dup_sink` over
+  ``embeddings`` (round 11): the hyperplane-LSH twin, same claim, same
+  probe shape ((band, sig) buckets, pmod-partitioned store, pinned
+  plane family).
+- ``drift`` — `streaming.hist_state_sink` over ``events`` (round 11):
+  the counting sink. Per-batch cost is ONE narrow scan of the batch
+  (the store is never read on the ingest path), so the claim is
+  stronger than flat-while-growing: the ingest cost is independent of
+  the store BY CONSTRUCTION, and the measured curve + the timed
+  replay-overwrite leg show the `_batch_id` dynamic-partition-overwrite
+  idempotence costs the same as a first delivery. After the run the
+  PSI series read from the store is asserted EQUAL to
+  `rolling_psi_drift` over the accumulated fact (whole-window edges —
+  the equality precondition), closing the loop end to end.
+
+Protocol (minhash/embedding): the fact is split into ``n_batches``
+batches by ``pmod(xxhash64(id), n_batches)`` — deterministic,
+even-sized, and it SPREADS the scale generator's near-dup 3-cliques
+across batches, so the cross-batch store probe does real dedup work
+instead of the within-batch sweep catching everything. Batches feed
+the foreachBatch callable in order (exactly how run_available_now
+drives it, minus stream plumbing — the sink function is the unit under
+test). Every batch is timed; every ``compact_every`` batches the store
+is compacted (timed separately — maintenance, not ingest latency);
+after the last batch, batch 0 is REPLAYED and the sink must not grow.
+One JSON line out.
 
 Usage:
 
-    python scripts/bench_scale_streaming.py SF_DIR [n_batches] [compact_every]
+    python scripts/bench_scale_streaming.py SF_DIR [op] [n_batches] [compact_every]
+
+``op`` in {minhash, embedding, drift} (default minhash; a bare number
+as the second arg keeps the legacy minhash CLI).
 """
 
 from __future__ import annotations
@@ -51,36 +63,32 @@ def _store_files(store: str) -> int:
     return len(glob.glob(os.path.join(store, "**", "*.parquet"), recursive=True))
 
 
-def main() -> int:
-    if len(sys.argv) < 2:
-        raise SystemExit("usage: bench_scale_streaming.py SF_DIR [n_batches] [compact_every]")
-    sf_dir = sys.argv[1].rstrip("/")
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 25
-    compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-
+def _run_bucket_sink_loop(
+    spark,
+    df,
+    id_col: str,
+    fold,
+    sink: str,
+    store: str,
+    n_batches: int,
+    compact_every: int,
+    compact_kwargs: dict,
+    op_name: str,
+    sf_dir: str,
+):
+    """Shared driver for the two bucket-probing sinks (minhash docs /
+    embedding vectors): timed per-batch ingest, periodic timed
+    compaction, replay-idempotence leg, one JSON result dict."""
     from pyspark.sql import functions as F
 
-    from facolos_data_pipelines_spark.session import build_spark
-    from facolos_data_pipelines_spark.streaming import (
-        compact_bucket_store,
-        near_dup_filter_sink,
-    )
+    from facolos_data_pipelines_spark.streaming import compact_bucket_store
 
-    spark = build_spark(app_name="scale-streaming-neardup")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_docs = docs.count()
-    batch_sz = (n_docs + n_batches - 1) // n_batches
-
-    sink = f"/tmp/scale_stream_sink_{os.getpid()}"
-    store = f"/tmp/scale_stream_store_{os.getpid()}"
-    shutil.rmtree(sink, ignore_errors=True)
-    shutil.rmtree(store, ignore_errors=True)
-
-    fold = near_dup_filter_sink(sink, store, store_partitions=16)
-    bkey = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_batches))
+    n_rows = df.count()
+    batch_sz = (n_rows + n_batches - 1) // n_batches
+    bkey = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches))
     cycles, compactions = [], []
     for b in range(n_batches):
-        batch = docs.filter(bkey == b)
+        batch = df.filter(bkey == b)
         t0 = time.monotonic()
         fold(batch, b)
         cycles.append({
@@ -90,7 +98,7 @@ def main() -> int:
         })
         if compact_every and (b + 1) % compact_every == 0 and b + 1 < n_batches:
             t0 = time.monotonic()
-            stats = compact_bucket_store(spark, store)
+            stats = compact_bucket_store(spark, store, **compact_kwargs)
             compactions.append({
                 "after_batch": b,
                 "compact_s": round(time.monotonic() - t0, 3),
@@ -103,7 +111,7 @@ def main() -> int:
     survivors = spark.read.parquet(sink).count()
     # replay idempotence: redelivering batch 0 must add nothing
     t0 = time.monotonic()
-    fold(docs.filter(bkey == 0), n_batches)
+    fold(df.filter(bkey == 0), n_batches)
     replay_s = round(time.monotonic() - t0, 3)
     survivors_after_replay = spark.read.parquet(sink).count()
     assert survivors_after_replay == survivors, (
@@ -111,12 +119,12 @@ def main() -> int:
     )
 
     half = n_batches // 2
-    result = {
-        "op": "streaming_near_dup_loop",
+    return {
+        "op": op_name,
         "sf_dir": sf_dir,
-        "n_docs": n_docs,
+        "n_rows": n_rows,
         "n_batches": n_batches,
-        "batch_docs": batch_sz,
+        "batch_rows": batch_sz,
         "survivors": survivors,
         "store_rows": spark.read.parquet(store).count(),
         "cycles": cycles,
@@ -130,6 +138,149 @@ def main() -> int:
         "replay_batch0_s": replay_s,
         "replay_idempotent": True,
     }
+
+
+def _run_drift_sink_loop(spark, sf_dir: str, n_batches: int):
+    """hist_state_sink measured as a stream: timed per-batch appends of
+    (day, bin, n) rows under whole-window pinned edges, a timed
+    replay-overwrite leg (the counting sink's idempotence mechanism),
+    and the end-to-end equality assert: PSI read from the store ==
+    rolling_psi_drift over the accumulated fact."""
+    from pyspark.sql import functions as F
+
+    from facolos_data_pipelines_spark.quality.checks import (
+        hist_edges,
+        psi_from_hist_state,
+        rolling_psi_drift,
+    )
+    from facolos_data_pipelines_spark.streaming import hist_state_sink
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_rows = events.count()
+    pid = os.getpid()
+    store = f"/tmp/scale_drift_store_{pid}"
+    edges_path = f"/tmp/scale_drift_edges_{pid}"
+    shutil.rmtree(store, ignore_errors=True)
+    shutil.rmtree(edges_path, ignore_errors=True)
+    # whole-window edges: the precondition under which the state-read
+    # PSI equals rolling_psi_drift row for row (pytest-pinned contract)
+    hist_edges(events, "value").write.parquet(edges_path)
+
+    fold = hist_state_sink(store, edges_path, "ts", "value")
+    bkey = F.pmod(F.xxhash64(F.col("event_id")), F.lit(n_batches))
+    cycles = []
+    for b in range(n_batches):
+        batch = events.filter(bkey == b)
+        t0 = time.monotonic()
+        fold(batch, b)
+        cycles.append({
+            "batch": b,
+            "batch_s": round(time.monotonic() - t0, 3),
+            "store_files": _store_files(store),
+        })
+
+    want = sorted(
+        tuple(r) for r in rolling_psi_drift(events, "ts", "value").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in psi_from_hist_state(spark.read.parquet(store)).collect()
+    )
+    assert got == want and want, (
+        f"state-read PSI != rolling_psi_drift ({len(got)} vs {len(want)} rows)"
+    )
+
+    # replay-overwrite leg: redeliver batch 0 under its original id —
+    # dynamic partition overwrite replaces its partition, the series is
+    # unchanged, and the cost is a first-delivery append + the replaced
+    # partition's commit
+    t0 = time.monotonic()
+    fold(events.filter(bkey == 0), 0)
+    replay_s = round(time.monotonic() - t0, 3)
+    after = sorted(
+        tuple(r)
+        for r in psi_from_hist_state(spark.read.parquet(store)).collect()
+    )
+    assert after == want
+
+    half = n_batches // 2
+    result = {
+        "op": "streaming_drift_state_loop",
+        "sf_dir": sf_dir,
+        "n_rows": n_rows,
+        "n_batches": n_batches,
+        "batch_rows": (n_rows + n_batches - 1) // n_batches,
+        "store_rows": spark.read.parquet(store).count(),
+        "psi_days": len(want),
+        "cycles": cycles,
+        "median_first_half_s": statistics.median(
+            c["batch_s"] for c in cycles[:half]
+        ),
+        "median_second_half_s": statistics.median(
+            c["batch_s"] for c in cycles[half:]
+        ),
+        "replay_batch0_s": replay_s,
+        "replay_idempotent": True,
+        "psi_equals_rolling": True,
+    }
+    shutil.rmtree(store, ignore_errors=True)
+    shutil.rmtree(edges_path, ignore_errors=True)
+    return result
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        raise SystemExit(
+            "usage: bench_scale_streaming.py SF_DIR [op] [n_batches] [compact_every]"
+        )
+    sf_dir = sys.argv[1].rstrip("/")
+    rest = list(sys.argv[2:])
+    op = "minhash"
+    if rest and not rest[0].lstrip("-").isdigit():
+        op = rest.pop(0)
+    if op not in ("minhash", "embedding", "drift"):
+        raise SystemExit(f"unknown op {op!r}: expected minhash|embedding|drift")
+    n_batches = int(rest[0]) if rest else 25
+    compact_every = int(rest[1]) if len(rest) > 1 else 10
+
+    from facolos_data_pipelines_spark.session import build_spark
+    from facolos_data_pipelines_spark.streaming import (
+        embedding_near_dup_sink,
+        near_dup_filter_sink,
+    )
+
+    spark = build_spark(app_name=f"scale-streaming-{op}")
+    pid = os.getpid()
+
+    if op == "drift":
+        result = _run_drift_sink_loop(spark, sf_dir, n_batches)
+        print(json.dumps(result))
+        return 0
+
+    sink = f"/tmp/scale_stream_sink_{pid}"
+    store = f"/tmp/scale_stream_store_{pid}"
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(store, ignore_errors=True)
+    if op == "minhash":
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        fold = near_dup_filter_sink(sink, store, store_partitions=16)
+        result = _run_bucket_sink_loop(
+            spark, df, "doc_id", fold, sink, store, n_batches, compact_every,
+            {}, "streaming_near_dup_loop", sf_dir,
+        )
+        # legacy field names kept for cross-round diffing of §6h
+        result["n_docs"] = result.pop("n_rows")
+        result["batch_docs"] = result.pop("batch_rows")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        fold = embedding_near_dup_sink(
+            sink, store, num_planes=12, num_bands=4, store_partitions=16
+        )
+        result = _run_bucket_sink_loop(
+            spark, df, "vec_id", fold, sink, store, n_batches, compact_every,
+            {"id_col": "vec_id", "key_cols": ("band", "sig")},
+            "streaming_embedding_near_dup_loop", sf_dir,
+        )
     shutil.rmtree(sink, ignore_errors=True)
     shutil.rmtree(store, ignore_errors=True)
     print(json.dumps(result))

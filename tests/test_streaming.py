@@ -1042,3 +1042,157 @@ def test_hist_state_sink_streaming_and_replay_idempotent(spark, tmp_root):
         tuple(r)
         for r in psi_from_hist_state(spark.read.parquet(store)).collect()
     ) == want
+
+
+def _vec(base, noise=0.0, dim=8):
+    """A unit-ish test vector: one-hot at `base` with optional small
+    perturbation on the next coordinate (cosine stays ~1)."""
+    v = [0.0] * dim
+    v[base % dim] = 1.0
+    v[(base + 1) % dim] = noise
+    return v
+
+
+def test_streaming_embedding_near_dup_across_batches(spark, tmp_root):
+    """Cross-batch streaming embedding dedup (the hyperplane-LSH twin
+    of the minhash sink): batch 2's near-duplicate of a batch-1 vector
+    is dropped via the persisted (band, sig) store, novel vectors
+    land, zero-norm vectors are dropped (no bucket identity = no
+    replay protection), and replaying the WHOLE source from a fresh
+    checkpoint adds nothing."""
+    from pyspark.sql import types as T
+
+    from facolos_data_pipelines_spark.streaming import embedding_near_dup_sink
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    src = f"{tmp_root}/emb_src"
+    sink = f"{tmp_root}/emb_sink"
+    store = f"{tmp_root}/emb_store"
+    ckpt = f"{tmp_root}/emb_ckpt"
+    fold = embedding_near_dup_sink(
+        sink, store, num_planes=4, num_bands=2, dim=8, store_partitions=4
+    )
+
+    def run_cycle():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, _vec(0)), (2, _vec(3))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_cycle()
+    assert {r["vec_id"] for r in spark.read.parquet(sink).collect()} == {1, 2}
+
+    # batch 2: a near-dup of vec 1 (tiny perturbation — same buckets),
+    # a genuinely novel direction, and a zero-norm vector
+    spark.createDataFrame(
+        [(3, _vec(0, noise=0.01)), (4, _vec(6)), (5, [0.0] * 8)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_cycle()
+    landed = {r["vec_id"] for r in spark.read.parquet(sink).collect()}
+    assert landed == {1, 2, 4}, f"near-dup + zero-norm dropped, novel kept: {landed}"
+
+    # the store is pmod-partitioned on sig and the meta pins the family
+    import glob
+    import json
+    import os
+
+    assert glob.glob(os.path.join(store, "bucket_pmod=*"))
+    meta = json.load(open(os.path.join(store, "_NEAR_DUP_STORE_META.json")))
+    assert meta == {"store_partitions": 4, "num_planes": 4, "num_bands": 2}
+
+    # replay everything from a fresh checkpoint: nothing new lands
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run_cycle()
+    assert {r["vec_id"] for r in spark.read.parquet(sink).collect()} == {1, 2, 4}
+
+
+def test_embedding_sink_plane_family_sticky_and_compactable(spark, tmp_root):
+    """The embedding band store's pinned-family contract: re-opening
+    with a different plane family raises (signatures never match
+    across families — a silent miss of every historical bucket),
+    mismatched store_partitions raises via the shared layout meta,
+    'auto'/bool num_planes is rejected up front, and
+    compact_bucket_store with the embedding key columns dedups the
+    store while the compacted store keeps filtering."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from facolos_data_pipelines_spark.streaming import (
+        compact_bucket_store,
+        embedding_near_dup_sink,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    sink = f"{tmp_root}/ps_sink"
+    store = f"{tmp_root}/ps_store"
+
+    with pytest.raises(ValueError, match="explicit int"):
+        embedding_near_dup_sink(sink, store, num_planes=True)
+
+    fold = embedding_near_dup_sink(
+        sink, store, num_planes=4, num_bands=2, dim=8, store_partitions=2
+    )
+    # 12 micro-batches; every 4th replays the previous batch's vector
+    # with a tiny perturbation (a near-dup the store must catch)
+    batches = []
+    for b in range(12):
+        if b % 4 == 3:
+            batches.append([(100 + b, _vec(b - 1, noise=0.01))])
+        else:
+            batches.append([(100 + b, _vec(b))])
+    for i, rows in enumerate(batches):
+        fold(spark.createDataFrame(rows, schema), i)
+    landed = {r["vec_id"] for r in spark.read.parquet(sink).collect()}
+    dropped = {100 + b for b in range(12) if b % 4 == 3}
+    assert landed.isdisjoint(dropped)
+
+    # family drift raises before any probe
+    bad_family = embedding_near_dup_sink(
+        sink, store, num_planes=6, num_bands=2, dim=8, store_partitions=2
+    )
+    with pytest.raises(ValueError, match="plane famil"):
+        bad_family(spark.createDataFrame([(999, _vec(1))], schema), 99)
+    # layout drift raises through the shared meta contract
+    bad_layout = embedding_near_dup_sink(
+        sink, store, num_planes=4, num_bands=2, dim=8, store_partitions=8
+    )
+    with pytest.raises(ValueError, match="sticky"):
+        bad_layout(spark.createDataFrame([(999, _vec(1))], schema), 99)
+
+    before = spark.read.parquet(store)
+    buckets_before = {tuple(r) for r in before.select("band", "sig").collect()}
+    stats = compact_bucket_store(
+        spark, store, id_col="vec_id", key_cols=("band", "sig")
+    )
+    assert stats["rows_after"] <= stats["rows_before"]
+    after = spark.read.parquet(store)
+    assert {tuple(r) for r in after.select("band", "sig").collect()} == buckets_before
+    assert (
+        after.groupBy("band", "sig").count().filter("count > 1").count() == 0
+    )
+    # the compacted store still filters: replay every batch, nothing lands
+    for i, rows in enumerate(batches):
+        fold(spark.createDataFrame(rows, schema), 100 + i)
+    assert {
+        r["vec_id"] for r in spark.read.parquet(sink).collect()
+    } == landed
