@@ -3833,7 +3833,7 @@ def q_quantile_bin_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The full registry, insertion order immaterial — queries() below
     # reorders it so the driver's 50-entry sample window rotates each
-    # round (see _R10_WINDOW).
+    # round (see _R11_WINDOW).
     return {
         "bigram_lm_scores": q_bigram_lm_scores,
         "corpus_overlap": q_corpus_overlap,
@@ -4020,54 +4020,45 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Round-10 driver window (the driver oracle-checks the FIRST 50
-# entries of queries() each round; earlier windows live in the r1-r9
-# CORRECTNESS artifacts): the whole 43-name round-6-vintage band —
-# every [Q] name whose newest driver attestation is CORRECTNESS_r06
-# (it would be 4 rounds old after r10, crossing the 3-round staleness
-# bar; this is exactly VERDICT r9 next-round ask #3) — then
-# `ivf_topk`, certified THIS round as a bounded oracle (recall@10 of
-# the distributed-trained IVF probe vs the exact top-10, >= 0.8
-# hash-pinned; formerly [NQ] rows-only), which needs its first
-# hash-green attestation; then the FOUR new round-10 queries (the
-# incremental drift-state loop: hist_state_append, psi_state_series;
-# and the moments-profile loop: profile_state_append,
-# incremental_profile — new-query attestation outranks early
-# refreshes, the r9 convention); the remaining 2 slots early-refresh
-# the oldest round-7 names (alphabetical) since the whole 41-name r7
-# band crosses the bar in round 11 — every early refresh now shrinks
-# that rotation. No [NQ] rows-only names (their row counts ride the
-# full-surface local artifact; their hash-certified attestations are
-# the *_portable twins, r9-fresh). Exactly 50 entries: the driver
-# samples the FIRST 50, so a 51st name would silently miss its
-# attestation.
-_R10_WINDOW = [
-    # the 43 r6-vintage names (alphabetical)
-    "audio_signal_features", "compression_signal", "conditional_agg",
-    "contamination_score", "daily_revenue_delta", "date_parts",
-    "derived_columns", "dim_enrichment_join", "doc_fingerprint",
-    "doc_length_stats", "embedding_outliers", "exact_dedup",
-    "flatten_explode", "flatten_invariants", "json_construct",
-    "latest_by_key", "lookback_filter", "merge_stats",
-    "multi_table_summary", "multimodal_features", "negative_count",
-    "pricing_summary", "quality_gate", "quality_model_score",
-    "quality_quantile_filter", "quality_scores", "region_volume",
-    "retention_filter", "rollup_sales", "safe_cast", "script_profile",
-    "shipping_priority", "similarity_threshold", "similarity_topk",
-    "status_filter", "string_funcs", "table_stats", "time_range_filter",
-    "token_counts", "topk_orders", "union_sources", "value_buckets",
-    "window_rank",
-    # certified this round (NQ -> bounded oracle)
-    "ivf_topk",
-    # new round-10 queries (the incremental drift-state and
-    # moments-profile loops)
-    "hist_state_append", "psi_state_series",
-    "profile_state_append", "incremental_profile",
-    # 2 early r7 refreshes (oldest alphabetical; approx_distinct,
-    # c4_clean, chunk_documents and cold_customers yielded their slots
-    # to the new queries and rotate with the rest of the r7 band in
-    # round 11)
-    "ann_recall", "anomaly_zscore",
+# Round-11 driver window (the driver oracle-checks the FIRST 50
+# entries of queries() each round; earlier windows live in the r1-r10
+# CORRECTNESS artifacts): the whole 39-name round-7-vintage band —
+# every [Q] name whose newest driver attestation is CORRECTNESS_r07
+# (4 rounds old after r11, crossing the 3-round staleness bar; exactly
+# VERDICT r10 next-round ask #1, which also prescribes budgeting the
+# leftover slots) — then the TWO new round-11 queries
+# (hist_edges_drift, the histogram store's certified re-bootstrap
+# guard, and hist_percentiles, the bounded-oracle certification of
+# quantiles_from_hist_state — new-query attestation outranks early
+# refreshes, the standing convention); the remaining 9 slots
+# early-refresh the oldest round-8 names (alphabetical), shrinking the
+# 37-name r8 band that crosses the bar in round 12 to 28. No [NQ]
+# rows-only names (their row counts ride the full-surface local
+# artifact; their hash-certified attestations are the *_portable
+# twins). Exactly 50 entries: the driver samples the FIRST 50, so a
+# 51st name would silently miss its attestation.
+_R11_WINDOW = [
+    # the 39 r7-vintage names (alphabetical)
+    "approx_distinct", "c4_clean", "chunk_documents", "cold_customers",
+    "column_profile", "corpus_clean", "corpus_diversity",
+    "corpus_overlap", "cube_sales", "curriculum_order", "cycle_metrics",
+    "daily_sales_summary", "dataset_split", "decontaminate_bloom",
+    "disjunctive_revenue", "doc_containment", "dsir_sample",
+    "dsir_weights", "duplicate_spans", "excess_suppliers",
+    "expectations", "forecast_revenue", "frequent_items", "fuzzy_match",
+    "important_parts", "ivfpq_topk", "key_skew", "knn_join",
+    "knn_join_lsh", "language_id", "large_orders", "length_histogram",
+    "line_dedup", "market_share", "min_cost_supplier", "pii_redaction",
+    "sample_per_group", "schedule_health", "video_frame_sample",
+    # new round-11 queries (the drift store's self-policing guard and
+    # the histogram-state quantile reader's bounded oracle)
+    "hist_edges_drift", "hist_percentiles",
+    # 9 early r8 refreshes (oldest alphabetical) — the r8 band crosses
+    # the staleness bar in round 12; every early refresh shrinks that
+    # rotation (37 -> 28)
+    "ann_recall_trained", "asof_join_events", "asof_join_forward",
+    "bm25_search", "char_entropy", "chi2_drift", "cluster_assign",
+    "cohort_retention", "customer_order_distribution",
 ]
 
 
@@ -4115,11 +4106,11 @@ def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = _all_queries()
-    missing = [n for n in _R10_WINDOW if n not in all_q]
+    missing = [n for n in _R11_WINDOW if n not in all_q]
     if missing:
-        raise KeyError(f"_R10_WINDOW names not in the registry: {missing}")
-    rest = [n for n in all_q if n not in set(_R10_WINDOW)]
-    return {n: all_q[n] for n in [*_R10_WINDOW, *rest]}
+        raise KeyError(f"_R11_WINDOW names not in the registry: {missing}")
+    rest = [n for n in all_q if n not in set(_R11_WINDOW)]
+    return {n: all_q[n] for n in [*_R11_WINDOW, *rest]}
 
 
 def _vec_sql() -> str:

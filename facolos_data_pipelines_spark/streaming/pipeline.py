@@ -725,9 +725,19 @@ def embedding_near_dup_sink(
     so re-opening the store with mismatched ``num_planes``/``num_bands``
     raises instead of silently missing every historical bucket — the
     pinned-family contract of embedding_band_state, enforced at the
-    sink boundary. ``num_planes`` must be an explicit int sized for
-    the TARGET corpus (embedding_band_state rejects 'auto'/bool);
-    ``store_partitions=0`` keeps an unpartitioned layout."""
+    sink boundary. ``num_planes`` must be an explicit int
+    (embedding_band_state rejects 'auto'/bool) and — because the
+    decision here is bucket-level, NOT verified — it must be sized for
+    the COLLISION RATE at the target corpus, not for bucket occupancy:
+    expected false drops per vector ~= N_target * num_bands * 2^-p for
+    near-orthogonal embeddings, so pick p >= log2(N_target * num_bands
+    / eps) for a false-drop budget eps (e.g. p=24 holds eps ~0.05 at
+    N=200k, bands=4). Larger p trades recall on merely-similar pairs
+    (P[band] = (1 - theta/pi)^p) for precision — near-EXACT duplicates
+    (theta ~ 0) keep colliding at any practical p, which is the
+    regime a bucket-level streaming gate is for; the occupancy-sized
+    default (12) suits the verified batch loop, not this sink, at
+    large N. ``store_partitions=0`` keeps an unpartitioned layout."""
     from ..operators.dedup_embedding import (
         embedding_band_state,
         embedding_dedup,

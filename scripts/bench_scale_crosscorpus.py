@@ -499,6 +499,84 @@ def main() -> int:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(plain_path, ignore_errors=True)
         shutil.rmtree(buck_path, ignore_errors=True)
+    elif op == "minhash_bucket_sizing":
+        from facolos_data_pipelines_spark.operators.dedup import (
+            minhash_band_state,
+            minhash_delta_pairs,
+        )
+        from facolos_data_pipelines_spark.sources.io import write_bucketed
+
+        # CLUSTER.md's num_buckets row, measured (r10 verdict ask #6):
+        # the SAME fixed batch probes the SAME state written bucketed
+        # at 4 / 16 / 64 buckets. Broadcast disabled, as in
+        # minhash_delta_loop_bucketed — the large-large regime a
+        # 100 TB state forces. The claim under test: the
+        # shuffle-elision plan shape and the pair set are
+        # bucket-count-INVARIANT (the structural win never depends on
+        # N), so bucket count is a FILE-SIZE dial — pick N so
+        # state_bytes/N lands in parquet's 100-500 MB sweet spot —
+        # plus a parallelism floor on the probe's scan side (a
+        # bucketed scan reads >= 1 task per bucket; too few buckets
+        # caps scan parallelism at production core counts).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        thin = max(1, n_docs // 5_000)
+        batch = docs.filter(F.col("doc_id") % (2 * thin) == 1)
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        state_df = minhash_band_state(corpus)
+        legs = {}
+        ref_pairs = None
+        for nb in (4, 16, 64):
+            tbl = f"scale_mh_sizing_{nb}_{os.getpid()}"
+            path = f"/tmp/scale_mh_sizing_{nb}_{os.getpid()}"
+            shutil.rmtree(path, ignore_errors=True)
+            t0 = time.monotonic()
+            write_bucketed(
+                state_df, tbl, ["band_id", "band_hash"], num_buckets=nb,
+                sort_cols=["band_id", "band_hash"], path=path,
+            )
+            write_s = round(time.monotonic() - t0, 3)
+            state = spark.table(tbl)
+            times, n_pairs = [], None
+            for _ in range(reps):
+                t0 = time.monotonic()
+                pairs = minhash_delta_pairs(batch, state, corpus, threshold=0.8)
+                n_pairs = pairs.count()
+                times.append(round(time.monotonic() - t0, 3))
+            got = sorted(
+                (r["left_id"], r["right_id"])
+                for r in minhash_delta_pairs(
+                    batch, state, corpus, threshold=0.8
+                ).collect()
+            )
+            if ref_pairs is None:
+                ref_pairs = got
+            assert got == ref_pairs, (nb, len(got), len(ref_pairs))
+            lazy = minhash_delta_pairs(
+                batch, state, corpus, threshold=0.8, candidates="lazy"
+            )
+            import glob as _glob
+
+            files = [
+                f for f in _glob.glob(
+                    os.path.join(path, "**", "*.parquet"), recursive=True
+                ) if os.path.isfile(f)
+            ]
+            state_bytes = sum(os.path.getsize(f) for f in files)
+            legs[str(nb)] = {
+                "median": statistics.median(times), "times": times,
+                "pairs": n_pairs, "write_s": write_s,
+                "state_bytes": state_bytes, "state_files": len(files),
+                "mb_per_bucket": round(state_bytes / nb / 1024 / 1024, 2),
+                "lazy_plan": _plan_counts(lazy),
+            }
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            shutil.rmtree(path, ignore_errors=True)
+        result |= {
+            "n_batch": batch.count(), "n_corpus": corpus.count(),
+            "state_rows": state_df.count(),
+            "legs": legs, "pairs_match": True,
+        }
     elif op == "embedding_delta_loop":
         from facolos_data_pipelines_spark.operators.dedup import (
             embedding_band_state,

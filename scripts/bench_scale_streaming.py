@@ -272,15 +272,29 @@ def main() -> int:
         result["n_docs"] = result.pop("n_rows")
         result["batch_docs"] = result.pop("batch_rows")
     else:
+        import math
+
         df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # bucket-level sink: size planes for the COLLISION RATE at the
+        # target corpus (false drops per vector ~= N * bands * 2^-p),
+        # not for occupancy — see embedding_near_dup_sink's docstring.
+        # eps=0.05 false-drop budget over the whole run's corpus.
+        n_target = df.count()
+        num_bands = 4
+        num_planes = max(
+            12, math.ceil(math.log2(max(n_target, 2) * num_bands / 0.05))
+        )
         fold = embedding_near_dup_sink(
-            sink, store, num_planes=12, num_bands=4, store_partitions=16
+            sink, store,
+            num_planes=num_planes, num_bands=num_bands, store_partitions=16,
         )
         result = _run_bucket_sink_loop(
             spark, df, "vec_id", fold, sink, store, n_batches, compact_every,
             {"id_col": "vec_id", "key_cols": ("band", "sig")},
             "streaming_embedding_near_dup_loop", sf_dir,
         )
+        result["num_planes"] = num_planes
+        result["num_bands"] = num_bands
     shutil.rmtree(sink, ignore_errors=True)
     shutil.rmtree(store, ignore_errors=True)
     print(json.dumps(result))
