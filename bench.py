@@ -261,7 +261,8 @@ def main() -> None:
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
     # build_spark's periodicGC=60s default is load-bearing here: the
-    # bench executes 178 queries x 3 passes in one JVM, and without it
+    # bench executes the full query surface x 3 passes in one JVM
+    # (178 queries when measured), and without it
     # checkpoint/broadcast blocks accumulate until the memory store
     # evicts working data (measured 326.7 -> 247.7 s on this surface;
     # ks_drift alone 6.9 -> 2.5 s — see session.build_spark).
