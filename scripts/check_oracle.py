@@ -60,7 +60,7 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
-    # 178 executions in one JVM — relies on build_spark's
+    # the full query surface executes in one JVM — relies on build_spark's
     # periodicGC=60s default (long-lived-driver hygiene; see session.py)
     spark = build_spark(app_name="oracle-check")
     load_tables(spark, sf_dir)
