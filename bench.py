@@ -34,6 +34,8 @@ HEADLINE = [
     # round 10 additions (incremental drift-state + moments-profile loops)
     "hist_state_append",
     "psi_state_series",
+    "hist_edges_drift",
+    "hist_percentiles",
     "profile_state_append",
     "incremental_profile",
     # round 9 session 2 additions
