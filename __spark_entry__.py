@@ -2195,13 +2195,19 @@ def q_hist_edges_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_edges,
         hist_edges_drift,
         hist_state,
+        pinned_edges,
     )
 
     events = _t(spark, sf_dir, "events")
     boot = events.filter(F.to_date("ts") <= F.lit("2024-01-15"))
-    edges = hist_edges(boot, "value", num_bins=10)
-    state = hist_state(events, "ts", "value", edges)
-    return hist_edges_drift(state, num_bins=10, threshold=0.4).orderBy("day")
+    # collect the pinned family ONCE and share the list (one bootstrap
+    # aggregate); passing edges to the guard derives the bin count from
+    # the family itself, the mismatch-proof call form
+    edges = pinned_edges(
+        hist_edges(boot, "value", num_bins=10), "q_hist_edges_drift"
+    )
+    state = hist_state(events, "ts", "value", edges).persist()
+    return hist_edges_drift(state, threshold=0.4, edges=edges).orderBy("day")
 
 
 def q_hist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2228,15 +2234,23 @@ def q_hist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from facolos_data_pipelines_spark.quality.checks import (
         hist_edges,
         hist_state,
+        pinned_edges,
         quantiles_from_hist_state,
     )
 
     events = _t(spark, sf_dir, "events")
     boot = events.filter(F.to_date("ts") <= F.lit("2024-01-15"))
-    edges = hist_edges(boot, "value", num_bins=10)
-    state = hist_state(events, "ts", "value", edges)
+    # one bootstrap aggregate, shared edge list, cached state
+    edges = pinned_edges(
+        hist_edges(boot, "value", num_bins=10), "q_hist_percentiles"
+    )
+    state = hist_state(events, "ts", "value", edges).persist()
     qs = [0.1, 0.5, 0.9]
-    est = quantiles_from_hist_state(state, edges, qs)
+    # RAW estimates: the containment bound must compare unrounded
+    # doubles — rounding can collapse a strict inequality to equality
+    # and fake a bound violation (both engines compare raw, then round
+    # the displayed columns identically)
+    est = quantiles_from_hist_state(state, edges, qs, round_digits=None)
 
     vals = events.select(F.col("value").cast("double").alias("_v")).filter(
         F.col("_v").isNotNull() & F.to_date("ts").isNotNull()
@@ -2253,17 +2267,20 @@ def q_hist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ranked.join(F.broadcast(qidx), "rn").select(
         "q", F.col("_v").alias("_exact")
     )
-    out = est.join(exact, "q").withColumn(
-        "exact_disc", F.round(F.col("_exact") + F.lit(1e-9), 6)
-    )
-    # the bound compares the SAME rounded columns the twin compares
+    out = est.join(exact, "q")
     in_bin = (
-        F.col("lo_edge").isNull() | (F.col("exact_disc") > F.col("lo_edge"))
+        F.col("lo_edge").isNull() | (F.col("_exact") > F.col("lo_edge"))
     ) & (
-        F.col("hi_edge").isNull() | (F.col("exact_disc") <= F.col("hi_edge"))
+        F.col("hi_edge").isNull() | (F.col("_exact") <= F.col("hi_edge"))
     )
+    r6 = lambda c: F.round(F.col(c) + F.lit(1e-9), 6)  # noqa: E731
     return out.select(
-        "q", "bin", "lo_edge", "hi_edge", "estimate", "exact_disc",
+        "q",
+        "bin",
+        r6("lo_edge").alias("lo_edge"),
+        r6("hi_edge").alias("hi_edge"),
+        r6("estimate").alias("estimate"),
+        r6("_exact").alias("exact_disc"),
         in_bin.alias("in_bin"),
     ).orderBy("q")
 
@@ -7459,18 +7476,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT q, r.v AS exact
                 FROM qs CROSS JOIN n1
                 JOIN ranked r ON r.rn = CAST(CEIL(q * n) AS BIGINT)
-            ), rounded AS (
-                SELECT e.q, CAST(e.bin AS INT) AS bin,
-                       ROUND(e.lo + 1e-9, 6) AS lo_edge,
-                       ROUND(e.hi + 1e-9, 6) AS hi_edge,
-                       ROUND(e.estimate + 1e-9, 6) AS estimate,
-                       ROUND(ex.exact + 1e-9, 6) AS exact_disc
-                FROM est e JOIN ex ON ex.q = e.q
             )
-            SELECT q, bin, lo_edge, hi_edge, estimate, exact_disc,
-                   ((lo_edge IS NULL OR exact_disc > lo_edge)
-                    AND (hi_edge IS NULL OR exact_disc <= hi_edge)) AS in_bin
-            FROM rounded ORDER BY q
+            -- the containment bound compares the RAW doubles (rounding
+            -- can collapse a strict inequality to equality); displayed
+            -- columns round at 6 like the Spark side
+            SELECT e.q, CAST(e.bin AS INT) AS bin,
+                   ROUND(e.lo + 1e-9, 6) AS lo_edge,
+                   ROUND(e.hi + 1e-9, 6) AS hi_edge,
+                   ROUND(e.estimate + 1e-9, 6) AS estimate,
+                   ROUND(ex.exact + 1e-9, 6) AS exact_disc,
+                   ((e.lo IS NULL OR ex.exact > e.lo)
+                    AND (e.hi IS NULL OR ex.exact <= e.hi)) AS in_bin
+            FROM est e JOIN ex ON ex.q = e.q
+            ORDER BY e.q
         """,
         "psi_state_series": """
             -- quality.checks.psi_from_hist_state twin (round 10):

@@ -920,7 +920,7 @@ def hist_edges(
 
 
 def hist_state(
-    df: DataFrame, ts_col: str, col: str, edges: DataFrame
+    df: DataFrame, ts_col: str, col: str, edges: "DataFrame | list[float]"
 ) -> DataFrame:
     """The appendable histogram-state rows of a batch: (day, bin, n)
     counts of ``col`` under the PINNED ``edges``
@@ -950,7 +950,9 @@ def hist_state(
     equi-joins would silently drop — all mass lost with no error).
     Both corruptions raise here with the fix spelled out. The validated
     edges inline as a literal array, so the batch plan is one narrow
-    scan with no join at all."""
+    scan with no join at all; an already-collected edge LIST is also
+    accepted (collect the store once per cycle, share across the
+    readers)."""
     bs = _pinned_edges(edges, "hist_state")
     vals = df.select(
         F.to_date(F.col(ts_col)).alias("day"),
@@ -964,14 +966,20 @@ def hist_state(
     )
 
 
-def _pinned_edges(edges: DataFrame, op: str) -> list[float]:
+def _pinned_edges(edges, op: str) -> list[float]:
     """Validate and materialize a pinned edge store (1-row ``_bs``
-    frame from :func:`hist_edges`) into a literal float list. Raises on
-    a multi-row store (an accidental mode('append') re-bootstrap would
+    frame from :func:`hist_edges`, or an already-collected edge list —
+    a loop that runs several state readers per cycle collects once and
+    passes the list through) into a literal float list. Raises on a
+    multi-row store (an accidental mode('append') re-bootstrap would
     silently multiply every count) and on a NULL array (a bootstrap
     window that filtered to zero values — its NULL bins would be
     silently dropped by the PSI equi-joins). The 1-row collect is a
     bootstrap-store read, trivially cheap at any scale."""
+    if isinstance(edges, (list, tuple)):
+        if not edges:
+            raise ValueError(f"{op}: the edge list is empty")
+        return [float(b) for b in edges]
     head = edges.select("_bs").limit(2).collect()
     if len(head) != 1:
         raise ValueError(
@@ -1018,8 +1026,16 @@ def psi_from_hist_state(
     return _psi_series(counts, num_bins, epsilon)
 
 
+#: public name for collecting/validating a pinned edge store once per
+#: cycle and passing the list to every reader in the family
+pinned_edges = _pinned_edges
+
+
 def hist_edges_drift(
-    state: DataFrame, num_bins: int = 10, threshold: float = 0.4
+    state: DataFrame,
+    num_bins: int = 10,
+    threshold: float = 0.4,
+    edges: "DataFrame | list[float] | None" = None,
 ) -> DataFrame:
     """The histogram store's SELF-POLICING guard: per-day share of mass
     landing in the two open-end terminal bins of the pinned edge family
@@ -1038,11 +1054,18 @@ def hist_edges_drift(
     alert-on-degradation contract as the cycle-metric monitors).
     Reads ONLY state rows (days x bins — broadcast-tiny at any corpus
     scale); output one row per day: (day, n_total, n_edge, edge_share,
-    re_bootstrap). Rows whose day had no in-range mass at all cannot
-    occur (a day with rows has counts); a mismatched ``num_bins``
-    smaller than the store's real family would misread interior bins
-    as terminal, so pass the store's real bin count — bins past
-    ``num_bins``-1 raise as a family mismatch."""
+    re_bootstrap). PASS ``edges`` (the store's edge frame, or the
+    already-collected list) whenever it is at hand: the bin count is
+    then DERIVED from the pinned family and cannot be wrong. With only
+    ``num_bins``, both mismatch directions are dangerous and only one
+    is detectable from state alone: bins past ``num_bins``-1 raise as
+    a family mismatch (num_bins too small), but a ``num_bins`` LARGER
+    than the store's family is indistinguishable from legitimately
+    empty top bins — the true upper terminal bin would be misread as
+    interior and the guard silently defused — so state-only calls must
+    pass the store's real bin count."""
+    if edges is not None:
+        num_bins = len(_pinned_edges(edges, "hist_edges_drift")) + 1
     if num_bins < 2:
         raise ValueError("hist_edges_drift: num_bins must be >= 2")
     overflow = state.filter(F.col("bin") > num_bins - 1).limit(1).count()
@@ -1075,9 +1098,9 @@ def hist_edges_drift(
 
 def quantiles_from_hist_state(
     state: DataFrame,
-    edges: DataFrame,
+    edges: "DataFrame | list[float]",
     qs: list[float] = (0.25, 0.5, 0.75),
-    round_digits: int = 6,
+    round_digits: "int | None" = 6,
 ) -> DataFrame:
     """Quantile estimates merged ENTIRELY from persisted histogram
     state (:func:`hist_state`) — the percentile companion the moments
@@ -1101,9 +1124,13 @@ def quantiles_from_hist_state(
     :func:`hist_edges_drift` flags for re-bootstrap. Output one row per
     q: (q, bin, lo_edge, hi_edge, estimate), everything from days x
     bins state rows + the 1-row edge store — broadcast-tiny at any
-    corpus scale. The certified twin (``hist_percentiles``) pins the
-    containment bound against the exact in-query percentile, the
-    ann_recall bounded-oracle pattern."""
+    corpus scale. ``round_digits=None`` emits the RAW doubles (bound
+    checks must compare those — rounding can collapse a strict
+    inequality to equality); an already-collected edge list is
+    accepted like everywhere in this family. The certified twin
+    (``hist_percentiles``) pins the containment bound against the
+    exact in-query percentile, the ann_recall bounded-oracle
+    pattern."""
     qs = [float(q) for q in qs]
     if not qs or any(not (0.0 < q < 1.0) for q in qs):
         raise ValueError(
@@ -1154,7 +1181,10 @@ def quantiles_from_hist_state(
         .when(F.col("bin") == k - 1, lo)
         .otherwise(interp)
     )
-    r = lambda c: F.round(c + F.lit(1e-9), round_digits)  # noqa: E731
+    if round_digits is None:  # raw values — bound checks compare these
+        r = lambda c: c  # noqa: E731
+    else:
+        r = lambda c: F.round(c + F.lit(1e-9), round_digits)  # noqa: E731
     return est.select(
         "q",
         F.col("bin").cast("int").alias("bin"),

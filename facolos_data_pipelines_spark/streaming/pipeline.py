@@ -781,6 +781,20 @@ def embedding_near_dup_sink(
                         "match — pass the stored family, or re-index the "
                         "accepted corpus into a new store"
                     )
+            elif meta is not None:
+                # a meta without the family (e.g. hand-written from the
+                # layout-repair instructions) must not silently disable
+                # the family check forever: the true family is
+                # unrecoverable from (band, sig) data, so refuse rather
+                # than adopt a possibly-wrong configured one
+                raise ValueError(
+                    f"embedding band store at {band_store_path!r} has a "
+                    "layout meta without the pinned plane family; add the "
+                    'family the store was CREATED with ("num_planes": P, '
+                    '"num_bands": B) to the meta file before probing — '
+                    "adopting the configured family would silently miss "
+                    "every historical bucket if it differs"
+                )
             n_parts = _effective_store_partitions(
                 spark, band_store_path, store_partitions,
                 hash_col="sig", adopt_extra=family,
@@ -788,23 +802,33 @@ def embedding_near_dup_sink(
         else:
             n_parts = store_partitions
 
-        # zero-norm vectors: no cosine, no bucket identity, no replay
-        # protection — drop loudly, not silently
+        # degenerate vectors — NULL, zero-norm, or carrying a NaN/NULL
+        # element — have no defined cosine and no stable bucket
+        # identity (a NaN dot-product compares TRUE against every
+        # hyperplane: NaN > 0 in Spark's ordering, so two arbitrary
+        # NaN vectors would collide in every band), hence no replay
+        # protection: drop loudly, not silently. The kept predicate is
+        # the exact complement of the counted one.
         norm_sq = F.aggregate(
             F.col(vec_col), F.lit(0.0),
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
         scoped = batch_df.withColumn("_nsq", norm_sq)
-        n_zero = scoped.filter(
-            F.col(vec_col).isNull() | (F.col("_nsq") <= 0)
-        ).count()
-        if n_zero:
+        bad = (
+            F.col(vec_col).isNull()
+            | F.col("_nsq").isNull()  # a NULL element nulls the fold
+            | F.isnan("_nsq")
+            | (F.col("_nsq") <= 0)
+        )
+        n_bad = scoped.filter(bad).count()
+        if n_bad:
             logging.getLogger(__name__).info(
-                "embedding_near_dup_sink batch %s: dropping %d zero-norm/"
-                "NULL vector(s) — no bucket identity, not replay-protectable",
-                batch_id, n_zero,
+                "embedding_near_dup_sink batch %s: dropping %d degenerate "
+                "vector(s) (NULL/zero-norm/NaN) — no bucket identity, not "
+                "replay-protectable",
+                batch_id, n_bad,
             )
-        batch = scoped.filter(F.col("_nsq") > 0).drop("_nsq")
+        batch = scoped.filter(~bad).drop("_nsq")
 
         survivors = embedding_dedup(
             batch, vec_col, id_col, threshold, num_planes, num_bands, dim,
@@ -939,8 +963,14 @@ def compact_bucket_store(
         writer = writer.partitionBy("bucket_pmod")
     writer.parquet(tmp)
     rows_after = spark.read.parquet(tmp).count()
-    if meta is not None:  # layout meta travels with the compacted store
-        _write_store_meta(tmp, meta["store_partitions"], spark)
+    if meta is not None:
+        # the WHOLE meta travels with the compacted store — an
+        # embedding band store's record also pins the plane family
+        # (num_planes/num_bands); rewriting only the layout key would
+        # silently disable the family check and let a later mismatched
+        # family miss every historical bucket
+        extra = {k: v for k, v in meta.items() if k != "store_partitions"}
+        _write_store_meta(tmp, meta["store_partitions"], spark, extra or None)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

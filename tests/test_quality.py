@@ -654,6 +654,15 @@ def test_hist_edges_drift_flags_outgrown_edges(spark):
     assert got["2024-03-03"]["edge_share"] == 1.0
     assert got["2024-03-03"]["n_edge"] == got["2024-03-03"]["n_total"] == 100
 
+    # passing the edge store derives the bin count from the pinned
+    # family — the mismatch-proof call form (a too-LARGE num_bins is
+    # undetectable from state alone and would defuse the guard)
+    via_edges = {
+        str(r["day"]): r.asDict()
+        for r in hist_edges_drift(state, edges=edges).collect()
+    }
+    assert via_edges == got
+
     with pytest.raises(ValueError, match="larger edge family"):
         hist_edges_drift(state, num_bins=5).collect()
     with pytest.raises(ValueError, match="num_bins must be >= 2"):

@@ -1096,13 +1096,26 @@ def test_streaming_embedding_near_dup_across_batches(spark, tmp_root):
     assert {r["vec_id"] for r in spark.read.parquet(sink).collect()} == {1, 2}
 
     # batch 2: a near-dup of vec 1 (tiny perturbation — same buckets),
-    # a genuinely novel direction, and a zero-norm vector
+    # a genuinely novel direction, and three DEGENERATE vectors the
+    # gate must drop as its exact complement: zero-norm, NaN element
+    # (NaN > 0 is TRUE in Spark's ordering — an unguarded norm check
+    # would keep it and give it an all-ones signature), NULL element
+    # (nulls the norm fold)
     spark.createDataFrame(
-        [(3, _vec(0, noise=0.01)), (4, _vec(6)), (5, [0.0] * 8)], schema
+        [
+            (3, _vec(0, noise=0.01)),
+            (4, _vec(6)),
+            (5, [0.0] * 8),
+            (6, [float("nan")] + [0.0] * 7),
+            (7, [None] + [1.0] * 7),
+        ],
+        schema,
     ).coalesce(1).write.mode("append").parquet(src)
     run_cycle()
     landed = {r["vec_id"] for r in spark.read.parquet(sink).collect()}
-    assert landed == {1, 2, 4}, f"near-dup + zero-norm dropped, novel kept: {landed}"
+    assert landed == {1, 2, 4}, (
+        f"near-dup + degenerate dropped, novel kept: {landed}"
+    )
 
     # the store is pmod-partitioned on sig and the meta pins the family
     import glob
@@ -1179,12 +1192,29 @@ def test_embedding_sink_plane_family_sticky_and_compactable(spark, tmp_root):
     with pytest.raises(ValueError, match="sticky"):
         bad_layout(spark.createDataFrame([(999, _vec(1))], schema), 99)
 
+    # a meta that lost its plane family must refuse, not silently skip
+    # the family check (the true family is unrecoverable from data)
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(store, "_NEAR_DUP_STORE_META.json")
+    full_meta = _json.load(open(meta_path))
+    with open(meta_path, "w") as fh:
+        _json.dump({"store_partitions": full_meta["store_partitions"]}, fh)
+    with pytest.raises(ValueError, match="without the pinned plane family"):
+        fold(spark.createDataFrame([(998, _vec(2))], schema), 98)
+    with open(meta_path, "w") as fh:
+        _json.dump(full_meta, fh)
+
     before = spark.read.parquet(store)
     buckets_before = {tuple(r) for r in before.select("band", "sig").collect()}
     stats = compact_bucket_store(
         spark, store, id_col="vec_id", key_cols=("band", "sig")
     )
     assert stats["rows_after"] <= stats["rows_before"]
+    # compaction must carry the WHOLE meta — losing the family keys
+    # would disable the family check on the compacted store
+    assert _json.load(open(meta_path)) == full_meta
     after = spark.read.parquet(store)
     assert {tuple(r) for r in after.select("band", "sig").collect()} == buckets_before
     assert (
