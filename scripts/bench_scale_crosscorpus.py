@@ -518,11 +518,31 @@ def main() -> int:
         # plus a parallelism floor on the probe's scan side (a
         # bucketed scan reads >= 1 task per bucket; too few buckets
         # caps scan parallelism at production core counts).
+        #
+        # Split: batch = the copy-1 slice of the scale generator
+        # (doc_id in [KEY_OFFSET, 2*KEY_OFFSET)), thinned by base-id
+        # hash; corpus = every other copy. The generator plants exact
+        # 3-cliques across copies {3g+1, 3g+2, 3g+3}, so each batch
+        # doc's two clique siblings (copies 2 and 3) sit IN the
+        # corpus and the probe verifies REAL pairs — the odd/even
+        # split of the §6g addendum keeps whole cliques on one parity
+        # (copy offsets are even) and yields zero verified pairs.
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        thin = max(1, n_docs // 5_000)
-        batch = docs.filter(F.col("doc_id") % (2 * thin) == 1)
-        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        key_offset = 10_000_000  # make_scale_data documents doc_id shift
+        copy_idx = (F.col("doc_id") / F.lit(key_offset)).cast("long")
+        batch_all = docs.filter(copy_idx == 1)
+        n_slice = batch_all.count()
+        if n_slice == 0:
+            raise SystemExit(
+                "minhash_bucket_sizing needs a make_scale_data directory "
+                "(no copy-1 slice found) — run it on /tmp/scale_sf*"
+            )
+        thin = max(1, n_slice // 2_500)
+        batch = batch_all.filter(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(thin)) == 0
+        )
+        corpus = docs.filter(copy_idx != 1)
         state_df = minhash_band_state(corpus)
         legs = {}
         ref_pairs = None
