@@ -624,6 +624,7 @@ def hist_state_sink(
     edges_path: str,
     ts_col: str = "ts",
     col: str = "value",
+    edge_guard_threshold: "float | None" = None,
 ):
     """foreachBatch factory: the STREAMING writer of the incremental
     drift loop (quality.checks.hist_state) — each micro-batch appends
@@ -644,24 +645,64 @@ def hist_state_sink(
     exactly-once-effect pattern for foreachBatch under at-least-once
     delivery). Readers are unaffected: psi_from_hist_state sums
     duplicate (day, bin) rows ACROSS batch partitions by design, and
-    the extra column is ignored."""
+    the extra column is ignored.
+
+    ``edge_guard_threshold`` streams the store's re-bootstrap guard
+    (quality.checks.hist_edges_drift) as a LIVE alert: after each
+    append, the batch's OWN (day, bin, n) rows — already at hand,
+    days x bins tiny — are scored for mass in the open-end terminal
+    bins, and any flagged day logs a WARNING naming the day, its edge
+    share, and the re-bootstrap instruction. This is the streamed form
+    of the batch loop's self-policing contract: a feed that drifts
+    past the pinned edges announces itself within ONE micro-batch of
+    doing so, instead of waiting for an offline audit of the store.
+    The bin count derives from the pinned family (the mismatch-proof
+    call form); the batch frame is checkpointed once so the guard adds
+    a tiny-aggregate read, not a second batch scan. ``None`` (default)
+    keeps the guard off."""
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from ..quality.checks import hist_state
+        import logging
+
+        from ..quality.checks import hist_edges_drift, hist_state, pinned_edges
 
         spark = batch_df.sparkSession
         if not batch_df.head(1):
             return
-        edges = spark.read.parquet(edges_path)
+        edges = pinned_edges(
+            spark.read.parquet(edges_path), "hist_state_sink"
+        )
         rows = hist_state(batch_df, ts_col, col, edges).withColumn(
             "_batch_id", F.lit(int(batch_id))
         )
+        if edge_guard_threshold is not None:
+            rows = rows.localCheckpoint(eager=True)
         (
             rows.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")
             .parquet(store_path)
         )
+        if edge_guard_threshold is not None:
+            flagged = (
+                hist_edges_drift(
+                    rows.drop("_batch_id"),
+                    threshold=edge_guard_threshold,
+                    edges=edges,
+                )
+                .filter(F.col("re_bootstrap"))
+                .collect()
+            )
+            for r in flagged:
+                logging.getLogger(__name__).warning(
+                    "hist_state_sink batch %s: day %s has edge_share "
+                    "%.4f > %.2f of its mass in the open-end terminal "
+                    "bins — the feed has outgrown the pinned edges; "
+                    "re-bootstrap hist_edges on a fresh reference window "
+                    "and re-bin (PSI over the drifted region has lost "
+                    "resolution)",
+                    batch_id, r["day"], r["edge_share"], edge_guard_threshold,
+                )
 
     return append_batch
 

@@ -1226,3 +1226,49 @@ def test_embedding_sink_plane_family_sticky_and_compactable(spark, tmp_root):
     assert {
         r["vec_id"] for r in spark.read.parquet(sink).collect()
     } == landed
+
+
+def test_hist_state_sink_edge_guard_alerts_on_outgrown_feed(spark, tmp_root, caplog):
+    """The streamed re-bootstrap guard: with edge_guard_threshold set,
+    a micro-batch whose mass has drifted past the pinned edges logs a
+    WARNING naming the day and its terminal-bin share within that
+    batch — while an in-family batch stays silent and both batches'
+    rows land in the store regardless (alerting never drops data)."""
+    import logging
+
+    from datetime import datetime
+
+    from facolos_data_pipelines_spark.quality.checks import hist_edges
+    from facolos_data_pipelines_spark.streaming import hist_state_sink
+
+    boot = spark.createDataFrame(
+        [(datetime(2024, 3, 1, 12), float(i % 100)) for i in range(200)],
+        "ts timestamp, value double",
+    )
+    edges_path = f"{tmp_root}/eg_edges"
+    store = f"{tmp_root}/eg_store"
+    hist_edges(boot, "value").write.parquet(edges_path)
+    fold = hist_state_sink(store, edges_path, "ts", "value",
+                           edge_guard_threshold=0.4)
+
+    in_family = spark.createDataFrame(
+        [(datetime(2024, 3, 2, 12), float(i % 100)) for i in range(100)],
+        "ts timestamp, value double",
+    )
+    drifted = spark.createDataFrame(
+        [(datetime(2024, 3, 3, 12), 900.0 + i) for i in range(100)],
+        "ts timestamp, value double",
+    )
+    with caplog.at_level(logging.WARNING,
+                         logger="facolos_data_pipelines_spark.streaming.pipeline"):
+        fold(in_family, 0)
+        quiet = [r for r in caplog.records if "edge_share" in r.getMessage()]
+        fold(drifted, 1)
+        loud = [r for r in caplog.records if "edge_share" in r.getMessage()]
+    assert not quiet, "in-family batch must not alert"
+    assert len(loud) == 1 and "2024-03-03" in loud[0].getMessage()
+    assert "re-bootstrap" in loud[0].getMessage()
+    # alerting never drops data: both batches' rows are in the store
+    days = {str(r["day"]) for r in
+            spark.read.parquet(store).select("day").distinct().collect()}
+    assert days == {"2024-03-02", "2024-03-03"}
