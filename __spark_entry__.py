@@ -2258,8 +2258,15 @@ def q_hist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = vals.count()
     import math
 
+    # robust rank: ceil on the raw double product can overshoot when
+    # q*n is mathematically integral (0.1*100000 -> 10000.000000000002,
+    # ceil 10001) — the value one past a bin's hi_edge would then fake
+    # an in_bin=false on a boundary coincidence. Round to 9 decimals
+    # first (kills FP dust, never reaches a real .5 case) — mirrored
+    # EXACTLY in the DuckDB twin so the bound stays comparable.
     qidx = spark.createDataFrame(
-        [(q, int(math.ceil(q * n))) for q in qs], "q double, rn long"
+        [(q, max(1, int(math.ceil(round(q * n, 9))))) for q in qs],
+        "q double, rn long",
     )
     ranked = vals.withColumn(
         "rn", F.row_number().over(Window.orderBy("_v"))
@@ -7475,7 +7482,11 @@ def oracle_sql() -> dict[str, str]:
             ), ex AS (
                 SELECT q, r.v AS exact
                 FROM qs CROSS JOIN n1
-                JOIN ranked r ON r.rn = CAST(CEIL(q * n) AS BIGINT)
+                -- robust rank, mirroring the Spark side: round the
+                -- double product to 9 decimals before CEIL so an
+                -- integral q*n can't overshoot by FP dust
+                JOIN ranked r
+                  ON r.rn = GREATEST(1, CAST(CEIL(ROUND(q * n, 9)) AS BIGINT))
             )
             -- the containment bound compares the RAW doubles (rounding
             -- can collapse a strict inequality to equality); displayed

@@ -24,7 +24,7 @@ reference's re-read-and-dedup loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -718,6 +718,7 @@ def embedding_near_dup_sink(
     dim: int | None = None,
     signature_impl: str = "expr",
     store_partitions: int = 16,
+    adopt_family_if_meta_absent: bool = False,
 ):
     """foreachBatch factory: streaming EMBEDDING ingestion with
     near-dup dedup against everything already ingested — the
@@ -743,9 +744,17 @@ def embedding_near_dup_sink(
     3. survivors append to ``docs_sink_path``; their band rows append
        to ``band_store_path`` (band, sig, id — id kept for lineage).
 
-    REPLAY-IDEMPOTENT by construction: a redelivered micro-batch finds
-    its own buckets already in the store and drops every vector, so
-    at-least-once delivery never duplicates the sink. ZERO-NORM
+    REPLAY-IDEMPOTENT by construction — when the prior delivery
+    completed BOTH appends: a redelivered micro-batch finds its own
+    buckets already in the store and drops every vector, so
+    at-least-once delivery never duplicates the sink. The crash window
+    is the gap between the survivor append and the band-row append
+    (survivors write first so the accepted corpus is never missing an
+    indexed vector): a failure between the two leaves the docs landed
+    but UN-indexed, and the redelivery re-appends every survivor —
+    at-least-once on the docs side for that one batch, same trade-off
+    as ``near_dup_filter_sink``. Recovery: ``compact_bucket_store``
+    plus a doc-id dedup pass over the docs sink. ZERO-NORM
     vectors are DROPPED (logged per batch): they have no defined
     cosine and no bucket identity, so they carry no replay protection
     — a policy difference from the batch operators (which pass them
@@ -778,7 +787,20 @@ def embedding_near_dup_sink(
     (theta ~ 0) keep colliding at any practical p, which is the
     regime a bucket-level streaming gate is for; the occupancy-sized
     default (12) suits the verified batch loop, not this sink, at
-    large N. ``store_partitions=0`` keeps an unpartitioned layout."""
+    large N. ``store_partitions=0`` keeps an unpartitioned layout.
+
+    When an EXISTING store has provably NO meta (a remote store whose
+    best-effort meta write failed, or a local legacy unpartitioned
+    store), the true plane family is unrecoverable from (band, sig)
+    data, so the sink REFUSES to probe rather than silently adopting
+    the configured family (which, if wrong, would miss every
+    historical bucket AND pin the wrong family forever).
+    ``adopt_family_if_meta_absent=True`` is the explicit operator
+    override for the one legitimate case — you know the store was
+    created with exactly this (num_planes, num_bands) and only the
+    meta is missing; the sink then adopts and pins the configured
+    family (layout still data-proven via the pmod check for remote
+    partitioned stores)."""
     from ..operators.dedup_embedding import (
         embedding_band_state,
         embedding_dedup,
@@ -836,6 +858,25 @@ def embedding_near_dup_sink(
                     "adopting the configured family would silently miss "
                     "every historical bucket if it differs"
                 )
+            elif meta is None and not adopt_family_if_meta_absent:
+                # meta provably ABSENT (remote best-effort write failed,
+                # or a local legacy unpartitioned store): the true plane
+                # family is unrecoverable from (band, sig) data — the
+                # same refusal as the family-less-meta branch above, but
+                # with an explicit operator override since no meta file
+                # exists to hand-edit in place
+                raise ValueError(
+                    f"embedding band store at {band_store_path!r} exists "
+                    "but has no meta file, so its plane family cannot be "
+                    "verified; adopting the configured family "
+                    f"(num_planes={num_planes}, num_bands={num_bands}) "
+                    "would silently miss every historical bucket if it "
+                    "differs, and pin the wrong family forever — write "
+                    "the meta file with the family the store was CREATED "
+                    'with ({"num_planes": P, "num_bands": B}), or pass '
+                    "adopt_family_if_meta_absent=True if the configured "
+                    "family is known to be the creation family"
+                )
             n_parts = _effective_store_partitions(
                 spark, band_store_path, store_partitions,
                 hash_col="sig", adopt_extra=family,
@@ -861,20 +902,34 @@ def embedding_near_dup_sink(
             | F.isnan("_nsq")
             | (F.col("_nsq") <= 0)
         )
-        n_bad = scoped.filter(bad).count()
-        if n_bad:
-            logging.getLogger(__name__).info(
-                "embedding_near_dup_sink batch %s: dropping %d degenerate "
-                "vector(s) (NULL/zero-norm/NaN) — no bucket identity, not "
-                "replay-protectable",
-                batch_id, n_bad,
-            )
-        batch = scoped.filter(~bad).drop("_nsq")
+        # The degenerate count rides the batch's first full scan via the
+        # Observation API instead of a dedicated count() job (the
+        # common all-clean case previously paid a whole extra batch
+        # scan just to decide whether to log). CollectMetrics sits
+        # BELOW the keep-filter so it sees every row, and the first
+        # action on this lineage is embedding_dedup's full
+        # verify-dispatch count (no limit probes upstream), so the
+        # observed metric is complete by the time the eager
+        # localCheckpoint returns.
+        deg_obs = Observation()
+        batch = (
+            scoped.observe(deg_obs, F.count(F.when(bad, True)).alias("n_bad"))
+            .filter(~bad)
+            .drop("_nsq")
+        )
 
         survivors = embedding_dedup(
             batch, vec_col, id_col, threshold, num_planes, num_bands, dim,
             signature_impl=signature_impl,
         ).localCheckpoint(eager=True)
+        n_bad = int(deg_obs.get["n_bad"])
+        if n_bad:
+            logging.getLogger(__name__).info(
+                "embedding_near_dup_sink batch %s: dropped %d degenerate "
+                "vector(s) (NULL/zero-norm/NaN) — no bucket identity, not "
+                "replay-protectable",
+                batch_id, n_bad,
+            )
 
         def with_pmod(b: DataFrame) -> DataFrame:
             if n_parts:

@@ -1228,6 +1228,69 @@ def test_embedding_sink_plane_family_sticky_and_compactable(spark, tmp_root):
     } == landed
 
 
+def test_embedding_sink_meta_absent_refuses_unless_opted_in(spark, tmp_root):
+    """A store whose meta is provably ABSENT (not just family-less)
+    must refuse to probe: the true plane family is unrecoverable from
+    (band, sig) data, and silently adopting the CONFIGURED family
+    would miss every historical bucket if it differs — then pin the
+    wrong family forever via the end-of-batch meta rewrite.
+    ``adopt_family_if_meta_absent=True`` is the explicit operator
+    override; after it runs, the configured family is pinned and the
+    store filters replays again."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from facolos_data_pipelines_spark.streaming import embedding_near_dup_sink
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    sink = f"{tmp_root}/ma_sink"
+    store = f"{tmp_root}/ma_store"
+    # unpartitioned layout: the one local meta-absent shape that is
+    # layout-recoverable (a local pmod-partitioned store without meta
+    # already raises in _effective_store_partitions regardless)
+    fold = embedding_near_dup_sink(
+        sink, store, num_planes=4, num_bands=2, dim=8, store_partitions=0
+    )
+    fold(spark.createDataFrame([(1, _vec(0)), (2, _vec(3))], schema), 0)
+    meta_path = os.path.join(store, "_NEAR_DUP_STORE_META.json")
+    full_meta = json.load(open(meta_path))
+    assert full_meta["num_planes"] == 4
+    os.remove(meta_path)
+
+    # meta provably absent -> refuse, even with the matching family
+    with pytest.raises(ValueError, match="no meta file"):
+        fold(spark.createDataFrame([(3, _vec(5))], schema), 1)
+    # ...and refuse a DIFFERENT family identically (nothing to compare
+    # against; the refusal is the protection)
+    other = embedding_near_dup_sink(
+        sink, store, num_planes=6, num_bands=3, dim=8, store_partitions=0
+    )
+    with pytest.raises(ValueError, match="no meta file"):
+        other(spark.createDataFrame([(3, _vec(5))], schema), 1)
+
+    # explicit opt-in: adopts + re-pins the configured family, and the
+    # store still drops a replayed batch-0 near-dup
+    opted = embedding_near_dup_sink(
+        sink, store, num_planes=4, num_bands=2, dim=8, store_partitions=0,
+        adopt_family_if_meta_absent=True,
+    )
+    opted(
+        spark.createDataFrame([(4, _vec(0, noise=0.01)), (5, _vec(6))], schema),
+        1,
+    )
+    landed = {r["vec_id"] for r in spark.read.parquet(sink).collect()}
+    assert landed == {1, 2, 5}
+    assert json.load(open(meta_path)) == full_meta
+
+
 def test_hist_state_sink_edge_guard_alerts_on_outgrown_feed(spark, tmp_root, caplog):
     """The streamed re-bootstrap guard: with edge_guard_threshold set,
     a micro-batch whose mass has drifted past the pinned edges logs a
