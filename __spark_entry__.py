@@ -2292,6 +2292,93 @@ def q_hist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q")
 
 
+def q_hist_rebin_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The edge re-bootstrap TRANSITION end-to-end
+    (quality.checks.rebin_hist_state + stitched_psi, round 12): the
+    guard→recovery loop the round-11 alert (hist_edges_drift) pointed
+    at. The old store accumulated events.value (day, bin, n) rows
+    under 10-bin edges pinned from the bootstrap window (days <=
+    2024-01-15) through 2024-01-21 — past the 2024-01-20 seam, the
+    superseded-rows case; the recovery re-bootstraps an 8-bin family
+    on a fresh reference window (2024-01-16..19), re-bins from the
+    seam's BASELINE day (01-19, the one honest bounded fact rescan —
+    mass-conservation-validated against the old store), and the
+    stitched reader scores an UNBROKEN day-over-day PSI series across
+    the family seam: days < seam from the frozen old store, days >=
+    seam from the new store, the straddling 01-20 row scored under the
+    NEW family (the family that covers both of its days) — never a
+    cross-family bin-index comparison, which would score pure noise as
+    drift. Reference anchor: the alert→recovery pairing of
+    src/monitoring/production_monitor.py:84-125 (every threshold rule
+    has an action)."""
+    from facolos_data_pipelines_spark.quality.checks import (
+        hist_edges,
+        hist_state,
+        pinned_edges,
+        rebin_hist_state,
+        stitched_psi,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    old_edges = pinned_edges(
+        hist_edges(
+            events.filter(F.to_date("ts") <= F.lit("2024-01-15")), "value", 10
+        ),
+        "q_hist_rebin_stitch",
+    )
+    old_state = hist_state(
+        events.filter(F.to_date("ts") <= F.lit("2024-01-21")),
+        "ts", "value", old_edges,
+    ).persist()
+    new_edges = pinned_edges(
+        hist_edges(
+            events.filter(
+                F.to_date("ts").between("2024-01-16", "2024-01-19")
+            ),
+            "value", 8,
+        ),
+        "q_hist_rebin_stitch",
+    )
+    new_state = rebin_hist_state(
+        events, "ts", "value", new_edges, "2024-01-20", old_state=old_state
+    )
+    return stitched_psi(
+        old_state, new_state, "2024-01-20",
+        old_edges=old_edges, new_edges=new_edges,
+    ).orderBy("day")
+
+
+def q_hist_percentiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily quantile series from histogram state
+    (quality.checks.quantiles_from_hist_state(per_day=True), round
+    12): one (day, q) row per day of events.value for q in {0.25,
+    0.5, 0.9} under the bootstrap-pinned 10-bin family — the
+    monitoring-grain companion of the global hist_percentiles reader
+    (whose certified twin also pins the containment BOUND; this one
+    certifies the per-day series arithmetic): PSI says the shape
+    moved, the daily p50/p90 series says where. Everything from
+    days x bins state rows + the 1-row edge store; the same
+    cumulative-fraction interpolation per day, partitioned by day."""
+    from facolos_data_pipelines_spark.quality.checks import (
+        hist_edges,
+        hist_state,
+        pinned_edges,
+        quantiles_from_hist_state,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    edges = pinned_edges(
+        hist_edges(
+            events.filter(F.to_date("ts") <= F.lit("2024-01-15")), "value", 10
+        ),
+        "q_hist_percentiles_daily",
+    )
+    state = hist_state(events, "ts", "value", edges)
+    return quantiles_from_hist_state(
+        state, edges, [0.25, 0.5, 0.9], per_day=True
+    ).orderBy("day", "q")
+
+
 def q_profile_state_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moments-profile state delta rows (quality.checks.profile_state,
     round 10): the (day, column, moments) rows one ingestion day
@@ -3872,6 +3959,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_state_series": q_psi_state_series,
         "hist_edges_drift": q_hist_edges_drift,
         "hist_percentiles": q_hist_percentiles,
+        "hist_rebin_stitch": q_hist_rebin_stitch,
+        "hist_percentiles_daily": q_hist_percentiles_daily,
         "profile_state_append": q_profile_state_append,
         "incremental_profile": q_incremental_profile,
         "robust_anomaly": q_robust_anomaly,
@@ -7500,6 +7589,148 @@ def oracle_sql() -> dict[str, str]:
                     AND (e.hi IS NULL OR ex.exact <= e.hi)) AS in_bin
             FROM est e JOIN ex ON ex.q = e.q
             ORDER BY e.q
+        """,
+        "hist_rebin_stitch": """
+            -- quality.checks.rebin_hist_state + stitched_psi twin
+            -- (round 12): day-over-day PSI stitched across the edge-
+            -- family seam at 2024-01-20 — days < seam under the 10-bin
+            -- family pinned from the <= 01-15 bootstrap, days >= seam
+            -- under the 8-bin family re-bootstrapped on 01-16..19,
+            -- the straddling row scored under the NEW family (its
+            -- baseline day 01-19 re-binned by the recovery rescan)
+            WITH ob AS (
+                SELECT quantile_cont(value::DOUBLE,
+                    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+                FROM events
+                WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
+                  AND value IS NOT NULL
+            ), nb AS (
+                SELECT quantile_cont(value::DOUBLE,
+                    [0.125,0.25,0.375,0.5,0.625,0.75,0.875]) AS bs
+                FROM events
+                WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-16'
+                                           AND DATE '2024-01-19'
+                  AND value IS NOT NULL
+            ), v AS (
+                SELECT CAST(ts AS DATE) AS day, value::DOUBLE AS v
+                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            ), oc AS (
+                -- old-family counts: the frozen store's window
+                SELECT day,
+                       CAST(len(list_filter(ob.bs, e -> v > e)) AS INT) AS bin,
+                       COUNT(*) AS n
+                FROM v CROSS JOIN ob
+                WHERE day <= DATE '2024-01-19' GROUP BY 1, 2
+            ), nc AS (
+                -- new-family counts: the recovery rescan (baseline on)
+                SELECT day,
+                       CAST(len(list_filter(nb.bs, e -> v > e)) AS INT) AS bin,
+                       COUNT(*) AS n
+                FROM v CROSS JOIN nb
+                WHERE day >= DATE '2024-01-19' GROUP BY 1, 2
+            ), oh AS (
+                SELECT d.day, r.bin, COALESCE(oc.n, 0) AS n
+                FROM (SELECT DISTINCT day FROM oc) d
+                CROSS JOIN (SELECT CAST(UNNEST(range(10)) AS INT) AS bin) r
+                LEFT JOIN oc ON oc.day = d.day AND oc.bin = r.bin
+            ), nh AS (
+                SELECT d.day, r.bin, COALESCE(nc.n, 0) AS n
+                FROM (SELECT DISTINCT day FROM nc) d
+                CROSS JOIN (SELECT CAST(UNNEST(range(8)) AS INT) AS bin) r
+                LEFT JOIN nc ON nc.day = d.day AND nc.bin = r.bin
+            ), op AS (
+                SELECT cur.day, cur.bin, prv.n AS n_prev, cur.n AS n_curr
+                FROM oh cur JOIN oh prv
+                  ON prv.day + 1 = cur.day AND prv.bin = cur.bin
+            ), np AS (
+                SELECT cur.day, cur.bin, prv.n AS n_prev, cur.n AS n_curr
+                FROM nh cur JOIN nh prv
+                  ON prv.day + 1 = cur.day AND prv.bin = cur.bin
+            ), ot AS (
+                SELECT day, n_prev, n_curr,
+                       GREATEST(n_prev / SUM(n_prev) OVER (PARTITION BY day), 1e-4) AS pp,
+                       GREATEST(n_curr / SUM(n_curr) OVER (PARTITION BY day), 1e-4) AS pc
+                FROM op
+            ), nt AS (
+                SELECT day, n_prev, n_curr,
+                       GREATEST(n_prev / SUM(n_prev) OVER (PARTITION BY day), 1e-4) AS pp,
+                       GREATEST(n_curr / SUM(n_curr) OVER (PARTITION BY day), 1e-4) AS pc
+                FROM np
+            ), stitched AS (
+                SELECT day,
+                       CAST(SUM(n_prev) AS BIGINT) AS n_prev,
+                       CAST(SUM(n_curr) AS BIGINT) AS n_curr,
+                       ROUND(SUM((pc - pp) * ln(pc / pp)) + 1e-12, 6) AS psi,
+                       'old' AS edge_family
+                FROM ot WHERE day < DATE '2024-01-20' GROUP BY day
+                UNION ALL
+                SELECT day,
+                       CAST(SUM(n_prev) AS BIGINT) AS n_prev,
+                       CAST(SUM(n_curr) AS BIGINT) AS n_curr,
+                       ROUND(SUM((pc - pp) * ln(pc / pp)) + 1e-12, 6) AS psi,
+                       'new' AS edge_family
+                FROM nt WHERE day >= DATE '2024-01-20' GROUP BY day
+            )
+            SELECT day, n_prev, n_curr, psi,
+                   psi > 0.25 AS shifted,
+                   psi > 0.1 AND psi <= 0.25 AS drifting,
+                   edge_family
+            FROM stitched
+            ORDER BY day
+        """,
+        "hist_percentiles_daily": """
+            -- quality.checks.quantiles_from_hist_state(per_day=True)
+            -- twin (round 12): the per-(day, q) cumulative-fraction
+            -- interpolation over each day's observed state bins under
+            -- the bootstrap-pinned 10-bin family
+            WITH bv AS (
+                SELECT value::DOUBLE AS v FROM events
+                WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
+                  AND value IS NOT NULL
+            ), b AS (
+                SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+                FROM bv
+            ), v AS (
+                SELECT CAST(ts AS DATE) AS day, value::DOUBLE AS v
+                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            ), c AS (
+                SELECT day,
+                       CAST(len(list_filter(bs, e -> v > e)) AS INT) AS bin,
+                       COUNT(*)::DOUBLE AS n
+                FROM v CROSS JOIN b GROUP BY 1, 2
+            ), cum0 AS (
+                SELECT day, bin,
+                       SUM(n) OVER (PARTITION BY day ORDER BY bin)
+                         / SUM(n) OVER (PARTITION BY day) AS cf
+                FROM c
+            ), cum AS (
+                SELECT day, bin, cf,
+                       COALESCE(LAG(cf) OVER (PARTITION BY day ORDER BY bin),
+                                0.0) AS pcf
+                FROM cum0
+            ), qs AS (
+                SELECT UNNEST([0.25, 0.5, 0.9]::DOUBLE[]) AS q
+            ), pick AS (
+                SELECT cum.day, qs.q, MIN(cum.bin) AS bin
+                FROM qs JOIN cum ON cum.cf >= qs.q
+                GROUP BY cum.day, qs.q
+            ), pe AS (
+                SELECT p.day, p.q, p.bin, cum.cf, cum.pcf,
+                       CASE WHEN p.bin >= 1 THEN b.bs[p.bin] END AS lo,
+                       CASE WHEN p.bin <= 8 THEN b.bs[p.bin + 1] END AS hi
+                FROM pick p
+                JOIN cum ON cum.day = p.day AND cum.bin = p.bin
+                CROSS JOIN b
+            )
+            SELECT day, q, CAST(bin AS INT) AS bin,
+                   ROUND(lo + 1e-9, 6) AS lo_edge,
+                   ROUND(hi + 1e-9, 6) AS hi_edge,
+                   ROUND(CASE WHEN bin = 0 THEN hi
+                              WHEN bin = 9 THEN lo
+                              ELSE lo + (hi - lo) * (q - pcf) / (cf - pcf)
+                         END + 1e-9, 6) AS estimate
+            FROM pe
+            ORDER BY day, q
         """,
         "psi_state_series": """
             -- quality.checks.psi_from_hist_state twin (round 10):

@@ -36,6 +36,8 @@ HEADLINE = [
     "psi_state_series",
     "hist_edges_drift",
     "hist_percentiles",
+    "hist_rebin_stitch",
+    "hist_percentiles_daily",
     "profile_state_append",
     "incremental_profile",
     # round 9 session 2 additions

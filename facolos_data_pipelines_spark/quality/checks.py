@@ -1096,11 +1096,162 @@ def hist_edges_drift(
     )
 
 
+def rebin_hist_state(
+    fact: DataFrame,
+    ts_col: str,
+    col: str,
+    new_edges: "DataFrame | list[float]",
+    since_day: str,
+    old_state: "DataFrame | None" = None,
+) -> DataFrame:
+    """The TRANSITION operator of the histogram-state family: when
+    :func:`hist_edges_drift` fires (mass has outgrown the pinned
+    edges), re-bootstrap :func:`hist_edges` on a fresh reference
+    window and call this to produce the NEW-family state rows that
+    continue the store from ``since_day`` (the seam: the first day to
+    be scored under the new family) onward. Re-binning is IMPOSSIBLE
+    from (day, bin, n) state alone — a bin's mass cannot be
+    redistributed to new bins without the underlying values — so this
+    is the family's one honest fact rescan, and it is bounded: only
+    days >= ``since_day`` - 1 are read (the extra day is deliberate —
+    it is the BASELINE the seam day's day-over-day PSI row needs under
+    the new family; see :func:`stitched_psi`, which refuses to stitch
+    without it). Days before the seam keep their old-family rows in
+    the old store, frozen; the returned rows start a NEW store under
+    the new edges (one store = one edge family, the same contract that
+    makes :func:`hist_state` appends mergeable) and subsequent cycles
+    append to it with plain ``hist_state(batch, ..., new_edges)``.
+
+    Pass ``old_state`` to get the MASS-CONSERVATION validation: for
+    every day both sides cover (the overlap day, plus any drifted days
+    the old store kept accumulating past the seam), the rescan's
+    per-day total must equal the old state's — the same values
+    bucketed under any edge family preserve their count. A mismatch
+    raises: it means the fact no longer holds what the state recorded
+    (a retention window already deleted the seam-adjacent days — the
+    rescan would silently produce PARTIAL counts and the stitched PSI
+    would score a phantom drop — or late data landed after the old
+    state was written; either way the seam must move or the fact must
+    be repaired before the transition is trustworthy). The check
+    compares day-total aggregates (days x 1 rows, broadcast-tiny); it
+    costs one extra scan of the rescanned slice.
+
+    Reference anchor: the alert→recovery pairing of the monitor
+    contract (production_monitor.py:84-125 pairs every threshold with
+    an action) — hist_edges_drift is the alert, this is the action."""
+    seam = F.lit(str(since_day)).cast("date")
+    start = F.date_sub(seam, 1)
+    sliced = fact.filter(F.to_date(F.col(ts_col)) >= start)
+    new_rows = hist_state(sliced, ts_col, col, new_edges)
+    if old_state is not None:
+        # LEFT join from the OLD side: a day the old state recorded but
+        # the rescan produced nothing for (retention already deleted
+        # it) is the worst violation, and an inner join would silently
+        # skip exactly that day; days only the rescan covers are fine
+        # (the old store simply had not appended them yet)
+        mism = (
+            old_state.filter(F.col("day") >= start)
+            .groupBy("day")
+            .agg(F.sum("n").cast("long").alias("_n_old"))
+            .join(
+                new_rows.groupBy("day")
+                .agg(F.sum("n").cast("long").alias("_n_new")),
+                "day",
+                "left",
+            )
+            .withColumn("_n_new", F.coalesce("_n_new", F.lit(0)))
+            .filter(F.col("_n_new") != F.col("_n_old"))
+            .select("day", "_n_old", "_n_new")
+            .limit(1)
+            .collect()
+        )
+        if mism:
+            r = mism[0]
+            raise ValueError(
+                f"rebin_hist_state: day {r['day']} has {r['_n_new']} "
+                f"values in the fact but {r['_n_old']} in the old state "
+                "— re-binning preserves per-day mass under ANY edge "
+                "family, so the fact no longer holds what the state "
+                "recorded (retention already deleted seam-adjacent "
+                "rows, or late data landed after the old state was "
+                "written); move the seam inside the fact's retention "
+                "window, or repair the fact, before transitioning"
+            )
+    return new_rows
+
+
+def stitched_psi(
+    old_state: DataFrame,
+    new_state: DataFrame,
+    seam_day: str,
+    old_edges: "DataFrame | list[float] | None" = None,
+    new_edges: "DataFrame | list[float] | None" = None,
+    old_num_bins: int = 10,
+    new_num_bins: int = 10,
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """Day-over-day PSI series ACROSS an edge-family seam — the
+    stitched reader that completes the re-bootstrap transition
+    (:func:`hist_edges_drift` alerts → :func:`rebin_hist_state`
+    re-bins → this keeps the monitoring series unbroken). Days before
+    ``seam_day`` score from the frozen old-family store; days from
+    ``seam_day`` onward score from the new-family store. The PINNED
+    RULE for the straddling row (``seam_day`` itself, whose baseline
+    day lives before the seam): it is scored under the NEW family —
+    the family that covers BOTH days, because ``rebin_hist_state``
+    deliberately rescans from ``seam_day`` - 1 — never by comparing
+    bin indexes across families (bin i means a different interval
+    under each edge list, so a cross-family join would score pure
+    noise as drift). If the new store lacks the baseline day this
+    REFUSES to stitch rather than silently emitting a gap where the
+    seam row should be: a monitoring series that loses exactly the
+    day of its own re-bootstrap would mask the one transition it
+    exists to survive.
+
+    ``old_edges`` / ``new_edges`` derive each side's bin count from
+    the pinned family when at hand (the mismatch-proof path, exactly
+    :func:`hist_edges_drift`'s rule); otherwise pass each store's real
+    ``*_num_bins``. Output is the :func:`psi_from_hist_state` contract
+    plus ``edge_family`` ('old' | 'new' — which family scored the
+    row); gap days emit no row, duplicate (day, bin) appends sum, and
+    every input is days x bins sized, so the whole stitch is
+    broadcast-tiny at any corpus scale."""
+    if old_edges is not None:
+        old_num_bins = len(_pinned_edges(old_edges, "stitched_psi")) + 1
+    if new_edges is not None:
+        new_num_bins = len(_pinned_edges(new_edges, "stitched_psi")) + 1
+    seam = F.lit(str(seam_day)).cast("date")
+    baseline = F.date_sub(seam, 1)
+    if not new_state.filter(F.col("day") == baseline).limit(1).count():
+        raise ValueError(
+            f"stitched_psi: the new-family state has no rows for the "
+            f"baseline day (the day before {seam_day!r}) — the seam "
+            "row's day-over-day PSI needs both days under ONE family; "
+            "rebin_hist_state rescans from the baseline day for "
+            "exactly this reason, so re-bin from there (or move the "
+            "seam to the first day the new store can baseline)"
+        )
+    old_series = (
+        psi_from_hist_state(old_state, old_num_bins, epsilon)
+        .filter(F.col("day") < seam)
+        .withColumn("edge_family", F.lit("old"))
+    )
+    new_series = (
+        psi_from_hist_state(
+            new_state.filter(F.col("day") >= baseline), new_num_bins, epsilon
+        )
+        .filter(F.col("day") >= seam)
+        .withColumn("edge_family", F.lit("new"))
+    )
+    return old_series.unionByName(new_series)
+
+
 def quantiles_from_hist_state(
     state: DataFrame,
     edges: "DataFrame | list[float]",
     qs: list[float] = (0.25, 0.5, 0.75),
     round_digits: "int | None" = 6,
+    per_day: bool = False,
 ) -> DataFrame:
     """Quantile estimates merged ENTIRELY from persisted histogram
     state (:func:`hist_state`) — the percentile companion the moments
@@ -1130,7 +1281,14 @@ def quantiles_from_hist_state(
     accepted like everywhere in this family. The certified twin
     (``hist_percentiles``) pins the containment bound against the
     exact in-query percentile, the ann_recall bounded-oracle
-    pattern."""
+    pattern.
+
+    ``per_day=True`` answers at the family's MONITORING grain: one
+    row per (day, q) — a daily p50/p90 series from state rows alone,
+    the natural drift companion to the PSI series (PSI says the shape
+    moved; the daily quantile series says where). Identical cumulative
+    arithmetic per day; days x qs output, still broadcast-tiny; the
+    certified series twin is ``hist_percentiles_daily``."""
     qs = [float(q) for q in qs]
     if not qs or any(not (0.0 < q < 1.0) for q in qs):
         raise ValueError(
@@ -1147,26 +1305,41 @@ def quantiles_from_hist_state(
             "bootstrap"
         )
     spark = state.sparkSession
-    merged = state.groupBy("bin").agg(F.sum("n").cast("double").alias("n"))
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    part = ["day"] if per_day else []
+    merged = state.groupBy(*part, "bin").agg(
+        F.sum("n").cast("double").alias("n")
+    )
+    w = (
+        Window.partitionBy(*part)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = (
+        Window.partitionBy(*part)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     cum = merged.select(
+        *part,
         "bin",
         (F.sum("n").over(w) / F.sum("n").over(wall)).alias("cf"),
     ).withColumn(
-        "pcf", F.coalesce(F.lag("cf").over(Window.orderBy("bin")), F.lit(0.0))
+        "pcf",
+        F.coalesce(
+            F.lag("cf").over(Window.partitionBy(*part).orderBy("bin")),
+            F.lit(0.0),
+        ),
     )
     qdf = spark.range(1).select(
         F.explode(F.array(*[F.lit(q) for q in qs])).alias("q")
     )
     picked = (
-        qdf.join(F.broadcast(cum), F.col("cf") >= F.col("q"))
-        .groupBy("q")
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cf") >= F.col("q"))
+        .groupBy(*part, "q")
         .agg(F.min("bin").alias("bin"))
     )
-    est = picked.join(F.broadcast(cum), "bin")
+    est = picked.join(F.broadcast(cum), [*part, "bin"])
     bsl = F.lit(bs)
     lo = F.when(F.col("bin") >= 1, F.element_at(bsl, F.col("bin").cast("int")))
     hi = F.when(
@@ -1186,6 +1359,7 @@ def quantiles_from_hist_state(
     else:
         r = lambda c: F.round(c + F.lit(1e-9), round_digits)  # noqa: E731
     return est.select(
+        *part,
         "q",
         F.col("bin").cast("int").alias("bin"),
         r(lo).alias("lo_edge"),

@@ -730,3 +730,149 @@ def test_quantiles_from_hist_state_bounded_and_mergeable(spark, tmp_path):
     small = hist_edges(df, "value", num_bins=4)
     with pytest.raises(ValueError, match="different edges"):
         quantiles_from_hist_state(state, small, qs).collect()
+
+
+def test_rebin_and_stitched_psi_across_seam(spark):
+    """The guard→recovery loop closed: hist_edges_drift fires,
+    rebin_hist_state produces the new-family rows from the one honest
+    bounded fact rescan (seam - 1 onward — the baseline day the seam
+    PSI row needs), and stitched_psi scores an UNBROKEN day-over-day
+    series across the edge-family seam under the pinned rule: the
+    straddling row is scored under the NEW family, which covers both
+    of its days. Old-store rows past the seam are superseded, a
+    missing baseline refuses to stitch, and a fact that lost
+    seam-adjacent mass (retention) refuses to re-bin."""
+    from datetime import datetime
+
+    import pytest
+
+    from facolos_data_pipelines_spark.quality.checks import (
+        hist_edges,
+        hist_edges_drift,
+        hist_state,
+        pinned_edges,
+        psi_from_hist_state,
+        rebin_hist_state,
+        stitched_psi,
+    )
+
+    # days 1-3 in-family; days 4-6 drifted wholesale past the edges
+    rows = []
+    for d in (1, 2, 3):
+        rows += [(datetime(2024, 3, d, 12), float(i % 100)) for i in range(120)]
+    for d in (4, 5, 6):
+        rows += [(datetime(2024, 3, d, 12), 500.0 + i % 100) for i in range(120)]
+    fact = spark.createDataFrame(rows, "ts timestamp, value double")
+
+    old_edges = pinned_edges(
+        hist_edges(
+            fact.filter(F.to_date("ts") <= F.lit("2024-03-02")), "value", 10
+        ),
+        "t",
+    )
+    # the old store accumulated THROUGH the drift (days 1-5) before the
+    # guard's alert was acted on
+    old_state = hist_state(
+        fact.filter(F.to_date("ts") <= F.lit("2024-03-05")),
+        "ts", "value", old_edges,
+    )
+    drift = {
+        str(r["day"]): r["re_bootstrap"]
+        for r in hist_edges_drift(old_state, edges=old_edges).collect()
+    }
+    assert drift["2024-03-04"] and not drift["2024-03-03"]
+
+    # recovery: fresh reference window = the first drifted day
+    new_edges = pinned_edges(
+        hist_edges(
+            fact.filter(F.to_date("ts") == F.lit("2024-03-04")), "value", 8
+        ),
+        "t",
+    )
+    new_state = rebin_hist_state(
+        fact, "ts", "value", new_edges, "2024-03-05", old_state=old_state
+    )
+    days_new = {str(r["day"]) for r in new_state.select("day").dropDuplicates().collect()}
+    assert days_new == {"2024-03-04", "2024-03-05", "2024-03-06"}
+
+    got = {
+        str(r["day"]): r.asDict()
+        for r in stitched_psi(
+            old_state, new_state, "2024-03-05",
+            old_edges=old_edges, new_edges=new_edges,
+        ).collect()
+    }
+    # unbroken series: every day 2..6 has exactly one row
+    assert set(got) == {f"2024-03-0{d}" for d in range(2, 7)}
+    assert {d: r["edge_family"] for d, r in got.items()} == {
+        "2024-03-02": "old", "2024-03-03": "old", "2024-03-04": "old",
+        "2024-03-05": "new", "2024-03-06": "new",
+    }
+    # the old side == the plain reader on the frozen store (its
+    # superseded day-5 row dropped); the seam row == the plain reader
+    # on the new store — both days in ONE family
+    old_alone = {
+        str(r["day"]): r["psi"]
+        for r in psi_from_hist_state(old_state, 10).collect()
+    }
+    new_alone = {
+        str(r["day"]): r["psi"]
+        for r in psi_from_hist_state(new_state, 8).collect()
+    }
+    for d in ("2024-03-02", "2024-03-03", "2024-03-04"):
+        assert got[d]["psi"] == old_alone[d]
+    assert got["2024-03-05"]["psi"] == new_alone["2024-03-05"]
+    # under the new family, days 4->5 share one distribution: the seam
+    # row reads CALM — the cross-family comparison it replaces would
+    # have scored pure bin-index noise as drift
+    assert not got["2024-03-05"]["shifted"]
+    # day 4 under the OLD family is the drift day itself
+    assert got["2024-03-04"]["shifted"]
+
+    with pytest.raises(ValueError, match="baseline day"):
+        stitched_psi(
+            old_state,
+            new_state.filter(F.col("day") >= F.lit("2024-03-05")),
+            "2024-03-05", old_edges=old_edges, new_edges=new_edges,
+        )
+    with pytest.raises(ValueError, match="retention"):
+        rebin_hist_state(
+            fact.filter(F.to_date("ts") >= F.lit("2024-03-05")),
+            "ts", "value", new_edges, "2024-03-05", old_state=old_state,
+        )
+
+
+def test_quantiles_per_day_matches_single_day_reads(spark):
+    """per_day=True answers at the family's monitoring grain: each
+    (day, q) row equals the global reader run on that day's state
+    slice alone — same cumulative arithmetic, partitioned by day."""
+    from datetime import datetime
+
+    from facolos_data_pipelines_spark.quality.checks import (
+        hist_edges,
+        hist_state,
+        quantiles_from_hist_state,
+    )
+
+    rows = [
+        (datetime(2024, 3, 1 + (i % 3), 12), float((i * 7) % 200))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    edges = hist_edges(df, "value", num_bins=10)
+    state = hist_state(df, "ts", "value", edges)
+    qs = [0.25, 0.5, 0.9]
+    daily = {
+        (str(r["day"]), r["q"]): (r["bin"], r["lo_edge"], r["hi_edge"], r["estimate"])
+        for r in quantiles_from_hist_state(state, edges, qs, per_day=True).collect()
+    }
+    assert len(daily) == 9  # 3 days x 3 qs
+    for d in ("2024-03-01", "2024-03-02", "2024-03-03"):
+        single = {
+            r["q"]: (r["bin"], r["lo_edge"], r["hi_edge"], r["estimate"])
+            for r in quantiles_from_hist_state(
+                state.filter(F.col("day") == F.lit(d)), edges, qs
+            ).collect()
+        }
+        for q in qs:
+            assert daily[(d, q)] == single[q], (d, q)
