@@ -3944,7 +3944,7 @@ def q_quantile_bin_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The full registry, insertion order immaterial — queries() below
     # reorders it so the driver's 50-entry sample window rotates each
-    # round (see _R11_WINDOW).
+    # round (see _R12_WINDOW).
     return {
         "bigram_lm_scores": q_bigram_lm_scores,
         "corpus_overlap": q_corpus_overlap,
@@ -4133,45 +4133,47 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Round-11 driver window (the driver oracle-checks the FIRST 50
-# entries of queries() each round; earlier windows live in the r1-r10
-# CORRECTNESS artifacts): the whole 39-name round-7-vintage band —
-# every [Q] name whose newest driver attestation is CORRECTNESS_r07
-# (4 rounds old after r11, crossing the 3-round staleness bar; exactly
-# VERDICT r10 next-round ask #1, which also prescribes budgeting the
-# leftover slots) — then the TWO new round-11 queries
-# (hist_edges_drift, the histogram store's certified re-bootstrap
-# guard, and hist_percentiles, the bounded-oracle certification of
-# quantiles_from_hist_state — new-query attestation outranks early
-# refreshes, the standing convention); the remaining 9 slots
-# early-refresh the oldest round-8 names (alphabetical), shrinking the
-# 37-name r8 band that crosses the bar in round 12 to 28. No [NQ]
-# rows-only names (their row counts ride the full-surface local
-# artifact; their hash-certified attestations are the *_portable
+# Round-12 driver window (the driver oracle-checks the FIRST 50
+# entries of queries() each round; earlier windows live in the r1-r11
+# CORRECTNESS artifacts): the whole 28-name round-8-vintage band —
+# every [Q] name whose newest driver attestation is CORRECTNESS_r08
+# (4 rounds old after r12, crossing the 3-round staleness bar; exactly
+# VERDICT r11 next-round ask #1) — then the TWO new round-12 queries
+# (hist_rebin_stitch, the edge re-bootstrap transition's stitched PSI
+# series, and hist_percentiles_daily, the monitoring-grain quantile
+# series — new-query attestation outranks early refreshes, the
+# standing convention); the remaining 20 slots early-refresh the
+# oldest round-9 names (alphabetical), shrinking the 50-name r9 band
+# that crosses the bar in round 13 to 30 (it would not fit in one
+# 50-slot window otherwise — the spill the r11 verdict prescribes).
+# No [NQ] rows-only names (their row counts ride the full-surface
+# local artifact; their hash-certified attestations are the *_portable
 # twins). Exactly 50 entries: the driver samples the FIRST 50, so a
 # 51st name would silently miss its attestation.
-_R11_WINDOW = [
-    # the 39 r7-vintage names (alphabetical)
-    "approx_distinct", "c4_clean", "chunk_documents", "cold_customers",
-    "column_profile", "corpus_clean", "corpus_diversity",
-    "corpus_overlap", "cube_sales", "curriculum_order", "cycle_metrics",
-    "daily_sales_summary", "dataset_split", "decontaminate_bloom",
-    "disjunctive_revenue", "doc_containment", "dsir_sample",
-    "dsir_weights", "duplicate_spans", "excess_suppliers",
-    "expectations", "forecast_revenue", "frequent_items", "fuzzy_match",
-    "important_parts", "ivfpq_topk", "key_skew", "knn_join",
-    "knn_join_lsh", "language_id", "large_orders", "length_histogram",
-    "line_dedup", "market_share", "min_cost_supplier", "pii_redaction",
-    "sample_per_group", "schedule_health", "video_frame_sample",
-    # new round-11 queries (the drift store's self-policing guard and
-    # the histogram-state quantile reader's bounded oracle)
-    "hist_edges_drift", "hist_percentiles",
-    # 9 early r8 refreshes (oldest alphabetical) — the r8 band crosses
-    # the staleness bar in round 12; every early refresh shrinks that
-    # rotation (37 -> 28)
-    "ann_recall_trained", "asof_join_events", "asof_join_forward",
-    "bm25_search", "char_entropy", "chi2_drift", "cluster_assign",
-    "cohort_retention", "customer_order_distribution",
+_R12_WINDOW = [
+    # the 28 r8-vintage names (alphabetical)
+    "decontaminate", "dup_rate_by_source", "freq_encode_priority",
+    "funnel", "gap_fill_daily", "group_percentiles", "hybrid_search",
+    "incremental_daily_sales", "incremental_distinct", "nation_profit",
+    "nation_trade", "pq_topk", "priority_shipclass", "promo_revenue",
+    "psi_drift", "quantile_bin_prices", "repetition_stats",
+    "returned_top_customers", "semantic_decontaminate", "split_leakage",
+    "strip_dup_spans", "supplier_variety", "supplier_wait",
+    "temperature_mix", "token_budget_mix", "top_supplier",
+    "tumbling_window", "unigram_scores",
+    # new round-12 queries (the guard->recovery transition certified
+    # end-to-end, and the per-day state-quantile series)
+    "hist_rebin_stitch", "hist_percentiles_daily",
+    # 20 early r9 refreshes (oldest alphabetical) — the r9 band
+    # crosses the staleness bar in round 13; every early refresh
+    # shrinks that rotation (50 -> 30)
+    "anti_join_new_keys", "bigram_lm_scores", "column_profile_approx",
+    "column_profile_tdigest", "corpus_overlap_delta", "cross_corpus_dedup",
+    "decayed_user_value", "dedup_keep_best", "dup_cluster_sizes",
+    "dup_components", "embedding_dedup_delta", "embedding_near_dups",
+    "embedding_near_dups_exact", "gram_state_append", "interval_join",
+    "json_props_stats", "ks_drift", "leakage_safe_split",
+    "minhash_dedup_delta", "minhash_dedup_portable",
 ]
 
 
@@ -4219,11 +4221,11 @@ def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = _all_queries()
-    missing = [n for n in _R11_WINDOW if n not in all_q]
+    missing = [n for n in _R12_WINDOW if n not in all_q]
     if missing:
-        raise KeyError(f"_R11_WINDOW names not in the registry: {missing}")
-    rest = [n for n in all_q if n not in set(_R11_WINDOW)]
-    return {n: all_q[n] for n in [*_R11_WINDOW, *rest]}
+        raise KeyError(f"_R12_WINDOW names not in the registry: {missing}")
+    rest = [n for n in all_q if n not in set(_R12_WINDOW)]
+    return {n: all_q[n] for n in [*_R12_WINDOW, *rest]}
 
 
 def _vec_sql() -> str:

@@ -597,6 +597,113 @@ def main() -> int:
             "state_rows": state_df.count(),
             "legs": legs, "pairs_match": True,
         }
+    elif op == "embedding_bucket_sizing":
+        from facolos_data_pipelines_spark.operators import dedup_common
+        from facolos_data_pipelines_spark.operators.dedup_embedding import (
+            embedding_band_state,
+            embedding_delta_pairs,
+        )
+        from facolos_data_pipelines_spark.sources.io import write_bucketed
+
+        # The §6k measurement's embedding twin (r11 verdict ask #3):
+        # the SAME fixed batch probes the SAME (band, sig) store
+        # written bucketed at 4 / 16 / 64 buckets, broadcast disabled
+        # (the large-large regime a 100 TB state forces). Claim under
+        # test, as for minhash: the shuffle-elision plan shape and the
+        # verified pair set are bucket-count-INVARIANT, so num_buckets
+        # is a file-geometry dial sized from state bytes, never a
+        # latency dial.
+        #
+        # Split: batch = the scale generator's copy-1 slice of
+        # embeddings (vec_id in [10M, 20M) — embeddings share the
+        # documents offset, NOT the 2^33 KEY_OFFSET); corpus = every
+        # other copy. perturb_embeddings gives copies {3g+1, 3g+2,
+        # 3g+3} one shared direction per (base vec_id, group), so each
+        # batch vector's two exact clique siblings (copies 2 and 3)
+        # sit IN the corpus: the probe must verify EXACTLY
+        # 2 * n_batch real pairs (identical vectors, cosine 1.0),
+        # while everything else decorrelates (64-dim cosines
+        # concentrate at 0 +- 0.125, far under the 0.9 threshold).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        key_offset = 10_000_000  # make_scale_data embeddings vec_id shift
+        copy_idx = (F.col("vec_id") / F.lit(key_offset)).cast("long")
+        batch = emb.filter(copy_idx == 1)
+        n_batch = batch.count()
+        if n_batch == 0:
+            raise SystemExit(
+                "embedding_bucket_sizing needs a make_scale_data directory "
+                "(no copy-1 slice found) — run it on /tmp/scale_sf*"
+            )
+        corpus = emb.filter(copy_idx != 1)
+        # p=16 keeps random (band, sig) collisions ~batch*corpus/2^16
+        # per band — a bounded candidate set — while the exact clique
+        # siblings collide in EVERY band at any p (theta ~ 0)
+        kw = dict(num_planes=16, num_bands=4, dim=64)
+        state_df = embedding_band_state(corpus, **kw)
+        legs = {}
+        ref_pairs = None
+        for nb in (4, 16, 64):
+            tbl = f"scale_emb_sizing_{nb}_{os.getpid()}"
+            path = f"/tmp/scale_emb_sizing_{nb}_{os.getpid()}"
+            shutil.rmtree(path, ignore_errors=True)
+            t0 = time.monotonic()
+            write_bucketed(
+                state_df, tbl, ["band", "sig"], num_buckets=nb,
+                sort_cols=["band", "sig"], path=path,
+            )
+            write_s = round(time.monotonic() - t0, 3)
+            state = spark.table(tbl)
+            times, n_pairs = [], None
+            for _ in range(reps):
+                t0 = time.monotonic()
+                pairs = embedding_delta_pairs(
+                    batch, state, corpus, threshold=0.9, **kw
+                )
+                n_pairs = pairs.count()
+                times.append(round(time.monotonic() - t0, 3))
+            got = sorted(
+                (r["left_id"], r["right_id"])
+                for r in embedding_delta_pairs(
+                    batch, state, corpus, threshold=0.9, **kw
+                ).collect()
+            )
+            if ref_pairs is None:
+                ref_pairs = got
+            assert got == ref_pairs, (nb, len(got), len(ref_pairs))
+            assert n_pairs == 2 * n_batch, (
+                "every copy-1 vector has exactly its two clique "
+                f"siblings in the corpus: want {2 * n_batch}, got {n_pairs}"
+            )
+            with dedup_common.plan_only_mode():
+                lazy_counts = _plan_counts(
+                    embedding_delta_pairs(
+                        batch, state, corpus, threshold=0.9, **kw
+                    )
+                )
+            import glob as _glob
+
+            files = [
+                f for f in _glob.glob(
+                    os.path.join(path, "**", "*.parquet"), recursive=True
+                ) if os.path.isfile(f)
+            ]
+            state_bytes = sum(os.path.getsize(f) for f in files)
+            legs[str(nb)] = {
+                "median": statistics.median(times), "times": times,
+                "pairs": n_pairs, "write_s": write_s,
+                "state_bytes": state_bytes, "state_files": len(files),
+                "mb_per_bucket": round(state_bytes / nb / 1024 / 1024, 2),
+                "lazy_plan": lazy_counts,
+            }
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            shutil.rmtree(path, ignore_errors=True)
+        result |= {
+            "n_batch": n_batch, "n_corpus": corpus.count(),
+            "state_rows": state_df.count(),
+            "legs": legs, "pairs_match": True,
+        }
     elif op == "embedding_delta_loop":
         from facolos_data_pipelines_spark.operators.dedup import (
             embedding_band_state,
