@@ -905,8 +905,10 @@ def hist_edges(
     piling into the open-end bins) is DETECTED by
     :func:`hist_edges_drift` — the store's certified self-policing
     guard — and recovers by re-bootstrapping here on a fresh reference
-    window and re-binning in one pass. ``approx=True`` uses the KLL
-    sketch at scale; both are one 1-row aggregate."""
+    window and re-binning with :func:`rebin_hist_state` (the stitched
+    PSI reader, :func:`stitched_psi`, keeps the series unbroken across
+    the seam). ``approx=True`` uses the KLL sketch at scale; both are
+    one 1-row aggregate."""
     if num_bins < 2:
         raise ValueError("hist_edges: num_bins must be >= 2")
     qs = [i / num_bins for i in range(1, num_bins)]
@@ -1042,8 +1044,11 @@ def hist_edges_drift(
     (:func:`hist_edges`), flagged when it exceeds ``threshold`` — the
     signal that the monitored distribution has OUTGROWN its bootstrap
     edges and the store needs the re-bootstrap the edge contract
-    prescribes (recompute :func:`hist_edges` on a fresh reference
-    window, re-bin in one pass). Terminal bins are unbounded (bin 0 is
+    prescribes — implemented, not just prescribed: recompute
+    :func:`hist_edges` on a fresh reference window, re-bin with
+    :func:`rebin_hist_state` (the one honest bounded fact rescan),
+    and keep the PSI series unbroken across the family seam with
+    :func:`stitched_psi`. Terminal bins are unbounded (bin 0 is
     (-inf, e_0], bin ``num_bins``-1 is (e_last, +inf)), so mass that
     drifts past either end piles into them invisibly: PSI keeps scoring
     — two shifted days can even look alike — while its resolution over

@@ -656,6 +656,12 @@ def hist_state_sink(
     of the batch loop's self-policing contract: a feed that drifts
     past the pinned edges announces itself within ONE micro-batch of
     doing so, instead of waiting for an offline audit of the store.
+    The recovery the WARN points at is implemented
+    (quality.checks.rebin_hist_state + stitched_psi): freeze this
+    store, re-bootstrap edges on a fresh window, re-bin from the
+    seam's baseline day into a NEW store path, point a new sink at it
+    (new edges_path + store_path), and read PSI across the seam with
+    the stitched reader.
     The bin count derives from the pinned family (the mismatch-proof
     call form); the batch frame is checkpointed once so the guard adds
     a tiny-aggregate read, not a second batch scan. ``None`` (default)

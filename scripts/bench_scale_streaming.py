@@ -228,6 +228,123 @@ def _run_drift_sink_loop(spark, sf_dir: str, n_batches: int):
     return result
 
 
+def _run_drift_guard_compare(spark, sf_dir: str, n_batches: int):
+    """The §6j guard-on cost row (r11 verdict ask #4): the SAME
+    micro-batches fed back-to-back to a guard-OFF and a guard-ON
+    (edge_guard_threshold=0.4) hist_state_sink on separate stores —
+    interleaved per batch, so JVM warmup and host noise hit both arms
+    equally and the paired per-batch delta IS the guard's cost (one
+    localCheckpoint of the days x bins rows + one tiny-aggregate
+    read). Asserts: the two stores accumulate identical (day, bin, n)
+    mass, the guard stays SILENT across every in-family batch
+    (whole-window quantile edges put ~2/num_bins of mass in the
+    terminal bins, under the 0.4 threshold), and a synthetic drifted
+    tail batch (values shifted past the last edge) fires the WARN
+    within its own batch, timed."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from facolos_data_pipelines_spark.quality.checks import hist_edges
+    from facolos_data_pipelines_spark.streaming import hist_state_sink
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_rows = events.count()
+    pid = os.getpid()
+    store_off = f"/tmp/scale_drift_off_{pid}"
+    store_on = f"/tmp/scale_drift_on_{pid}"
+    edges_path = f"/tmp/scale_drift_edges_{pid}"
+    for p in (store_off, store_on, edges_path):
+        shutil.rmtree(p, ignore_errors=True)
+    hist_edges(events, "value").write.parquet(edges_path)
+
+    fold_off = hist_state_sink(store_off, edges_path, "ts", "value")
+    fold_on = hist_state_sink(
+        store_on, edges_path, "ts", "value", edge_guard_threshold=0.4
+    )
+
+    class _WarnCounter(logging.Handler):
+        def __init__(self):
+            super().__init__(level=logging.WARNING)
+            self.messages: list[str] = []
+
+        def emit(self, record):  # noqa: D102
+            self.messages.append(record.getMessage())
+
+    counter = _WarnCounter()
+    sink_logger = logging.getLogger(
+        "facolos_data_pipelines_spark.streaming.pipeline"
+    )
+    sink_logger.addHandler(counter)
+    try:
+        bkey = F.pmod(F.xxhash64(F.col("event_id")), F.lit(n_batches))
+        cycles = []
+        for b in range(n_batches):
+            batch = events.filter(bkey == b)
+            t0 = time.monotonic()
+            fold_off(batch, b)
+            off_s = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            fold_on(batch, b)
+            on_s = round(time.monotonic() - t0, 3)
+            cycles.append({
+                "batch": b, "off_s": off_s, "on_s": on_s,
+                "delta_s": round(on_s - off_s, 3),
+            })
+        warns_clean = len(counter.messages)
+        assert warns_clean == 0, (
+            f"guard fired {warns_clean}x on in-family batches: "
+            f"{counter.messages[:2]}"
+        )
+        # both arms accumulated identical mass
+        def _mass(path):
+            return sorted(
+                tuple(r)
+                for r in spark.read.parquet(path)
+                .groupBy("day", "bin")
+                .agg(F.sum("n").alias("n"))
+                .collect()
+            )
+
+        assert _mass(store_off) == _mass(store_on)
+
+        # drifted tail: every value pushed past the last edge — the
+        # WARN must fire within this one batch, and the cost is a
+        # first-delivery append + the guard terms
+        drifted = events.filter(bkey == 0).withColumn(
+            "value", F.col("value").cast("double") + F.lit(1.0e7)
+        )
+        t0 = time.monotonic()
+        fold_on(drifted, n_batches)
+        drifted_s = round(time.monotonic() - t0, 3)
+        assert counter.messages and "outgrown the pinned edges" in (
+            counter.messages[-1]
+        ), "drifted batch did not fire the guard WARN"
+    finally:
+        sink_logger.removeHandler(counter)
+
+    med = lambda xs: statistics.median(xs)  # noqa: E731
+    result = {
+        "op": "streaming_drift_guard_compare",
+        "sf_dir": sf_dir,
+        "n_rows": n_rows,
+        "n_batches": n_batches,
+        "batch_rows": (n_rows + n_batches - 1) // n_batches,
+        "guard_threshold": 0.4,
+        "cycles": cycles,
+        "median_off_s": med([c["off_s"] for c in cycles]),
+        "median_on_s": med([c["on_s"] for c in cycles]),
+        "median_paired_delta_s": med([c["delta_s"] for c in cycles]),
+        "guard_warns_on_clean_batches": warns_clean,
+        "stores_equal": True,
+        "drifted_batch_s": drifted_s,
+        "drifted_batch_warned": True,
+    }
+    for p in (store_off, store_on, edges_path):
+        shutil.rmtree(p, ignore_errors=True)
+    return result
+
+
 def main() -> int:
     if len(sys.argv) < 2:
         raise SystemExit(
@@ -238,8 +355,10 @@ def main() -> int:
     op = "minhash"
     if rest and not rest[0].lstrip("-").isdigit():
         op = rest.pop(0)
-    if op not in ("minhash", "embedding", "drift"):
-        raise SystemExit(f"unknown op {op!r}: expected minhash|embedding|drift")
+    if op not in ("minhash", "embedding", "drift", "drift_guarded"):
+        raise SystemExit(
+            f"unknown op {op!r}: expected minhash|embedding|drift|drift_guarded"
+        )
     n_batches = int(rest[0]) if rest else 25
     compact_every = int(rest[1]) if len(rest) > 1 else 10
 
@@ -254,6 +373,11 @@ def main() -> int:
 
     if op == "drift":
         result = _run_drift_sink_loop(spark, sf_dir, n_batches)
+        print(json.dumps(result))
+        return 0
+
+    if op == "drift_guarded":
+        result = _run_drift_guard_compare(spark, sf_dir, n_batches)
         print(json.dumps(result))
         return 0
 
