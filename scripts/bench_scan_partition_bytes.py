@@ -66,7 +66,7 @@ def main() -> int:
             F.sum("l_quantity"),
             F.sum("l_discount"),
             F.min("l_shipdate"),
-            F.max("l_comment"),
+            F.max("l_returnflag"),
         ).collect()
 
     legs = {}
