@@ -1335,3 +1335,100 @@ def test_hist_state_sink_edge_guard_alerts_on_outgrown_feed(spark, tmp_root, cap
     days = {str(r["day"]) for r in
             spark.read.parquet(store).select("day").distinct().collect()}
     assert days == {"2024-03-02", "2024-03-03"}
+
+
+def test_streamed_guard_to_recovery_runbook_end_to_end(spark, tmp_root, caplog):
+    """The full alert->recovery runbook as a stream: a guarded
+    hist_state_sink WARNs on the drifted micro-batch; the operator
+    freezes that store, re-bootstraps edges on the drifted reference,
+    re-bins from the seam's baseline day into a NEW store (seeded with
+    _batch_id=-1 so the sink's dynamic-partition-overwrite layout is
+    preserved), points a NEW guarded sink at it — which stays SILENT
+    because the drifted family is now in-family — and stitched_psi
+    reads one unbroken day-over-day series across the seam."""
+    import logging
+
+    from datetime import datetime
+
+    from facolos_data_pipelines_spark.quality.checks import (
+        hist_edges,
+        pinned_edges,
+        psi_from_hist_state,
+        rebin_hist_state,
+        stitched_psi,
+    )
+    from facolos_data_pipelines_spark.streaming import hist_state_sink
+
+    def day_batch(d, base):
+        return spark.createDataFrame(
+            [(datetime(2024, 3, d, 12), base + float(i % 100)) for i in range(200)],
+            "ts timestamp, value double",
+        )
+
+    old_edges_path = f"{tmp_root}/rb_old_edges"
+    old_store = f"{tmp_root}/rb_old_store"
+    hist_edges(day_batch(1, 0.0), "value").write.parquet(old_edges_path)
+    old_sink = hist_state_sink(
+        old_store, old_edges_path, "ts", "value", edge_guard_threshold=0.4
+    )
+    logger = "facolos_data_pipelines_spark.streaming.pipeline"
+    with caplog.at_level(logging.WARNING, logger=logger):
+        old_sink(day_batch(1, 0.0), 0)     # in-family
+        old_sink(day_batch(2, 0.0), 1)     # in-family
+        old_sink(day_batch(3, 500.0), 2)   # drifted wholesale
+    warns = [r for r in caplog.records if "edge_share" in r.getMessage()]
+    assert len(warns) == 1 and "2024-03-03" in warns[0].getMessage()
+    caplog.clear()
+
+    # RECOVERY (what the WARN prescribes): freeze the old store,
+    # re-bootstrap on the drifted reference, re-bin from the seam's
+    # baseline day (03, already ingested) into a new store
+    fact = day_batch(1, 0.0).unionByName(day_batch(2, 0.0)).unionByName(
+        day_batch(3, 500.0)
+    )
+    old_state = spark.read.parquet(old_store)
+    new_edges_path = f"{tmp_root}/rb_new_edges"
+    new_store = f"{tmp_root}/rb_new_store"
+    hist_edges(day_batch(3, 500.0), "value").write.parquet(new_edges_path)
+    new_edges = pinned_edges(spark.read.parquet(new_edges_path), "t")
+    rebin_hist_state(
+        fact, "ts", "value", new_edges, "2024-03-04", old_state=old_state
+    ).withColumn("_batch_id", F.lit(-1)).write.partitionBy("_batch_id").parquet(
+        new_store
+    )
+
+    # the new guarded sink continues the stream; the drifted family is
+    # now IN-family, so the guard stays silent
+    new_sink = hist_state_sink(
+        new_store, new_edges_path, "ts", "value", edge_guard_threshold=0.4
+    )
+    with caplog.at_level(logging.WARNING, logger=logger):
+        new_sink(day_batch(4, 500.0), 3)
+        new_sink(day_batch(5, 500.0), 4)
+    assert not [r for r in caplog.records if "edge_share" in r.getMessage()]
+
+    old_edges = pinned_edges(spark.read.parquet(old_edges_path), "t")
+    got = {
+        str(r["day"]): r.asDict()
+        for r in stitched_psi(
+            old_state, spark.read.parquet(new_store), "2024-03-04",
+            old_edges=old_edges, new_edges=new_edges,
+        ).collect()
+    }
+    assert {d: r["edge_family"] for d, r in got.items()} == {
+        "2024-03-02": "old", "2024-03-03": "old",
+        "2024-03-04": "new", "2024-03-05": "new",
+    }
+    # the drift day scored under the old family; the seam day is calm
+    # under the new family (both of its days share one distribution)
+    assert got["2024-03-03"]["shifted"]
+    assert not got["2024-03-04"]["shifted"]
+    # the new side of the stitch == the plain reader on the new store
+    alone = {
+        str(r["day"]): r["psi"]
+        for r in psi_from_hist_state(
+            spark.read.parquet(new_store), len(new_edges) + 1
+        ).collect()
+    }
+    for d in ("2024-03-04", "2024-03-05"):
+        assert got[d]["psi"] == alone[d]
