@@ -2339,9 +2339,12 @@ def q_hist_rebin_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "q_hist_rebin_stitch",
     )
+    # persist: the rescan slice's lineage is read three times (the
+    # mass-conservation collect, the baseline-day probe, the stitched
+    # series itself)
     new_state = rebin_hist_state(
         events, "ts", "value", new_edges, "2024-01-20", old_state=old_state
-    )
+    ).persist()
     return stitched_psi(
         old_state, new_state, "2024-01-20",
         old_edges=old_edges, new_edges=new_edges,
@@ -2373,7 +2376,9 @@ def q_hist_percentiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "q_hist_percentiles_daily",
     )
-    state = hist_state(events, "ts", "value", edges)
+    # cached state, like the siblings: the reader's bin-overflow probe
+    # already executes the aggregation once at build time
+    state = hist_state(events, "ts", "value", edges).persist()
     return quantiles_from_hist_state(
         state, edges, [0.25, 0.5, 0.9], per_day=True
     ).orderBy("day", "q")

@@ -59,6 +59,75 @@ def _plan_counts(df) -> dict[str, int]:
     return out
 
 
+def _run_bucket_sizing_sweep(
+    spark,
+    state_df,
+    key_cols,
+    probe_fn,
+    lazy_counts_fn,
+    table_prefix,
+    reps,
+    expected_pairs=None,
+):
+    """Shared sweep body of the two *_bucket_sizing ops (§6k + its
+    embedding addendum): write the SAME state bucketed at 4/16/64 on
+    ``key_cols``, time ``reps`` probe executions per layout, assert
+    the verified pair SET is identical at every N (and equal to
+    ``expected_pairs`` when the fixture pins an exact count), capture
+    the lazy-plan join histogram via ``lazy_counts_fn``, and report
+    file/byte geometry. One body — a protocol fix lands in both
+    families at once."""
+    from facolos_data_pipelines_spark.sources.io import write_bucketed
+
+    legs = {}
+    ref_pairs = None
+    for nb in (4, 16, 64):
+        tbl = f"{table_prefix}_{nb}_{os.getpid()}"
+        path = f"/tmp/{table_prefix}_{nb}_{os.getpid()}"
+        shutil.rmtree(path, ignore_errors=True)
+        t0 = time.monotonic()
+        write_bucketed(
+            state_df, tbl, list(key_cols), num_buckets=nb,
+            sort_cols=list(key_cols), path=path,
+        )
+        write_s = round(time.monotonic() - t0, 3)
+        state = spark.table(tbl)
+        times, n_pairs = [], None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            n_pairs = probe_fn(state).count()
+            times.append(round(time.monotonic() - t0, 3))
+        got = sorted(
+            (r["left_id"], r["right_id"]) for r in probe_fn(state).collect()
+        )
+        if ref_pairs is None:
+            ref_pairs = got
+        assert got == ref_pairs, (nb, len(got), len(ref_pairs))
+        if expected_pairs is not None:
+            assert n_pairs == expected_pairs, (
+                f"want exactly {expected_pairs} verified pairs, got {n_pairs}"
+            )
+        lazy_counts = lazy_counts_fn(state)
+        import glob as _glob
+
+        files = [
+            f for f in _glob.glob(
+                os.path.join(path, "**", "*.parquet"), recursive=True
+            ) if os.path.isfile(f)
+        ]
+        state_bytes = sum(os.path.getsize(f) for f in files)
+        legs[str(nb)] = {
+            "median": statistics.median(times), "times": times,
+            "pairs": n_pairs, "write_s": write_s,
+            "state_bytes": state_bytes, "state_files": len(files),
+            "mb_per_bucket": round(state_bytes / nb / 1024 / 1024, 2),
+            "lazy_plan": lazy_counts,
+        }
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(path, ignore_errors=True)
+    return legs
+
+
 def main() -> int:
     if len(sys.argv) < 3:
         raise SystemExit("usage: bench_scale_crosscorpus.py SF_DIR OP [reps]")
@@ -427,7 +496,6 @@ def main() -> int:
             minhash_band_state,
             minhash_delta_pairs,
         )
-        from facolos_data_pipelines_spark.sources.io import write_bucketed
 
         # the §6g state-LAYOUT question, measured: the SAME fixed
         # ~2k-doc batch probed against (a) plain parquet state and
@@ -504,7 +572,6 @@ def main() -> int:
             minhash_band_state,
             minhash_delta_pairs,
         )
-        from facolos_data_pipelines_spark.sources.io import write_bucketed
 
         # CLUSTER.md's num_buckets row, measured (r10 verdict ask #6):
         # the SAME fixed batch probes the SAME state written bucketed
@@ -544,54 +611,18 @@ def main() -> int:
         )
         corpus = docs.filter(copy_idx != 1)
         state_df = minhash_band_state(corpus)
-        legs = {}
-        ref_pairs = None
-        for nb in (4, 16, 64):
-            tbl = f"scale_mh_sizing_{nb}_{os.getpid()}"
-            path = f"/tmp/scale_mh_sizing_{nb}_{os.getpid()}"
-            shutil.rmtree(path, ignore_errors=True)
-            t0 = time.monotonic()
-            write_bucketed(
-                state_df, tbl, ["band_id", "band_hash"], num_buckets=nb,
-                sort_cols=["band_id", "band_hash"], path=path,
-            )
-            write_s = round(time.monotonic() - t0, 3)
-            state = spark.table(tbl)
-            times, n_pairs = [], None
-            for _ in range(reps):
-                t0 = time.monotonic()
-                pairs = minhash_delta_pairs(batch, state, corpus, threshold=0.8)
-                n_pairs = pairs.count()
-                times.append(round(time.monotonic() - t0, 3))
-            got = sorted(
-                (r["left_id"], r["right_id"])
-                for r in minhash_delta_pairs(
-                    batch, state, corpus, threshold=0.8
-                ).collect()
-            )
-            if ref_pairs is None:
-                ref_pairs = got
-            assert got == ref_pairs, (nb, len(got), len(ref_pairs))
-            lazy = minhash_delta_pairs(
-                batch, state, corpus, threshold=0.8, candidates="lazy"
-            )
-            import glob as _glob
-
-            files = [
-                f for f in _glob.glob(
-                    os.path.join(path, "**", "*.parquet"), recursive=True
-                ) if os.path.isfile(f)
-            ]
-            state_bytes = sum(os.path.getsize(f) for f in files)
-            legs[str(nb)] = {
-                "median": statistics.median(times), "times": times,
-                "pairs": n_pairs, "write_s": write_s,
-                "state_bytes": state_bytes, "state_files": len(files),
-                "mb_per_bucket": round(state_bytes / nb / 1024 / 1024, 2),
-                "lazy_plan": _plan_counts(lazy),
-            }
-            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-            shutil.rmtree(path, ignore_errors=True)
+        legs = _run_bucket_sizing_sweep(
+            spark, state_df, ("band_id", "band_hash"),
+            probe_fn=lambda state: minhash_delta_pairs(
+                batch, state, corpus, threshold=0.8
+            ),
+            lazy_counts_fn=lambda state: _plan_counts(
+                minhash_delta_pairs(
+                    batch, state, corpus, threshold=0.8, candidates="lazy"
+                )
+            ),
+            table_prefix="scale_mh_sizing", reps=reps,
+        )
         result |= {
             "n_batch": batch.count(), "n_corpus": corpus.count(),
             "state_rows": state_df.count(),
@@ -603,7 +634,6 @@ def main() -> int:
             embedding_band_state,
             embedding_delta_pairs,
         )
-        from facolos_data_pipelines_spark.sources.io import write_bucketed
 
         # The §6k measurement's embedding twin (r11 verdict ask #3):
         # the SAME fixed batch probes the SAME (band, sig) store
@@ -642,63 +672,24 @@ def main() -> int:
         # siblings collide in EVERY band at any p (theta ~ 0)
         kw = dict(num_planes=16, num_bands=4, dim=64)
         state_df = embedding_band_state(corpus, **kw)
-        legs = {}
-        ref_pairs = None
-        for nb in (4, 16, 64):
-            tbl = f"scale_emb_sizing_{nb}_{os.getpid()}"
-            path = f"/tmp/scale_emb_sizing_{nb}_{os.getpid()}"
-            shutil.rmtree(path, ignore_errors=True)
-            t0 = time.monotonic()
-            write_bucketed(
-                state_df, tbl, ["band", "sig"], num_buckets=nb,
-                sort_cols=["band", "sig"], path=path,
-            )
-            write_s = round(time.monotonic() - t0, 3)
-            state = spark.table(tbl)
-            times, n_pairs = [], None
-            for _ in range(reps):
-                t0 = time.monotonic()
-                pairs = embedding_delta_pairs(
-                    batch, state, corpus, threshold=0.9, **kw
-                )
-                n_pairs = pairs.count()
-                times.append(round(time.monotonic() - t0, 3))
-            got = sorted(
-                (r["left_id"], r["right_id"])
-                for r in embedding_delta_pairs(
-                    batch, state, corpus, threshold=0.9, **kw
-                ).collect()
-            )
-            if ref_pairs is None:
-                ref_pairs = got
-            assert got == ref_pairs, (nb, len(got), len(ref_pairs))
-            assert n_pairs == 2 * n_batch, (
-                "every copy-1 vector has exactly its two clique "
-                f"siblings in the corpus: want {2 * n_batch}, got {n_pairs}"
-            )
+
+        def _emb_lazy_counts(state):
             with dedup_common.plan_only_mode():
-                lazy_counts = _plan_counts(
+                return _plan_counts(
                     embedding_delta_pairs(
                         batch, state, corpus, threshold=0.9, **kw
                     )
                 )
-            import glob as _glob
 
-            files = [
-                f for f in _glob.glob(
-                    os.path.join(path, "**", "*.parquet"), recursive=True
-                ) if os.path.isfile(f)
-            ]
-            state_bytes = sum(os.path.getsize(f) for f in files)
-            legs[str(nb)] = {
-                "median": statistics.median(times), "times": times,
-                "pairs": n_pairs, "write_s": write_s,
-                "state_bytes": state_bytes, "state_files": len(files),
-                "mb_per_bucket": round(state_bytes / nb / 1024 / 1024, 2),
-                "lazy_plan": lazy_counts,
-            }
-            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-            shutil.rmtree(path, ignore_errors=True)
+        legs = _run_bucket_sizing_sweep(
+            spark, state_df, ("band", "sig"),
+            probe_fn=lambda state: embedding_delta_pairs(
+                batch, state, corpus, threshold=0.9, **kw
+            ),
+            lazy_counts_fn=_emb_lazy_counts,
+            table_prefix="scale_emb_sizing", reps=reps,
+            expected_pairs=2 * n_batch,
+        )
         result |= {
             "n_batch": n_batch, "n_corpus": corpus.count(),
             "state_rows": state_df.count(),

@@ -233,9 +233,16 @@ def _run_drift_guard_compare(spark, sf_dir: str, n_batches: int):
     micro-batches fed back-to-back to a guard-OFF and a guard-ON
     (edge_guard_threshold=0.4) hist_state_sink on separate stores —
     interleaved per batch, so JVM warmup and host noise hit both arms
-    equally and the paired per-batch delta IS the guard's cost (one
-    localCheckpoint of the days x bins rows + one tiny-aggregate
-    read). Asserts: the two stores accumulate identical (day, bin, n)
+    equally, AND with the arm ORDER alternating per batch (even
+    batches run off-first, odd batches on-first): a fixed order would
+    bias the paired delta toward whichever arm runs second (page
+    cache, GC, and per-batch warmup are position effects — the first
+    measurement of this protocol ran off-first every cycle and
+    recorded a physically impossible NEGATIVE median cost for an arm
+    that strictly adds work). The paired per-batch delta then IS the
+    guard's cost (one localCheckpoint of the days x bins rows + one
+    tiny-aggregate read), with position effects cancelling across the
+    parity split. Asserts: the two stores accumulate identical (day, bin, n)
     mass, the guard stays SILENT across every in-family batch
     (whole-window quantile edges put ~2/num_bins of mass in the
     terminal bins, under the 0.4 threshold), and a synthetic drifted
@@ -281,15 +288,20 @@ def _run_drift_guard_compare(spark, sf_dir: str, n_batches: int):
         cycles = []
         for b in range(n_batches):
             batch = events.filter(bkey == b)
-            t0 = time.monotonic()
-            fold_off(batch, b)
-            off_s = round(time.monotonic() - t0, 3)
-            t0 = time.monotonic()
-            fold_on(batch, b)
-            on_s = round(time.monotonic() - t0, 3)
+            arms = (
+                [("off", fold_off), ("on", fold_on)]
+                if b % 2 == 0
+                else [("on", fold_on), ("off", fold_off)]
+            )
+            t = {}
+            for name, fold in arms:
+                t0 = time.monotonic()
+                fold(batch, b)
+                t[name] = round(time.monotonic() - t0, 3)
             cycles.append({
-                "batch": b, "off_s": off_s, "on_s": on_s,
-                "delta_s": round(on_s - off_s, 3),
+                "batch": b, "off_s": t["off"], "on_s": t["on"],
+                "first_arm": arms[0][0],
+                "delta_s": round(t["on"] - t["off"], 3),
             })
         warns_clean = len(counter.messages)
         assert warns_clean == 0, (
@@ -324,6 +336,17 @@ def _run_drift_guard_compare(spark, sf_dir: str, n_batches: int):
         sink_logger.removeHandler(counter)
 
     med = lambda xs: statistics.median(xs)  # noqa: E731
+    # Position decomposition: within a cycle the FIRST arm pays the
+    # batch's cold read (page cache) and the second re-reads warm, so
+    # delta(on-first cycles) ~= guard + position and delta(off-first
+    # cycles) ~= guard - position; the mean of the two parity medians
+    # cancels the position term and estimates the guard's true cost.
+    d_on_first = med(
+        [c["delta_s"] for c in cycles if c["first_arm"] == "on"]
+    )
+    d_off_first = med(
+        [c["delta_s"] for c in cycles if c["first_arm"] == "off"]
+    )
     result = {
         "op": "streaming_drift_guard_compare",
         "sf_dir": sf_dir,
@@ -335,6 +358,12 @@ def _run_drift_guard_compare(spark, sf_dir: str, n_batches: int):
         "median_off_s": med([c["off_s"] for c in cycles]),
         "median_on_s": med([c["on_s"] for c in cycles]),
         "median_paired_delta_s": med([c["delta_s"] for c in cycles]),
+        "median_delta_on_first_s": d_on_first,
+        "median_delta_off_first_s": d_off_first,
+        "guard_cost_position_corrected_s": round(
+            (d_on_first + d_off_first) / 2, 3
+        ),
+        "position_effect_s": round((d_on_first - d_off_first) / 2, 3),
         "guard_warns_on_clean_batches": warns_clean,
         "stores_equal": True,
         "drifted_batch_s": drifted_s,
