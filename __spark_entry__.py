@@ -2339,12 +2339,12 @@ def q_hist_rebin_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "q_hist_rebin_stitch",
     )
-    # persist: the rescan slice's lineage is read three times (the
-    # mass-conservation collect, the baseline-day probe, the stitched
-    # series itself)
+    # rebin_hist_state returns a PERSISTED frame when old_state is
+    # given (the mass check's collect executes the rescan; the cache
+    # lets the baseline probe and the stitched series reuse it)
     new_state = rebin_hist_state(
         events, "ts", "value", new_edges, "2024-01-20", old_state=old_state
-    ).persist()
+    )
     return stitched_psi(
         old_state, new_state, "2024-01-20",
         old_edges=old_edges, new_edges=new_edges,

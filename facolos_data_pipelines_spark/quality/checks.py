@@ -1138,17 +1138,32 @@ def rebin_hist_state(
     would score a phantom drop — or late data landed after the old
     state was written; either way the seam must move or the fact must
     be repaired before the transition is trustworthy). The check
-    compares day-total aggregates (days x 1 rows, broadcast-tiny); it
-    costs one extra scan of the rescanned slice.
+    compares day-total aggregates (days x 1 rows, broadcast-tiny),
+    and the returned rows come back PERSISTED in this mode: the
+    check's collect already executed the rescan, so caching the
+    days x bins result (tiny) means the caller's materialization —
+    the store write, the stitched read — reuses it instead of
+    rescanning the slice a second time (the rescan is the
+    transition's one data-sized term; measured in SCALE.md §6i
+    addendum).
 
     Reference anchor: the alert→recovery pairing of the monitor
     contract (production_monitor.py:84-125 pairs every threshold with
     an action) — hist_edges_drift is the alert, this is the action."""
     seam = F.lit(str(since_day)).cast("date")
     start = F.date_sub(seam, 1)
+    # Catalyst rewrites this day-boundary predicate into a pushed
+    # timestamp range (PushedFilters: ts >= baseline 00:00), so on a
+    # date-ordered or date-partitioned fact the rescan reads only the
+    # seam window's row groups / partitions — the boundedness the
+    # docstring claims is in the scan, not just the filter
     sliced = fact.filter(F.to_date(F.col(ts_col)) >= start)
     new_rows = hist_state(sliced, ts_col, col, new_edges)
     if old_state is not None:
+        # cache the (tiny) days x bins result before the check's
+        # collect executes it, so the caller's own materialization
+        # reuses this execution instead of paying the rescan twice
+        new_rows = new_rows.persist()
         # LEFT join from the OLD side: a day the old state recorded but
         # the rescan produced nothing for (retention already deleted
         # it) is the worst violation, and an inner join would silently
