@@ -3347,6 +3347,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from facolos_data_pipelines_spark.operators.similarity import (
         ann_recall_at_k,
         encode_ivfpq,
+        lit_double_array,
         topk_ivfpq,
     )
 
@@ -3362,7 +3363,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = [float(x) for x in rows[0]["embedding"]]
     index = encode_ivfpq(emb, coarse, codebooks)
     approx = topk_ivfpq(index, coarse, codebooks, query, k=10, n_probe=2)
-    qarr = F.array(*[F.lit(x) for x in query])
+    qarr = lit_double_array(query)
     dist = F.aggregate(
         F.zip_with(
             F.col("embedding"),
@@ -3406,6 +3407,7 @@ def q_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_recall_at_k,
         encode_ivfpq,
         ivf_train,
+        lit_double_array,
         pq_train,
         topk_ivfpq,
     )
@@ -3437,7 +3439,7 @@ def q_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank_with=clustered,
         rerank_factor=20,
     )
-    qarr = F.array(*[F.lit(x) for x in query])
+    qarr = lit_double_array(query)
     dist = F.aggregate(
         F.zip_with(
             F.col("embedding"), qarr, lambda a, b: (a - b) * (a - b)

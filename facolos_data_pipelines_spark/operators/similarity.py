@@ -19,6 +19,7 @@ codebook is supplied.
 from .similarity_core import (  # noqa: F401
     _seeded_plane,
     dot_literal,
+    lit_double_array,
     hyperplane_signature,
     banded_signatures,
     _banded_signatures_arrow,

@@ -22,18 +22,100 @@ def _seeded_plane(dim: int, plane_idx: int) -> list[float]:
     return [float(x) for x in v]
 
 
-def dot_literal(vec_col: Column, plane: list[float]) -> Column:
-    """vec . constant-plane via zip_with against an array literal."""
-    lit_plane = F.array(*[F.lit(x) for x in plane])
+def _fmt_double(v: float) -> str:
+    """SQL double-literal text for a finite float. ``repr`` round-trips
+    to the identical IEEE double and Java's ``Double.parseDouble`` picks
+    the same nearest value, so the parsed literal is bit-identical to
+    ``F.lit(v)`` (verified incl. subnormals, -0.0, scientific notation)."""
+    import math
+
+    v = float(v)
+    if not math.isfinite(v):
+        raise ValueError(f"_fmt_double: non-finite literal {v!r}")
+    return repr(v) + "D"
+
+
+def lit_double_array(vals: list[float]) -> Column:
+    """array<double> literal built by ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(x) for x in vals])`` costs len(vals)+1 py4j round
+    trips; for the 64-wide planes/centroids this family inlines by the
+    dozen, that is thousands of driver round trips PER PLAN BUILD —
+    measured ~7 s of pure driver time for 24 plane dots at dim 64
+    (OPTIMIZATION_r12.md). One ``F.expr`` parse of the same literals is
+    ~40x cheaper and analyzes to the identical CreateArray(Literal...)
+    tree, so results are bit-identical. Falls back to the per-element
+    path if any value is non-finite (no SQL literal syntax)."""
+    import math
+
+    fv = [float(v) for v in vals]
+    if all(math.isfinite(v) for v in fv):
+        return F.expr("array(" + ",".join(_fmt_double(v) for v in fv) + ")")
+    return F.array(*[F.lit(v) for v in fv])
+
+
+def _dot_sql(vec_sql: str, plane: list[float]) -> str:
+    """Full SQL text of the vec . constant-plane fold — the zero-py4j
+    twin of :func:`dot_literal` for callers that know the vector's SQL
+    expression text (same zip_with/aggregate tree, same summation
+    order, bit-identical result)."""
+    arr = "array(" + ",".join(_fmt_double(x) for x in plane) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def dot_literal(vec_col: Column | str, plane: list[float]) -> Column:
+    """vec . constant-plane via zip_with against an array literal.
+
+    Pass the vector as its column NAME (str) where possible: the whole
+    fold then builds as one parsed SQL expression instead of ~70 py4j
+    round trips (see :func:`lit_double_array`); a Column argument keeps
+    the composable path with the array literal still built by one parse.
+    """
+    import math
+
+    if isinstance(vec_col, str) and all(math.isfinite(float(x)) for x in plane):
+        return F.expr(_dot_sql(f"`{vec_col}`", plane))
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return F.aggregate(
-        F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
+        F.zip_with(c, lit_double_array(plane), lambda x, y: x.cast("double") * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
+def _hyperplane_signature_sql(
+    vec_sql: str, num_planes: int, dim: int, plane_offset: int
+) -> str:
+    """Full SQL text of the packed hyperplane signature — the
+    zero-py4j twin of :func:`hyperplane_signature` (same per-bit CASE
+    structure, same width guard, bit-identical result)."""
+    size_ok = f"(size({vec_sql}) = {dim})"
+    guard = (
+        "CAST(raise_error(concat('hyperplane_signature: vector width ', "
+        f"CAST(size({vec_sql}) AS STRING), "
+        f"' != dim {dim}; pass the embedding''s real dimension')) AS BIGINT)"
+    )
+    bits = []
+    for i in range(num_planes):
+        dot = _dot_sql(vec_sql, _seeded_plane(dim, plane_offset + i))
+        bits.append(
+            f"CASE WHEN ({size_ok} AND ({dot} > 0)) THEN CAST({1 << i} AS BIGINT) "
+            f"WHEN (NOT {size_ok}) THEN {guard} ELSE CAST(0 AS BIGINT) END"
+        )
+    out = "CAST(0 AS BIGINT)"
+    for b in bits:
+        out = f"({out} | {b})"
+    return out
+
+
 def hyperplane_signature(
-    vec_col: Column, num_planes: int = 8, dim: int | None = None, plane_offset: int = 0
+    vec_col: Column | str,
+    num_planes: int = 8,
+    dim: int | None = None,
+    plane_offset: int = 0,
 ) -> Column:
     """Random-hyperplane LSH signature: bit i = sign(vec . plane_i),
     packed into a long. dim defaults to 64 (the synthetic table's
@@ -49,8 +131,15 @@ def hyperplane_signature(
     error (raise_error), never a silent degradation — zip_with would
     otherwise NULL-pad the dot, zero every signature, and collapse
     all LSH blocking into one bucket (an O(n^2) join that still
-    "works" on small data and hangs at scale)."""
+    "works" on small data and hangs at scale).
+
+    Pass the vector as its column NAME (str) where possible: the whole
+    num_planes-bit signature then builds as ONE parsed SQL expression
+    instead of thousands of py4j round trips (bit-identical tree — see
+    :func:`lit_double_array`)."""
     d = dim or 64
+    if isinstance(vec_col, str):
+        return F.expr(_hyperplane_signature_sql(f"`{vec_col}`", num_planes, d, plane_offset))
     width_ok = F.size(vec_col) == d
     guard = F.raise_error(
         F.concat(
@@ -115,12 +204,17 @@ def banded_signatures(
         )
     if impl != "expr":
         raise ValueError(f"banded_signatures: impl={impl!r}; expected 'expr' or 'arrow'")
+    # vec_col passed as its NAME: each band's whole signature builds as
+    # one parsed SQL expression (see hyperplane_signature) — the py4j
+    # round-trip count per plan build drops from ~num_bands*num_planes*
+    # (dim+6) to ~num_bands parses (measured ~7 s -> ~0.2 s of driver
+    # time at 4 bands x 6 planes x dim 64; OPTIMIZATION_r12.md).
     arr = F.array(
         *[
             F.struct(
                 F.lit(band).alias("band"),
                 hyperplane_signature(
-                    F.col(vec_col), num_planes, dim, plane_offset=band * num_planes
+                    vec_col, num_planes, dim, plane_offset=band * num_planes
                 ).alias("sig"),
             )
             for band in range(num_bands)
@@ -299,7 +393,7 @@ def topk_lsh(
     ~ (1 - Σ C(p,i)/2^p) of the corpus before any scoring work.
     """
     dim = len(query)
-    sig_col = hyperplane_signature(F.col(vec_col), num_planes, dim)
+    sig_col = hyperplane_signature(vec_col, num_planes, dim)
 
     qsig = 0
     for i in range(num_planes):

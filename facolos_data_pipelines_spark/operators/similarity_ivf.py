@@ -9,7 +9,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .similarity_core import banded_signatures, topk_bruteforce
+from .similarity_core import banded_signatures, lit_double_array, topk_bruteforce
 
 
 def ivf_assign(
@@ -497,11 +497,13 @@ def assign_nearest_centroid(
             f"assign_nearest_centroid: {len(rows)} centroids exceeds the "
             f"literal-plan bound ({MAX_LITERAL_CENTROIDS}); use ivf_assign"
         )
+    # lit_double_array: one parsed expression per centroid vector
+    # instead of dim F.lit py4j round trips (identical literal tree)
     cent_arr = F.array(
         *[
             F.struct(
                 F.lit(r["cid"]).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("v"),
+                lit_double_array([float(x) for x in r["cvec"]]).alias("v"),
             )
             for r in rows
         ]

@@ -9,7 +9,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .similarity_core import dot_literal
+from .similarity_core import dot_literal, lit_double_array
 from .similarity_ivf import MAX_LITERAL_CENTROIDS, _bounded_vec_sample
 
 
@@ -150,10 +150,11 @@ def pca_project(
     offsets = [
         float(sum(m * c for m, c in zip(mean, comp))) for comp in comps
     ]
-    vec = F.col(vec_col)
+    # vec_col passed by NAME: each component's fold builds as one parsed
+    # SQL expression (see similarity_core.dot_literal)
     proj = F.array(
         *[
-            dot_literal(vec, comp) - F.lit(off)
+            dot_literal(vec_col, comp) - F.lit(off)
             for comp, off in zip(comps, offsets)
         ]
     )
@@ -189,11 +190,13 @@ def pq_encode(
     def subspace_code(sub, cb):
         # closure keeps `sub` out of the transform lambda's signature
         # (a second lambda arg would be treated as the element index)
+        # lit_double_array: one parsed expression per centroid vector
+        # instead of dsub F.lit py4j round trips (identical literal tree)
         cent_arr = F.array(
             *[
                 F.struct(
                     F.lit(ci).alias("code"),
-                    F.array(*[F.lit(float(x)) for x in cvec]).alias("v"),
+                    lit_double_array([float(x) for x in cvec]).alias("v"),
                 )
                 for ci, cvec in enumerate(cb)
             ]
@@ -259,9 +262,7 @@ def pq_topk(
         luts.append(lut)
     dist = None
     for j, lut in enumerate(luts):
-        term = F.element_at(
-            F.array(*[F.lit(d) for d in lut]), F.col("codes")[j] + 1
-        )
+        term = F.element_at(lit_double_array(lut), F.col("codes")[j] + 1)
         dist = term if dist is None else dist + term
     return (
         codes.select(
@@ -306,7 +307,7 @@ def encode_ivfpq(
         *[
             F.struct(
                 F.lit(i).alias("cid"),
-                F.array(*[F.lit(x) for x in c]).alias("v"),
+                lit_double_array(c).alias("v"),
             )
             for i, c in enumerate(cents)
         ]
@@ -326,7 +327,7 @@ def encode_ivfpq(
             c["cid"].alias("cid"),
         ),
     )
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    cent_arr = F.array(*[lit_double_array(c) for c in cents])
     assigned = df.select(
         F.col(id_col), vec.alias("_v"), F.array_min(dists)["cid"].alias("_cell")
     )
@@ -408,7 +409,7 @@ def topk_ivfpq(
         .limit(k_retrieve)
         .select(id_col)
     )
-    qarr = F.array(*[F.lit(float(x)) for x in query])
+    qarr = lit_double_array([float(x) for x in query])
     exact_d = F.aggregate(
         F.zip_with(
             F.col(vec_col),
@@ -507,7 +508,7 @@ def embedding_outliers(
             "embedding_outliers: empty input frame (or all-NULL "
             f"{vec_col!r}) — the corpus centroid is undefined"
         )
-    centroid = F.array(*[F.lit(float(centroid_row[i])) for i in range(d)])
+    centroid = lit_double_array([float(centroid_row[i]) for i in range(d)])
     dist = F.sqrt(
         F.aggregate(
             F.zip_with(F.col("_v"), centroid, lambda x, c: (x - c) * (x - c)),

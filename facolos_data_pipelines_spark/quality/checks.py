@@ -81,15 +81,16 @@ def column_profile(
             return F.percentile_approx(num, F.lit(p / 100), F.lit(10000))
         return F.percentile(num, F.lit(p / 100))
     aggs = [F.count("*").cast("long").alias("__n_rows")]
+    dist_aggs = []
     for i, c in enumerate(cols):
         numeric = isinstance(df.schema[c].dataType, NumericType)
         num = F.col(c).cast("double") if numeric else F.lit(None).cast("double")
+        dist_aggs.append(distinct_fn(F.col(c)).cast("long").alias(f"__dist_{i}"))
         aggs.extend(
             [
                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
                 .cast("long")
                 .alias(f"__null_{i}"),
-                distinct_fn(F.col(c)).cast("long").alias(f"__dist_{i}"),
                 F.min(num).alias(f"__min_{i}"),
                 F.max(num).alias(f"__max_{i}"),
                 *[
@@ -98,7 +99,26 @@ def column_profile(
                 ],
             ]
         )
-    one_row = df.agg(*aggs)
+    if exact_distinct and len(cols) > 1:
+        # Multiple exact COUNT(DISTINCT)s make Catalyst rewrite the whole
+        # aggregation through an Expand (one row copy per distinct column)
+        # whose first level then groups by (value..., gid) — NEAR-UNIQUE
+        # keys when any profiled column is a key column — with every
+        # non-distinct aggregate riding along as a per-group buffer. The
+        # exact ``percentile`` buffers are whole value->count maps, so the
+        # mid-plan exchange serializes one map PER GROUP: measured ~9 s
+        # for 3 columns of sf0.1 orders. Splitting the distincts into
+        # their own aggregation keeps the percentile/min/max pass a plain
+        # two-level HashAggregate over un-expanded rows (one tiny buffer
+        # set total, map-side combined) and lets the distinct pass dedup
+        # map-side with no object buffers: ~9 s -> ~3 s A/B-interleaved
+        # at sf0.1, same values (OPTIMIZATION_r12.md).
+        # The two one-row results recombine with a trivial 1x1 cross join.
+        one_row = df.agg(*aggs).crossJoin(df.agg(*dist_aggs))
+    else:
+        # approx_count_distinct (HLL) is an ordinary declarative
+        # aggregate — no Expand rewrite, so one pass stays optimal.
+        one_row = df.agg(*aggs, *dist_aggs)
     structs = [
         F.struct(
             F.lit(c).alias("column_name"),
