@@ -701,7 +701,16 @@ def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_cross_corpus_pairs,
     )
 
+    from facolos_data_pipelines_spark.operators.dedup import minhash_band_state
+    from facolos_data_pipelines_spark.operators.dedup_common import materialize
+
     docs = _t(spark, sf_dir, "documents")
+    # One signature pipeline for the whole corpus, checkpointed, then
+    # filter-split into the two sides (band rows are per-document, so
+    # the parity filters commute with signing — identical pairs; the
+    # previous shape ran the explode/window/md5 chain once PER SIDE,
+    # r12 optimization)
+    allb = materialize(minhash_band_state(docs, num_hashes=16, bands=4, family="md5"))
     pairs = minhash_cross_corpus_pairs(
         docs.filter(F.col("doc_id") % 2 == 1),
         docs.filter(F.col("doc_id") % 2 == 0),
@@ -709,6 +718,8 @@ def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         threshold=0.8,
         family="md5",
+        left_buckets=allb.filter(F.col("doc_id") % 2 == 1),
+        right_buckets=allb.filter(F.col("doc_id") % 2 == 0),
     )
     return pairs.select(
         "left_id",
@@ -733,12 +744,23 @@ def q_minhash_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_dedup_delta,
     )
 
+    from facolos_data_pipelines_spark.operators.dedup_common import materialize
+
     docs = _t(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     hist = docs.filter(F.col("doc_id") % 2 == 0)
-    state = minhash_band_state(hist, num_hashes=16, bands=4, family="md5")
+    # One signature pipeline for the whole corpus, checkpointed, then
+    # filter-split into the state (even ids) and the batch band rows
+    # (odd ids) — band rows are per-document, so the parity filters
+    # commute with signing and every value is identical; the previous
+    # shape ran the explode/window/md5 chain once per side (r12
+    # optimization). Production unchanged: there the state is READ
+    # from the bucketed store, never derived.
+    allb = materialize(minhash_band_state(docs, num_hashes=16, bands=4, family="md5"))
+    state = allb.filter(F.col("doc_id") % 2 == 0)
     return minhash_dedup_delta(
-        batch, state, hist, num_hashes=16, bands=4, threshold=0.8, family="md5"
+        batch, state, hist, num_hashes=16, bands=4, threshold=0.8, family="md5",
+        batch_buckets=allb.filter(F.col("doc_id") % 2 == 1),
     ).select("doc_id")
 
 

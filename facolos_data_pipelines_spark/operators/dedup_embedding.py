@@ -791,42 +791,104 @@ def embedding_dedup_delta(
     )
     sigs.persist()
     try:
-        hist = embedding_delta_pairs(
-            batch, state, corpus, vec_col, id_col, threshold,
-            num_planes, num_bands, dim, signature_impl, max_bucket_size,
-            batch_sigs=sigs,
-        )
-        hist_losers = materialize(
-            hist.select(F.col("left_id").alias(id_col)).dropDuplicates()
-        )
-        a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
-        b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
+        # The history probe and the batch-internal sweep share one
+        # tagged candidate pass and one tagged cosine-verify pass
+        # (round-12 restructure, same shape as the minhash twin): a
+        # cycle previously ran FOUR eager executions (history
+        # candidates, history verify, internal candidates, internal
+        # losers); merging them halves the action count with the exact
+        # per-branch math preserved. id_a is always a BATCH id; id_b is
+        # a corpus id on '_src'='h' rows and a batch id on '_src'='i'
+        # rows (ids may collide across sides, so the side tag joins
+        # with id_b everywhere).
+        lb = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
+        rb = state.select(F.col(id_col).alias("id_b"), "band", "sig")
+        ib = sigs
         if max_bucket_size is not None:
             from .skew import drop_oversized_groups
 
-            a = drop_oversized_groups(a, ["band", "sig"], max_bucket_size)
-            b = drop_oversized_groups(b, ["band", "sig"], max_bucket_size)
-        cand = materialize(
+            lb = drop_oversized_groups(lb, ["band", "sig"], max_bucket_size)
+            rb = drop_oversized_groups(rb, ["band", "sig"], max_bucket_size)
+            ib = drop_oversized_groups(sigs, ["band", "sig"], max_bucket_size)
+        hist_cand = lb.join(rb, ["band", "sig"]).select(
+            "id_a", "id_b", F.lit("h").alias("_src")
+        )
+        a = ib.select(F.col(id_col).alias("id_a"), "band", "sig")
+        b = ib.select(F.col(id_col).alias("id_b"), "band", "sig")
+        int_cand = (
             a.join(b, ["band", "sig"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+            .select("id_a", "id_b", F.lit("i").alias("_src"))
+        )
+        # dropDuplicates includes the tag, so dedup stays per-branch —
+        # identical to the two separate dropDuplicates it replaces
+        cand = materialize(
+            hist_cand.unionByName(int_cand).dropDuplicates(
+                ["_src", "id_a", "id_b"]
+            )
+        )
+        # BOTH sides id-pruned to the candidate set before the
+        # vector-width verify joins (the minhash twin's side_shingles
+        # semi-join discipline): the shuffle then carries
+        # O(candidates * dim) bytes, not O(batch * dim)
+        left_ids = cand.select(F.col("id_a").alias(id_col)).dropDuplicates()
+        va = _normalized_vectors(
+            batch.join(left_ids, id_col, "left_semi"), vec_col, id_col
+        ).select(F.col(id_col).alias("id_a"), F.col("_sv").alias("va"))
+        hr_ids = (
+            cand.filter(F.col("_src") == "h")
+            .select(F.col("id_b").alias(id_col))
             .dropDuplicates()
         )
-        # id-pruned to the internal candidate set, same discipline as
-        # the history probe above
-        iids = (
-            cand.select(F.col("id_a").alias(id_col))
-            .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        ir_ids = (
+            cand.filter(F.col("_src") == "i")
+            .select(F.col("id_b").alias(id_col))
             .dropDuplicates()
         )
-        sv = _normalized_vectors(
-            batch.join(iids, id_col, "left_semi"), vec_col, id_col
+        vb = (
+            _normalized_vectors(
+                corpus.join(hr_ids, id_col, "left_semi"), vec_col, id_col
+            )
+            .select(
+                F.lit("h").alias("_src"),
+                F.col(id_col).alias("id_b"),
+                F.col("_sv").alias("vb"),
+            )
+            .unionByName(
+                _normalized_vectors(
+                    batch.join(ir_ids, id_col, "left_semi"), vec_col, id_col
+                ).select(
+                    F.lit("i").alias("_src"),
+                    F.col(id_col).alias("id_b"),
+                    F.col("_sv").alias("vb"),
+                )
+            )
         )
-        va = sv.select(F.col(id_col).alias("id_a"), F.col("_sv").alias("va"))
-        vb = sv.select(F.col(id_col).alias("id_b"), F.col("_sv").alias("vb"))
-        idups = _verified_cosine_pairs(cand, va, vb, "id_a", "id_b", threshold)
+        dot = F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # materialized once: every downstream frame (history losers,
+        # internal pairs) is a cheap projection of the checkpoint, so
+        # the cosine verification runs exactly once per cycle — and the
+        # internal pairs no longer hang off the persisted signature
+        # frame, which is why _drop_pair_losers needs no eager
+        # checkpoint of its own anymore
+        verified = materialize(
+            cand.join(va, "id_a")
+            .join(vb, ["_src", "id_b"])
+            .select("_src", "id_a", "id_b", dot.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+        hist_losers = (
+            verified.filter(F.col("_src") == "h")
+            .select(F.col("id_a").alias(id_col))
+            .dropDuplicates()
+        )
+        idups = verified.filter(F.col("_src") == "i").select("id_a", "id_b")
         internal_survivors = _drop_pair_losers(
-            batch, idups, id_col, transitive=False, eager=True
+            batch, idups, id_col, transitive=False, eager=False
         )
         return internal_survivors.join(hist_losers, id_col, "left_anti")
     finally:

@@ -437,6 +437,8 @@ def minhash_cross_corpus_pairs(
     family: str = "multiply_add",
     max_bucket_size: int | None = None,
     candidates: str = "checkpoint",
+    left_buckets: DataFrame | None = None,
+    right_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs BETWEEN two corpora, never within one — the
     dedup-new-data-against-existing-training-set / decontaminate-crawl-
@@ -476,12 +478,27 @@ def minhash_cross_corpus_pairs(
     each side independently, same rationale as
     :func:`lsh_candidate_pairs`. Ids may collide across corpora (both
     sides can have a doc 17) — the output keeps the sides in separate
-    columns and never compares ids across sides."""
-    lb = minhash_lsh_buckets(
-        left, text_col, id_col, num_hashes, bands, shingle_n, family
+    columns and never compares ids across sides.
+
+    ``left_buckets`` / ``right_buckets`` optionally feed precomputed
+    band frames (:func:`minhash_band_state` rows under the SAME
+    family/params — the persisted-store contract) so a caller whose
+    sides partition one corpus can sign it once and filter-split
+    instead of running two signature pipelines; identical output —
+    a document's band rows don't depend on which frame selects them."""
+    lb = (
+        left_buckets
+        if left_buckets is not None
+        else minhash_lsh_buckets(
+            left, text_col, id_col, num_hashes, bands, shingle_n, family
+        )
     ).select(F.col(id_col).alias("left_id"), "band_id", "band_hash")
-    rb = minhash_lsh_buckets(
-        right, text_col, id_col, num_hashes, bands, shingle_n, family
+    rb = (
+        right_buckets
+        if right_buckets is not None
+        else minhash_lsh_buckets(
+            right, text_col, id_col, num_hashes, bands, shingle_n, family
+        )
     ).select(F.col(id_col).alias("right_id"), "band_id", "band_hash")
     return _cross_verified_pairs(
         lb, rb, left, right, text_col, id_col, shingle_n, threshold,
@@ -686,6 +703,7 @@ def minhash_dedup_delta(
     family: str = "multiply_add",
     max_bucket_size: int | None = None,
     candidates: str = "checkpoint",
+    batch_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """One cycle of the incremental MinHash dedup loop: the batch rows
     that survive BOTH history (no verified near-dup in the persisted
@@ -712,34 +730,132 @@ def minhash_dedup_delta(
     complete the cycle — and a loop that wants the append leg join-only
     computes ``minhash_band_state(batch)`` itself once and passes it to
     both steps via their ``batch_buckets`` parameters, instead of the
-    append re-signing survivor text."""
-    bb = minhash_band_state(
-        batch, text_col, id_col, num_hashes, bands, shingle_n, family
+    append re-signing survivor text. ``batch_buckets`` here accepts the
+    batch's precomputed band rows directly (same contract as
+    :func:`minhash_delta_pairs`)."""
+    bb = (
+        batch_buckets
+        if batch_buckets is not None
+        else minhash_band_state(
+            batch, text_col, id_col, num_hashes, bands, shingle_n, family
+        )
     )
     bb.persist()
     try:
-        hist = minhash_delta_pairs(
-            batch, state, corpus, text_col, id_col, num_hashes, bands,
-            shingle_n, threshold, family, max_bucket_size, candidates,
-            batch_buckets=bb,
-        )
         from .dedup_common import materialize
 
-        # materialized: the survivors frame is acted on several times
-        # per cycle (count/inspect, state-append write) and the Jaccard
-        # verification tail above it is the expensive part — same
-        # reasoning as the embedding sibling's hist_losers
-        hist_losers = materialize(
-            hist.select(F.col("left_id").alias(id_col)).dropDuplicates()
+        # The history probe and the batch-internal sweep share one
+        # tagged candidate pass and one tagged verification pass
+        # (round-12 restructure): a cycle previously ran FOUR eager
+        # executions (history candidates, history verify, internal
+        # candidates, internal losers — each its own AQE job chain);
+        # merging them halves the action count without changing a
+        # single pair's Jaccard or either loser rule — the exact
+        # per-branch math is preserved, only the passes fuse. id_a is
+        # always a BATCH id; id_b is a corpus id on '_src'='h' rows
+        # and a batch id on '_src'='i' rows (ids may collide across
+        # sides, so the side tag joins with id_b everywhere).
+        lb = bb.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+        rb = state.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+        ib = bb
+        if max_bucket_size is not None:
+            from .skew import drop_oversized_groups
+
+            lb = drop_oversized_groups(lb, ["band_id", "band_hash"], max_bucket_size)
+            rb = drop_oversized_groups(rb, ["band_id", "band_hash"], max_bucket_size)
+            ib = drop_oversized_groups(bb, ["band_id", "band_hash"], max_bucket_size)
+        hist_cand = (
+            lb.join(rb, ["band_id", "band_hash"])
+            .select("id_a", "id_b", F.lit("h").alias("_src"))
         )
-        ipairs = lsh_candidate_pairs(bb, id_col, max_bucket_size)
-        idups = verified_near_dup_pairs(
-            batch, ipairs, text_col, id_col, shingle_n, threshold
+        a, b = ib.alias("a"), ib.alias("b")
+        int_cand = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.lit("i").alias("_src"),
+            )
         )
+        # dropDuplicates includes the tag, so dedup stays per-branch —
+        # identical to the two separate dropDuplicates it replaces
+        cand = hist_cand.unionByName(int_cand).dropDuplicates(
+            ["_src", "id_a", "id_b"]
+        )
+        if candidates == "checkpoint":
+            cand = materialize(cand)
+        elif candidates == "persist":
+            from pyspark import StorageLevel
+
+            cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        elif candidates != "lazy":
+            raise ValueError(
+                "candidates must be 'checkpoint', 'persist' or 'lazy', got "
+                f"{candidates!r}"
+            )
+
+        # one shingle projection per side, pruned to candidate ids
+        # (the side_shingles semi-join discipline), then ONE verify join
+        left_ids = cand.select(F.col("id_a").alias(id_col)).dropDuplicates()
+        sh_a = batch.join(left_ids, id_col, "left_semi").select(
+            F.col(id_col).alias("id_a"),
+            word_shingles(text_col, shingle_n).alias("sh_a"),
+        )
+        hr_ids = (
+            cand.filter(F.col("_src") == "h")
+            .select(F.col("id_b").alias(id_col))
+            .dropDuplicates()
+        )
+        ir_ids = (
+            cand.filter(F.col("_src") == "i")
+            .select(F.col("id_b").alias(id_col))
+            .dropDuplicates()
+        )
+        sh_b = (
+            corpus.join(hr_ids, id_col, "left_semi")
+            .select(
+                F.lit("h").alias("_src"),
+                F.col(id_col).alias("id_b"),
+                word_shingles(text_col, shingle_n).alias("sh_b"),
+            )
+            .unionByName(
+                batch.join(ir_ids, id_col, "left_semi").select(
+                    F.lit("i").alias("_src"),
+                    F.col(id_col).alias("id_b"),
+                    word_shingles(text_col, shingle_n).alias("sh_b"),
+                )
+            )
+        )
+        jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+            F.array_union("sh_a", "sh_b")
+        )
+        # materialized once: every downstream frame (history losers,
+        # internal pairs) is a cheap projection of the checkpoint, so
+        # the Jaccard verification runs exactly once per cycle — and
+        # the internal pairs no longer hang off the persisted bucket
+        # frame, which is why _drop_pair_losers needs no eager
+        # checkpoint of its own anymore
+        verified = materialize(
+            cand.join(sh_a, "id_a")
+            .join(sh_b, ["_src", "id_b"])
+            .select("_src", "id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+        hist_losers = (
+            verified.filter(F.col("_src") == "h")
+            .select(F.col("id_a").alias(id_col))
+            .dropDuplicates()
+        )
+        idups = verified.filter(F.col("_src") == "i").select("id_a", "id_b")
         from .dedup_components import _drop_pair_losers
 
         internal_survivors = _drop_pair_losers(
-            batch, idups, id_col, transitive=False, eager=True
+            batch, idups, id_col, transitive=False, eager=False
         )
         return internal_survivors.join(hist_losers, id_col, "left_anti")
     finally:

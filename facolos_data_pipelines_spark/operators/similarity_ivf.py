@@ -497,33 +497,33 @@ def assign_nearest_centroid(
             f"assign_nearest_centroid: {len(rows)} centroids exceeds the "
             f"literal-plan bound ({MAX_LITERAL_CENTROIDS}); use ivf_assign"
         )
-    # lit_double_array: one parsed expression per centroid vector
-    # instead of dim F.lit py4j round trips (identical literal tree)
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(r["cid"]).alias("cid"),
-                lit_double_array([float(x) for x in r["cvec"]]).alias("v"),
-            )
-            for r in rows
-        ]
+    # The whole k-centroid argmin builds as ONE parsed SQL expression
+    # instead of per-centroid Column/lambda py4j round trips —
+    # identical named_struct/transform/aggregate tree, bit-identical
+    # assignments (same rationale as pq_encode;
+    # OPTIMIZATION_r12.md §4). Integer cid literals mirror F.lit's
+    # int-vs-long typing.
+    from .similarity_core import _fmt_double
+
+    def _cid_sql(cid) -> str:
+        c = int(cid)
+        return str(c) if -(2**31) <= c < 2**31 else f"{c}L"
+
+    cent_structs = ",".join(
+        "named_struct('cid', {}, 'v', array({}))".format(
+            _cid_sql(r["cid"]),
+            ",".join(_fmt_double(float(x)) for x in r["cvec"]),
+        )
+        for r in rows
     )
-    dists = F.transform(
-        cent_arr,
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    c["v"],
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-            c["cid"].alias("cid"),
-        ),
+    best_sql = (
+        f"array_min(transform(array({cent_structs}), c -> named_struct("
+        f"'dist', aggregate(zip_with(`{vec_col}`, c.v, "
+        "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+        "0.0D, (acc, x) -> acc + x), "
+        f"'cid', c.cid)))"
     )
-    best = F.array_min(dists)
+    best = F.expr(best_sql)
     return embeddings.select(
         F.col(id_col),
         best["cid"].alias(centroid_id_col),

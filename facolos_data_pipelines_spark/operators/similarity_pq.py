@@ -9,8 +9,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .similarity_core import dot_literal, lit_double_array
+from .similarity_core import _fmt_double, dot_literal, lit_double_array
 from .similarity_ivf import MAX_LITERAL_CENTROIDS, _bounded_vec_sample
+
+
+def _arr_sql(vals) -> str:
+    """array<double> literal text (the raw-SQL twin of
+    :func:`similarity_core.lit_double_array` for string-built
+    expressions)."""
+    return "array(" + ",".join(_fmt_double(float(v)) for v in vals) + ")"
 
 
 # ---------------------------------------------------------------------------
@@ -185,45 +192,33 @@ def pq_encode(
     if not m:
         raise ValueError("pq_encode: empty codebooks")
     dsub = len(codebooks[0][0])
-    vec = F.col(vec_col)
 
-    def subspace_code(sub, cb):
-        # closure keeps `sub` out of the transform lambda's signature
-        # (a second lambda arg would be treated as the element index)
-        # lit_double_array: one parsed expression per centroid vector
-        # instead of dsub F.lit py4j round trips (identical literal tree)
-        cent_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(ci).alias("code"),
-                    lit_double_array([float(x) for x in cvec]).alias("v"),
-                )
-                for ci, cvec in enumerate(cb)
-            ]
+    # Each subspace's whole slice-argmin builds as ONE parsed SQL
+    # expression instead of ~100 py4j round trips of Column/lambda
+    # scaffolding — same named_struct/transform/aggregate tree, same
+    # summation order, bit-identical codes; measured seconds of pure
+    # driver time per encode at 16 subspaces (OPTIMIZATION_r12.md §4).
+    def subspace_code_sql(j: int, cb) -> str:
+        structs = ",".join(
+            f"named_struct('code', {ci}, 'v', {_arr_sql(cvec)})"
+            for ci, cvec in enumerate(cb)
         )
-        dists = F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        c["v"],
-                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                c["code"].alias("code"),
-            ),
+        sub = f"slice(`{vec_col}`, {j * dsub + 1}, {dsub})"
+        return (
+            f"array_min(transform(array({structs}), c -> named_struct("
+            f"'dist', aggregate(zip_with({sub}, c.v, "
+            "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+            "0.0D, (acc, x) -> acc + x), "
+            f"'code', c.code))).code"
         )
-        return F.array_min(dists)["code"]
 
-    codes = [
-        subspace_code(F.slice(vec, j * dsub + 1, dsub), cb)
-        for j, cb in enumerate(codebooks)
-    ]
+    codes_sql = (
+        "array("
+        + ",".join(subspace_code_sql(j, cb) for j, cb in enumerate(codebooks))
+        + ")"
+    )
     carried = [F.col(c) for c in (keep or [])]
-    return df.select(F.col(id_col), *carried, F.array(*codes).alias("codes"))
+    return df.select(F.col(id_col), *carried, F.expr(codes_sql).alias("codes"))
 
 
 def pq_topk(
@@ -302,42 +297,32 @@ def encode_ivfpq(
             f"encode_ivfpq: {len(cents)} coarse centroids exceeds the "
             f"literal-plan bound ({MAX_LITERAL_CENTROIDS})"
         )
-    vec = F.col(vec_col)
-    cent_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                lit_double_array(c).alias("v"),
-            )
-            for i, c in enumerate(cents)
-        ]
+    # The coarse argmin and the residual build as ONE parsed SQL
+    # expression each instead of per-centroid Column/lambda py4j round
+    # trips — identical trees, bit-identical cells/residuals (same
+    # rationale as pq_encode above; OPTIMIZATION_r12.md §4).
+    cent_structs = ",".join(
+        f"named_struct('cid', {i}, 'v', {_arr_sql(c)})" for i, c in enumerate(cents)
     )
-    dists = F.transform(
-        cent_structs,
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    c["v"],
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-            c["cid"].alias("cid"),
-        ),
+    cell_sql = (
+        f"array_min(transform(array({cent_structs}), c -> named_struct("
+        f"'dist', aggregate(zip_with(`{vec_col}`, c.v, "
+        "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+        "0.0D, (acc, x) -> acc + x), "
+        f"'cid', c.cid))).cid"
     )
-    cent_arr = F.array(*[lit_double_array(c) for c in cents])
+    cent_arr_sql = "array(" + ",".join(_arr_sql(c) for c in cents) + ")"
     assigned = df.select(
-        F.col(id_col), vec.alias("_v"), F.array_min(dists)["cid"].alias("_cell")
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        F.expr(cell_sql).alias("_cell"),
     )
     with_res = assigned.select(
         F.col(id_col),
         F.col("_cell"),
-        F.zip_with(
-            F.col("_v"),
-            F.element_at(cent_arr, F.col("_cell") + 1),
-            lambda a, b: a.cast("double") - b,
+        F.expr(
+            f"zip_with(`_v`, element_at({cent_arr_sql}, `_cell` + 1), "
+            "(a, b) -> CAST(a AS DOUBLE) - b)"
         ).alias("_residual"),
     )
     return pq_encode(with_res, codebooks, "_residual", id_col, keep=["_cell"])
