@@ -126,13 +126,34 @@ def ensure_engine_confs(spark: SparkSession) -> None:
             pass
 
 
+# Logical-plan reuse across load_tables calls: ``spark.read.parquet``
+# costs ~120 ms of driver time per call (file listing + footer schema
+# inference) and view registration ~15 ms — a query surface whose
+# entries each call ``_t`` 1-3 times pays that per QUERY per repeat
+# (measured ~290 ms/call, the largest single fixed cost on the bench
+# tail; OPTIMIZATION_r12.md §6). The cache holds only the immutable
+# DataFrame (a lazy plan — every execution still scans the parquet
+# files; no rows are cached), keyed by (applicationId, sf_dir, file
+# mtime, name) so a new session, a different scale factor, or a
+# REWRITTEN table file (scale harnesses regenerate data in-session)
+# all miss and re-read.
+_TABLE_CACHE: dict[tuple, "DataFrame"] = {}
+# (applicationId, view name) -> (sf_dir, mtime) the temp view currently
+# points at — re-register only when it changes, so the spark.sql()-based
+# queries always see the requested scale factor and fresh files.
+_VIEW_STATE: dict[tuple, tuple] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Read the synthetic star-schema parquet tables and register temp views.
 
     Returns a dict name -> DataFrame. Scans stay lazy; Catalyst pushes
-    filters/projections into the parquet reader.
+    filters/projections into the parquet reader. Repeated calls for the
+    same (session, sf_dir, unchanged files) reuse the logical plan —
+    see _TABLE_CACHE above; execution always recomputes from parquet.
     """
     ensure_engine_confs(spark)
+    app = spark.sparkContext.applicationId
     all_names = [
         "region",
         "nation",
@@ -147,13 +168,26 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     ]
     out = {}
     for name in names or all_names:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # Columns stored as TIMESTAMP(NANOS) arrive as long (see
-        # nanosAsLong conf); restore timestamp with integer division so
-        # no precision is lost.
-        for col, want in KNOWN_TIMESTAMP_COLUMNS.get(name, {}).items():
-            if col in df.columns and dict(df.dtypes)[col] == "bigint":
-                df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
-        df.createOrReplaceTempView(name)
+        path = f"{sf_dir}/{name}.parquet"
+        try:
+            mtime = os.path.getmtime(path)
+        except OSError:
+            mtime = None  # let spark.read raise its own error below
+        key = (app, sf_dir, mtime, name)
+        df = _TABLE_CACHE.get(key)
+        if df is None:
+            df = spark.read.parquet(path)
+            # Columns stored as TIMESTAMP(NANOS) arrive as long (see
+            # nanosAsLong conf); restore timestamp with integer
+            # division so no precision is lost.
+            for col, want in KNOWN_TIMESTAMP_COLUMNS.get(name, {}).items():
+                if col in df.columns and dict(df.dtypes)[col] == "bigint":
+                    df = df.withColumn(
+                        col, F.expr(f"timestamp_micros({col} div 1000)")
+                    )
+            _TABLE_CACHE[key] = df
+        if _VIEW_STATE.get((app, name)) != (sf_dir, mtime):
+            df.createOrReplaceTempView(name)
+            _VIEW_STATE[(app, name)] = (sf_dir, mtime)
         out[name] = df
     return out
