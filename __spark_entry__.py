@@ -3842,11 +3842,14 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     target domain (English documents) vs the raw corpus; per-doc
     log-likelihood ratio under the md5 bucket contract. DuckDB rebuilds
     the 32-bit md5 bucket digit-by-digit and reproduces the smoothed
-    log-ratio arithmetic exactly (4dp round for summation order)."""
+    log-ratio arithmetic exactly (4dp round for summation order). The
+    target is a SLICE of the raw corpus, so it rides the tagged-
+    histogram path (one gram pass fits both models — r12 optimization,
+    counts pytest-pinned identical to the two-frame form)."""
     from facolos_data_pipelines_spark.operators.sampling import dsir_logratio_weights
 
     docs = _t(spark, sf_dir, "documents")
-    return dsir_logratio_weights(docs, docs.filter(F.col("lang") == "en"))
+    return dsir_logratio_weights(docs, target_filter=F.col("lang") == "en")
 
 
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3861,7 +3864,7 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    w = dsir_logratio_weights(docs, docs.filter(F.col("lang") == "en"))
+    w = dsir_logratio_weights(docs, target_filter=F.col("lang") == "en")
     return dsir_resample(w, 50)
 
 

@@ -298,11 +298,20 @@ def embedding_near_dup_pairs(
         if num_planes <= 0:
             verify_impl = "expr"  # exact path: verify dispatch is moot
         else:
-            if n_vectors is None:
-                n_vectors = df.select(id_col).count()
-            verify_impl = (
-                "arrow" if n_vectors > arrow_verify_threshold else "expr"
-            )
+            if n_vectors is not None:
+                over = n_vectors > arrow_verify_threshold
+            else:
+                # the dispatch only needs "more than threshold rows?",
+                # never the exact count — LocalLimit stops the scan at
+                # threshold+1 rows per partition, so the probe's cost is
+                # bounded by the THRESHOLD, not the corpus (the full
+                # count was a whole-corpus pass at 100 TB; same bounded-
+                # probe rule as similarity_ivf's small_threshold gate)
+                over = (
+                    df.select(id_col).limit(arrow_verify_threshold + 1).count()
+                    > arrow_verify_threshold
+                )
+            verify_impl = "arrow" if over else "expr"
     elif verify_impl not in ("expr", "arrow"):
         raise ValueError(
             f"embedding_near_dup_pairs: verify_impl must be 'expr', 'arrow' "

@@ -72,6 +72,7 @@ def exploded_shingles(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     distinct: bool = True,
+    carry_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """(id, _sh) rows of word n-gram shingles — the explode-side twin of
     :func:`word_shingles` (same shingle sets: short docs contribute
@@ -84,20 +85,30 @@ def exploded_shingles(
     Costs one shuffle on ``id_col`` (which downstream per-doc
     aggregations reuse); ``distinct=True`` adds the per-doc dedup the
     array form got from ``array_distinct``.
+
+    ``carry_cols`` names per-document columns to ride along on every
+    shingle row (they must be constant per ``id_col`` — e.g. a
+    membership tag) so a caller that needs a gram pass over two
+    overlapping corpus slices can run ONE explode instead of two
+    (dsir_logratio_weights' tagged histogram).
     """
+    carry = list(carry_cols)
     w = df.select(
-        F.col(id_col), F.posexplode(normalized_words(text_col)).alias("_pos", "_w")
+        F.col(id_col),
+        *carry,
+        F.posexplode(normalized_words(text_col)).alias("_pos", "_w"),
     )
     if shingle_n <= 1:
-        sh = w.select(id_col, F.col("_w").alias("_sh"))
+        sh = w.select(id_col, *carry, F.col("_w").alias("_sh"))
     else:
         win = Window.partitionBy(id_col).orderBy("_pos")
         leads = [F.lead("_w", j).over(win).alias(f"_w{j}") for j in range(1, shingle_n)]
         sh = (
-            w.select(id_col, "_pos", "_w", *leads)
+            w.select(id_col, *carry, "_pos", "_w", *leads)
             .filter(F.col(f"_w{shingle_n - 1}").isNotNull() | (F.col("_pos") == 0))
             .select(
                 id_col,
+                *carry,
                 F.concat_ws(" ", "_w", *[f"_w{j}" for j in range(1, shingle_n)]).alias(
                     "_sh"
                 ),

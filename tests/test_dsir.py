@@ -101,6 +101,38 @@ def test_dsir_resample_is_deterministic_topk_and_biased_to_target(spark):
     assert keys == sorted(keys, reverse=True)
 
 
+def test_dsir_target_filter_equals_two_frame_form(spark):
+    # the tagged one-pass histogram (target_filter) must produce weights
+    # IDENTICAL to filtering the target frame out of raw — including on
+    # NULL-predicate docs (count_if skips NULL tags exactly as
+    # filter(pred) drops them)
+    docs = _corpus(spark).union(
+        spark.createDataFrame([(99, "alpha beta stray", None)],
+                              "doc_id bigint, text string, lang string")
+    )
+    two_frame = {
+        (r["doc_id"], r["n_feats"], r["logratio"])
+        for r in dsir_logratio_weights(
+            docs, docs.filter(F.col("lang") == "en")
+        ).collect()
+    }
+    tagged = {
+        (r["doc_id"], r["n_feats"], r["logratio"])
+        for r in dsir_logratio_weights(
+            docs, target_filter=F.col("lang") == "en"
+        ).collect()
+    }
+    assert tagged == two_frame
+
+
+def test_dsir_target_and_filter_mutually_exclusive(spark):
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_logratio_weights(docs, docs, target_filter=F.lit(True))
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_logratio_weights(docs)
+
+
 def test_dsir_validation_errors(spark):
     docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="smoothing"):
