@@ -366,16 +366,25 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
-    )
-    print(
-        json.dumps(
+    # The printed line carries as many per-query timings as fit:
+    # round 4 proved the driver's tail capture is 2000 characters, so
+    # inlining all 182 entries (4.8 KB) truncates the line head and the
+    # driver records "parsed": null. Instead the `queries` dict grows
+    # greedily, slowest-first, up to a byte budget with headroom for
+    # shutdown noise after the print — ADDITIONS ONLY vs the historic
+    # top-5 (the 5 slowest are always the first 5 added), so round-over-
+    # round PERF comparisons gain coverage without losing any key. The
+    # full 182-entry map remains in the detail artifact.
+    ranked = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    line_budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1700"))
+
+    def _line(n: int) -> str:
+        return json.dumps(
             {
                 "metric": "headline_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": slowest,
+                "queries": dict(ranked[:n]),
                 "n_queries": len(timings),
                 "repeats": repeats,
                 "sf": sf,
@@ -383,7 +392,11 @@ def main() -> None:
                 "detail": os.path.basename(detail_path),
             }
         )
-    )
+
+    n_show = min(5, len(ranked))
+    while n_show < len(ranked) and len(_line(n_show + 1)) <= line_budget:
+        n_show += 1
+    print(_line(n_show))
 
 
 if __name__ == "__main__":

@@ -11,6 +11,12 @@ from pyspark.sql import functions as F
 from .dedup_common import materialize
 from .dedup_components import _drop_pair_losers
 
+# verify_impl='auto' dispatch memo: (applicationId, plan semanticHash,
+# threshold) -> bool ("more than threshold vectors?"). Both verify
+# implementations return identical pairs, so this caches a
+# performance-only routing decision, never data; bounded at 256.
+_VERIFY_DISPATCH_MEMO: dict[tuple, bool] = {}
+
 
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup
@@ -302,15 +308,33 @@ def embedding_near_dup_pairs(
                 over = n_vectors > arrow_verify_threshold
             else:
                 # the dispatch only needs "more than threshold rows?",
-                # never the exact count — LocalLimit stops the scan at
-                # threshold+1 rows per partition, so the probe's cost is
-                # bounded by the THRESHOLD, not the corpus (the full
-                # count was a whole-corpus pass at 100 TB; same bounded-
-                # probe rule as similarity_ivf's small_threshold gate)
-                over = (
-                    df.select(id_col).limit(arrow_verify_threshold + 1).count()
-                    > arrow_verify_threshold
+                # never the exact count — LocalLimit plans a per-
+                # partition limit, so the probe scans at most
+                # (threshold+1) x num_partitions rows (bounded per
+                # partition by the threshold; still far cheaper than a
+                # full count — the full count was a whole-corpus pass
+                # at 100 TB; same bounded-probe rule as
+                # similarity_ivf's small_threshold gate). The verdict
+                # is memoized per (app, plan, threshold): both verify
+                # impls produce identical pairs (pytest-pinned), so
+                # the dispatch is performance-only and a memo hit can
+                # never change a result — it removes the one fixed
+                # probe job from every later call on the same plan in
+                # a driver loop (VERDICT r12 item 7).
+                key = (
+                    df.sparkSession.sparkContext.applicationId,
+                    df.semanticHash(),
+                    int(arrow_verify_threshold),
                 )
+                over = _VERIFY_DISPATCH_MEMO.get(key)
+                if over is None:
+                    over = (
+                        df.select(id_col).limit(arrow_verify_threshold + 1).count()
+                        > arrow_verify_threshold
+                    )
+                    if len(_VERIFY_DISPATCH_MEMO) >= 256:
+                        _VERIFY_DISPATCH_MEMO.clear()
+                    _VERIFY_DISPATCH_MEMO[key] = over
             verify_impl = "arrow" if over else "expr"
     elif verify_impl not in ("expr", "arrow"):
         raise ValueError(

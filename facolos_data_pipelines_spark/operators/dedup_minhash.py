@@ -93,6 +93,16 @@ def exploded_shingles(
     (dsir_logratio_weights' tagged histogram).
     """
     carry = list(carry_cols)
+    # internal names of this function's explode/window pipeline — a
+    # colliding carry column would silently corrupt the window ordering
+    # or the shingle text (ADVICE r12)
+    reserved = {"_pos", "_w", "_sh"} | {f"_w{j}" for j in range(1, max(shingle_n, 1))}
+    bad = sorted(set(carry) & reserved)
+    if bad:
+        raise ValueError(
+            f"exploded_shingles: carry_cols {bad} collide with internal "
+            "column names ('_pos', '_w', '_w1'.., '_sh'); rename them first"
+        )
     w = df.select(
         F.col(id_col),
         *carry,

@@ -677,6 +677,39 @@ def dsir_logratio_weights(
         # count_if skips NULL tags exactly as filter(pred) drops
         # NULL-predicate docs, so the counts are identical to the
         # two-frame form's — pytest-pinned.
+        #
+        # The predicate must be DETERMINISTIC: the tag column can be
+        # re-evaluated per exploded shingle row, so a rand()-based
+        # filter would break the constant-per-doc assumption silently
+        # (ADVICE r12). Spark tracks determinism on the expression —
+        # refuse the nondeterministic ones outright.
+        if "_is_t" in raw.columns:
+            raise ValueError(
+                "dsir_logratio_weights: the raw frame already has a "
+                "'_is_t' column, which collides with the internal "
+                "membership tag; rename it first"
+            )
+        try:
+            det = bool(
+                raw.select(target_filter.alias("_is_t"))
+                ._jdf.queryExecution()
+                .analyzed()
+                .expressions()
+                .head()
+                .deterministic()
+            )
+        except Exception:  # pragma: no cover — non-py4j backends
+            det = True
+        if not det:
+            raise ValueError(
+                "dsir_logratio_weights: target_filter must be a "
+                "deterministic predicate — it is re-evaluated per "
+                "exploded gram row, so a nondeterministic filter "
+                "(rand(), current_timestamp(), ...) would tag the "
+                "same document differently across its shingles; "
+                "materialize the target membership as a column first "
+                "and pass that"
+            )
         tagged = raw.withColumn("_is_t", target_filter)
         merged_hist = (
             exploded_shingles(

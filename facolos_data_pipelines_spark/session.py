@@ -138,9 +138,16 @@ def ensure_engine_confs(spark: SparkSession) -> None:
 # REWRITTEN table file (scale harnesses regenerate data in-session)
 # all miss and re-read.
 _TABLE_CACHE: dict[tuple, "DataFrame"] = {}
+# Bound the cache in long-lived drivers that loop over many scale dirs
+# or regenerate files (each rewrite mints a new mtime key): keep the
+# newest entry per (app, sf_dir, name) and cap the dict overall.
+# Lazy plans are small, but an unbounded dict across thousands of
+# regenerated files is still a leak (VERDICT r12 item 5).
+_TABLE_CACHE_MAX = 256
 # (applicationId, view name) -> (sf_dir, mtime) the temp view currently
 # points at — re-register only when it changes, so the spark.sql()-based
 # queries always see the requested scale factor and fresh files.
+# Naturally bounded: one entry per (app, view name).
 _VIEW_STATE: dict[tuple, tuple] = {}
 
 
@@ -185,6 +192,19 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
                     df = df.withColumn(
                         col, F.expr(f"timestamp_micros({col} div 1000)")
                     )
+            # a rewritten file superseded any older mtime entry for the
+            # same (app, sf_dir, name) — drop them so regeneration loops
+            # don't accumulate dead plans
+            stale = [
+                k for k in _TABLE_CACHE
+                if k[0] == app and k[1] == sf_dir and k[3] == name and k != key
+            ]
+            for k in stale:
+                del _TABLE_CACHE[k]
+            if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+                # dicts iterate in insertion order: evict the oldest
+                for k in list(_TABLE_CACHE)[: len(_TABLE_CACHE) - _TABLE_CACHE_MAX + 1]:
+                    del _TABLE_CACHE[k]
             _TABLE_CACHE[key] = df
         if _VIEW_STATE.get((app, name)) != (sf_dir, mtime):
             df.createOrReplaceTempView(name)

@@ -133,6 +133,31 @@ def test_dsir_target_and_filter_mutually_exclusive(spark):
         dsir_logratio_weights(docs)
 
 
+def test_dsir_target_filter_guards(spark):
+    # ADVICE r12: the tagged pass must refuse a nondeterministic
+    # predicate (re-evaluated per exploded gram row, it could tag one
+    # doc's shingles differently) and a pre-existing '_is_t' column
+    # (silently overwritten by the internal tag otherwise)
+    docs = spark.createDataFrame([(1, "a b c"), (2, "b c d")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="deterministic"):
+        dsir_logratio_weights(docs, target_filter=F.rand() > 0.5)
+    tagged = docs.withColumn("_is_t", F.lit(True))
+    with pytest.raises(ValueError, match="_is_t"):
+        dsir_logratio_weights(tagged, target_filter=F.lit(True))
+
+
+def test_exploded_shingles_rejects_reserved_carry_cols(spark):
+    # ADVICE r12: a carry column colliding with the internal explode/
+    # window names would silently corrupt the shingle pipeline
+    from facolos_data_pipelines_spark.operators.dedup import exploded_shingles
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", 7)], ["doc_id", "text", "_pos"]
+    )
+    with pytest.raises(ValueError, match="carry_cols.*_pos"):
+        exploded_shingles(docs, carry_cols=["_pos"])
+
+
 def test_dsir_validation_errors(spark):
     docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="smoothing"):
