@@ -2342,25 +2342,46 @@ def q_hist_rebin_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = _t(spark, sf_dir, "events")
-    old_edges = pinned_edges(
-        hist_edges(
-            events.filter(F.to_date("ts") <= F.lit("2024-01-15")), "value", 10
-        ),
-        "q_hist_rebin_stitch",
-    )
+    # Both edge bootstraps in ONE events pass (r13, VERDICT item 4):
+    # exact percentile skips NULL inputs, so percentile(when(window,
+    # v)) over the full fact equals percentile(v) over the filtered
+    # window — two aggregates, one scan, one collect instead of two
+    # full-fact actions. Values (and therefore every downstream row)
+    # are bit-identical; the collected lists feed pinned_edges' list
+    # path exactly like a production loop that collects its edge
+    # store once per cycle and shares it across the readers.
+    _vals = events.select(
+        F.to_date("ts").alias("_d"), F.col("value").cast("double").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    _row = _vals.agg(
+        F.percentile(
+            F.when(F.col("_d") <= F.lit("2024-01-15"), F.col("_v")),
+            [i / 10 for i in range(1, 10)],
+        ).alias("_bs_old"),
+        F.percentile(
+            F.when(
+                F.col("_d").between("2024-01-16", "2024-01-19"), F.col("_v")
+            ),
+            [i / 8 for i in range(1, 8)],
+        ).alias("_bs_new"),
+    ).first()
+
+    def _bs(arr, which):
+        if arr is None:
+            # same contract as pinned_edges on a NULL _bs store row
+            raise ValueError(
+                f"q_hist_rebin_stitch: the {which} bootstrap window has "
+                "no values — re-bootstrap from a window that actually "
+                "has values"
+            )
+        return pinned_edges([float(b) for b in arr], "q_hist_rebin_stitch")
+
+    old_edges = _bs(_row["_bs_old"], "old")
+    new_edges = _bs(_row["_bs_new"], "new")
     old_state = hist_state(
         events.filter(F.to_date("ts") <= F.lit("2024-01-21")),
         "ts", "value", old_edges,
     ).persist()
-    new_edges = pinned_edges(
-        hist_edges(
-            events.filter(
-                F.to_date("ts").between("2024-01-16", "2024-01-19")
-            ),
-            "value", 8,
-        ),
-        "q_hist_rebin_stitch",
-    )
     # rebin_hist_state returns a PERSISTED frame when old_state is
     # given (the mass check's collect executes the rescan; the cache
     # lets the baseline probe and the stitched series reuse it)

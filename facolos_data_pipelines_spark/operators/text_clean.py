@@ -470,9 +470,9 @@ def tfidf_top_terms(
     is comparable across engines (ln is IEEE-754 on both sides).
 
     Plan shape: one explode, a groupBy on (doc, term) for tf, a
-    groupBy on term for df (map-side partial agg both times), then the
-    corpus size joins in as a broadcast of ONE aggregate row — the
-    whole computation stays in-plan, nothing collects to the driver.
+    groupBy on term for df (map-side partial agg both times); the
+    corpus size N rides the SAME eager aggregate as the unique-id
+    precondition (one pass serves both, r13) and inlines as a literal.
     The final per-doc top-k is a window on ``id_col`` whose shuffle
     reuses the (doc, term) partitioning's doc component; ties break on
     the term string so output is deterministic. At 100 TB: two
@@ -481,16 +481,33 @@ def tfidf_top_terms(
     """
     from .dedup import normalized_words
 
-    _require_unique_ids(docs, id_col, "tfidf_top_terms")
+    # ONE eager corpus pass serves both the unique-id precondition
+    # (previously its own _require_unique_ids aggregate job) and the
+    # corpus document count N (previously a second in-plan corpus
+    # aggregate broadcast into the score) — r13: the collected count
+    # inlines as a literal bit-identically.
+    srow = docs.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.col(id_col)).alias("d"),
+        F.sum(F.col(id_col).isNull().cast("int")).alias("nulls"),
+    ).first()
+    if srow["n"] != srow["d"]:
+        # identical contract and message to _require_unique_ids
+        raise ValueError(
+            f"tfidf_top_terms requires a unique, non-null id column: "
+            f"{id_col!r} has {srow['n']} rows but {srow['d']} distinct "
+            f"non-null values ({srow['nulls'] or 0} nulls). Duplicate ids "
+            "are grouped together (mis-keyed fingerprints); null ids "
+            "never join back."
+        )
+    n_docs = F.lit(float(srow["n"]))
     terms = docs.select(
         F.col(id_col), F.explode(normalized_words(text_col)).alias("term")
     )
     tf = terms.groupBy(id_col, "term").agg(F.count("*").cast("double").alias("tf"))
     doc_freq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
         tf.join(doc_freq, "term")
-        .join(F.broadcast(n_docs))
         .select(
             F.col(id_col),
             "term",
@@ -499,7 +516,7 @@ def tfidf_top_terms(
             # agree bit-for-bit (same idiom as the money-sum oracles)
             F.round(
                 F.col("tf")
-                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+                * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0)
                 + 1e-9,
                 round_digits,
             ).alias("tfidf"),

@@ -108,8 +108,10 @@ def bm25_topk(
     terms BEFORE the (doc, term) tf aggregation, so the shuffle
     carries only rows mentioning a query term — |query| is a literal
     handful, the filter is an in-set codegen test, and everything
-    else prunes at the scan. df-per-term and (N, avgdl) reduce to at
-    most |query|+1 broadcast rows. The final top-k is
+    else prunes at the scan. df-per-term reduces to at most |query|
+    broadcast rows; (N, avgdl) ride the SAME eager corpus pass as the
+    unique-id precondition (one aggregate serves both, r13) and inline
+    as literals. The final top-k is
     TakeOrderedAndProject (score desc, id asc — deterministic), never
     a global sort. Rounded to ``round_digits`` with the half-ulp
     nudge so external engines rank identically. Docs matching no
@@ -141,13 +143,34 @@ def bm25_topk(
             f"bm25_topk: query_terms {query_terms!r} contain no "
             "letter/digit tokens after normalization"
         )
-    _require_unique_ids(docs, id_col, "bm25_topk")
     words = docs.select(
         F.col(id_col), normalized_words(text_col).alias("_words")
     ).withColumn("_dl", F.size("_words").cast("double"))
-    stats = words.agg(
-        F.count("*").cast("double").alias("_n_docs"),
-        F.avg("_dl").alias("_avgdl"),
+    # ONE eager corpus pass serves both the unique-id precondition
+    # (previously its own _require_unique_ids aggregate job) and the
+    # (N, avgdl) statistics (previously a second in-plan corpus
+    # aggregate broadcast into the score) — r13: the probe was a whole
+    # extra corpus scan at 100 TB, and the collected doubles inline as
+    # literals bit-identically (count/avg over the same rows, IEEE
+    # round-trip through Python float).
+    srow = words.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.col(id_col)).alias("d"),
+        F.sum(F.col(id_col).isNull().cast("int")).alias("nulls"),
+        F.avg("_dl").alias("avgdl"),
+    ).first()
+    if srow["n"] != srow["d"]:
+        # identical contract and message to _require_unique_ids
+        raise ValueError(
+            f"bm25_topk requires a unique, non-null id column: {id_col!r} has "
+            f"{srow['n']} rows but {srow['d']} distinct non-null values "
+            f"({srow['nulls'] or 0} nulls). Duplicate ids are grouped "
+            "together (mis-keyed fingerprints); null ids never join back."
+        )
+    n_docs_lit = F.lit(float(srow["n"]))
+    avgdl_lit = (
+        F.lit(float(srow["avgdl"])) if srow["avgdl"] is not None
+        else F.lit(None).cast("double")
     )
     tf = (
         words.select(F.col(id_col), "_dl", F.explode("_words").alias("term"))
@@ -160,19 +183,18 @@ def bm25_topk(
     )
     df_t = tf.groupBy("term").agg(F.count("*").cast("double").alias("_df"))
     idf = F.log(
-        1.0 + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+        1.0 + (n_docs_lit - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
     )
     term_score = idf * (
         F.col("_tf")
         * (k1 + 1.0)
         / (
             F.col("_tf")
-            + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+            + k1 * (1.0 - b + b * F.col("_dl") / avgdl_lit)
         )
     )
     return (
         tf.join(F.broadcast(df_t), "term")
-        .join(F.broadcast(stats))
         .groupBy(id_col)
         .agg(
             F.round(F.sum(term_score) + 1e-9, round_digits).alias("bm25"),
