@@ -197,9 +197,20 @@ def embedding_near_dup_pairs(
     auto_bucket_occupancy: int = 64,
     verify_impl: str = "auto",
     arrow_verify_threshold: int = 100_000,
+    bands_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold, blocked by
     banded random-hyperplane LSH — the DEFAULT and the 100 TB path.
+
+    ``bands_df`` optionally feeds precomputed (id, band, sig) rows
+    (:func:`embedding_band_state` under the SAME pinned num_planes /
+    num_bands family — the persisted-store contract) so a caller that
+    also appends band rows to a store signs the batch ONCE instead of
+    twice (the streaming sink); the caller owns their materialization.
+    Requires an explicit positive ``num_planes`` (the family the rows
+    were computed under — 'auto' cannot be re-derived from rows).
+    Identical output: a vector's band rows don't depend on which frame
+    selects them.
 
     The DEFAULTS are the scale-safe configuration: ``num_planes='auto'``
     and ``verify_impl='auto'`` (one column-pruned count of the corpus
@@ -291,6 +302,14 @@ def embedding_near_dup_pairs(
     """
     from .similarity import banded_signatures
 
+    if bands_df is not None and (
+        not isinstance(num_planes, int) or num_planes <= 0
+    ):
+        raise ValueError(
+            "embedding_near_dup_pairs: bands_df requires an explicit "
+            "positive num_planes — the pinned family the rows were "
+            "computed under ('auto' cannot be re-derived from band rows)"
+        )
     n_vectors: int | None = None
     if num_planes == "auto":
         n_vectors = df.select(id_col).count()
@@ -375,11 +394,16 @@ def embedding_near_dup_pairs(
     # (num_bands x num_planes dot products per row) is the expensive
     # subtree — same reasoning as minhash_dedup's persisted buckets.
     # The checkpointed rows are only (id, band, sig) — id-width, never
-    # vectors.
-    sigs = materialize(
-        banded_signatures(
-            scaled, vec_col, id_col, num_planes, num_bands, dim, id_col,
-            impl=signature_impl,
+    # vectors. With bands_df the caller supplies (and owns the
+    # materialization of) those rows — one signing per cycle.
+    sigs = (
+        bands_df.select(F.col(id_col), "band", "sig")
+        if bands_df is not None
+        else materialize(
+            banded_signatures(
+                scaled, vec_col, id_col, num_planes, num_bands, dim, id_col,
+                impl=signature_impl,
+            )
         )
     )
     if max_bucket_size is not None:
@@ -420,6 +444,7 @@ def embedding_dedup(
     max_bucket_size: int | None = None,
     auto_bucket_occupancy: int = 64,
     arrow_verify_threshold: int = 100_000,
+    bands_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """Drop the higher id of every near-duplicate embedding pair (or,
     with ``transitive=True``, keep one vector per single-link
@@ -440,6 +465,7 @@ def embedding_dedup(
         signature_impl=signature_impl, verify_impl=verify_impl,
         auto_bucket_occupancy=auto_bucket_occupancy,
         arrow_verify_threshold=arrow_verify_threshold,
+        bands_df=bands_df,
     )
     return _drop_pair_losers(
         df, pairs, id_col, transitive, score_col=score_col, descending=descending

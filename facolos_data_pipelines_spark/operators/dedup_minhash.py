@@ -127,6 +127,32 @@ def exploded_shingles(
     return sh.dropDuplicates([id_col, "_sh"]) if distinct else sh
 
 
+def shingle_arrays(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, _shingles) — each doc's DISTINCT shingle set as an array,
+    built on the explode + lead-window codegen path and re-assembled
+    with one ``collect_set`` aggregate (reusing the window's id
+    partitioning: one shuffle total).
+
+    Set-identical to ``word_shingles`` (the per-row transform form):
+    the element ORDER differs, which is irrelevant to every consumer —
+    the verification stages only take ``size(array_intersect/union)``.
+    WHEN to use which (both directions measured, r13): this form wins
+    where ONE frame feeds BOTH sides of a verify join
+    (verified_near_dup_pairs: the interpreted transform used to run
+    twice over the candidates, and the exploded subtree is planned
+    once — minhash_dedup 3.7 -> 3.0 s); the narrow ``word_shingles``
+    transform wins where each side is built once over id-pruned docs
+    (the delta/cross verify sites — swapping them measured 1.3-1.9x
+    SLOWER because the explode path adds a window shuffle per side)."""
+    sh = exploded_shingles(df, text_col, id_col, shingle_n, distinct=False)
+    return sh.groupBy(id_col).agg(F.collect_set("_sh").alias("_shingles"))
+
+
 def minhash_signature(
     shingles: Column, num_hashes: int = 32, family: str = "multiply_add"
 ) -> Column:
@@ -376,8 +402,11 @@ def verified_near_dup_pairs(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .dropDuplicates()
     )
-    sh = df.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("_shingles")
+    # explode-path shingle arrays (shingle_arrays): ~2x faster than the
+    # interpreted word_shingles transform when candidates are dense
+    # (r13 A/B); identical sets, and only set sizes are consumed below
+    sh = shingle_arrays(
+        df.join(cand_ids, id_col, "left_semi"), text_col, id_col, shingle_n
     )
     joined = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_shingles", "sh_a"), "id_a")
@@ -572,6 +601,14 @@ def _cross_verified_pairs(
 
     def side_shingles(df: DataFrame, out_id: str) -> DataFrame:
         ids = cand.select(F.col(out_id).alias(id_col)).dropDuplicates()
+        # NOTE (r13, measured): the narrow word_shingles transform is
+        # the RIGHT form here — each side's arrays are built once and
+        # candidates are heavily id-pruned, so swapping in the explode
+        # path (shingle_arrays) added a window shuffle per side and
+        # measured 1.3-1.9x SLOWER (A/B: cross_corpus_dedup 3.75 ->
+        # 4.67 s, decontaminate 1.28 -> 2.39 s). shingle_arrays wins
+        # only where one frame feeds BOTH verify sides
+        # (verified_near_dup_pairs).
         return (
             df.join(ids, id_col, "left_semi")
             .select(
@@ -821,7 +858,12 @@ def minhash_dedup_delta(
             )
 
         # one shingle projection per side, pruned to candidate ids
-        # (the side_shingles semi-join discipline), then ONE verify join
+        # (the side_shingles semi-join discipline), then ONE verify
+        # join. The narrow word_shingles transform is deliberate here —
+        # each side is built once over id-pruned docs, and the explode
+        # path (shingle_arrays) measured 1.8x SLOWER on this query
+        # (A/B: 4.62 -> 8.28 s; it only wins where one frame feeds
+        # both verify sides, see verified_near_dup_pairs)
         left_ids = cand.select(F.col("id_a").alias(id_col)).dropDuplicates()
         sh_a = batch.join(left_ids, id_col, "left_semi").select(
             F.col(id_col).alias("id_a"),

@@ -502,8 +502,9 @@ def near_dup_filter_sink(
     dedup against everything already ingested. Per micro-batch:
 
     1. WITHIN-batch near-dedup with the full verified MinHash pipeline
-       (dedup.minhash_dedup — texts are at hand, so candidates get the
-       exact Jaccard check);
+       (minhash_dedup's exact semantics — LSH candidates, exact Jaccard
+       verify, drop the higher id — built from band rows the batch
+       signs ONCE per micro-batch, r13);
     2. CROSS-batch dedup against the persisted band-bucket store: a doc
        sharing ANY (band_id, band_hash) bucket with prior ingests is
        dropped. This decision is bucket-level — the LSH collision
@@ -542,7 +543,11 @@ def near_dup_filter_sink(
     (mixing layouts makes Spark's partition discovery silently drop the
     root-level legacy rows).
     """
-    from ..operators.dedup import minhash_dedup, minhash_lsh_buckets
+    from ..operators.dedup import minhash_lsh_buckets
+    from ..operators.dedup_minhash import (
+        lsh_candidate_pairs,
+        verified_near_dup_pairs,
+    )
     from ..sources.io import table_exists
 
     def filter_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -555,10 +560,27 @@ def near_dup_filter_sink(
             if store_exists
             else store_partitions
         )
-        survivors = minhash_dedup(
-            batch_df, text_col, id_col, num_hashes, bands, shingle_n,
-            threshold, family=family,
+        # ONE signing chain per micro-batch (r13): the previous shape
+        # ran the explode/minhash pipeline up to FOUR times per batch
+        # (inside minhash_dedup, for the probe buckets, again for the
+        # post-probe buckets, and once more when the bucket append
+        # executed) plus two extra eager executions. The batch's band
+        # rows are now computed once and checkpointed; the
+        # within-batch sweep (identical minhash_dedup semantics:
+        # lsh_candidate_pairs -> exact-Jaccard verify -> drop id_b),
+        # the store probe, and the store append are all projections /
+        # semi-joins of those rows — a doc's band rows don't depend on
+        # which frame selects them (the minhash_state_append
+        # contract).
+        bb = minhash_lsh_buckets(
+            batch_df, text_col, id_col, num_hashes, bands, shingle_n, family
         ).localCheckpoint(eager=True)
+        ipairs = lsh_candidate_pairs(bb, id_col)
+        idups = verified_near_dup_pairs(
+            batch_df, ipairs, text_col, id_col, shingle_n, threshold
+        )
+        internal_losers = idups.select(F.col("id_b").alias(id_col)).dropDuplicates()
+        survivors = batch_df.join(internal_losers, id_col, "left_anti")
 
         def with_pmod(b: DataFrame) -> DataFrame:
             if n_parts:
@@ -567,11 +589,6 @@ def near_dup_filter_sink(
                 )
             return b
 
-        buckets = with_pmod(
-            minhash_lsh_buckets(
-                survivors, text_col, id_col, num_hashes, bands, shingle_n, family
-            )
-        )
         if store_exists:
             store = spark.read.parquet(bucket_store_path)
             probe_keys = (
@@ -582,11 +599,15 @@ def near_dup_filter_sink(
             # Broadcast the (small) batch side; the store is scanned
             # map-side only — no store shuffle, and the partition-column
             # equi-join key lets dynamic partition pruning skip store
-            # partitions the batch doesn't touch.
+            # partitions the batch doesn't touch. Probing the WHOLE
+            # batch's buckets (not just within-batch survivors) returns
+            # a superset of hit ids whose extras are exactly the
+            # within-batch losers — already dropped — so the survivor
+            # set is unchanged while the probe reuses the one signing.
             hit_ids = (
                 store.join(
                     F.broadcast(
-                        buckets.select(
+                        with_pmod(bb).select(
                             *probe_keys, F.col(id_col).alias("_probe_id")
                         )
                     ),
@@ -596,14 +617,11 @@ def near_dup_filter_sink(
                 .dropDuplicates()
             )
             survivors = survivors.join(hit_ids, id_col, "left_anti")
-            buckets = with_pmod(
-                minhash_lsh_buckets(
-                    survivors, text_col, id_col, num_hashes, bands, shingle_n, family
-                )
-            )
         survivors = survivors.localCheckpoint(eager=True)
         survivors.write.mode("append").parquet(docs_sink_path)
-        out = buckets.select(
+        out = with_pmod(
+            bb.join(survivors.select(id_col), id_col, "left_semi")
+        ).select(
             *(["bucket_pmod"] if n_parts else []),
             "band_id",
             "band_hash",
@@ -913,10 +931,13 @@ def embedding_near_dup_sink(
         # common all-clean case previously paid a whole extra batch
         # scan just to decide whether to log). CollectMetrics sits
         # BELOW the keep-filter so it sees every row, and the first
-        # action on this lineage is embedding_dedup's full
-        # verify-dispatch count (no limit probes upstream), so the
-        # observed metric is complete by the time the eager
-        # localCheckpoint returns.
+        # action on this lineage is the band-row checkpoint right
+        # below — an unconditional FULL scan of the batch — so the
+        # observed metric is complete (and correct) by the time the
+        # checkpoint returns. (Previously the first action could be
+        # embedding_dedup's LocalLimit-bounded verify-dispatch probe,
+        # which on a batch larger than the probe bound would have
+        # reported a PARTIAL degenerate count — r13 hardening.)
         deg_obs = Observation()
         batch = (
             scoped.observe(deg_obs, F.count(F.when(bad, True)).alias("n_bad"))
@@ -924,9 +945,30 @@ def embedding_near_dup_sink(
             .drop("_nsq")
         )
 
-        survivors = embedding_dedup(
-            batch, vec_col, id_col, threshold, num_planes, num_bands, dim,
-            signature_impl=signature_impl,
+        def with_pmod(b: DataFrame) -> DataFrame:
+            if n_parts:
+                return b.withColumn(
+                    "bucket_pmod", F.pmod(F.col("sig"), F.lit(n_parts))
+                )
+            return b
+
+        # ONE signing chain per micro-batch (r13): the previous shape
+        # signed the batch inside embedding_dedup AND re-signed the
+        # within-batch survivors for the store append. The batch's
+        # band rows are now computed once and checkpointed; the
+        # within-batch sweep consumes them via bands_df, the store
+        # probe broadcasts them, and the append is a survivor
+        # semi-join of them (the embedding_state_append contract: a
+        # vector's band rows don't depend on which frame selects
+        # them). Probing the WHOLE batch's rows (not just
+        # within-batch survivors) returns a superset of hit ids whose
+        # extras are exactly the within-batch losers — already
+        # dropped — so the survivor set is unchanged.
+        sigs_all = with_pmod(
+            embedding_band_state(
+                batch, vec_col, id_col, num_planes, num_bands, dim,
+                signature_impl,
+            )
         ).localCheckpoint(eager=True)
         n_bad = int(deg_obs.get["n_bad"])
         if n_bad:
@@ -937,18 +979,10 @@ def embedding_near_dup_sink(
                 batch_id, n_bad,
             )
 
-        def with_pmod(b: DataFrame) -> DataFrame:
-            if n_parts:
-                return b.withColumn(
-                    "bucket_pmod", F.pmod(F.col("sig"), F.lit(n_parts))
-                )
-            return b
-
-        sigs = with_pmod(
-            embedding_band_state(
-                survivors, vec_col, id_col, num_planes, num_bands, dim,
-                signature_impl,
-            )
+        survivors = embedding_dedup(
+            batch, vec_col, id_col, threshold, num_planes, num_bands, dim,
+            signature_impl=signature_impl,
+            bands_df=sigs_all.select(F.col(id_col), "band", "sig"),
         )
         if store_exists:
             store = spark.read.parquet(band_store_path)
@@ -963,7 +997,9 @@ def embedding_near_dup_sink(
             hit_ids = (
                 store.join(
                     F.broadcast(
-                        sigs.select(*probe_keys, F.col(id_col).alias("_probe_id"))
+                        sigs_all.select(
+                            *probe_keys, F.col(id_col).alias("_probe_id")
+                        )
                     ),
                     probe_keys,
                 )
@@ -971,12 +1007,11 @@ def embedding_near_dup_sink(
                 .dropDuplicates()
             )
             survivors = survivors.join(hit_ids, id_col, "left_anti")
-            sigs = sigs.join(
-                survivors.select(id_col).dropDuplicates(), id_col, "left_semi"
-            )
         survivors = survivors.localCheckpoint(eager=True)
         survivors.write.mode("append").parquet(docs_sink_path)
-        out = sigs.select(
+        out = sigs_all.join(
+            survivors.select(id_col).dropDuplicates(), id_col, "left_semi"
+        ).select(
             *(["bucket_pmod"] if n_parts else []), "band", "sig", id_col
         )
         writer = out.write.mode("append")
