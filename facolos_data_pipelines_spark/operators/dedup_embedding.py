@@ -850,16 +850,18 @@ def embedding_dedup_delta(
     )
     sigs.persist()
     try:
-        # The history probe and the batch-internal sweep share one
-        # tagged candidate pass and one tagged cosine-verify pass
-        # (round-12 restructure, same shape as the minhash twin): a
-        # cycle previously ran FOUR eager executions (history
-        # candidates, history verify, internal candidates, internal
-        # losers); merging them halves the action count with the exact
-        # per-branch math preserved. id_a is always a BATCH id; id_b is
-        # a corpus id on '_src'='h' rows and a batch id on '_src'='i'
-        # rows (ids may collide across sides, so the side tag joins
-        # with id_b everywhere).
+        # The history probe and the batch-internal sweep share ONE
+        # tagged CANDIDATE pass (round-12 restructure, kept): a cycle
+        # previously ran four eager executions; fusing the candidate
+        # materialization cut that without changing a single pair.
+        # The VERIFICATION is split per branch again (round-13, same
+        # finding as the minhash twin): the tagged-union verify
+        # measured 1.8x slower at sf1 (bench_scale_delta_ab —
+        # old-split 16.8 s vs tagged-union 30.9 s) because the union
+        # side defeats per-branch broadcast planning. id_a is always a
+        # BATCH id; id_b is a corpus id on '_src'='h' rows and a batch
+        # id on '_src'='i' rows (ids may collide across sides, so the
+        # branches must never be mixed without the tag).
         lb = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
         rb = state.select(F.col(id_col).alias("id_b"), "band", "sig")
         ib = sigs
@@ -889,63 +891,40 @@ def embedding_dedup_delta(
         # BOTH sides id-pruned to the candidate set before the
         # vector-width verify joins (the minhash twin's side_shingles
         # semi-join discipline): the shuffle then carries
-        # O(candidates * dim) bytes, not O(batch * dim)
-        left_ids = cand.select(F.col("id_a").alias(id_col)).dropDuplicates()
-        va = _normalized_vectors(
-            batch.join(left_ids, id_col, "left_semi"), vec_col, id_col
-        ).select(F.col(id_col).alias("id_a"), F.col("_sv").alias("va"))
-        hr_ids = (
-            cand.filter(F.col("_src") == "h")
-            .select(F.col("id_b").alias(id_col))
-            .dropDuplicates()
-        )
-        ir_ids = (
-            cand.filter(F.col("_src") == "i")
-            .select(F.col("id_b").alias(id_col))
-            .dropDuplicates()
-        )
-        vb = (
-            _normalized_vectors(
-                corpus.join(hr_ids, id_col, "left_semi"), vec_col, id_col
-            )
-            .select(
-                F.lit("h").alias("_src"),
-                F.col(id_col).alias("id_b"),
-                F.col("_sv").alias("vb"),
-            )
-            .unionByName(
-                _normalized_vectors(
-                    batch.join(ir_ids, id_col, "left_semi"), vec_col, id_col
-                ).select(
-                    F.lit("i").alias("_src"),
-                    F.col(id_col).alias("id_b"),
-                    F.col("_sv").alias("vb"),
-                )
-            )
-        )
+        # O(candidates * dim) bytes, not O(batch * dim). Each branch
+        # verifies through its OWN join (r13 — see the tagged-union
+        # note above), consumed lazily by the returned plan, so the
+        # eager executions stay at one (the candidate checkpoint).
+        hist_cand_v = cand.filter(F.col("_src") == "h").select("id_a", "id_b")
+        int_cand_v = cand.filter(F.col("_src") == "i").select("id_a", "id_b")
         dot = F.aggregate(
             F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        # materialized once: every downstream frame (history losers,
-        # internal pairs) is a cheap projection of the checkpoint, so
-        # the cosine verification runs exactly once per cycle — and the
-        # internal pairs no longer hang off the persisted signature
-        # frame, which is why _drop_pair_losers needs no eager
-        # checkpoint of its own anymore
-        verified = materialize(
-            cand.join(va, "id_a")
-            .join(vb, ["_src", "id_b"])
-            .select("_src", "id_a", "id_b", dot.alias("cosine"))
-            .filter(F.col("cosine") >= threshold)
-        )
+
+        def _branch_pairs(cand_v, right_src):
+            la = cand_v.select(F.col("id_a").alias(id_col)).dropDuplicates()
+            va = _normalized_vectors(
+                batch.join(la, id_col, "left_semi"), vec_col, id_col
+            ).select(F.col(id_col).alias("id_a"), F.col("_sv").alias("va"))
+            rb_ids = cand_v.select(F.col("id_b").alias(id_col)).dropDuplicates()
+            vb = _normalized_vectors(
+                right_src.join(rb_ids, id_col, "left_semi"), vec_col, id_col
+            ).select(F.col(id_col).alias("id_b"), F.col("_sv").alias("vb"))
+            return (
+                cand_v.join(va, "id_a")
+                .join(vb, "id_b")
+                .select("id_a", "id_b", dot.alias("cosine"))
+                .filter(F.col("cosine") >= threshold)
+            )
+
         hist_losers = (
-            verified.filter(F.col("_src") == "h")
+            _branch_pairs(hist_cand_v, corpus)
             .select(F.col("id_a").alias(id_col))
             .dropDuplicates()
         )
-        idups = verified.filter(F.col("_src") == "i").select("id_a", "id_b")
+        idups = _branch_pairs(int_cand_v, batch).select("id_a", "id_b")
         internal_survivors = _drop_pair_losers(
             batch, idups, id_col, transitive=False, eager=False
         )

@@ -802,17 +802,16 @@ def minhash_dedup_delta(
     try:
         from .dedup_common import materialize
 
-        # The history probe and the batch-internal sweep share one
-        # tagged candidate pass and one tagged verification pass
-        # (round-12 restructure): a cycle previously ran FOUR eager
-        # executions (history candidates, history verify, internal
-        # candidates, internal losers — each its own AQE job chain);
-        # merging them halves the action count without changing a
-        # single pair's Jaccard or either loser rule — the exact
-        # per-branch math is preserved, only the passes fuse. id_a is
-        # always a BATCH id; id_b is a corpus id on '_src'='h' rows
-        # and a batch id on '_src'='i' rows (ids may collide across
-        # sides, so the side tag joins with id_b everywhere).
+        # The history probe and the batch-internal sweep share ONE
+        # tagged CANDIDATE pass (round-12 restructure, kept): a cycle
+        # previously ran four eager executions; fusing the candidate
+        # materialization cut that without changing a single pair.
+        # The VERIFICATION is split per branch again (round-13): the
+        # r12 tagged-union verify measured 1.8x slower at sf1 — see
+        # the comment at the verify stage below. id_a is always a
+        # BATCH id; id_b is a corpus id on '_src'='h' rows and a
+        # batch id on '_src'='i' rows (ids may collide across sides,
+        # so the branches must never be mixed without the tag).
         lb = bb.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
         rb = state.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
         ib = bb
@@ -857,64 +856,52 @@ def minhash_dedup_delta(
                 f"{candidates!r}"
             )
 
-        # one shingle projection per side, pruned to candidate ids
-        # (the side_shingles semi-join discipline), then ONE verify
-        # join. The narrow word_shingles transform is deliberate here —
-        # each side is built once over id-pruned docs, and the explode
-        # path (shingle_arrays) measured 1.8x SLOWER on this query
-        # (A/B: 4.62 -> 8.28 s; it only wins where one frame feeds
-        # both verify sides, see verified_near_dup_pairs)
-        left_ids = cand.select(F.col("id_a").alias(id_col)).dropDuplicates()
-        sh_a = batch.join(left_ids, id_col, "left_semi").select(
-            F.col(id_col).alias("id_a"),
-            word_shingles(text_col, shingle_n).alias("sh_a"),
-        )
-        hr_ids = (
-            cand.filter(F.col("_src") == "h")
-            .select(F.col("id_b").alias(id_col))
-            .dropDuplicates()
-        )
-        ir_ids = (
-            cand.filter(F.col("_src") == "i")
-            .select(F.col("id_b").alias(id_col))
-            .dropDuplicates()
-        )
-        sh_b = (
-            corpus.join(hr_ids, id_col, "left_semi")
-            .select(
-                F.lit("h").alias("_src"),
-                F.col(id_col).alias("id_b"),
-                word_shingles(text_col, shingle_n).alias("sh_b"),
-            )
-            .unionByName(
-                batch.join(ir_ids, id_col, "left_semi").select(
-                    F.lit("i").alias("_src"),
-                    F.col(id_col).alias("id_b"),
-                    word_shingles(text_col, shingle_n).alias("sh_b"),
-                )
-            )
-        )
+        # Verification SPLIT per branch (r13): the r12 shape verified
+        # both branches through ONE tagged join against a UNION of the
+        # two shingle sides, keyed on (_src, id_b). That fused the
+        # actions, but the union side defeats per-branch broadcast
+        # planning and funnels both sides through one wide join —
+        # MEASURED 1.8x slower at sf1 (scripts/bench_scale_delta_ab.py:
+        # old-split 12.0 s vs tagged-union 22.1 s medians of 5; at
+        # sf0.1 the difference hides under the action floor, which is
+        # how it shipped). The candidate pass stays FUSED (one tagged
+        # checkpoint — that half is a pure win: one band self-join +
+        # one history probe materialized together), and each branch's
+        # Jaccard verify is a separate, independently-plannable join
+        # consumed lazily by the returned plan — so the action count
+        # stays at r12's level (one checkpoint + the final execution)
+        # while the join shapes are the scale-correct ones.
+        hist_cand_v = cand.filter(F.col("_src") == "h").select("id_a", "id_b")
+        int_cand_v = cand.filter(F.col("_src") == "i").select("id_a", "id_b")
         jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
             F.array_union("sh_a", "sh_b")
         )
-        # materialized once: every downstream frame (history losers,
-        # internal pairs) is a cheap projection of the checkpoint, so
-        # the Jaccard verification runs exactly once per cycle — and
-        # the internal pairs no longer hang off the persisted bucket
-        # frame, which is why _drop_pair_losers needs no eager
-        # checkpoint of its own anymore
-        verified = materialize(
-            cand.join(sh_a, "id_a")
-            .join(sh_b, ["_src", "id_b"])
-            .select("_src", "id_a", "id_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold)
+        # history branch: sh_a from the batch, sh_b from the corpus —
+        # narrow word_shingles per side (each side is built once over
+        # id-pruned docs; the explode path only wins when ONE frame
+        # feeds both sides, see verified_near_dup_pairs)
+        h_left = hist_cand_v.select(F.col("id_a").alias(id_col)).dropDuplicates()
+        h_sh_a = batch.join(h_left, id_col, "left_semi").select(
+            F.col(id_col).alias("id_a"),
+            word_shingles(text_col, shingle_n).alias("sh_a"),
+        )
+        h_right = hist_cand_v.select(F.col("id_b").alias(id_col)).dropDuplicates()
+        h_sh_b = corpus.join(h_right, id_col, "left_semi").select(
+            F.col(id_col).alias("id_b"),
+            word_shingles(text_col, shingle_n).alias("sh_b"),
         )
         hist_losers = (
-            verified.filter(F.col("_src") == "h")
+            hist_cand_v.join(h_sh_a, "id_a")
+            .join(h_sh_b, "id_b")
+            .filter(jac >= threshold)
             .select(F.col("id_a").alias(id_col))
             .dropDuplicates()
         )
-        idups = verified.filter(F.col("_src") == "i").select("id_a", "id_b")
+        # internal branch: both sides are batch docs — exactly the
+        # verified_near_dup_pairs shape (one frame, both sides)
+        idups = verified_near_dup_pairs(
+            batch, int_cand_v, text_col, id_col, shingle_n, threshold
+        ).select("id_a", "id_b")
         from .dedup_components import _drop_pair_losers
 
         internal_survivors = _drop_pair_losers(

@@ -172,6 +172,45 @@ def _new_embedding_cycle(spark, emb):
     ).select("vec_id")
 
 
+def _old_crosscorpus(spark, docs):
+    """The pre-r12 shape: each side signs its own explode/window/md5
+    chain (no precomputed band frames)."""
+    from pyspark.sql import functions as F
+
+    from facolos_data_pipelines_spark.operators.dedup import (
+        minhash_cross_corpus_pairs,
+    )
+
+    return minhash_cross_corpus_pairs(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        num_hashes=16, bands=4, threshold=0.8, family="md5",
+    ).select("left_id", "right_id")
+
+
+def _new_crosscorpus(spark, docs):
+    """The r12/HEAD query shape: ONE signing chain for the whole
+    corpus, checkpointed, filter-split into the two sides."""
+    from pyspark.sql import functions as F
+
+    from facolos_data_pipelines_spark.operators.dedup import (
+        minhash_band_state,
+        minhash_cross_corpus_pairs,
+    )
+    from facolos_data_pipelines_spark.operators.dedup_common import materialize
+
+    allb = materialize(
+        minhash_band_state(docs, num_hashes=16, bands=4, family="md5")
+    )
+    return minhash_cross_corpus_pairs(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        num_hashes=16, bands=4, threshold=0.8, family="md5",
+        left_buckets=allb.filter(F.col("doc_id") % 2 == 1),
+        right_buckets=allb.filter(F.col("doc_id") % 2 == 0),
+    ).select("left_id", "right_id")
+
+
 def main() -> int:
     if len(sys.argv) < 3:
         raise SystemExit("usage: bench_scale_delta_ab.py SF_DIR OP [reps]")
@@ -191,13 +230,16 @@ def main() -> int:
     elif op == "embedding":
         src = tables["embeddings"]
         shapes = {"old": _old_embedding_cycle, "new": _new_embedding_cycle}
+    elif op == "crosscorpus":
+        src = tables["documents"]
+        shapes = {"old": _old_crosscorpus, "new": _new_crosscorpus}
     else:
         raise SystemExit(f"unknown op {op!r}")
 
     # equality first: identical survivor sets, by construction of the
     # restructure — assert it anyway on this exact data
     outs = {k: f(spark, src) for k, f in shapes.items()}
-    rows = {k: {r[0] for r in df.collect()} for k, df in outs.items()}
+    rows = {k: {tuple(r) for r in df.collect()} for k, df in outs.items()}
     if rows["old"] != rows["new"]:
         raise SystemExit(
             f"survivor sets differ: old-only={sorted(rows['old'] - rows['new'])[:5]} "
